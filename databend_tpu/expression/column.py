@@ -1,0 +1,285 @@
+"""Columnar containers.
+
+TPU-native analog of the reference's arrow-style column layer
+(reference: src/common/column/src/ + src/query/expression/src/values.rs).
+Numeric, boolean, date/timestamp and vector columns are numpy arrays that
+move to HBM unchanged (``jnp.asarray`` is zero conversion); strings are
+arrow-layout offsets+bytes; validity is a boolean mask (True = valid).
+
+Vector columns are ``[N, dim]`` fixed-width arrays — the layout batched
+MXU distance kernels consume directly (reference stores them row-major
+too: src/query/expression/src/types/vector.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Iterable, Optional, Sequence
+
+import numpy as np
+
+from ..errors import BadDataValueType
+from ..types import (
+    ArrayType,
+    Boolean,
+    DataType,
+    NullableType,
+    NullType,
+    NumberType,
+    String,
+    StringType,
+    VectorType,
+)
+
+
+@dataclass
+class StringData:
+    """Arrow-layout binary column: ``data[offsets[i]:offsets[i+1]]`` is row i."""
+
+    offsets: np.ndarray  # int64, len N+1
+    data: np.ndarray  # uint8
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    @staticmethod
+    def from_pylist(values: Sequence[Any]) -> "StringData":
+        bufs = []
+        offsets = np.zeros(len(values) + 1, dtype=np.int64)
+        total = 0
+        for i, v in enumerate(values):
+            b = b"" if v is None else (v.encode("utf-8") if isinstance(v, str) else bytes(v))
+            bufs.append(b)
+            total += len(b)
+            offsets[i + 1] = total
+        data = np.frombuffer(b"".join(bufs), dtype=np.uint8).copy() if total else np.zeros(0, np.uint8)
+        return StringData(offsets, data)
+
+    def get(self, i: int) -> str:
+        return bytes(self.data[self.offsets[i]: self.offsets[i + 1]]).decode("utf-8", "replace")
+
+    def to_pylist(self) -> list:
+        out = []
+        offs = self.offsets
+        mv = self.data.tobytes()
+        for i in range(len(self)):
+            out.append(mv[offs[i]: offs[i + 1]].decode("utf-8", "replace"))
+        return out
+
+    def take(self, indices: np.ndarray) -> "StringData":
+        lens = self.offsets[1:] - self.offsets[:-1]
+        new_lens = lens[indices]
+        new_offsets = np.zeros(len(indices) + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        new_data = np.empty(int(new_offsets[-1]), dtype=np.uint8)
+        for j, i in enumerate(indices):
+            new_data[new_offsets[j]: new_offsets[j + 1]] = self.data[self.offsets[i]: self.offsets[i + 1]]
+        return StringData(new_offsets, new_data)
+
+    @staticmethod
+    def concat(parts: Sequence["StringData"]) -> "StringData":
+        n = sum(len(p) for p in parts)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        datas = []
+        pos = 0
+        base = 0
+        for p in parts:
+            ln = len(p)
+            offsets[pos + 1: pos + ln + 1] = p.offsets[1:] + base
+            base += int(p.offsets[-1])
+            pos += ln
+            datas.append(p.data)
+        data = np.concatenate(datas) if datas else np.zeros(0, np.uint8)
+        return StringData(offsets, data)
+
+
+class Column:
+    """A typed column: payload + optional validity mask.
+
+    ``data`` is one of:
+      * ``np.ndarray``  (numbers / bool / date / timestamp: 1-D;
+        vectors: ``[N, dim]``)
+      * ``StringData``  (VARCHAR)
+      * ``(offsets: np.ndarray, child: Column)``  (ARRAY)
+    """
+
+    __slots__ = ("dtype", "data", "validity")
+
+    def __init__(self, dtype: DataType, data, validity: Optional[np.ndarray] = None):
+        self.dtype = dtype
+        self.data = data
+        self.validity = validity
+        if validity is not None and not dtype.is_nullable():
+            self.dtype = dtype.wrap_nullable()
+
+    # ------------------------------------------------------------------ build
+    @staticmethod
+    def from_numpy(arr: np.ndarray, dtype: Optional[DataType] = None,
+                   validity: Optional[np.ndarray] = None) -> "Column":
+        if dtype is None:
+            dtype = _infer_dtype_from_numpy(arr)
+        inner = dtype.remove_nullable()
+        if isinstance(inner, VectorType):
+            arr = np.ascontiguousarray(arr, dtype=inner.numpy_dtype())
+            assert arr.ndim == 2 and arr.shape[1] == inner.dim, (arr.shape, inner.dim)
+        elif isinstance(inner, (NumberType,)) or inner in (Boolean,):
+            arr = np.ascontiguousarray(arr, dtype=inner.numpy_dtype())
+        return Column(dtype, arr, validity)
+
+    @staticmethod
+    def from_pylist(values: Sequence[Any], dtype: DataType) -> "Column":
+        inner = dtype.remove_nullable()
+        has_none = any(v is None for v in values)
+        validity = None
+        if has_none:
+            validity = np.array([v is not None for v in values], dtype=np.bool_)
+            dtype = dtype.wrap_nullable()
+        if isinstance(inner, StringType):
+            return Column(dtype, StringData.from_pylist(values), validity)
+        if isinstance(inner, VectorType):
+            dim = inner.dim
+            out = np.zeros((len(values), dim), dtype=inner.numpy_dtype())
+            for i, v in enumerate(values):
+                if v is not None:
+                    a = np.asarray(v, dtype=inner.numpy_dtype())
+                    if a.shape != (dim,):
+                        raise BadDataValueType(f"vector dim mismatch: expected {dim}, got {a.shape}")
+                    out[i] = a
+            return Column(dtype, out, validity)
+        if isinstance(inner, ArrayType):
+            offsets = np.zeros(len(values) + 1, dtype=np.int64)
+            flat: list = []
+            for i, v in enumerate(values):
+                items = [] if v is None else list(v)
+                flat.extend(items)
+                offsets[i + 1] = len(flat)
+            child = Column.from_pylist(flat, inner.inner)
+            return Column(dtype, (offsets, child), validity)
+        np_dtype = inner.numpy_dtype()
+        filled = [0 if v is None else v for v in values]
+        return Column(dtype, np.asarray(filled, dtype=np_dtype), validity)
+
+    @staticmethod
+    def null_column(n: int) -> "Column":
+        from ..types import Null
+        return Column(Null, np.zeros(n, np.float64), np.zeros(n, np.bool_))
+
+    # ------------------------------------------------------------------ basics
+    def __len__(self) -> int:
+        if isinstance(self.data, np.ndarray):
+            return self.data.shape[0]
+        if isinstance(self.data, StringData):
+            return len(self.data)
+        return len(self.data[0]) - 1
+
+    def is_nullable(self) -> bool:
+        return self.validity is not None
+
+    def null_count(self) -> int:
+        return 0 if self.validity is None else int((~self.validity).sum())
+
+    def get(self, i: int):
+        if self.validity is not None and not self.validity[i]:
+            return None
+        inner = self.dtype.remove_nullable()
+        if isinstance(self.data, StringData):
+            return self.data.get(i)
+        if isinstance(inner, VectorType):
+            return self.data[i]
+        if isinstance(inner, ArrayType):
+            offs, child = self.data
+            return [child.get(j) for j in range(int(offs[i]), int(offs[i + 1]))]
+        v = self.data[i]
+        return v.item() if hasattr(v, "item") else v
+
+    def to_pylist(self) -> list:
+        inner = self.dtype.remove_nullable()
+        if isinstance(self.data, StringData):
+            vals = self.data.to_pylist()
+        elif isinstance(inner, VectorType):
+            vals = [row.tolist() for row in self.data]
+        elif isinstance(inner, ArrayType):
+            vals = [self.get(i) for i in range(len(self))]
+            return vals if self.validity is None else [
+                v if ok else None for v, ok in zip(vals, self.validity)]
+        else:
+            vals = self.data.tolist()
+        if self.validity is not None:
+            vals = [v if ok else None for v, ok in zip(vals, self.validity)]
+        return vals
+
+    # ------------------------------------------------------------------ kernels
+    def take(self, indices) -> "Column":
+        indices = np.asarray(indices, dtype=np.int64)
+        validity = self.validity[indices] if self.validity is not None else None
+        if isinstance(self.data, StringData):
+            return Column(self.dtype, self.data.take(indices), validity)
+        inner = self.dtype.remove_nullable()
+        if isinstance(inner, ArrayType):
+            return Column.from_pylist([self.get(int(i)) for i in indices], self.dtype)
+        return Column(self.dtype, self.data[indices], validity)
+
+    def slice(self, start: int, end: int) -> "Column":
+        validity = self.validity[start:end] if self.validity is not None else None
+        if isinstance(self.data, StringData):
+            offs = self.data.offsets[start: end + 1].copy()
+            data = self.data.data[offs[0]: offs[-1]].copy()
+            offs -= offs[0]
+            return Column(self.dtype, StringData(offs, data), validity)
+        inner = self.dtype.remove_nullable()
+        if isinstance(inner, ArrayType):
+            return self.take(np.arange(start, end))
+        return Column(self.dtype, self.data[start:end], validity)
+
+    def filter(self, mask: np.ndarray) -> "Column":
+        return self.take(np.nonzero(np.asarray(mask, dtype=np.bool_))[0])
+
+    @staticmethod
+    def concat(parts: Sequence["Column"]) -> "Column":
+        parts = list(parts)
+        assert parts, "concat of zero columns"
+        dtype = parts[0].dtype
+        any_valid = any(p.validity is not None for p in parts)
+        validity = None
+        if any_valid:
+            validity = np.concatenate([
+                p.validity if p.validity is not None else np.ones(len(p), np.bool_)
+                for p in parts])
+            dtype = dtype.wrap_nullable()
+        if isinstance(parts[0].data, StringData):
+            return Column(dtype, StringData.concat([p.data for p in parts]), validity)
+        inner = dtype.remove_nullable()
+        if isinstance(inner, ArrayType):
+            vals: list = []
+            for p in parts:
+                vals.extend(p.to_pylist())
+            return Column.from_pylist(vals, dtype)
+        return Column(dtype, np.concatenate([p.data for p in parts]), validity)
+
+    # ------------------------------------------------------------------ numeric view
+    def numpy(self) -> np.ndarray:
+        """Raw payload for numeric/vector columns (nulls hold garbage)."""
+        assert isinstance(self.data, np.ndarray), f"numpy() on {self.dtype}"
+        return self.data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Column({self.dtype}, n={len(self)}, nulls={self.null_count()})"
+
+
+def _infer_dtype_from_numpy(arr: np.ndarray) -> DataType:
+    from ..types import (Boolean, Float32, Float64, Int8, Int16, Int32, Int64,
+                         UInt8, UInt16, UInt32, UInt64)
+    if arr.ndim == 2:
+        elem = "i8" if arr.dtype == np.int8 else "f32"
+        return VectorType(arr.shape[1], elem)
+    table = {
+        np.dtype(np.bool_): Boolean,
+        np.dtype(np.int8): Int8, np.dtype(np.int16): Int16,
+        np.dtype(np.int32): Int32, np.dtype(np.int64): Int64,
+        np.dtype(np.uint8): UInt8, np.dtype(np.uint16): UInt16,
+        np.dtype(np.uint32): UInt32, np.dtype(np.uint64): UInt64,
+        np.dtype(np.float32): Float32, np.dtype(np.float64): Float64,
+    }
+    if arr.dtype in table:
+        return table[arr.dtype]
+    raise BadDataValueType(f"cannot infer type from numpy dtype {arr.dtype}")

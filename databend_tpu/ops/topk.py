@@ -1,0 +1,150 @@
+"""K-select kernels.
+
+TPU-native replacement for the reference's top-k machinery:
+``FixedLengthPriorityQueue`` (reference: src/query/storages/common/index/src/
+hnsw_index/common/fixed_length_priority_queue.rs) and the pipeline sort-limit
+operator ``TransformSortMergeLimit`` (src/query/pipeline/transforms/src/
+processors/transforms/sorts/sort_merge_limit.rs). Heaps are a scalar-CPU
+idiom; on TPU k-select is either XLA's `top_k` (exact, sorted) or
+`approx_min_k` (the MXU-era ANN selector, recall~0.95+ at default params),
+and the streaming variant is a `lax.scan` that carries a running `[B, k]`
+candidate set — the moral equivalent of the fixed-length priority queue,
+but vectorized over the whole query batch.
+
+All selectors carry ``(distance, id)`` pairs so multi-shard / multi-block
+merges keep global row ids (SURVEY §7 hard part (d)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .distance import pairwise_distance
+
+INF = jnp.float32(jnp.inf)
+
+
+def topk_smallest(dists: jax.Array, k: int, ids: Optional[jax.Array] = None,
+                  approx: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Smallest-k per row of ``dists [B, N]`` -> (values [B,k], indices [B,k]).
+
+    ``ids``: optional `[N]` or `[B, N]` global ids to gather instead of
+    returning positions. ``approx=True`` uses `lax.approx_min_k`
+    (TPU-optimized bucketed selection; pair with exact re-rank for parity).
+    """
+    if approx:
+        vals, pos = jax.lax.approx_min_k(dists, k)
+    else:
+        vals, pos = jax.lax.top_k(-dists, k)
+        vals = -vals
+    if ids is not None:
+        if ids.ndim == 1:
+            out_ids = ids[pos]
+        else:
+            out_ids = jnp.take_along_axis(ids, pos, axis=1)
+        return vals, out_ids
+    return vals, pos
+
+
+def chunked_topk_smallest(q: jax.Array, x: jax.Array, k: int, metric: str,
+                          chunk_rows: int = 131072,
+                          compute_dtype=jnp.float32,
+                          x_sq_norms: Optional[jax.Array] = None,
+                          base_id: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """Fused scan+score+k-select over a large corpus.
+
+    Streams ``x [N, d]`` in chunks of ``chunk_rows``; each step scores one
+    chunk on the MXU and folds it into the running `[B, k]` winner set with
+    one `top_k` over `[B, k + chunk]`. Peak memory is the chunk, not the
+    whole `[B, N]` distance matrix. N must be padded to a multiple of
+    ``chunk_rows`` by the caller **with rows at distance +inf** (use
+    ``pad_corpus``).
+
+    Returns (distances [B, k], global ids [B, k]) where ids are
+    ``base_id + row_index``.
+    """
+    n, d = x.shape
+    b = q.shape[0]
+    if n <= chunk_rows:
+        dists = pairwise_distance(q, x, metric, compute_dtype, x_sq_norms)
+        ids = jnp.arange(n, dtype=jnp.int32) + base_id
+        return topk_smallest(dists, min(k, n), ids=ids)
+    assert n % chunk_rows == 0, f"pad corpus: {n} % {chunk_rows} != 0"
+    num_chunks = n // chunk_rows
+    xc = x.reshape(num_chunks, chunk_rows, d)
+    norms_c = None
+    if x_sq_norms is not None:
+        norms_c = x_sq_norms.reshape(num_chunks, chunk_rows)
+
+    init_vals = jnp.full((b, k), INF, dtype=jnp.float32)
+    init_ids = jnp.full((b, k), -1, dtype=jnp.int32)
+
+    def body(carry, inp):
+        best_v, best_i = carry
+        if norms_c is not None:
+            ci, xi, ni = inp
+            dists = pairwise_distance(q, xi, metric, compute_dtype, ni)
+        else:
+            ci, xi = inp
+            dists = pairwise_distance(q, xi, metric, compute_dtype)
+        ids = ci * chunk_rows + jnp.arange(chunk_rows, dtype=jnp.int32) + base_id
+        cat_v = jnp.concatenate([best_v, dists], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids, (b, chunk_rows))], axis=1)
+        new_v, pos = jax.lax.top_k(-cat_v, k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (-new_v, new_i), None
+
+    chunk_idx = jnp.arange(num_chunks, dtype=jnp.int32)
+    xs = (chunk_idx, xc, norms_c) if norms_c is not None else (chunk_idx, xc)
+    (vals, ids), _ = jax.lax.scan(body, (init_vals, init_ids), xs)
+    return vals, ids
+
+
+def merge_topk(dists: jax.Array, ids: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Merge per-shard/per-block top-k lists into a global top-k.
+
+    ``dists``/``ids``: `[S, B, k_s]` stacked shard results (or `[B, S*k_s]`
+    already concatenated). The global merge the reference does with a
+    `FixedLengthPriorityQueue(limit)` over block results
+    (vector_index_pruner.rs:241-303) is a single `top_k` here.
+    """
+    if dists.ndim == 3:
+        s, b, ks = dists.shape
+        dists = jnp.transpose(dists, (1, 0, 2)).reshape(b, s * ks)
+        ids = jnp.transpose(ids, (1, 0, 2)).reshape(b, s * ks)
+    vals, pos = jax.lax.top_k(-dists, min(k, dists.shape[1]))
+    return -vals, jnp.take_along_axis(ids, pos, axis=1)
+
+
+def pad_corpus(x, multiple: int):
+    """Pad `[N, d]` numpy/jnp corpus to a row multiple; returns (padded, n_valid).
+
+    Padding rows are +inf-safe: large-magnitude values that produce +inf/huge
+    distances for every metric (so they never enter a top-k), placed AFTER
+    real rows so ids < n_valid are real.
+    """
+    import numpy as np
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = np.full((rem, x.shape[1]), 1e18, dtype=np.float32)
+    return np.concatenate([np.asarray(x, dtype=np.float32), pad], axis=0), n
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk_rows", "bf16"))
+def brute_force_topk(q: jax.Array, x: jax.Array, k: int, metric: str = "l2",
+                     chunk_rows: int = 131072, bf16: bool = False,
+                     x_sq_norms: Optional[jax.Array] = None):
+    """Jitted end-to-end exact scan: score `[B,d]x[N,d]` + k-select.
+
+    This is the whole "exact brute-force top-k" baseline config from
+    BASELINE.md in one XLA program.
+    """
+    cd = jnp.bfloat16 if bf16 else jnp.float32
+    return chunked_topk_smallest(q, x, k, metric, chunk_rows=chunk_rows,
+                                 compute_dtype=cd, x_sq_norms=x_sq_norms)

@@ -1,0 +1,336 @@
+"""Logical type system.
+
+TPU-native re-design of the reference's typed column system
+(reference: src/query/expression/src/types/*.rs). Key differences from the
+Rust original:
+
+* Numeric columns are numpy arrays on the host and ``jnp`` arrays on device;
+  the logical type carries the numpy dtype so host<->device moves are zero
+  conversion.
+* ``VectorType(dim, element)`` mirrors ``VectorDataType::{Int8,Float32}(dim)``
+  (reference: src/query/expression/src/types/vector.rs:229-232); vector
+  columns are ``[N, dim]`` fixed-width arrays, the layout the MXU wants.
+* Nullability is a wrapper type (``NullableType``) carried next to a validity
+  bitmap, like the reference's ``Nullable<T>``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..errors import SyntaxException, TypeMismatch
+
+
+class DataType:
+    """Base class for all logical types. Instances are immutable."""
+
+    def numpy_dtype(self) -> np.dtype:
+        raise NotImplementedError(type(self).__name__)
+
+    def sql_name(self) -> str:
+        raise NotImplementedError
+
+    # -- nullability helpers -------------------------------------------------
+    def is_nullable(self) -> bool:
+        return False
+
+    def wrap_nullable(self) -> "DataType":
+        return NullableType(self)
+
+    def remove_nullable(self) -> "DataType":
+        return self
+
+    def is_numeric(self) -> bool:
+        return False
+
+    def is_integer(self) -> bool:
+        return False
+
+    def is_float(self) -> bool:
+        return False
+
+    def __repr__(self) -> str:
+        return self.sql_name()
+
+    def __eq__(self, other) -> bool:
+        return type(self) is type(other) and self.__dict__ == other.__dict__
+
+    def __hash__(self) -> int:
+        return hash((type(self).__name__, tuple(sorted(self.__dict__.items()))))
+
+
+class NullType(DataType):
+    def sql_name(self) -> str:
+        return "NULL"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(np.float64)
+
+    def is_nullable(self) -> bool:
+        return True
+
+
+class BooleanType(DataType):
+    def sql_name(self) -> str:
+        return "BOOLEAN"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(np.bool_)
+
+
+@dataclass(frozen=True, eq=False)
+class NumberType(DataType):
+    """All fixed-width numbers. ``kind`` in {i8,i16,i32,i64,u8,u16,u32,u64,f32,f64}."""
+
+    kind: str
+
+    _NP = {
+        "i8": np.int8, "i16": np.int16, "i32": np.int32, "i64": np.int64,
+        "u8": np.uint8, "u16": np.uint16, "u32": np.uint32, "u64": np.uint64,
+        "f32": np.float32, "f64": np.float64,
+    }
+    _SQL = {
+        "i8": "TINYINT", "i16": "SMALLINT", "i32": "INT", "i64": "BIGINT",
+        "u8": "TINYINT UNSIGNED", "u16": "SMALLINT UNSIGNED",
+        "u32": "INT UNSIGNED", "u64": "BIGINT UNSIGNED",
+        "f32": "FLOAT", "f64": "DOUBLE",
+    }
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(self._NP[self.kind])
+
+    def sql_name(self) -> str:
+        return self._SQL[self.kind]
+
+    def is_numeric(self) -> bool:
+        return True
+
+    def is_integer(self) -> bool:
+        return self.kind[0] in ("i", "u")
+
+    def is_signed(self) -> bool:
+        return self.kind[0] in ("i", "f")
+
+    def is_float(self) -> bool:
+        return self.kind[0] == "f"
+
+    def bit_width(self) -> int:
+        return int(self.kind[1:])
+
+
+class StringType(DataType):
+    def sql_name(self) -> str:
+        return "VARCHAR"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(object)
+
+
+class DateType(DataType):
+    """Days since unix epoch, int32 (reference: types/date.rs)."""
+
+    def sql_name(self) -> str:
+        return "DATE"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(np.int32)
+
+    def is_numeric(self) -> bool:
+        return False
+
+
+class TimestampType(DataType):
+    """Microseconds since unix epoch, int64 (reference: types/timestamp.rs)."""
+
+    def sql_name(self) -> str:
+        return "TIMESTAMP"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(np.int64)
+
+
+@dataclass(frozen=True, eq=False)
+class VectorType(DataType):
+    """Fixed-dim vector; element is Float32 or Int8.
+
+    Mirrors ``VectorDataType`` (reference: src/query/expression/src/types/
+    vector.rs:229-232). Stored as an ``[N, dim]`` array — HBM-friendly.
+    """
+
+    dim: int
+    element: str = "f32"  # "f32" | "i8"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(np.float32 if self.element == "f32" else np.int8)
+
+    def sql_name(self) -> str:
+        if self.element == "f32":
+            return f"VECTOR({self.dim})"
+        return f"VECTOR({self.dim}, INT8)"
+
+
+@dataclass(frozen=True, eq=False)
+class ArrayType(DataType):
+    inner: DataType
+
+    def sql_name(self) -> str:
+        return f"ARRAY({self.inner.sql_name()})"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(object)
+
+
+@dataclass(frozen=True, eq=False)
+class TupleType(DataType):
+    fields: tuple
+
+    def sql_name(self) -> str:
+        return "TUPLE(" + ", ".join(f.sql_name() for f in self.fields) + ")"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(object)
+
+
+@dataclass(frozen=True, eq=False)
+class NullableType(DataType):
+    inner: DataType
+
+    def __post_init__(self):
+        assert not isinstance(self.inner, NullableType)
+
+    def sql_name(self) -> str:
+        return f"{self.inner.sql_name()} NULL"
+
+    def numpy_dtype(self) -> np.dtype:
+        return self.inner.numpy_dtype()
+
+    def is_nullable(self) -> bool:
+        return True
+
+    def wrap_nullable(self) -> DataType:
+        return self
+
+    def remove_nullable(self) -> DataType:
+        return self.inner
+
+    def is_numeric(self) -> bool:
+        return self.inner.is_numeric()
+
+    def is_integer(self) -> bool:
+        return self.inner.is_integer()
+
+    def is_float(self) -> bool:
+        return self.inner.is_float()
+
+
+# Singletons
+Null = NullType()
+Boolean = BooleanType()
+Int8 = NumberType("i8")
+Int16 = NumberType("i16")
+Int32 = NumberType("i32")
+Int64 = NumberType("i64")
+UInt8 = NumberType("u8")
+UInt16 = NumberType("u16")
+UInt32 = NumberType("u32")
+UInt64 = NumberType("u64")
+Float32 = NumberType("f32")
+Float64 = NumberType("f64")
+String = StringType()
+Date = DateType()
+Timestamp = TimestampType()
+
+ALL_NUMBER_TYPES = [Int8, Int16, Int32, Int64, UInt8, UInt16, UInt32, UInt64, Float32, Float64]
+
+_NUMERIC_RANK = {k: i for i, k in enumerate(
+    ["u8", "i8", "u16", "i16", "u32", "i32", "u64", "i64", "f32", "f64"])}
+
+
+def common_super_type(a: DataType, b: DataType) -> DataType:
+    """Smallest type both arguments cast to losslessly-enough for SQL semantics.
+
+    Mirrors the reference's ``common_super_type`` used for comparison/arith
+    coercion (reference: src/query/expression/src/type_check.rs).
+    """
+    nullable = a.is_nullable() or b.is_nullable()
+    ai, bi = a.remove_nullable(), b.remove_nullable()
+    if isinstance(a, NullType):
+        return b.wrap_nullable()
+    if isinstance(b, NullType):
+        return a.wrap_nullable()
+    if ai == bi:
+        out = ai
+    elif isinstance(ai, NumberType) and isinstance(bi, NumberType):
+        out = _super_number(ai, bi)
+    elif isinstance(ai, StringType) or isinstance(bi, StringType):
+        out = String
+    else:
+        raise TypeMismatch(f"no common super type for {ai} and {bi}")
+    return out.wrap_nullable() if nullable else out
+
+
+def _super_number(a: NumberType, b: NumberType) -> NumberType:
+    if a.is_float() or b.is_float():
+        float_bits = max(t.bit_width() for t in (a, b) if t.is_float())
+        int_bits = max((t.bit_width() for t in (a, b) if not t.is_float()), default=0)
+        # ints wider than f32's 24-bit mantissa force f64
+        return Float64 if (float_bits == 64 or int_bits >= 32) else Float32
+    # both integers
+    if a.is_signed() == b.is_signed():
+        w = max(a.bit_width(), b.bit_width())
+        pfx = "i" if a.is_signed() else "u"
+        return NumberType(f"{pfx}{w}")
+    # mixed sign: widen to signed of next width
+    w = max(a.bit_width(), b.bit_width())
+    w = min(w * 2, 64) if (a.bit_width() if not a.is_signed() else b.bit_width()) >= w else w
+    return NumberType(f"i{max(w, 16)}") if w < 64 else Int64
+
+
+_TYPE_NAMES = {
+    "BOOLEAN": Boolean, "BOOL": Boolean,
+    "TINYINT": Int8, "INT8": Int8,
+    "SMALLINT": Int16, "INT16": Int16,
+    "INT": Int32, "INTEGER": Int32, "INT32": Int32,
+    "BIGINT": Int64, "INT64": Int64,
+    "UINT8": UInt8, "UINT16": UInt16, "UINT32": UInt32, "UINT64": UInt64,
+    "FLOAT": Float32, "FLOAT32": Float32,
+    "DOUBLE": Float64, "FLOAT64": Float64,
+    "VARCHAR": String, "STRING": String, "TEXT": String,
+    "DATE": Date,
+    "TIMESTAMP": Timestamp, "DATETIME": Timestamp,
+}
+
+_VECTOR_RE = re.compile(r"^VECTOR\s*\(\s*(\d+)\s*(?:,\s*(INT8|FLOAT32)\s*)?\)$", re.I)
+_ARRAY_RE = re.compile(r"^ARRAY\s*\((.*)\)$", re.I | re.S)
+
+
+def parse_type_name(name: str) -> DataType:
+    """Parse an SQL type name, e.g. from CREATE TABLE."""
+    s = name.strip()
+    up = s.upper()
+    nullable = False
+    if up.endswith(" NULL") and not up.endswith("NOT NULL"):
+        nullable = True
+        s = s[: -len(" NULL")].strip()
+        up = s.upper()
+    elif up.endswith("NOT NULL"):
+        s = s[: -len("NOT NULL")].strip()
+        up = s.upper()
+    ty: DataType
+    if up in _TYPE_NAMES:
+        ty = _TYPE_NAMES[up]
+    else:
+        m = _VECTOR_RE.match(up)
+        if m:
+            elem = "i8" if (m.group(2) or "").upper() == "INT8" else "f32"
+            ty = VectorType(int(m.group(1)), elem)
+        else:
+            m = _ARRAY_RE.match(s)
+            if m:
+                ty = ArrayType(parse_type_name(m.group(1)))
+            else:
+                raise SyntaxException(f"unknown type name: {name!r}")
+    return ty.wrap_nullable() if nullable else ty

@@ -1,0 +1,27 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding paths are validated on virtual CPU devices (real TPU has
+one chip in CI); tiny shapes keep this fast.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def tmp_catalog(tmp_path):
+    """A fresh on-disk catalog rooted in a temp dir."""
+    from databend_tpu.service.session import SessionContext
+    return SessionContext(data_root=str(tmp_path))
