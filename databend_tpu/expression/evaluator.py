@@ -1,0 +1,230 @@
+"""Expression evaluator: ScalarExpr over DataBlock -> Column.
+
+Analog of the reference's ``Evaluator``
+(reference: src/query/expression/src/evaluator.rs). Vectorized numpy on the
+host; vector-distance kernels inside expressions route to jitted TPU ops for
+large blocks (see functions/vector_fns.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..errors import BadDataValueType, SemanticError
+from ..types import (ArrayType, Boolean, DataType, Date, Float64, Int64,
+                     NullType, NumberType, String, StringType, Timestamp,
+                     VectorType)
+from .block import DataBlock
+from .column import Column, StringData
+from .expr import BoundColumn, CaseExpr, CastExpr, Constant, Func, ScalarExpr
+from .functions import registry
+
+
+class Evaluator:
+    def __init__(self, block: DataBlock):
+        self.block = block
+
+    def run(self, expr: ScalarExpr) -> Column:
+        n = self.block.num_rows
+        if isinstance(expr, BoundColumn):
+            return self.block.column(expr.name)
+        if isinstance(expr, Constant):
+            return constant_column(expr.value, expr.dtype, n)
+        if isinstance(expr, CastExpr):
+            return cast_column(self.run(expr.arg), expr.dtype, expr.is_try)
+        if isinstance(expr, CaseExpr):
+            return self._run_case(expr)
+        if isinstance(expr, Func):
+            return self._run_func(expr)
+        raise SemanticError(f"cannot evaluate {type(expr).__name__}")
+
+    def _run_func(self, expr: Func) -> Column:
+        fn = registry.get(expr.name)
+        args = [self.run(a) for a in expr.args]
+        n = self.block.num_rows
+        arg_types = [a.dtype for a in args]
+        if fn.null_policy == "custom":
+            payloads = [a.data for a in args]
+            validities = [a.validity for a in args]
+            payload, validity = fn.kernel(payloads, validities,
+                                          arg_types=arg_types, n_rows=n)
+            return Column(expr.dtype.remove_nullable(), payload, validity)
+        # propagate: AND of validities, kernel sees payloads only
+        validity = None
+        for a in args:
+            if a.validity is not None:
+                validity = a.validity if validity is None else (validity & a.validity)
+        payload = fn.kernel(*[a.data for a in args], arg_types=arg_types,
+                            out_dtype=expr.dtype.remove_nullable(), n_rows=n)
+        return Column(expr.dtype.remove_nullable(), payload,
+                      validity.copy() if validity is not None else None)
+
+    def _run_case(self, expr: CaseExpr) -> Column:
+        n = self.block.num_rows
+        target = expr.dtype
+        if expr.else_result is not None:
+            acc = cast_column(self.run(expr.else_result), target, False)
+        else:
+            acc = Column(target.remove_nullable(),
+                         constant_column(None, target.wrap_nullable(), n).data,
+                         np.zeros(n, np.bool_))
+        decided = np.zeros(n, np.bool_)
+        for cond_e, res_e in zip(expr.conditions, expr.results):
+            cond = self.run(cond_e)
+            mask = np.asarray(cond.data, np.bool_).copy()
+            if cond.validity is not None:
+                mask &= cond.validity
+            mask &= ~decided
+            if not mask.any():
+                continue
+            res = cast_column(self.run(res_e), target, False)
+            acc = _select_columns(mask, res, acc)
+            decided |= mask
+        return acc
+
+
+def _select_columns(mask: np.ndarray, a: Column, b: Column) -> Column:
+    """where(mask, a, b) preserving validity."""
+    va = a.validity if a.validity is not None else np.ones(len(mask), np.bool_)
+    vb = b.validity if b.validity is not None else np.ones(len(mask), np.bool_)
+    validity = np.where(mask, va, vb)
+    if isinstance(a.data, StringData) or isinstance(b.data, StringData):
+        al, bl = a.to_pylist(), b.to_pylist()
+        vals = [x if m else y for m, x, y in zip(mask, al, bl)]
+        payload = StringData.from_pylist(vals)
+    elif isinstance(a.data, np.ndarray) and a.data.ndim == 2:
+        payload = np.where(mask[:, None], a.data, b.data)
+    elif isinstance(a.data, tuple):
+        vals = [x if m else y for m, x, y in zip(mask, a.to_pylist(), b.to_pylist())]
+        return Column.from_pylist(vals, a.dtype.wrap_nullable() if not validity.all() else a.dtype)
+    else:
+        payload = np.where(mask, a.data, b.data)
+    return Column(a.dtype.remove_nullable(), payload,
+                  None if validity.all() else validity)
+
+
+def constant_column(value, dtype: DataType, n: int) -> Column:
+    inner = dtype.remove_nullable()
+    if value is None:
+        z = np.zeros(n, inner.numpy_dtype()) if not isinstance(inner, (StringType, ArrayType)) \
+            else (StringData.from_pylist([""] * n) if isinstance(inner, StringType)
+                  else (np.zeros(n + 1, np.int64), Column.from_pylist([], Int64)))
+        if isinstance(inner, VectorType):
+            z = np.zeros((n, inner.dim), inner.numpy_dtype())
+        return Column(inner, z, np.zeros(n, np.bool_))
+    if isinstance(inner, StringType):
+        return Column(inner, StringData.from_pylist([value] * n))
+    if isinstance(inner, VectorType):
+        row = np.asarray(value, dtype=inner.numpy_dtype())
+        if row.shape != (inner.dim,):
+            raise BadDataValueType(f"vector constant dim {row.shape} != {inner.dim}")
+        return Column(inner, np.broadcast_to(row, (n, inner.dim)).copy())
+    if isinstance(inner, ArrayType):
+        return Column.from_pylist([value] * n, inner)
+    arr = np.full(n, value, dtype=inner.numpy_dtype())
+    return Column(inner, arr)
+
+
+def infer_literal_type(value) -> DataType:
+    if value is None:
+        return NullType()
+    if isinstance(value, bool):
+        return Boolean
+    if isinstance(value, int):
+        return Int64
+    if isinstance(value, float):
+        return Float64
+    if isinstance(value, str):
+        return String
+    if isinstance(value, (list, tuple)):
+        if value and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in value):
+            return ArrayType(Float64)
+        return ArrayType(infer_literal_type(value[0]) if value else Int64)
+    raise BadDataValueType(f"cannot infer literal type of {value!r}")
+
+
+def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
+    src = col.dtype.remove_nullable()
+    dst = target.remove_nullable()
+    validity = col.validity
+    if src == dst:
+        if target.is_nullable() and validity is None:
+            return Column(dst, col.data, np.ones(len(col), np.bool_))
+        return Column(dst, col.data, validity)
+    n = len(col)
+
+    def out(payload, extra_valid: Optional[np.ndarray] = None):
+        v = validity
+        if extra_valid is not None:
+            v = extra_valid if v is None else (v & extra_valid)
+            if v.all():
+                v = None
+        return Column(dst, payload, v)
+
+    # numeric <-> numeric / bool
+    if (isinstance(src, NumberType) or src == Boolean or src in (Date, Timestamp)) and \
+       (isinstance(dst, NumberType) or dst == Boolean or dst in (Date, Timestamp)):
+        return out(col.data.astype(dst.numpy_dtype()))
+    # string -> numeric
+    if isinstance(src, StringType) and isinstance(dst, NumberType):
+        vals = col.data.to_pylist()
+        payload = np.zeros(n, dst.numpy_dtype())
+        ok = np.ones(n, np.bool_)
+        for i, s in enumerate(vals):
+            try:
+                payload[i] = float(s) if dst.is_float() else int(float(s))
+            except (ValueError, TypeError):
+                if not is_try:
+                    raise BadDataValueType(f"cannot cast {s!r} to {dst}")
+                ok[i] = False
+        return out(payload, ok if not ok.all() else None)
+    # string -> boolean
+    if isinstance(src, StringType) and dst == Boolean:
+        vals = [s.strip().lower() in ("1", "true", "t", "yes") for s in col.data.to_pylist()]
+        return out(np.asarray(vals, np.bool_))
+    # anything -> string
+    if isinstance(dst, StringType):
+        return out(StringData.from_pylist([_to_str(v) for v in col.to_pylist()]))
+    # string -> date/timestamp via functions
+    if isinstance(src, StringType) and dst in (Date, Timestamp):
+        fn = registry.get("to_date" if dst == Date else "to_timestamp")
+        return out(fn.kernel(col.data, arg_types=[src], out_dtype=dst, n_rows=n))
+    # array -> vector (INSERT [..] INTO VECTOR(n))
+    if isinstance(src, ArrayType) and isinstance(dst, VectorType):
+        lists = col.to_pylist()
+        payload = np.zeros((n, dst.dim), dst.numpy_dtype())
+        ok = np.ones(n, np.bool_)
+        for i, v in enumerate(lists):
+            if v is None:
+                ok[i] = False
+                continue
+            a = np.asarray(v, dtype=dst.numpy_dtype())
+            if a.shape != (dst.dim,):
+                if is_try:
+                    ok[i] = False
+                    continue
+                raise BadDataValueType(
+                    f"cannot cast array of length {a.shape[0]} to VECTOR({dst.dim})")
+            payload[i] = a
+        return out(payload, ok if not ok.all() else None)
+    # vector -> array
+    if isinstance(src, VectorType) and isinstance(dst, ArrayType):
+        return Column.from_pylist([row.tolist() for row in col.data],
+                                  target if target.is_nullable() else dst)
+    if isinstance(src, NullType):
+        return constant_column(None, dst.wrap_nullable(), n)
+    raise BadDataValueType(f"unsupported cast {src} -> {dst}")
+
+
+def _to_str(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(_to_str(x) for x in v) + "]"
+    return str(v)

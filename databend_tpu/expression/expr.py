@@ -1,0 +1,103 @@
+"""Bound (typed) scalar expression IR.
+
+The binder lowers AST expressions into this IR; the Evaluator executes it
+over DataBlocks. Analog of the reference's ``Expr``/``ScalarExpr``
+(reference: src/query/expression/src/expression.rs and
+src/query/sql/src/planner/plans/scalar_expr.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+from ..types import DataType
+
+
+class ScalarExpr:
+    dtype: DataType
+
+    def children(self) -> List["ScalarExpr"]:
+        return []
+
+    def walk(self):
+        yield self
+        for c in self.children():
+            yield from c.walk()
+
+    def display(self) -> str:
+        raise NotImplementedError
+
+
+@dataclass
+class BoundColumn(ScalarExpr):
+    name: str  # column name in the input block
+    dtype: DataType
+    table: Optional[str] = None
+
+    def display(self) -> str:
+        return self.name
+
+
+@dataclass
+class Constant(ScalarExpr):
+    value: Any
+    dtype: DataType
+
+    def display(self) -> str:
+        return repr(self.value)
+
+
+@dataclass
+class Func(ScalarExpr):
+    name: str
+    args: List[ScalarExpr]
+    dtype: DataType
+
+    def children(self):
+        return self.args
+
+    def display(self) -> str:
+        return f"{self.name}({', '.join(a.display() for a in self.args)})"
+
+
+@dataclass
+class CastExpr(ScalarExpr):
+    arg: ScalarExpr
+    dtype: DataType
+    is_try: bool = False
+
+    def children(self):
+        return [self.arg]
+
+    def display(self) -> str:
+        return f"CAST({self.arg.display()} AS {self.dtype.sql_name()})"
+
+
+@dataclass
+class CaseExpr(ScalarExpr):
+    conditions: List[ScalarExpr]
+    results: List[ScalarExpr]
+    else_result: Optional[ScalarExpr]
+    dtype: DataType
+
+    def children(self):
+        out = list(self.conditions) + list(self.results)
+        if self.else_result is not None:
+            out.append(self.else_result)
+        return out
+
+    def display(self) -> str:
+        return "CASE ... END"
+
+
+def contains_column(e: ScalarExpr, name: str) -> bool:
+    return any(isinstance(x, BoundColumn) and x.name.lower() == name.lower() for x in e.walk())
+
+
+def referenced_columns(e: ScalarExpr) -> List[str]:
+    seen = []
+    for x in e.walk():
+        if isinstance(x, BoundColumn) and x.name not in seen:
+            seen.append(x.name)
+    return seen

@@ -1,0 +1,14 @@
+from .registry import FunctionRegistry, ScalarFunction, registry
+
+# importing these modules registers their functions
+from . import arithmetic, comparison, math_fns, string_fns, datetime_fns, vector_fns, conditional, array_fns  # noqa: F401
+from .aggregates import AGGREGATE_FUNCTIONS, AggregateFunction, create_aggregate
+
+__all__ = [
+    "FunctionRegistry",
+    "ScalarFunction",
+    "registry",
+    "AGGREGATE_FUNCTIONS",
+    "AggregateFunction",
+    "create_aggregate",
+]

@@ -1,0 +1,79 @@
+"""Arithmetic functions: +, -, *, /, %, div, negate.
+
+(reference: src/query/functions/src/scalars/arithmetic.rs)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...errors import SemanticError
+from ...types import Float64, Int64, NumberType, common_super_type
+from .registry import scalar_function
+
+
+def _numeric_binary_resolver(name):
+    def resolve(arg_types):
+        if len(arg_types) != 2:
+            raise SemanticError(f"{name} expects 2 args")
+        a, b = (t.remove_nullable() for t in arg_types)
+        if not (a.is_numeric() and b.is_numeric()):
+            raise SemanticError(f"{name} expects numeric args, got {a}, {b}")
+        out = common_super_type(a, b)
+        # int ops widen to i64 to dodge overflow (reference promotes likewise)
+        if isinstance(out, NumberType) and out.is_integer() and out.bit_width() < 64:
+            out = Int64
+        return out
+    return resolve
+
+
+def _div_resolver(arg_types):
+    _numeric_binary_resolver("divide")(arg_types)
+    return Float64
+
+
+def _with_out_dtype(op):
+    def kernel(a, b, arg_types=None, out_dtype=None, **kw):
+        af = a.astype(out_dtype.numpy_dtype()) if hasattr(a, "astype") else a
+        bf = b.astype(out_dtype.numpy_dtype()) if hasattr(b, "astype") else b
+        return op(af, bf)
+    return kernel
+
+
+scalar_function("plus", _numeric_binary_resolver("plus"))(_with_out_dtype(np.add))
+scalar_function("minus", _numeric_binary_resolver("minus"))(_with_out_dtype(np.subtract))
+scalar_function("multiply", _numeric_binary_resolver("multiply"))(_with_out_dtype(np.multiply))
+
+
+@scalar_function("divide", _div_resolver)
+def _divide(a, b, **kw):
+    b = np.asarray(b, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.asarray(a, dtype=np.float64) / b
+    return out
+
+
+@scalar_function("modulo", _numeric_binary_resolver("modulo"), aliases=["mod"])
+def _modulo(a, b, out_dtype=None, **kw):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.mod(a, b).astype(out_dtype.numpy_dtype())
+
+
+@scalar_function("div", _numeric_binary_resolver("div"))
+def _intdiv(a, b, out_dtype=None, **kw):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.floor_divide(a, b).astype(out_dtype.numpy_dtype())
+
+
+def _neg_resolver(arg_types):
+    t = arg_types[0].remove_nullable()
+    if not t.is_numeric():
+        raise SemanticError(f"negate expects numeric, got {t}")
+    if isinstance(t, NumberType) and not t.is_signed():
+        return Int64
+    return t
+
+
+@scalar_function("negate", _neg_resolver)
+def _negate(a, out_dtype=None, **kw):
+    return (-a.astype(out_dtype.numpy_dtype()))

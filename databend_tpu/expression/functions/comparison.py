@@ -1,0 +1,163 @@
+"""Comparison + boolean logic functions.
+
+(reference: src/query/functions/src/scalars/comparison.rs)
+
+Boolean AND/OR use SQL three-valued logic and are registered with
+``null_policy="custom"`` so NULL short-circuits correctly
+(TRUE OR NULL = TRUE, FALSE AND NULL = FALSE).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from ...errors import SemanticError
+from ...types import Boolean, StringType
+from ..column import StringData
+from .registry import scalar_function
+
+
+def _comparable(payload):
+    if isinstance(payload, StringData):
+        return np.array(payload.to_pylist(), dtype=object)
+    return payload
+
+
+def _cmp_resolver(name):
+    def resolve(arg_types):
+        if len(arg_types) != 2:
+            raise SemanticError(f"{name} expects 2 args")
+        return Boolean
+    return resolve
+
+
+def _register_cmp(name, op, aliases=()):
+    @scalar_function(name, _cmp_resolver(name), aliases=list(aliases))
+    def _k(a, b, **kw):
+        a, b = _comparable(a), _comparable(b)
+        if isinstance(a, np.ndarray) and isinstance(b, np.ndarray) \
+                and a.dtype.kind in "iuf" and b.dtype.kind in "iuf":
+            a = a.astype(np.float64) if a.dtype != b.dtype else a
+            b = b.astype(np.float64) if a.dtype != b.dtype else b
+        return np.asarray(op(a, b), dtype=np.bool_)
+    return _k
+
+
+_register_cmp("eq", lambda a, b: a == b)
+_register_cmp("noteq", lambda a, b: a != b)
+_register_cmp("lt", lambda a, b: a < b)
+_register_cmp("lte", lambda a, b: a <= b)
+_register_cmp("gt", lambda a, b: a > b)
+_register_cmp("gte", lambda a, b: a >= b)
+
+
+def _bool_resolver(name, n=2):
+    def resolve(arg_types):
+        if len(arg_types) != n:
+            raise SemanticError(f"{name} expects {n} args")
+        return Boolean
+    return resolve
+
+
+@scalar_function("and", _bool_resolver("and"), null_policy="custom")
+def _and(payloads, validities, **kw):
+    a, b = (np.asarray(p, dtype=np.bool_) for p in payloads)
+    va, vb = validities
+    out = a & b
+    if va is None and vb is None:
+        return out, None
+    va = va if va is not None else np.ones(len(a), np.bool_)
+    vb = vb if vb is not None else np.ones(len(b), np.bool_)
+    # NULL unless: both valid, or one side is a valid FALSE
+    validity = (va & vb) | (va & ~a) | (vb & ~b)
+    out = out & va & vb  # garbage-safe payload
+    return out, validity
+
+
+@scalar_function("or", _bool_resolver("or"), null_policy="custom")
+def _or(payloads, validities, **kw):
+    a, b = (np.asarray(p, dtype=np.bool_) for p in payloads)
+    va, vb = validities
+    out = a | b
+    if va is None and vb is None:
+        return out, None
+    va = va if va is not None else np.ones(len(a), np.bool_)
+    vb = vb if vb is not None else np.ones(len(b), np.bool_)
+    validity = (va & vb) | (va & a) | (vb & b)
+    out = (a & va) | (b & vb)
+    return out, validity
+
+
+@scalar_function("xor", _bool_resolver("xor"))
+def _xor(a, b, **kw):
+    return np.asarray(a, np.bool_) ^ np.asarray(b, np.bool_)
+
+
+@scalar_function("not", _bool_resolver("not", 1))
+def _not(a, **kw):
+    return ~np.asarray(a, dtype=np.bool_)
+
+
+def _like_to_regex(pattern: str) -> str:
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def _str2_resolver(name):
+    def resolve(arg_types):
+        if len(arg_types) != 2:
+            raise SemanticError(f"{name} expects 2 args")
+        if not isinstance(arg_types[1].remove_nullable(), StringType):
+            raise SemanticError(f"{name} pattern must be a string")
+        return Boolean
+    return resolve
+
+
+def _apply_pattern(a, pattern_payload, flags):
+    pats = _comparable(pattern_payload)
+    vals = _comparable(a)
+    n = len(vals)
+    if len(set(pats.tolist())) == 1:  # constant pattern fast path
+        rx = re.compile(_like_to_regex(pats[0]), flags)
+        return np.fromiter((rx.match(v or "") is not None for v in vals), np.bool_, n)
+    return np.fromiter(
+        (re.match(_like_to_regex(p), v or "", flags) is not None for v, p in zip(vals, pats)),
+        np.bool_, n)
+
+
+@scalar_function("like", _str2_resolver("like"))
+def _like(a, pattern, **kw):
+    return _apply_pattern(a, pattern, 0)
+
+
+@scalar_function("ilike", _str2_resolver("ilike"))
+def _ilike(a, pattern, **kw):
+    return _apply_pattern(a, pattern, re.I)
+
+
+@scalar_function("regexp", _str2_resolver("regexp"), aliases=["rlike"])
+def _regexp(a, pattern, **kw):
+    pats = _comparable(pattern)
+    vals = _comparable(a)
+    if len(set(pats.tolist())) == 1:
+        rx = re.compile(pats[0])
+        return np.fromiter((rx.search(v or "") is not None for v in vals), np.bool_, len(vals))
+    return np.fromiter(
+        (re.search(p, v or "") is not None for v, p in zip(vals, pats)),
+        np.bool_, len(vals))

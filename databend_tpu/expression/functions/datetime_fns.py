@@ -1,0 +1,139 @@
+"""Date/time functions (reference: src/query/functions/src/scalars/datetime.rs).
+
+Dates are int32 days since epoch; timestamps int64 microseconds since epoch.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import time
+
+import numpy as np
+
+from ...errors import SemanticError
+from ...types import Date, Int64, String, Timestamp, UInt16, UInt8
+from ..column import StringData
+from .registry import scalar_function
+
+_US = 1_000_000
+
+
+def _res(name, n, ret):
+    def resolve(arg_types):
+        if len(arg_types) != n:
+            raise SemanticError(f"{name} expects {n} args")
+        return ret
+    return resolve
+
+
+@scalar_function("now", _res("now", 0, Timestamp), aliases=["current_timestamp"])
+def _now(n_rows=None, **kw):
+    return np.full(n_rows, int(time.time() * _US), np.int64)
+
+
+@scalar_function("today", _res("today", 0, Date), aliases=["current_date"])
+def _today(n_rows=None, **kw):
+    return np.full(n_rows, int(time.time() // 86400), np.int32)
+
+
+@scalar_function("to_date", _res("to_date", 1, Date))
+def _to_date(a, arg_types=None, **kw):
+    t = arg_types[0].remove_nullable()
+    if isinstance(a, StringData):
+        out = []
+        for s in a.to_pylist():
+            d = _dt.date.fromisoformat(s[:10]) if s else _dt.date(1970, 1, 1)
+            out.append((d - _dt.date(1970, 1, 1)).days)
+        return np.array(out, np.int32)
+    if t == Timestamp:
+        return (np.asarray(a, np.int64) // (86400 * _US)).astype(np.int32)
+    return np.asarray(a).astype(np.int32)
+
+
+@scalar_function("to_timestamp", _res("to_timestamp", 1, Timestamp), aliases=["to_datetime"])
+def _to_timestamp(a, arg_types=None, **kw):
+    t = arg_types[0].remove_nullable()
+    if isinstance(a, StringData):
+        out = []
+        for s in a.to_pylist():
+            if not s:
+                out.append(0)
+                continue
+            dt = _dt.datetime.fromisoformat(s)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            out.append(int(dt.timestamp() * _US))
+        return np.array(out, np.int64)
+    if t == Date:
+        return np.asarray(a, np.int64) * 86400 * _US
+    return np.asarray(a).astype(np.int64)
+
+
+def _days_array(a, arg_types):
+    t = arg_types[0].remove_nullable()
+    if t == Timestamp:
+        return (np.asarray(a, np.int64) // (86400 * _US)).astype(np.int64)
+    return np.asarray(a, np.int64)
+
+
+def _civil(a, arg_types):
+    days = _days_array(a, arg_types)
+    # vectorized civil-from-days (Howard Hinnant's algorithm)
+    z = days + 719468
+    era = np.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = np.where(mp < 10, mp + 3, mp - 9)
+    y = np.where(m <= 2, y + 1, y)
+    return y.astype(np.int64), m.astype(np.int64), d.astype(np.int64)
+
+
+@scalar_function("to_year", _res("to_year", 1, UInt16), aliases=["year"])
+def _to_year(a, arg_types=None, **kw):
+    y, _, _ = _civil(a, arg_types)
+    return y.astype(np.uint16)
+
+
+@scalar_function("to_month", _res("to_month", 1, UInt8), aliases=["month"])
+def _to_month(a, arg_types=None, **kw):
+    _, m, _ = _civil(a, arg_types)
+    return m.astype(np.uint8)
+
+
+@scalar_function("to_day_of_month", _res("to_day_of_month", 1, UInt8), aliases=["day", "to_day"])
+def _to_day(a, arg_types=None, **kw):
+    _, _, d = _civil(a, arg_types)
+    return d.astype(np.uint8)
+
+
+@scalar_function("to_day_of_week", _res("to_day_of_week", 1, UInt8), aliases=["dayofweek"])
+def _to_dow(a, arg_types=None, **kw):
+    days = _days_array(a, arg_types)
+    return (((days + 3) % 7) + 1).astype(np.uint8)  # 1=Monday..7=Sunday
+
+
+@scalar_function("to_unix_timestamp", _res("to_unix_timestamp", 1, Int64))
+def _to_unix(a, arg_types=None, **kw):
+    t = arg_types[0].remove_nullable()
+    if t == Date:
+        return np.asarray(a, np.int64) * 86400
+    return np.asarray(a, np.int64) // _US
+
+
+@scalar_function("date_format", _res("date_format", 2, String), aliases=["to_char"])
+def _date_format(a, fmt, arg_types=None, **kw):
+    t = arg_types[0].remove_nullable()
+    fmts = fmt.to_pylist() if isinstance(fmt, StringData) else [str(fmt)] * len(a)
+    out = []
+    arr = np.asarray(a, np.int64)
+    for v, f in zip(arr.tolist(), fmts):
+        if t == Date:
+            dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(days=int(v))
+        else:
+            dt = _dt.datetime.fromtimestamp(v / _US, _dt.timezone.utc)
+        out.append(dt.strftime(f))
+    return StringData.from_pylist(out)

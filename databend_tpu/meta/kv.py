@@ -1,0 +1,112 @@
+"""Metadata KV store with OCC semantics.
+
+TPU-native stand-in for the reference's raft-replicated meta service
+(reference: src/meta/ — the query side talks to it through a typed KV API,
+src/meta/api/src/api_impl/). Single-process deployments use the embedded
+sqlite backend (crash-safe, atomic compare-and-swap on a per-key sequence
+number — the equivalent of `MetaStore::Local`, src/meta/store/src/local.rs);
+an in-memory backend serves tests. The sequence number drives snapshot-commit
+OCC exactly like `TableVersionMismatched` retries in the reference
+(sink_commit.rs:791-808).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import threading
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..errors import TableVersionMismatched
+
+
+class MetaStore:
+    """Key-value store: every key carries a monotonically increasing seq.
+
+    ``upsert(key, value, expected_seq)``: expected_seq None = unconditional;
+    0 = key must not exist; >0 = CAS on that sequence.
+    """
+
+    def __init__(self, path: Optional[str] = None):
+        self._lock = threading.RLock()
+        self._path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._db = sqlite3.connect(path, check_same_thread=False)
+            self._db.execute(
+                "CREATE TABLE IF NOT EXISTS kv (key TEXT PRIMARY KEY, seq INTEGER, value TEXT)")
+            self._db.execute("PRAGMA journal_mode=WAL")
+            self._db.commit()
+            self._mem: Optional[Dict[str, Tuple[int, str]]] = None
+        else:
+            self._db = None
+            self._mem = {}
+
+    # ------------------------------------------------------------------ reads
+    def get(self, key: str) -> Tuple[Optional[Any], int]:
+        """Returns (value, seq); (None, 0) when absent."""
+        with self._lock:
+            if self._mem is not None:
+                if key in self._mem:
+                    seq, raw = self._mem[key]
+                    return json.loads(raw), seq
+                return None, 0
+            row = self._db.execute("SELECT seq, value FROM kv WHERE key=?", (key,)).fetchone()
+            if row is None:
+                return None, 0
+            return json.loads(row[1]), row[0]
+
+    def list_prefix(self, prefix: str) -> List[Tuple[str, Any, int]]:
+        with self._lock:
+            if self._mem is not None:
+                return sorted(
+                    (k, json.loads(raw), seq)
+                    for k, (seq, raw) in self._mem.items() if k.startswith(prefix))
+            rows = self._db.execute(
+                "SELECT key, value, seq FROM kv WHERE key >= ? AND key < ? ORDER BY key",
+                (prefix, prefix + "￿")).fetchall()
+            return [(k, json.loads(v), seq) for k, v, seq in rows]
+
+    # ----------------------------------------------------------------- writes
+    def upsert(self, key: str, value: Any, expected_seq: Optional[int] = None) -> int:
+        raw = json.dumps(value)
+        with self._lock:
+            _, cur_seq = self.get(key)
+            if expected_seq is not None and cur_seq != expected_seq:
+                raise TableVersionMismatched(
+                    f"meta CAS failed on {key!r}: expected seq {expected_seq}, found {cur_seq}")
+            new_seq = cur_seq + 1
+            if self._mem is not None:
+                self._mem[key] = (new_seq, raw)
+            else:
+                self._db.execute(
+                    "INSERT INTO kv (key, seq, value) VALUES (?, ?, ?) "
+                    "ON CONFLICT(key) DO UPDATE SET seq=?, value=?",
+                    (key, new_seq, raw, new_seq, raw))
+                self._db.commit()
+            return new_seq
+
+    def delete(self, key: str, expected_seq: Optional[int] = None) -> None:
+        with self._lock:
+            _, cur_seq = self.get(key)
+            if expected_seq is not None and cur_seq != expected_seq:
+                raise TableVersionMismatched(
+                    f"meta CAS failed on {key!r}: expected seq {expected_seq}, found {cur_seq}")
+            if self._mem is not None:
+                self._mem.pop(key, None)
+            else:
+                self._db.execute("DELETE FROM kv WHERE key=?", (key,))
+                self._db.commit()
+
+    def next_id(self, counter: str) -> int:
+        """Atomic id allocator (table ids, index ids)."""
+        with self._lock:
+            val, seq = self.get(f"__id/{counter}")
+            nxt = (val or 0) + 1
+            self.upsert(f"__id/{counter}", nxt, seq)
+            return nxt
+
+    def close(self):
+        if self._db is not None:
+            self._db.close()

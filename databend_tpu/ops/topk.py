@@ -73,7 +73,18 @@ def chunked_topk_smallest(q: jax.Array, x: jax.Array, k: int, metric: str,
         dists = pairwise_distance(q, x, metric, compute_dtype, x_sq_norms)
         ids = jnp.arange(n, dtype=jnp.int32) + base_id
         return topk_smallest(dists, min(k, n), ids=ids)
-    assert n % chunk_rows == 0, f"pad corpus: {n} % {chunk_rows} != 0"
+    if n % chunk_rows != 0:
+        # main scan over full chunks + one direct pass over the tail, merged
+        full = (n // chunk_rows) * chunk_rows
+        v1, i1 = chunked_topk_smallest(
+            q, x[:full], k, metric, chunk_rows, compute_dtype,
+            None if x_sq_norms is None else x_sq_norms[:full], base_id)
+        tail_k = min(k, n - full)
+        v2, i2 = chunked_topk_smallest(
+            q, x[full:], tail_k, metric, chunk_rows, compute_dtype,
+            None if x_sq_norms is None else x_sq_norms[full:], base_id + full)
+        return merge_topk(jnp.concatenate([v1, v2], axis=1),
+                          jnp.concatenate([i1, i2], axis=1), k)
     num_chunks = n // chunk_rows
     xc = x.reshape(num_chunks, chunk_rows, d)
     norms_c = None

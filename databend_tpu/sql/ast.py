@@ -1,0 +1,376 @@
+"""AST node definitions (reference: src/query/ast/src/ast/).
+
+Plain dataclasses; statements and scalar expressions only — the binder
+turns these into typed plans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+# ----------------------------------------------------------------- expressions
+class Expr:
+    pass
+
+
+@dataclass
+class Literal(Expr):
+    value: Any  # python int/float/str/bool/None/list
+
+    def __repr__(self):
+        return f"Lit({self.value!r})"
+
+
+@dataclass
+class ColumnRef(Expr):
+    name: str
+    table: Optional[str] = None
+
+    def __repr__(self):
+        return f"Col({self.table + '.' if self.table else ''}{self.name})"
+
+
+@dataclass
+class Star(Expr):
+    table: Optional[str] = None
+
+
+@dataclass
+class BinaryOp(Expr):
+    op: str  # '+', '-', ..., 'AND', 'OR', '=', '<', 'LIKE', ...
+    left: Expr
+    right: Expr
+
+    def __repr__(self):
+        return f"({self.left} {self.op} {self.right})"
+
+
+@dataclass
+class UnaryOp(Expr):
+    op: str  # '-', '+', 'NOT'
+    operand: Expr
+
+
+@dataclass
+class FunctionCall(Expr):
+    name: str
+    args: List[Expr]
+    distinct: bool = False
+    params: List[Any] = field(default_factory=list)
+    window: Optional["WindowSpec"] = None
+
+    def __repr__(self):
+        return f"{self.name}({', '.join(map(repr, self.args))})"
+
+
+@dataclass
+class WindowSpec:
+    partition_by: List[Expr] = field(default_factory=list)
+    order_by: List["OrderByExpr"] = field(default_factory=list)
+
+
+@dataclass
+class Cast(Expr):
+    expr: Expr
+    type_name: str
+    is_try: bool = False
+
+
+@dataclass
+class Case(Expr):
+    operand: Optional[Expr]
+    conditions: List[Expr]
+    results: List[Expr]
+    else_result: Optional[Expr]
+
+
+@dataclass
+class InList(Expr):
+    expr: Expr
+    items: List[Expr]
+    negated: bool = False
+
+
+@dataclass
+class InSubquery(Expr):
+    expr: Expr
+    query: "Query"
+    negated: bool = False
+
+
+@dataclass
+class Between(Expr):
+    expr: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass
+class IsNull(Expr):
+    expr: Expr
+    negated: bool = False
+
+
+@dataclass
+class Exists(Expr):
+    query: "Query"
+    negated: bool = False
+
+
+@dataclass
+class ScalarSubquery(Expr):
+    query: "Query"
+
+
+@dataclass
+class Tuple_(Expr):
+    items: List[Expr]
+
+
+@dataclass
+class MapAccess(Expr):
+    expr: Expr
+    key: Expr  # index/key access a[1], m['k']
+
+
+# ----------------------------------------------------------------- query parts
+@dataclass
+class OrderByExpr:
+    expr: Expr
+    asc: bool = True
+    nulls_first: Optional[bool] = None
+
+
+@dataclass
+class SelectItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass
+class TableRef:
+    pass
+
+
+@dataclass
+class TableName(TableRef):
+    name: str
+    database: Optional[str] = None
+    alias: Optional[str] = None
+    at_snapshot: Optional[str] = None  # AT (SNAPSHOT => '...')
+
+
+@dataclass
+class SubqueryRef(TableRef):
+    query: "Query"
+    alias: Optional[str] = None
+
+
+@dataclass
+class TableFunctionRef(TableRef):
+    name: str
+    args: List[Expr]
+    alias: Optional[str] = None
+
+
+@dataclass
+class Join(TableRef):
+    kind: str  # INNER | LEFT | RIGHT | FULL | CROSS
+    left: TableRef
+    right: TableRef
+    condition: Optional[Expr] = None  # ON ...
+    using: List[str] = field(default_factory=list)
+
+
+@dataclass
+class SelectStmt:
+    items: List[SelectItem]
+    from_: Optional[TableRef] = None
+    where: Optional[Expr] = None
+    group_by: List[Expr] = field(default_factory=list)
+    having: Optional[Expr] = None
+    distinct: bool = False
+
+
+@dataclass
+class SetOp:
+    op: str  # UNION | UNION ALL | EXCEPT | INTERSECT
+    left: "QueryBody"
+    right: "QueryBody"
+
+
+QueryBody = Any  # SelectStmt | SetOp | Query
+
+
+@dataclass
+class Query:
+    body: QueryBody
+    order_by: List[OrderByExpr] = field(default_factory=list)
+    limit: Optional[Expr] = None
+    offset: Optional[Expr] = None
+    ctes: List[Tuple[str, "Query"]] = field(default_factory=list)
+
+
+# ----------------------------------------------------------------- statements
+class Statement:
+    pass
+
+
+@dataclass
+class QueryStmt(Statement):
+    query: Query
+
+
+@dataclass
+class ExplainStmt(Statement):
+    inner: Statement
+    analyze: bool = False
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    type_name: str
+    nullable: bool = True
+    default: Optional[Expr] = None
+    comment: Optional[str] = None
+
+
+@dataclass
+class CreateDatabase(Statement):
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropDatabase(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class UseDatabase(Statement):
+    name: str
+
+
+@dataclass
+class CreateTable(Statement):
+    name: str
+    database: Optional[str]
+    columns: List[ColumnDef]
+    if_not_exists: bool = False
+    cluster_by: List[Expr] = field(default_factory=list)
+    engine: str = "FUSE"
+    as_query: Optional[Query] = None
+    options: Dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class DropTable(Statement):
+    name: str
+    database: Optional[str] = None
+    if_exists: bool = False
+    all_: bool = False  # DROP TABLE ... ALL purges history
+
+
+@dataclass
+class TruncateTable(Statement):
+    name: str
+    database: Optional[str] = None
+
+
+@dataclass
+class RenameTable(Statement):
+    name: str
+    new_name: str
+    database: Optional[str] = None
+
+
+@dataclass
+class CreateIndex(Statement):
+    """CREATE [VECTOR|INVERTED|NGRAM] INDEX idx ON t(cols) opt=val ..."""
+
+    index_type: str  # VECTOR | INVERTED | NGRAM
+    name: str
+    table: str
+    database: Optional[str]
+    columns: List[str]
+    options: Dict[str, str] = field(default_factory=dict)
+    if_not_exists: bool = False
+    sync: bool = True
+
+
+@dataclass
+class DropIndex(Statement):
+    index_type: str
+    name: str
+    table: Optional[str] = None
+    if_exists: bool = False
+
+
+@dataclass
+class RefreshIndex(Statement):
+    index_type: str
+    name: str
+    table: Optional[str] = None
+
+
+@dataclass
+class Insert(Statement):
+    table: str
+    database: Optional[str]
+    columns: List[str]
+    values: Optional[List[List[Expr]]] = None
+    query: Optional[Query] = None
+    overwrite: bool = False
+
+
+@dataclass
+class Delete(Statement):
+    table: str
+    database: Optional[str] = None
+    where: Optional[Expr] = None
+
+
+@dataclass
+class Update(Statement):
+    table: str
+    database: Optional[str]
+    assignments: List[Tuple[str, Expr]]
+    where: Optional[Expr] = None
+
+
+@dataclass
+class ShowStmt(Statement):
+    what: str  # TABLES | DATABASES | SETTINGS | INDEXES | FUNCTIONS
+    from_db: Optional[str] = None
+    like: Optional[str] = None
+
+
+@dataclass
+class DescribeTable(Statement):
+    name: str
+    database: Optional[str] = None
+
+
+@dataclass
+class SetSetting(Statement):
+    name: str
+    value: Any
+    is_global: bool = False
+
+
+@dataclass
+class OptimizeTable(Statement):
+    name: str
+    database: Optional[str] = None
+    action: str = "COMPACT"  # COMPACT | PURGE
+
+
+@dataclass
+class VacuumTable(Statement):
+    name: str
+    database: Optional[str] = None

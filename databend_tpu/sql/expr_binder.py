@@ -1,0 +1,217 @@
+"""Expression binder: AST Expr -> typed ScalarExpr.
+
+Analog of the reference's TypeChecker (reference:
+src/query/sql/src/planner/semantic/type_check/mod.rs). Operator tokens map
+to registry function names; literal types are inferred; implicit casts are
+inserted for mixed-type comparisons and function argument coercion.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+from ..errors import SemanticError, UnknownColumn, UnknownFunction
+from ..expression.evaluator import infer_literal_type
+from ..expression.expr import (BoundColumn, CaseExpr, CastExpr, Constant,
+                               Func, ScalarExpr)
+from ..expression.functions import registry
+from ..expression.functions.aggregates import is_aggregate_function
+from ..types import (ArrayType, Boolean, DataType, Float64, NullType,
+                     NumberType, String, StringType, VectorType,
+                     common_super_type, parse_type_name)
+from . import ast as A
+
+_BINOP_FN = {
+    "+": "plus", "-": "minus", "*": "multiply", "/": "divide", "%": "modulo",
+    "=": "eq", "==": "eq", "!=": "noteq", "<>": "noteq", "<": "lt",
+    "<=": "lte", ">": "gt", ">=": "gte", "<=>": "eq",
+    "AND": "and", "OR": "or", "XOR": "xor",
+    "LIKE": "like", "ILIKE": "ilike", "REGEXP": "regexp", "RLIKE": "regexp",
+    "||": "concat",
+}
+
+_CMP_FNS = {"eq", "noteq", "lt", "lte", "gt", "gte"}
+
+
+class BindContext:
+    """Column scope: ordered (name, dtype, table-alias) triples."""
+
+    def __init__(self):
+        self.columns: List[tuple] = []  # (name, dtype, table)
+
+    def add(self, name: str, dtype: DataType, table: Optional[str] = None):
+        self.columns.append((name, dtype, table))
+
+    def resolve(self, name: str, table: Optional[str] = None) -> BoundColumn:
+        matches = [
+            (n, t, tb) for (n, t, tb) in self.columns
+            if n.lower() == name.lower() and (table is None or (tb or "").lower() == table.lower())
+        ]
+        if not matches:
+            raise UnknownColumn(f"unknown column {table + '.' if table else ''}{name}")
+        if len(matches) > 1 and table is None:
+            # same name from multiple tables is ambiguous; same table dup is a bug
+            tables = {tb for (_, _, tb) in matches}
+            if len(tables) > 1:
+                raise SemanticError(f"ambiguous column {name!r} (in {sorted(t or '?' for t in tables)})")
+        n, t, tb = matches[0]
+        return BoundColumn(n, t, tb)
+
+
+class ExprBinder:
+    def __init__(self, ctx: BindContext,
+                 aggregate_handler: Optional[Callable] = None):
+        self.ctx = ctx
+        # planner hook: called for aggregate FunctionCalls, returns a ScalarExpr
+        self.aggregate_handler = aggregate_handler
+
+    def bind(self, e: A.Expr) -> ScalarExpr:
+        if isinstance(e, A.Literal):
+            return Constant(e.value, infer_literal_type(e.value))
+        if isinstance(e, A.ColumnRef):
+            return self.ctx.resolve(e.name, e.table)
+        if isinstance(e, A.BinaryOp):
+            return self._bind_binary(e)
+        if isinstance(e, A.UnaryOp):
+            if e.op == "NOT":
+                return self._func("not", [self.bind(e.operand)])
+            if e.op == "-":
+                return self._func("negate", [self.bind(e.operand)])
+            return self.bind(e.operand)  # unary +
+        if isinstance(e, A.FunctionCall):
+            return self._bind_function(e)
+        if isinstance(e, A.Cast):
+            arg = self.bind(e.expr)
+            return CastExpr(arg, parse_type_name(e.type_name), e.is_try)
+        if isinstance(e, A.Case):
+            return self._bind_case(e)
+        if isinstance(e, A.InList):
+            return self._bind_in_list(e)
+        if isinstance(e, A.Between):
+            x = self.bind(e.expr)
+            low = self._func("gte", [x, self.bind(e.low)])
+            high = self._func("lte", [x, self.bind(e.high)])
+            both = self._func("and", [low, high])
+            return self._func("not", [both]) if e.negated else both
+        if isinstance(e, A.IsNull):
+            return self._func("is_not_null" if e.negated else "is_null", [self.bind(e.expr)])
+        if isinstance(e, A.MapAccess):
+            return self._func("get", [self.bind(e.expr), self.bind(e.key)])
+        if isinstance(e, A.Tuple_):
+            raise SemanticError("tuple expressions are not supported here")
+        if isinstance(e, (A.ScalarSubquery, A.InSubquery, A.Exists)):
+            raise SemanticError("subquery must be handled by the planner")
+        if isinstance(e, A.Star):
+            raise SemanticError("'*' is not valid here")
+        raise SemanticError(f"cannot bind expression {type(e).__name__}")
+
+    # ------------------------------------------------------------------ parts
+    def _func(self, name: str, args: List[ScalarExpr]) -> Func:
+        fn = registry.get(name)
+        ret = fn.resolve([a.dtype for a in args])
+        if any(a.dtype.is_nullable() for a in args) and fn.null_policy == "propagate":
+            ret = ret.wrap_nullable()
+        return Func(name, args, ret)
+
+    def _bind_binary(self, e: A.BinaryOp) -> ScalarExpr:
+        name = _BINOP_FN.get(e.op)
+        if name is None:
+            raise SemanticError(f"unsupported operator {e.op!r}")
+        left = self.bind(e.left)
+        right = self.bind(e.right)
+        if name in _CMP_FNS:
+            left, right = self._coerce_comparison(left, right)
+        if name == "concat":
+            left = self._ensure_string(left)
+            right = self._ensure_string(right)
+        return self._func(name, [left, right])
+
+    def _coerce_comparison(self, a: ScalarExpr, b: ScalarExpr):
+        ta, tb = a.dtype.remove_nullable(), b.dtype.remove_nullable()
+        if isinstance(ta, StringType) and tb.is_numeric():
+            a = CastExpr(a, Float64.wrap_nullable() if a.dtype.is_nullable() else Float64, False)
+        elif isinstance(tb, StringType) and ta.is_numeric():
+            b = CastExpr(b, Float64.wrap_nullable() if b.dtype.is_nullable() else Float64, False)
+        elif ta in (parse_type_name("DATE"), parse_type_name("TIMESTAMP")) and isinstance(tb, StringType):
+            b = CastExpr(b, ta, False)
+        elif tb in (parse_type_name("DATE"), parse_type_name("TIMESTAMP")) and isinstance(ta, StringType):
+            a = CastExpr(a, tb, False)
+        return a, b
+
+    def _ensure_string(self, x: ScalarExpr) -> ScalarExpr:
+        if isinstance(x.dtype.remove_nullable(), StringType):
+            return x
+        return CastExpr(x, String.wrap_nullable() if x.dtype.is_nullable() else String, False)
+
+    def _bind_function(self, e: A.FunctionCall) -> ScalarExpr:
+        name = e.name.lower()
+        if is_aggregate_function(name):
+            if self.aggregate_handler is None:
+                raise SemanticError(f"aggregate function {name}() not allowed here")
+            return self.aggregate_handler(e)
+        if name == "array":
+            args = [self.bind(a) for a in e.args]
+            if all(isinstance(a, Constant) for a in args):
+                vals = [a.value for a in args]
+                return Constant(vals, infer_literal_type(vals))
+            raise SemanticError("non-constant array construction not yet supported")
+        if not registry.contains(name):
+            raise UnknownFunction(f"unknown function {name!r}")
+        args = [self.bind(a) for a in e.args]
+        # vector distance fns: coerce a constant array arg to the vector's dim
+        if name in ("cosine_distance", "l1_distance", "l2_distance", "inner_product"):
+            args = self._coerce_vector_args(args, name)
+        return self._func(name, args)
+
+    def _coerce_vector_args(self, args: List[ScalarExpr], name: str) -> List[ScalarExpr]:
+        if len(args) != 2:
+            raise SemanticError(f"{name} expects 2 args")
+        types = [a.dtype.remove_nullable() for a in args]
+        vec = next((t for t in types if isinstance(t, VectorType)), None)
+        if vec is None:
+            return args
+        out = []
+        for a, t in zip(args, types):
+            if isinstance(t, ArrayType):
+                if isinstance(a, Constant) and isinstance(a.value, (list, tuple)) \
+                        and len(a.value) != vec.dim:
+                    raise SemanticError(
+                        f"{name}: vector dims differ ({vec.dim} vs {len(a.value)})")
+                out.append(CastExpr(a, VectorType(vec.dim, vec.element), False))
+            else:
+                out.append(a)
+        return out
+
+    def _bind_case(self, e: A.Case) -> CaseExpr:
+        conditions = []
+        if e.operand is not None:
+            op = self.bind(e.operand)
+            for c in e.conditions:
+                rhs = self.bind(c)
+                op2, rhs = self._coerce_comparison(op, rhs)
+                conditions.append(self._func("eq", [op2, rhs]))
+        else:
+            conditions = [self.bind(c) for c in e.conditions]
+        results = [self.bind(r) for r in e.results]
+        else_result = self.bind(e.else_result) if e.else_result is not None else None
+        # result type: common super type of all branches
+        rt = results[0].dtype
+        for r in results[1:]:
+            rt = common_super_type(rt, r.dtype)
+        if else_result is not None:
+            rt = common_super_type(rt, else_result.dtype)
+        else:
+            rt = rt.wrap_nullable()
+        return CaseExpr(conditions, results, else_result, rt)
+
+    def _bind_in_list(self, e: A.InList) -> ScalarExpr:
+        x = self.bind(e.expr)
+        clauses = []
+        for item in e.items:
+            rhs = self.bind(item)
+            xi, rhs = self._coerce_comparison(x, rhs)
+            clauses.append(self._func("eq", [xi, rhs]))
+        acc = clauses[0]
+        for c in clauses[1:]:
+            acc = self._func("or", [acc, c])
+        return self._func("not", [acc]) if e.negated else acc

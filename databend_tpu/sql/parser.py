@@ -1,0 +1,872 @@
+"""Recursive-descent SQL parser with a Pratt expression parser.
+
+Python re-design of the reference's nom + pratt parser
+(reference: src/query/ast/src/parser/{statement,expr,query}.rs). The
+grammar covers the warehouse surface the engine executes: DDL (databases,
+tables, vector/inverted/ngram indexes), DML (INSERT/DELETE/UPDATE),
+queries (joins, group by, set ops, CTEs, subqueries), SHOW/DESCRIBE/
+EXPLAIN/SET, and the vector/search SQL functions come through as plain
+function calls to be rewritten by the binder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+from ..errors import SyntaxException
+from . import ast as A
+from .tokenizer import NON_RESERVED, Token, tokenize
+
+# Pratt binding powers for binary operators
+_BIN_POWER = {
+    "OR": 10, "XOR": 15, "AND": 20,
+    "=": 40, "==": 40, "!=": 40, "<>": 40, "<": 40, "<=": 40, ">": 40,
+    ">=": 40, "<=>": 40, "LIKE": 40, "ILIKE": 40, "REGEXP": 40, "RLIKE": 40,
+    "||": 50,
+    "+": 60, "-": 60,
+    "*": 70, "/": 70, "%": 70,
+    "^": 80,
+}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.tokens = tokenize(sql)
+        self.i = 0
+
+    # ------------------------------------------------------------- primitives
+    def peek(self, ahead: int = 0) -> Token:
+        return self.tokens[min(self.i + ahead, len(self.tokens) - 1)]
+
+    def next(self) -> Token:
+        t = self.tokens[self.i]
+        if t.kind != "EOF":
+            self.i += 1
+        return t
+
+    def at_keyword(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "KEYWORD" and t.text in kws
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.text in ops
+
+    def accept_keyword(self, *kws: str) -> Optional[str]:
+        if self.at_keyword(*kws):
+            return self.next().text
+        return None
+
+    def accept_op(self, *ops: str) -> Optional[str]:
+        if self.at_op(*ops):
+            return self.next().text
+        return None
+
+    def expect_keyword(self, kw: str) -> None:
+        if not self.accept_keyword(kw):
+            self.error(f"expected {kw}")
+
+    def expect_op(self, op: str) -> None:
+        if not self.accept_op(op):
+            self.error(f"expected {op!r}")
+
+    def error(self, msg: str):
+        t = self.peek()
+        line = self.sql.count("\n", 0, t.pos) + 1
+        raise SyntaxException(f"{msg}, found {t.kind} {t.text!r} at line {line} (offset {t.pos})")
+
+    def ident(self) -> str:
+        t = self.peek()
+        if t.kind == "IDENT":
+            return self.next().text
+        if t.kind == "KEYWORD" and t.text in NON_RESERVED:
+            return self.next().text
+        self.error("expected identifier")
+
+    def qualified_name(self) -> Tuple[Optional[str], str]:
+        first = self.ident()
+        if self.accept_op("."):
+            return first, self.ident()
+        return None, first
+
+    # ------------------------------------------------------------- statements
+    def parse_statement(self) -> A.Statement:
+        if self.at_keyword("EXPLAIN"):
+            self.next()
+            analyze = bool(self.accept_keyword("ANALYZE"))
+            return A.ExplainStmt(self.parse_statement(), analyze)
+        if self.at_keyword("SELECT", "WITH") or self.at_op("("):
+            return A.QueryStmt(self.parse_query())
+        if self.at_keyword("CREATE"):
+            return self.parse_create()
+        if self.at_keyword("DROP"):
+            return self.parse_drop()
+        if self.at_keyword("INSERT"):
+            return self.parse_insert()
+        if self.at_keyword("DELETE"):
+            return self.parse_delete()
+        if self.at_keyword("UPDATE"):
+            return self.parse_update()
+        if self.at_keyword("TRUNCATE"):
+            self.next()
+            self.accept_keyword("TABLE")
+            db, name = self.qualified_name()
+            return A.TruncateTable(name, db)
+        if self.at_keyword("USE"):
+            self.next()
+            return A.UseDatabase(self.ident())
+        if self.at_keyword("SHOW"):
+            return self.parse_show()
+        if self.at_keyword("DESCRIBE") or self.at_keyword("DESC"):
+            self.next()
+            self.accept_keyword("TABLE")
+            db, name = self.qualified_name()
+            return A.DescribeTable(name, db)
+        if self.at_keyword("SET"):
+            return self.parse_set()
+        if self.at_keyword("REFRESH"):
+            return self.parse_refresh()
+        if self.at_keyword("OPTIMIZE"):
+            self.next()
+            self.expect_keyword("TABLE")
+            db, name = self.qualified_name()
+            action = "COMPACT"
+            if self.accept_keyword("ALL"):
+                action = "ALL"
+            elif self.peek().kind in ("IDENT", "KEYWORD") and self.peek().text.upper() in ("COMPACT", "PURGE"):
+                action = self.next().text.upper()
+            return A.OptimizeTable(name, db, action)
+        if self.at_keyword("VACUUM"):
+            self.next()
+            self.expect_keyword("TABLE")
+            db, name = self.qualified_name()
+            return A.VacuumTable(name, db)
+        if self.at_keyword("ALTER"):
+            return self.parse_alter()
+        self.error("expected statement")
+
+    def parse(self) -> A.Statement:
+        stmt = self.parse_statement()
+        self.accept_op(";")
+        if self.peek().kind != "EOF":
+            self.error("unexpected trailing input")
+        return stmt
+
+    # ----------------------------------------------------------------- create
+    def parse_create(self):
+        self.expect_keyword("CREATE")
+        replace = False
+        if self.accept_keyword("OR"):
+            self.expect_keyword("REPLACE")
+            replace = True
+        if self.accept_keyword("DATABASE") or self.accept_keyword("SCHEMA"):
+            ine = self._if_not_exists()
+            return A.CreateDatabase(self.ident(), ine or replace)
+        if self.at_keyword("TABLE"):
+            return self.parse_create_table(replace)
+        for itype in ("VECTOR", "INVERTED", "NGRAM"):
+            if self.at_keyword(itype):
+                if self.peek(1).kind == "KEYWORD" and self.peek(1).text == "INDEX":
+                    self.next()
+                    return self.parse_create_index(itype)
+        if self.at_keyword("INDEX"):
+            return self.parse_create_index("AGGREGATING")
+        self.error("expected DATABASE/TABLE/INDEX after CREATE")
+
+    def _if_not_exists(self) -> bool:
+        if self.accept_keyword("IF"):
+            self.expect_keyword("NOT")
+            self.expect_keyword("EXISTS")
+            return True
+        return False
+
+    def _if_exists(self) -> bool:
+        if self.accept_keyword("IF"):
+            self.expect_keyword("EXISTS")
+            return True
+        return False
+
+    def parse_create_table(self, replace: bool = False):
+        self.expect_keyword("TABLE")
+        ine = self._if_not_exists()
+        db, name = self.qualified_name()
+        columns: List[A.ColumnDef] = []
+        if self.accept_op("("):
+            while True:
+                columns.append(self.parse_column_def())
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+        engine = "FUSE"
+        cluster_by: List[A.Expr] = []
+        options = {}
+        as_query = None
+        while True:
+            if self.accept_keyword("ENGINE"):
+                self.expect_op("=")
+                engine = self.ident().upper()
+            elif self.accept_keyword("CLUSTER"):
+                self.expect_keyword("BY")
+                self.expect_op("(")
+                while True:
+                    cluster_by.append(self.parse_expr())
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+            elif self.at_keyword("AS"):
+                self.next()
+                as_query = self.parse_query()
+                break
+            elif self.peek().kind == "IDENT" and self.peek(1).kind == "OP" and self.peek(1).text == "=":
+                k = self.ident()
+                self.expect_op("=")
+                t = self.next()
+                options[k.lower()] = t.text
+            else:
+                break
+        return A.CreateTable(name, db, columns, ine or replace, cluster_by, engine,
+                             as_query, options)
+
+    def parse_column_def(self) -> A.ColumnDef:
+        name = self.ident()
+        type_name = self.parse_type_name()
+        nullable = True
+        default = None
+        comment = None
+        while True:
+            if self.accept_keyword("NOT"):
+                self.expect_keyword("NULL")
+                nullable = False
+            elif self.accept_keyword("NULL"):
+                nullable = True
+            elif self.accept_keyword("DEFAULT"):
+                default = self.parse_expr()
+            elif self.accept_keyword("COMMENT"):
+                comment = self.next().text
+            else:
+                break
+        return A.ColumnDef(name, type_name, nullable, default, comment)
+
+    def parse_type_name(self) -> str:
+        parts = [self.next().text]
+        if self.accept_op("("):
+            parts.append("(")
+            depth = 1
+            while depth:
+                t = self.next()
+                if t.kind == "EOF":
+                    self.error("unterminated type")
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    depth -= 1
+                    if not depth:
+                        parts.append(")")
+                        break
+                parts.append(t.text if t.kind != "OP" else t.text)
+        if self.at_keyword("UNSIGNED"):
+            parts.append(self.next().text)
+        import re as _re
+        return _re.sub(r"\s*([(),])\s*", r"\1", " ".join(parts))
+
+    def parse_create_index(self, itype: str):
+        self.expect_keyword("INDEX")
+        ine = self._if_not_exists()
+        name = self.ident()
+        self.expect_keyword("ON")
+        db, table = self.qualified_name()
+        self.expect_op("(")
+        cols = [self.ident()]
+        while self.accept_op(","):
+            cols.append(self.ident())
+        self.expect_op(")")
+        options = {}
+        sync = True
+        while True:
+            if self.accept_keyword("SYNC"):
+                sync = True
+            elif self.accept_keyword("ASYNC"):
+                sync = False
+            elif (self.peek().kind in ("IDENT", "KEYWORD")
+                  and self.peek(1).kind == "OP" and self.peek(1).text == "="):
+                k = self.next().text
+                self.expect_op("=")
+                options[k.lower()] = self.next().text
+            else:
+                break
+        return A.CreateIndex(itype, name, table, db, cols, options, ine, sync)
+
+    # ------------------------------------------------------------------- drop
+    def parse_drop(self):
+        self.expect_keyword("DROP")
+        if self.accept_keyword("DATABASE") or self.accept_keyword("SCHEMA"):
+            ie = self._if_exists()
+            return A.DropDatabase(self.ident(), ie)
+        if self.accept_keyword("TABLE"):
+            ie = self._if_exists()
+            db, name = self.qualified_name()
+            all_ = bool(self.accept_keyword("ALL"))
+            return A.DropTable(name, db, ie, all_)
+        for itype in ("VECTOR", "INVERTED", "NGRAM"):
+            if self.accept_keyword(itype):
+                self.expect_keyword("INDEX")
+                ie = self._if_exists()
+                name = self.ident()
+                table = None
+                if self.accept_keyword("ON"):
+                    _, table = self.qualified_name()
+                return A.DropIndex(itype, name, table, ie)
+        if self.accept_keyword("INDEX"):
+            ie = self._if_exists()
+            return A.DropIndex("AGGREGATING", self.ident(), None, ie)
+        self.error("expected DATABASE/TABLE/INDEX after DROP")
+
+    def parse_refresh(self):
+        self.expect_keyword("REFRESH")
+        for itype in ("VECTOR", "INVERTED", "NGRAM"):
+            if self.accept_keyword(itype):
+                self.expect_keyword("INDEX")
+                name = self.ident()
+                table = None
+                if self.accept_keyword("ON"):
+                    _, table = self.qualified_name()
+                return A.RefreshIndex(itype, name, table)
+        self.error("expected index type after REFRESH")
+
+    def parse_alter(self):
+        self.expect_keyword("ALTER")
+        self.expect_keyword("TABLE")
+        db, name = self.qualified_name()
+        if self.accept_keyword("RENAME"):
+            self.expect_keyword("TO")
+            return A.RenameTable(name, self.ident(), db)
+        self.error("unsupported ALTER TABLE action")
+
+    # -------------------------------------------------------------------- dml
+    def parse_insert(self):
+        self.expect_keyword("INSERT")
+        overwrite = bool(self.accept_keyword("OVERWRITE"))
+        if not overwrite:
+            self.expect_keyword("INTO")
+        else:
+            self.accept_keyword("INTO")
+        db, name = self.qualified_name()
+        columns: List[str] = []
+        if self.at_op("(") :
+            # could be column list or VALUES-less subquery paren; look ahead
+            save = self.i
+            self.next()
+            try:
+                columns = [self.ident()]
+                while self.accept_op(","):
+                    columns.append(self.ident())
+                self.expect_op(")")
+            except SyntaxException:
+                self.i = save
+                columns = []
+        if self.accept_keyword("VALUES"):
+            rows = []
+            while True:
+                self.expect_op("(")
+                row = [self.parse_expr()]
+                while self.accept_op(","):
+                    row.append(self.parse_expr())
+                self.expect_op(")")
+                rows.append(row)
+                if not self.accept_op(","):
+                    break
+            return A.Insert(name, db, columns, values=rows, overwrite=overwrite)
+        query = self.parse_query()
+        return A.Insert(name, db, columns, query=query, overwrite=overwrite)
+
+    def parse_delete(self):
+        self.expect_keyword("DELETE")
+        self.expect_keyword("FROM")
+        db, name = self.qualified_name()
+        where = None
+        if self.accept_keyword("WHERE"):
+            where = self.parse_expr()
+        return A.Delete(name, db, where)
+
+    def parse_update(self):
+        self.expect_keyword("UPDATE")
+        db, name = self.qualified_name()
+        self.expect_keyword("SET")
+        assignments = []
+        while True:
+            col = self.ident()
+            self.expect_op("=")
+            assignments.append((col, self.parse_expr()))
+            if not self.accept_op(","):
+                break
+        where = None
+        if self.accept_keyword("WHERE"):
+            where = self.parse_expr()
+        return A.Update(name, db, assignments, where)
+
+    # ------------------------------------------------------------------- misc
+    def parse_show(self):
+        self.expect_keyword("SHOW")
+        if self.accept_keyword("TABLES"):
+            from_db = None
+            if self.accept_keyword("FROM") or self.accept_keyword("IN"):
+                from_db = self.ident()
+            like = self._opt_like()
+            return A.ShowStmt("TABLES", from_db, like)
+        if self.accept_keyword("DATABASES"):
+            return A.ShowStmt("DATABASES", None, self._opt_like())
+        if self.accept_keyword("SETTINGS"):
+            return A.ShowStmt("SETTINGS", None, self._opt_like())
+        if self.peek().kind in ("IDENT", "KEYWORD"):
+            what = self.next().text.upper()
+            return A.ShowStmt(what, None, self._opt_like())
+        self.error("unsupported SHOW")
+
+    def _opt_like(self) -> Optional[str]:
+        if self.accept_keyword("LIKE"):
+            return self.next().text
+        return None
+
+    def parse_set(self):
+        self.expect_keyword("SET")
+        is_global = bool(self.accept_keyword("GLOBAL"))
+        name = self.ident()
+        self.expect_op("=")
+        t = self.next()
+        value: Any = t.text
+        if t.kind == "INT":
+            value = int(t.text)
+        elif t.kind == "FLOAT":
+            value = float(t.text)
+        elif t.kind == "KEYWORD" and t.text in ("TRUE", "FALSE"):
+            value = t.text == "TRUE"
+        return A.SetSetting(name, value, is_global)
+
+    # ------------------------------------------------------------------ query
+    def parse_query(self) -> A.Query:
+        ctes: List[Tuple[str, A.Query]] = []
+        if self.accept_keyword("WITH"):
+            self.accept_keyword("RECURSIVE")
+            while True:
+                cname = self.ident()
+                self.expect_keyword("AS")
+                self.expect_op("(")
+                cq = self.parse_query()
+                self.expect_op(")")
+                ctes.append((cname, cq))
+                if not self.accept_op(","):
+                    break
+        body = self.parse_set_expr()
+        order_by: List[A.OrderByExpr] = []
+        limit = offset = None
+        if self.accept_keyword("ORDER"):
+            self.expect_keyword("BY")
+            while True:
+                order_by.append(self.parse_order_by_expr())
+                if not self.accept_op(","):
+                    break
+        if self.accept_keyword("LIMIT"):
+            first = self.parse_expr()
+            if self.accept_op(","):  # LIMIT off, n (mysql style)
+                offset = first
+                limit = self.parse_expr()
+            else:
+                limit = first
+        if self.accept_keyword("OFFSET"):
+            offset = self.parse_expr()
+        return A.Query(body, order_by, limit, offset, ctes)
+
+    def parse_order_by_expr(self) -> A.OrderByExpr:
+        e = self.parse_expr()
+        asc = True
+        if self.accept_keyword("ASC"):
+            asc = True
+        elif self.accept_keyword("DESC"):
+            asc = False
+        nulls_first = None
+        if self.accept_keyword("NULLS"):
+            if self.accept_keyword("FIRST"):
+                nulls_first = True
+            else:
+                self.expect_keyword("LAST")
+                nulls_first = False
+        return A.OrderByExpr(e, asc, nulls_first)
+
+    def parse_set_expr(self):
+        left = self.parse_query_primary()
+        while self.at_keyword("UNION", "EXCEPT", "INTERSECT"):
+            op = self.next().text
+            if op == "UNION" and self.accept_keyword("ALL"):
+                op = "UNION ALL"
+            elif self.accept_keyword("DISTINCT"):
+                pass
+            right = self.parse_query_primary()
+            left = A.SetOp(op, left, right)
+        return left
+
+    def parse_query_primary(self):
+        if self.accept_op("("):
+            q = self.parse_query()
+            self.expect_op(")")
+            return q
+        return self.parse_select()
+
+    def parse_select(self) -> A.SelectStmt:
+        self.expect_keyword("SELECT")
+        distinct = bool(self.accept_keyword("DISTINCT"))
+        self.accept_keyword("ALL")
+        items = [self.parse_select_item()]
+        while self.accept_op(","):
+            items.append(self.parse_select_item())
+        from_ = None
+        if self.accept_keyword("FROM"):
+            from_ = self.parse_table_ref()
+        where = None
+        if self.accept_keyword("WHERE"):
+            where = self.parse_expr()
+        group_by: List[A.Expr] = []
+        if self.accept_keyword("GROUP"):
+            self.expect_keyword("BY")
+            self.accept_keyword("ALL")
+            while True:
+                group_by.append(self.parse_expr())
+                if not self.accept_op(","):
+                    break
+        having = None
+        if self.accept_keyword("HAVING"):
+            having = self.parse_expr()
+        return A.SelectStmt(items, from_, where, group_by, having, distinct)
+
+    def parse_select_item(self) -> A.SelectItem:
+        if self.at_op("*"):
+            self.next()
+            return A.SelectItem(A.Star())
+        # t.* qualified star
+        if (self.peek().kind == "IDENT" and self.peek(1).kind == "OP"
+                and self.peek(1).text == "." and self.peek(2).kind == "OP"
+                and self.peek(2).text == "*"):
+            t = self.next().text
+            self.next()
+            self.next()
+            return A.SelectItem(A.Star(t))
+        e = self.parse_expr()
+        alias = None
+        if self.accept_keyword("AS"):
+            alias = self.ident()
+        elif self.peek().kind == "IDENT":
+            alias = self.next().text
+        return A.SelectItem(e, alias)
+
+    def parse_table_ref(self) -> A.TableRef:
+        left = self.parse_table_factor()
+        while True:
+            if self.accept_keyword("CROSS"):
+                self.expect_keyword("JOIN")
+                right = self.parse_table_factor()
+                left = A.Join("CROSS", left, right)
+                continue
+            kind = None
+            if self.at_keyword("INNER", "LEFT", "RIGHT", "FULL", "JOIN"):
+                if self.accept_keyword("INNER"):
+                    kind = "INNER"
+                elif self.accept_keyword("LEFT"):
+                    kind = "LEFT"
+                    self.accept_keyword("OUTER")
+                elif self.accept_keyword("RIGHT"):
+                    kind = "RIGHT"
+                    self.accept_keyword("OUTER")
+                elif self.accept_keyword("FULL"):
+                    kind = "FULL"
+                    self.accept_keyword("OUTER")
+                else:
+                    kind = "INNER"
+                self.expect_keyword("JOIN")
+                right = self.parse_table_factor()
+                cond = None
+                using: List[str] = []
+                if self.accept_keyword("ON"):
+                    cond = self.parse_expr()
+                elif self.accept_keyword("USING"):
+                    self.expect_op("(")
+                    using = [self.ident()]
+                    while self.accept_op(","):
+                        using.append(self.ident())
+                    self.expect_op(")")
+                left = A.Join(kind, left, right, cond, using)
+                continue
+            if self.accept_op(","):
+                right = self.parse_table_factor()
+                left = A.Join("CROSS", left, right)
+                continue
+            break
+        return left
+
+    def parse_table_factor(self) -> A.TableRef:
+        if self.accept_op("("):
+            q = self.parse_query()
+            self.expect_op(")")
+            alias = self._table_alias()
+            return A.SubqueryRef(q, alias)
+        # table function: ident(...)
+        if self.peek().kind == "IDENT" and self.peek(1).kind == "OP" and self.peek(1).text == "(":
+            name = self.next().text
+            self.expect_op("(")
+            args: List[A.Expr] = []
+            if not self.at_op(")"):
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+            return A.TableFunctionRef(name, args, self._table_alias())
+        db, name = self.qualified_name()
+        at_snapshot = None
+        if self.accept_keyword("AT"):
+            self.expect_op("(")
+            self.expect_keyword("SNAPSHOT")
+            self.expect_op("=>")
+            at_snapshot = self.next().text
+            self.expect_op(")")
+        return A.TableName(name, db, self._table_alias(), at_snapshot)
+
+    def _table_alias(self) -> Optional[str]:
+        if self.accept_keyword("AS"):
+            return self.ident()
+        if self.peek().kind == "IDENT":
+            return self.next().text
+        return None
+
+    # ------------------------------------------------------------ expressions
+    def parse_expr(self, min_bp: int = 0) -> A.Expr:
+        lhs = self.parse_prefix()
+        while True:
+            lhs2 = self.parse_postfix(lhs, min_bp)
+            if lhs2 is not None:
+                lhs = lhs2
+                continue
+            t = self.peek()
+            op = None
+            if t.kind == "OP" and t.text in _BIN_POWER:
+                op = t.text
+            elif t.kind == "KEYWORD" and t.text in _BIN_POWER:
+                op = t.text
+            if op is None:
+                break
+            bp = _BIN_POWER[op]
+            if bp < min_bp:
+                break
+            self.next()
+            rhs = self.parse_expr(bp + 1)
+            lhs = A.BinaryOp(op, lhs, rhs)
+        return lhs
+
+    def parse_postfix(self, lhs: A.Expr, min_bp: int) -> Optional[A.Expr]:
+        # IS [NOT] NULL | [NOT] IN | [NOT] BETWEEN | [NOT] LIKE | :: | [...]
+        if self.at_op("::"):
+            self.next()
+            return A.Cast(lhs, self.parse_type_name())
+        if self.at_op("["):
+            self.next()
+            key = self.parse_expr()
+            self.expect_op("]")
+            return A.MapAccess(lhs, key)
+        if self.at_keyword("IS") and min_bp <= 40:
+            self.next()
+            negated = bool(self.accept_keyword("NOT"))
+            self.expect_keyword("NULL")
+            return A.IsNull(lhs, negated)
+        negated = False
+        save = self.i
+        if self.at_keyword("NOT") and min_bp <= 40:
+            nxt = self.peek(1)
+            if nxt.kind == "KEYWORD" and nxt.text in ("IN", "BETWEEN", "LIKE", "ILIKE", "REGEXP", "RLIKE"):
+                self.next()
+                negated = True
+            else:
+                return None
+        if self.at_keyword("IN") and min_bp <= 40:
+            self.next()
+            self.expect_op("(")
+            if self.at_keyword("SELECT", "WITH"):
+                q = self.parse_query()
+                self.expect_op(")")
+                return A.InSubquery(lhs, q, negated)
+            items = [self.parse_expr()]
+            while self.accept_op(","):
+                items.append(self.parse_expr())
+            self.expect_op(")")
+            return A.InList(lhs, items, negated)
+        if self.at_keyword("BETWEEN") and min_bp <= 40:
+            self.next()
+            low = self.parse_expr(41)
+            self.expect_keyword("AND")
+            high = self.parse_expr(41)
+            return A.Between(lhs, low, high, negated)
+        if negated and self.at_keyword("LIKE", "ILIKE", "REGEXP", "RLIKE"):
+            op = self.next().text
+            rhs = self.parse_expr(41)
+            return A.UnaryOp("NOT", A.BinaryOp(op, lhs, rhs))
+        if negated:
+            self.i = save
+        return None
+
+    def parse_prefix(self) -> A.Expr:
+        t = self.peek()
+        if t.kind == "INT":
+            self.next()
+            return A.Literal(int(t.text))
+        if t.kind == "FLOAT":
+            self.next()
+            return A.Literal(float(t.text))
+        if t.kind == "STRING":
+            self.next()
+            return A.Literal(t.text)
+        if t.kind == "OP":
+            if t.text == "(":
+                self.next()
+                if self.at_keyword("SELECT", "WITH"):
+                    q = self.parse_query()
+                    self.expect_op(")")
+                    return A.ScalarSubquery(q)
+                e = self.parse_expr()
+                if self.accept_op(","):
+                    items = [e, self.parse_expr()]
+                    while self.accept_op(","):
+                        items.append(self.parse_expr())
+                    self.expect_op(")")
+                    return A.Tuple_(items)
+                self.expect_op(")")
+                return e
+            if t.text == "[":
+                self.next()
+                items: List[A.Expr] = []
+                if not self.at_op("]"):
+                    items.append(self.parse_expr())
+                    while self.accept_op(","):
+                        items.append(self.parse_expr())
+                self.expect_op("]")
+                # array literal: fold literal elements
+                if all(isinstance(i, A.Literal) for i in items):
+                    return A.Literal([i.value for i in items])
+                return A.FunctionCall("array", items)
+            if t.text in ("-", "+"):
+                self.next()
+                operand = self.parse_expr(65)
+                if t.text == "-" and isinstance(operand, A.Literal) and isinstance(operand.value, (int, float)):
+                    return A.Literal(-operand.value)
+                return A.UnaryOp(t.text, operand)
+            if t.text == "*":
+                self.next()
+                return A.Star()
+        if t.kind == "KEYWORD":
+            if t.text == "NOT":
+                self.next()
+                return A.UnaryOp("NOT", self.parse_expr(25))
+            if t.text == "NULL":
+                self.next()
+                return A.Literal(None)
+            if t.text in ("TRUE", "FALSE"):
+                self.next()
+                return A.Literal(t.text == "TRUE")
+            if t.text in ("CAST", "TRY_CAST"):
+                self.next()
+                self.expect_op("(")
+                e = self.parse_expr()
+                self.expect_keyword("AS")
+                tn = self.parse_type_name()
+                self.expect_op(")")
+                return A.Cast(e, tn, is_try=t.text == "TRY_CAST")
+            if t.text == "CASE":
+                return self.parse_case()
+            if t.text == "EXISTS":
+                self.next()
+                self.expect_op("(")
+                q = self.parse_query()
+                self.expect_op(")")
+                return A.Exists(q)
+            if t.text == "INTERVAL":
+                self.next()
+                v = self.next().text
+                unit = self.ident()
+                return A.FunctionCall("interval", [A.Literal(v), A.Literal(unit)])
+            # keywords that double as function names: if(...), left(...), replace(...)
+            if (self.peek(1).kind == "OP" and self.peek(1).text == "("
+                    and t.text in ("IF", "LEFT", "RIGHT", "REPLACE", "DATABASE", "VALUES")):
+                return self.parse_ident_expr_from(self.next().text)
+            if t.text in NON_RESERVED:
+                return self.parse_ident_expr()
+        if t.kind == "IDENT":
+            return self.parse_ident_expr()
+        self.error("expected expression")
+
+    def parse_case(self) -> A.Expr:
+        self.expect_keyword("CASE")
+        operand = None
+        if not self.at_keyword("WHEN"):
+            operand = self.parse_expr()
+        conditions, results = [], []
+        while self.accept_keyword("WHEN"):
+            conditions.append(self.parse_expr())
+            self.expect_keyword("THEN")
+            results.append(self.parse_expr())
+        else_result = None
+        if self.accept_keyword("ELSE"):
+            else_result = self.parse_expr()
+        self.expect_keyword("END")
+        return A.Case(operand, conditions, results, else_result)
+
+    def parse_ident_expr(self) -> A.Expr:
+        return self.parse_ident_expr_from(self.ident())
+
+    def parse_ident_expr_from(self, name: str) -> A.Expr:
+        if self.at_op("("):
+            self.next()
+            distinct = bool(self.accept_keyword("DISTINCT"))
+            args: List[A.Expr] = []
+            if not self.at_op(")"):
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+            window = None
+            if self.peek().kind == "IDENT" and self.peek().text.upper() == "OVER":
+                self.next()
+                window = self.parse_window_spec()
+            return A.FunctionCall(name.lower(), args, distinct, window=window)
+        if self.at_op(".") and self.peek(1).kind in ("IDENT",):
+            self.next()
+            col = self.ident()
+            return A.ColumnRef(col, table=name)
+        return A.ColumnRef(name)
+
+    def parse_window_spec(self) -> A.WindowSpec:
+        self.expect_op("(")
+        spec = A.WindowSpec()
+        if self.peek().kind == "IDENT" and self.peek().text.upper() == "PARTITION":
+            self.next()
+            self.expect_keyword("BY")
+            spec.partition_by.append(self.parse_expr())
+            while self.accept_op(","):
+                spec.partition_by.append(self.parse_expr())
+        if self.accept_keyword("ORDER"):
+            self.expect_keyword("BY")
+            spec.order_by.append(self.parse_order_by_expr())
+            while self.accept_op(","):
+                spec.order_by.append(self.parse_order_by_expr())
+        self.expect_op(")")
+        return spec
+
+
+def parse_sql(sql: str) -> A.Statement:
+    return Parser(sql).parse()
+
+
+def parse_statements(sql: str) -> List[A.Statement]:
+    """Split on top-level ';' and parse each statement."""
+    out = []
+    p = Parser(sql)
+    while p.peek().kind != "EOF":
+        out.append(p.parse_statement())
+        while p.accept_op(";"):
+            pass
+    return out

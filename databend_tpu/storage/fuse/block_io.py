@@ -1,0 +1,89 @@
+"""Block data IO: DataBlock <-> parquet via pyarrow.
+
+Analog of the reference's block serialization (reference:
+src/query/storages/fuse/src/io/write/block_writer.rs:116). Vector columns
+map to arrow FixedSizeList so the on-disk format stays arrow-compatible;
+reads reassemble the `[N, dim]` contiguous layout the TPU kernels want.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ...expression import Column, DataBlock, StringData
+from ...expression.schema import TableSchema
+from ...types import (ArrayType, Boolean, DataType, Date, NumberType, String,
+                      StringType, Timestamp, VectorType)
+
+
+def _to_arrow_array(col: Column) -> pa.Array:
+    inner = col.dtype.remove_nullable()
+    mask = None if col.validity is None else ~col.validity  # arrow: True = null
+    if isinstance(inner, VectorType):
+        flat = pa.array(np.ascontiguousarray(col.data).reshape(-1),
+                        type=pa.float32() if inner.element == "f32" else pa.int8())
+        arr = pa.FixedSizeListArray.from_arrays(flat, inner.dim)
+        if mask is not None and mask.any():
+            # rebuild with nulls (FixedSizeListArray.from_arrays has no mask param)
+            indices = pa.array(np.where(col.validity, np.arange(len(col)), -1),
+                               type=pa.int64())
+            arr = arr.take(pa.array(
+                np.where(col.validity, np.arange(len(col)), len(col) - 1), type=pa.int64()))
+            arr = pa.Array.from_pandas(arr.to_pandas())  # fallback: rare path
+        return arr
+    if isinstance(inner, StringType):
+        return pa.array(col.data.to_pylist(), type=pa.string(),
+                        mask=mask if mask is not None else None)
+    if isinstance(inner, ArrayType):
+        return pa.array(col.to_pylist())
+    return pa.array(col.data, mask=mask)
+
+
+def _from_arrow_array(arr: pa.ChunkedArray | pa.Array, dtype: DataType) -> Column:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    inner = dtype.remove_nullable()
+    validity = None
+    if arr.null_count > 0:
+        validity = np.asarray(arr.is_valid())
+    if isinstance(inner, VectorType):
+        flat = np.asarray(arr.values.to_numpy(zero_copy_only=False))
+        data = flat.reshape(len(arr), inner.dim).astype(inner.numpy_dtype(), copy=False)
+        return Column(dtype if validity is None else dtype.wrap_nullable(), data, validity)
+    if isinstance(inner, StringType):
+        return Column.from_pylist(arr.to_pylist(), dtype)
+    if isinstance(inner, ArrayType):
+        return Column.from_pylist(arr.to_pylist(), dtype)
+    data = arr.to_numpy(zero_copy_only=False)
+    if validity is not None:
+        data = np.nan_to_num(data.astype(inner.numpy_dtype(), copy=True), nan=0)
+    return Column(dtype, np.ascontiguousarray(data, dtype=inner.numpy_dtype()), validity)
+
+
+def write_block(path: str, block: DataBlock) -> int:
+    """Write a DataBlock as parquet; returns file size in bytes."""
+    arrays = [_to_arrow_array(c) for c in block.columns]
+    table = pa.table(dict(zip(block.names, arrays)))
+    pq.write_table(table, path, compression="zstd")
+    import os
+    return os.path.getsize(path)
+
+
+def read_block(path: str, schema: TableSchema,
+               projection: Optional[List[str]] = None) -> DataBlock:
+    names = projection if projection is not None else schema.field_names()
+    names = [schema.field(n).name for n in names]
+    table = pq.read_table(path, columns=names)
+    cols = []
+    for n in names:
+        f = schema.field(n)
+        cols.append(_from_arrow_array(table.column(n), f.dtype))
+    return DataBlock(names, cols)
+
+
+def read_block_rows(path: str) -> int:
+    return pq.read_metadata(path).num_rows
