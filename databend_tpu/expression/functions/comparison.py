@@ -151,6 +151,30 @@ def _ilike(a, pattern, **kw):
     return _apply_pattern(a, pattern, re.I)
 
 
+def _in_set_resolver(arg_types):
+    if len(arg_types) != 2:
+        raise SemanticError("in_set expects 2 args")
+    return Boolean
+
+
+@scalar_function("in_set", _in_set_resolver)
+def _in_set(a, items, **kw):
+    """Membership in a constant list (IN-subquery folding).
+    ``items`` is a broadcast ARRAY constant: every row holds the same list."""
+    vals = _comparable(a)
+    if isinstance(items, tuple):  # array column payload: (offsets, child)
+        offsets, child = items
+        s = set(child.to_pylist()[: int(offsets[1])])
+    else:
+        lst = items.tolist() if hasattr(items, "tolist") else list(items)
+        s = set(lst[0] if lst and isinstance(lst[0], (list, tuple)) else lst)
+    if isinstance(vals, np.ndarray) and vals.dtype.kind in "iuf" \
+            and all(isinstance(v, (int, float)) for v in s):
+        s = {float(v) for v in s}
+        return np.fromiter((float(v) in s for v in vals.tolist()), np.bool_, len(vals))
+    return np.fromiter((v in s for v in vals.tolist()), np.bool_, len(vals))
+
+
 @scalar_function("regexp", _str2_resolver("regexp"), aliases=["rlike"])
 def _regexp(a, pattern, **kw):
     pats = _comparable(pattern)

@@ -24,9 +24,19 @@ _DEVICE_THRESHOLD = 4096
 
 def _vec_payload(payload, arg_type):
     """Normalize an ARRAY(FLOAT)/VECTOR payload to a [N, d] float32 ndarray."""
+    from ...errors import SemanticError as _SE
     t = arg_type.remove_nullable()
     if isinstance(t, VectorType):
         return np.asarray(payload, dtype=np.float32)
+    if isinstance(payload, tuple):  # array column payload: (offsets, child)
+        offsets, child = payload
+        lens = np.diff(offsets)
+        if len(lens) == 0:
+            return np.zeros((0, 1), np.float32)
+        if not (lens == lens[0]).all():
+            raise _SE("array arguments to vector functions must have equal lengths")
+        flat = np.asarray(child.data, dtype=np.float32)
+        return flat.reshape(len(lens), int(lens[0]))
     # object ndarray of python lists (ARRAY literal path)
     rows = [np.asarray(v, dtype=np.float32) for v in payload]
     return np.stack(rows) if rows else np.zeros((0, 1), np.float32)

@@ -1,0 +1,82 @@
+"""Inverted (BM25) index writer: per-block CSR postings.
+
+The reference embeds a single-segment tantivy index per block
+(reference: inverted_index_writer.rs:189-273). Here the per-block index is
+flat CSR arrays — term dictionary, postings offsets, doc ids, term
+frequencies, doc lengths — the layout a segmented-sparse BM25 kernel
+consumes directly (device or host).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from .tokenizer import parse_filters, tokenize_text
+
+
+def build_inverted_index(path: str, columns, options: Dict[str, str]) -> int:
+    """Build and save one block's inverted index over text columns.
+    Documents are the row-wise concatenation of the indexed columns
+    (per-column fields share one posting space like the reference's
+    multi-field schema). Returns file size."""
+    tokenizer = options.get("tokenizer", "english")
+    filters = parse_filters(options)
+
+    vocab: Dict[str, int] = {}
+    term_docs: List[List[int]] = []   # per term: doc ids
+    term_tfs: List[List[int]] = []    # per term: tf per doc
+    n_docs = len(columns[0]) if columns else 0
+    doc_len = np.zeros(n_docs, np.int32)
+
+    col_lists = [c.to_pylist() for c in columns]
+    for doc_id in range(n_docs):
+        counts: Dict[str, int] = {}
+        total = 0
+        for col in col_lists:
+            text = col[doc_id]
+            if text is None:
+                continue
+            for tok in tokenize_text(str(text), tokenizer, filters):
+                counts[tok] = counts.get(tok, 0) + 1
+                total += 1
+        doc_len[doc_id] = total
+        for tok, tf in counts.items():
+            tid = vocab.get(tok)
+            if tid is None:
+                tid = len(vocab)
+                vocab[tok] = tid
+                term_docs.append([])
+                term_tfs.append([])
+            term_docs[tid].append(doc_id)
+            term_tfs[tid].append(tf)
+
+    # sort terms for binary search; build CSR
+    terms = sorted(vocab)
+    order = [vocab[t] for t in terms]
+    offsets = np.zeros(len(terms) + 1, np.int64)
+    for i, tid in enumerate(order):
+        offsets[i + 1] = offsets[i] + len(term_docs[tid])
+    doc_ids = np.zeros(int(offsets[-1]), np.int32)
+    tfs = np.zeros(int(offsets[-1]), np.int32)
+    for i, tid in enumerate(order):
+        doc_ids[offsets[i]: offsets[i + 1]] = term_docs[tid]
+        tfs[offsets[i]: offsets[i + 1]] = term_tfs[tid]
+
+    term_blob = "\n".join(terms).encode("utf-8")
+    buf = io.BytesIO()
+    np.savez_compressed(
+        buf,
+        terms=np.frombuffer(term_blob, np.uint8),
+        offsets=offsets, doc_ids=doc_ids, tfs=tfs, doc_len=doc_len,
+        meta=np.array([n_docs], np.int64),
+        tokenizer=np.frombuffer(tokenizer.encode(), np.uint8),
+        filters=np.frombuffer(",".join(filters).encode(), np.uint8))
+    data = buf.getvalue()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)

@@ -1,0 +1,429 @@
+"""Plan executor.
+
+The reference runs a work-stealing processor graph over OS threads
+(reference: src/query/service/src/pipelines/executor/
+query_pipeline_executor.rs:62-448). In this engine the heavy operators are
+jitted XLA programs executed per block; host-side orchestration is a
+pull-based iterator tree (simple, profiler-friendly, and not the
+bottleneck: scans and scores dominate). Blocks stream; pipeline-breaking
+operators (sort, aggregate, join build, distinct) accumulate state.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import SemanticError
+from ..expression import Column, DataBlock, StringData
+from ..expression.evaluator import Evaluator, cast_column
+from ..expression.expr import BoundColumn
+from ..expression.schema import (SEARCH_MATCHED_COL_NAME,
+                                 SEARCH_SCORE_COL_NAME, VECTOR_SCORE_COL_NAME)
+from ..sql.plans import (AggregatePlan, DistinctPlan, FilterPlan, JoinPlan,
+                         LimitPlan, Plan, ProjectPlan, Scan, SortPlan,
+                         UnionAllPlan, ValuesPlan)
+from ..types import Boolean, Float32
+
+FLOAT32_MAX = np.float32(3.4028235e38)  # unmatched-row fill (reference
+# internal_column.rs:397: f32::MAX so sort/limit drops them)
+
+
+def execute_plan_blocks(plan: Plan) -> Iterator[DataBlock]:
+    fn = _DISPATCH.get(type(plan))
+    if fn is None:
+        raise SemanticError(f"no executor for {type(plan).__name__}")
+    return fn(plan)
+
+
+def execute_plan(plan: Plan) -> DataBlock:
+    """Run to completion and concat into one result block."""
+    blocks = [b for b in execute_plan_blocks(plan) if b.num_rows > 0 or b.num_columns()]
+    blocks = [b for b in blocks if b.num_columns() > 0]
+    if not blocks:
+        fields = plan.output_fields()
+        return DataBlock([f.name for f in fields],
+                         [_empty_column(f.dtype) for f in fields], 0)
+    return DataBlock.concat(blocks)
+
+
+def _empty_column(dtype):
+    from ..expression.evaluator import constant_column
+    return constant_column(None, dtype.wrap_nullable(), 0)
+
+
+# ---------------------------------------------------------------------- scan
+def _exec_scan(plan: Scan) -> Iterator[DataBlock]:
+    table = plan.table
+    pd = plan.pushdown
+    parts, stats = table.read_partitions(pd, plan.snapshot_id)
+    plan.pruning_stats = stats  # stashed for EXPLAIN ANALYZE
+    needed = plan.columns if plan.columns is not None else table.schema.field_names()
+    for part in parts:
+        block = table.read_block(part.meta, needed)
+        block = _materialize_internal(plan, part, block)
+        if pd.filters is not None:
+            mask_col = Evaluator(block).run(pd.filters)
+            mask = np.asarray(mask_col.data, dtype=np.bool_)
+            if mask_col.validity is not None:
+                mask = mask & mask_col.validity
+            block = block.filter(mask)
+        if block.num_rows:
+            yield block
+
+
+def _materialize_internal(plan: Scan, part, block: DataBlock) -> DataBlock:
+    pd = plan.pushdown
+    n = block.num_rows
+    for ic in plan.internal_columns:
+        if ic == VECTOR_SCORE_COL_NAME:
+            if part.vector_scores is not None:
+                vals = np.full(n, FLOAT32_MAX, np.float32)
+                for row, score in part.vector_scores:
+                    vals[row] = score
+            else:
+                vals = _brute_force_scores(plan.table, part.meta, pd.vector_index, block)
+            block = block.with_column(ic, Column(Float32, vals))
+        elif ic == SEARCH_MATCHED_COL_NAME:
+            matched = np.zeros(n, np.bool_)
+            if part.matched_rows is not None:
+                matched[np.asarray(part.matched_rows, np.int64)] = True
+            block = block.with_column(ic, Column(Boolean, matched))
+        elif ic == SEARCH_SCORE_COL_NAME:
+            scores = np.zeros(n, np.float32)
+            if part.matched_rows is not None and part.matched_scores is not None:
+                scores[np.asarray(part.matched_rows, np.int64)] = part.matched_scores
+            block = block.with_column(ic, Column(Float32, scores))
+    return block
+
+
+def _brute_force_scores(table, meta, info, block: DataBlock) -> np.ndarray:
+    """Score every row of the block (reference generate_scores path,
+    vector_index_pruner.rs:305-398)."""
+    import jax.numpy as jnp
+    from ..ops.distance import pairwise_distance
+    metric = info.func_name.replace("_distance", "")
+    x = table.device_vectors(meta, info.column, normalized=False)
+    q = jnp.asarray(np.asarray(info.query_values, np.float32)[None, :])
+    d = pairwise_distance(q, x, metric)
+    return np.asarray(d[0], np.float32)
+
+
+# -------------------------------------------------------------------- basics
+def _exec_values(plan: ValuesPlan):
+    yield plan.block
+
+
+def _exec_filter(plan: FilterPlan):
+    for block in execute_plan_blocks(plan.child):
+        col = Evaluator(block).run(plan.expr)
+        mask = np.asarray(col.data, dtype=np.bool_)
+        if col.validity is not None:
+            mask = mask & col.validity
+        out = block.filter(mask)
+        if out.num_rows:
+            yield out
+
+
+def _exec_project(plan: ProjectPlan):
+    for block in execute_plan_blocks(plan.child):
+        ev = Evaluator(block)
+        cols = [ev.run(e) for _, e in plan.items]
+        yield DataBlock([n for n, _ in plan.items], cols, block.num_rows)
+
+
+def _exec_limit(plan: LimitPlan):
+    remaining_skip = plan.offset
+    remaining = plan.limit if plan.limit is not None else None
+    for block in execute_plan_blocks(plan.child):
+        if remaining_skip >= block.num_rows:
+            remaining_skip -= block.num_rows
+            continue
+        if remaining_skip:
+            block = block.slice(remaining_skip, block.num_rows)
+            remaining_skip = 0
+        if remaining is None:
+            yield block
+            continue
+        if remaining <= 0:
+            return
+        if block.num_rows > remaining:
+            block = block.slice(0, remaining)
+        remaining -= block.num_rows
+        yield block
+        if remaining <= 0:
+            return
+
+
+def _exec_union(plan: UnionAllPlan):
+    for child in plan.inputs:
+        out_names = [f.name for f in plan.output_fields()]
+        for block in execute_plan_blocks(child):
+            yield DataBlock(out_names, block.columns, block.num_rows)
+
+
+# ---------------------------------------------------------------------- sort
+def _sort_key_arrays(block: DataBlock, items) -> List[np.ndarray]:
+    """np.lexsort keys (minor first, LAST key is primary).
+
+    NULL ordering follows the reference default: NULL compares largest
+    (ASC -> last, DESC -> first) unless NULLS FIRST/LAST is explicit."""
+    keys: List[np.ndarray] = []
+    for it in reversed(items):  # minor sort keys first
+        col = block.column(it.name)
+        arr = _comparable_array(col)
+        if not it.asc:
+            arr = _invert_order(arr)
+        if col.validity is not None:
+            nulls_first = it.nulls_first if it.nulls_first is not None else (not it.asc)
+            null_rank = np.where(col.validity, 0, -1 if nulls_first else 1)
+            fill = 0 if arr.dtype.kind in "iufb" else ""
+            keys.append(np.where(col.validity, arr, fill))  # minor: value
+            keys.append(null_rank)                           # major: null rank
+        else:
+            keys.append(arr)
+    return keys
+
+
+def _comparable_array(col: Column) -> np.ndarray:
+    if isinstance(col.data, StringData):
+        return np.array(col.data.to_pylist(), dtype=object)
+    return col.data
+
+
+def _invert_order(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype.kind in "iuf" or arr.dtype.kind == "b":
+        return -arr.astype(np.float64)
+    # strings: rank-invert via sorted unique codes
+    uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+    return -inv.astype(np.int64)
+
+
+def _exec_sort(plan: SortPlan):
+    blocks = list(execute_plan_blocks(plan.child))
+    if not blocks:
+        return
+    if plan.limit is not None:
+        # per-block partial top-n before the final merge (the streaming
+        # analog of TransformSortMergeLimit, sort_merge_limit.rs:33)
+        pruned = []
+        for b in blocks:
+            if b.num_rows > plan.limit:
+                keys = _sort_key_arrays(b, plan.items)
+                order = np.lexsort(keys)[: plan.limit]
+                b = b.take(order)
+            pruned.append(b)
+        blocks = pruned
+    merged = DataBlock.concat(blocks)
+    keys = _sort_key_arrays(merged, plan.items)
+    order = np.lexsort(keys)
+    if plan.limit is not None:
+        order = order[: plan.limit]
+    yield merged.take(order)
+
+
+# ----------------------------------------------------------------- aggregate
+def _group_ids(block: DataBlock, key_cols: List[Column], state: dict):
+    """Assign dense group ids across blocks (streaming hash aggregation —
+    the reference's group-by hashtable, src/common/hashtable)."""
+    n = block.num_rows
+    if not key_cols:
+        return np.zeros(n, np.int64), state
+    key_lists = [c.to_pylist() for c in key_cols]
+    mapping: Dict[tuple, int] = state.setdefault("mapping", {})
+    reprs: List[tuple] = state.setdefault("reprs", [])
+    gids = np.empty(n, np.int64)
+    for i in range(n):
+        key = tuple(kl[i] for kl in key_lists)
+        gid = mapping.get(key)
+        if gid is None:
+            gid = len(mapping)
+            mapping[key] = gid
+            reprs.append(key)
+        gids[i] = gid
+    return gids, state
+
+
+def _exec_aggregate(plan: AggregatePlan):
+    """Two-phase hash aggregation: assign dense group ids streaming, buffer
+    the (small) per-block gid + argument columns, then run each aggregate's
+    vectorized update once states are sized to the final group count."""
+    state: dict = {}
+    key_types = [e.dtype for _, e in plan.keys]
+    buffered: List[Tuple[np.ndarray, List[Optional[Column]]]] = []
+
+    for block in execute_plan_blocks(plan.child):
+        ev = Evaluator(block)
+        key_cols = [ev.run(e) for _, e in plan.keys]
+        gids, state = _group_ids(block, key_cols, state)
+        arg_cols: List[Optional[Column]] = []
+        for name, fn, arg_exprs in plan.aggs:
+            arg_cols.append(ev.run(arg_exprs[0]) if arg_exprs else None)
+        buffered.append((gids, arg_cols))
+
+    if plan.keys:
+        final_n = len(state.get("reprs", []))
+        if final_n == 0:
+            return
+    else:
+        final_n = 1  # global aggregate always yields one row
+
+    names = [n for n, _ in plan.keys] + [n for n, _, _ in plan.aggs]
+    cols: List[Column] = []
+    reprs = state.get("reprs", [()])
+    for ki, (kname, kexpr) in enumerate(plan.keys):
+        vals = [r[ki] for r in reprs]
+        cols.append(Column.from_pylist(vals, key_types[ki].wrap_nullable()
+                                       if any(v is None for v in vals) else key_types[ki]))
+    for ai, (name, fn, _) in enumerate(plan.aggs):
+        st = fn.init_state(final_n)
+        for gids, arg_cols in buffered:
+            arg = arg_cols[ai]
+            if arg is not None:
+                fn.update(st, gids, arg.data, arg.validity)
+            else:  # count(*)
+                fn.update(st, gids, None, None)
+        cols.append(fn.finalize(st, final_n))
+    yield DataBlock(names, cols, final_n)
+
+
+# ------------------------------------------------------------------ distinct
+def _exec_distinct(plan: DistinctPlan):
+    seen = set()
+    for block in execute_plan_blocks(plan.child):
+        rows = block.to_rows()
+        keep = np.zeros(block.num_rows, np.bool_)
+        for i, r in enumerate(rows):
+            key = tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            if key not in seen:
+                seen.add(key)
+                keep[i] = True
+        out = block.filter(keep)
+        if out.num_rows:
+            yield out
+
+
+# ---------------------------------------------------------------------- join
+def _exec_join(plan: JoinPlan):
+    """Hash join: build on the right, probe with left blocks streaming
+    (reference: hash join processors in src/query/service/src/pipelines/
+    processors/transforms/hash_join)."""
+    right_blocks = list(execute_plan_blocks(plan.right))
+    right = DataBlock.concat(right_blocks) if right_blocks else None
+    lfields = plan.left.output_fields()
+    rfields = plan.right.output_fields()
+    out_names = [f.name for f in plan.fields]
+
+    if plan.kind == "CROSS":
+        yield from _exec_cross_join(plan, right, lfields, rfields, out_names)
+        return
+
+    build: Dict[tuple, List[int]] = {}
+    rkey_lists: List[list] = []
+    if right is not None and right.num_rows:
+        ev = Evaluator(right)
+        rkeys = [ev.run(e) for e in plan.right_keys]
+        rkey_lists = [c.to_pylist() for c in rkeys]
+        for i in range(right.num_rows):
+            key = tuple(kl[i] for kl in rkey_lists)
+            if any(k is None for k in key):
+                continue
+            build.setdefault(key, []).append(i)
+    right_matched = np.zeros(right.num_rows if right is not None else 0, np.bool_)
+
+    for lblock in execute_plan_blocks(plan.left):
+        ev = Evaluator(lblock)
+        lkeys = [ev.run(e) for e in plan.left_keys]
+        lkey_lists = [c.to_pylist() for c in lkeys]
+        lidx, ridx = [], []
+        unmatched_l = []
+        for i in range(lblock.num_rows):
+            key = tuple(kl[i] for kl in lkey_lists)
+            hits = build.get(key) if not any(k is None for k in key) else None
+            if hits:
+                for r in hits:
+                    lidx.append(i)
+                    ridx.append(r)
+            elif plan.kind in ("LEFT", "FULL"):
+                unmatched_l.append(i)
+        out = _assemble_join(lblock, right, lidx, ridx, lfields, rfields, out_names)
+        if plan.residual is not None and out.num_rows:
+            col = Evaluator(out).run(plan.residual)
+            mask = np.asarray(col.data, np.bool_)
+            if col.validity is not None:
+                mask = mask & col.validity
+            # rows failing residual on LEFT become unmatched
+            if plan.kind in ("LEFT", "FULL"):
+                failed = np.asarray(lidx, np.int64)[~mask]
+                unmatched_l.extend(sorted(set(failed.tolist()) -
+                                          set(np.asarray(lidx, np.int64)[mask].tolist())))
+            out = out.filter(mask)
+            if plan.kind in ("RIGHT", "FULL"):
+                kept = np.asarray(ridx, np.int64)[mask]
+                right_matched[kept] = True
+        elif plan.kind in ("RIGHT", "FULL") and ridx:
+            right_matched[np.asarray(ridx, np.int64)] = True
+        if plan.kind in ("LEFT", "FULL") and unmatched_l:
+            out2 = _assemble_join(lblock, right, unmatched_l, None,
+                                  lfields, rfields, out_names)
+            out = DataBlock.concat([out, out2]) if out.num_rows else out2
+        if out.num_rows:
+            yield out
+
+    if plan.kind in ("RIGHT", "FULL") and right is not None:
+        rest = np.nonzero(~right_matched)[0]
+        if len(rest):
+            out = _assemble_join(None, right, None, rest.tolist(),
+                                 lfields, rfields, out_names)
+            yield out
+
+
+def _exec_cross_join(plan, right, lfields, rfields, out_names):
+    if right is None or right.num_rows == 0:
+        return
+    for lblock in execute_plan_blocks(plan.left):
+        n, m = lblock.num_rows, right.num_rows
+        lidx = np.repeat(np.arange(n), m).tolist()
+        ridx = np.tile(np.arange(m), n).tolist()
+        out = _assemble_join(lblock, right, lidx, ridx, lfields, rfields, out_names)
+        if plan.residual is not None and out.num_rows:
+            col = Evaluator(out).run(plan.residual)
+            mask = np.asarray(col.data, np.bool_)
+            if col.validity is not None:
+                mask = mask & col.validity
+            out = out.filter(mask)
+        if out.num_rows:
+            yield out
+
+
+def _assemble_join(lblock, right, lidx, ridx, lfields, rfields, out_names):
+    from ..expression.evaluator import constant_column
+    cols = []
+    n = len(lidx) if lidx is not None else len(ridx)
+    for fi, f in enumerate(lfields):
+        if lblock is None or lidx is None:
+            cols.append(constant_column(None, f.dtype.wrap_nullable(), n))
+        else:
+            col = lblock.column_at(fi).take(np.asarray(lidx, np.int64))
+            cols.append(col)
+    for fi, f in enumerate(rfields):
+        if right is None or ridx is None:
+            cols.append(constant_column(None, f.dtype.wrap_nullable(), n))
+        else:
+            cols.append(right.column_at(fi).take(np.asarray(ridx, np.int64)))
+    return DataBlock(out_names, cols, n)
+
+
+_DISPATCH = {
+    Scan: _exec_scan,
+    ValuesPlan: _exec_values,
+    FilterPlan: _exec_filter,
+    ProjectPlan: _exec_project,
+    LimitPlan: _exec_limit,
+    SortPlan: _exec_sort,
+    AggregatePlan: _exec_aggregate,
+    DistinctPlan: _exec_distinct,
+    JoinPlan: _exec_join,
+    UnionAllPlan: _exec_union,
+}

@@ -1,0 +1,439 @@
+"""SessionContext: the embedded Python API (bendpy-equivalent) and the
+statement interpreter dispatch.
+
+Reference analogs: src/bendpy (SessionContext), interpreters
+(src/query/service/src/interpreters/interpreter_*.rs — 150+ files; the
+dispatch below covers the statement surface this engine executes).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..catalog import Catalog, TableInfo
+from ..catalog.catalog import TableIndexDef
+from ..errors import (DatabendError, SemanticError, UnknownTable,
+                      UnsupportedFeature)
+from ..expression import Column, DataBlock, DataField, TableSchema
+from ..expression.evaluator import Evaluator, cast_column, infer_literal_type
+from ..meta import MetaStore
+from ..settings import Settings
+from ..sql import ast as A
+from ..sql.parser import parse_sql, parse_statements
+from ..storage.fuse import FuseTable
+from ..types import Boolean, Float64, Int64, String, parse_type_name
+from ..utils.metrics import METRICS
+
+
+class QueryResult:
+    """Result of one statement: a DataBlock + schema + profile info."""
+
+    def __init__(self, block: DataBlock, fields: Optional[List[DataField]] = None,
+                 affected_rows: int = 0, profile: Optional[dict] = None):
+        self.block = block
+        self.fields = fields or [DataField(n, _infer_field(c)) for n, c in block.items()]
+        self.affected_rows = affected_rows
+        self.profile = profile or {}
+
+    @property
+    def column_names(self) -> List[str]:
+        return [f.name for f in self.fields]
+
+    def rows(self) -> List[tuple]:
+        return self.block.to_rows()
+
+    def to_pydict(self) -> Dict[str, list]:
+        return self.block.to_pydict()
+
+    def scalar(self):
+        rows = self.rows()
+        return rows[0][0] if rows else None
+
+    def __len__(self):
+        return self.block.num_rows
+
+    def __repr__(self):  # pragma: no cover
+        head = " | ".join(self.column_names)
+        lines = [head, "-" * len(head)]
+        for r in self.rows()[:20]:
+            lines.append(" | ".join(str(v) for v in r))
+        if self.block.num_rows > 20:
+            lines.append(f"... ({self.block.num_rows} rows)")
+        return "\n".join(lines)
+
+
+def _infer_field(col):
+    return col.dtype
+
+
+class SessionContext:
+    """Embedded engine session: ``SessionContext().sql("SELECT 1")``."""
+
+    def __init__(self, data_root: str = ".databend_tpu",
+                 meta_path: Optional[str] = None):
+        os.makedirs(data_root, exist_ok=True)
+        self.data_root = data_root
+        meta_path = meta_path if meta_path is not None else os.path.join(data_root, "meta.db")
+        self.meta = MetaStore(meta_path)
+        self.catalog = Catalog(self.meta)
+        self.settings = Settings()
+        self.current_database = "default"
+        self._tables: Dict[int, FuseTable] = {}
+
+    # ------------------------------------------------------------------- api
+    def open_table(self, info: TableInfo) -> FuseTable:
+        t = self._tables.get(info.table_id)
+        if t is None or t.info.to_dict() != info.to_dict():
+            t = FuseTable(info, self.catalog, os.path.join(self.data_root, "tables"))
+            self._tables[info.table_id] = t
+        return t
+
+    def table(self, name: str, database: Optional[str] = None) -> FuseTable:
+        info = self.catalog.get_table(database or self.current_database, name)
+        return self.open_table(info)
+
+    def sql(self, sql: str) -> QueryResult:
+        start = time.time()
+        stmt = parse_sql(sql)
+        try:
+            result = self._execute_statement(stmt)
+            METRICS.inc("queries_total")
+            return result
+        except DatabendError:
+            METRICS.inc("queries_failed")
+            raise
+        finally:
+            METRICS.observe("query_seconds", time.time() - start)
+
+    def execute_script(self, sql: str) -> List[QueryResult]:
+        return [self._execute_statement(s) for s in parse_statements(sql)]
+
+    def insert_block(self, table_name: str, block: DataBlock,
+                     database: Optional[str] = None) -> int:
+        """Bulk ingestion path (arrow/numpy-friendly, no SQL round trip)."""
+        t = self.table(table_name, database)
+        t.append(block)
+        return block.num_rows
+
+    # ----------------------------------------------------------- dispatching
+    def _execute_statement(self, stmt: A.Statement) -> QueryResult:
+        from ..pipeline.executor import execute_plan
+        from ..sql.binder import Binder
+        if isinstance(stmt, A.QueryStmt):
+            plan = Binder(self).bind_query(stmt.query)
+            block = execute_plan(plan)
+            return QueryResult(block, plan.output_fields())
+        if isinstance(stmt, A.ExplainStmt):
+            return self._explain(stmt)
+        handler = _STATEMENTS.get(type(stmt))
+        if handler is None:
+            raise UnsupportedFeature(f"unsupported statement {type(stmt).__name__}")
+        return handler(self, stmt)
+
+    def _explain(self, stmt: A.ExplainStmt) -> QueryResult:
+        from ..pipeline.executor import execute_plan
+        from ..sql.binder import Binder
+        if not isinstance(stmt.inner, A.QueryStmt):
+            raise SemanticError("EXPLAIN supports queries only")
+        plan = Binder(self).bind_query(stmt.inner.query)
+        lines = plan.explain().split("\n")
+        if stmt.analyze:
+            t0 = time.time()
+            block = execute_plan(plan)
+            elapsed = time.time() - t0
+            lines.append(f"-- executed in {elapsed*1000:.1f} ms, {block.num_rows} rows")
+            for line in _collect_pruning_stats(plan):
+                lines.append("-- " + line)
+        col = Column.from_pylist(lines, String)
+        return QueryResult(DataBlock(["explain"], [col]), [DataField("explain", String)])
+
+
+def _collect_pruning_stats(plan) -> List[str]:
+    from ..sql.plans import Scan
+    out = []
+    def visit(p):
+        if isinstance(p, Scan) and getattr(p, "pruning_stats", None) is not None:
+            s = p.pruning_stats
+            out.append(f"pruning: segments {s.segments_before}->{s.segments_after}, "
+                       f"blocks {s.blocks_before}->{s.blocks_after} "
+                       f"(range {s.blocks_range_after}, bloom {s.blocks_bloom_after}, "
+                       f"topn {s.blocks_topn_after}, "
+                       f"vector_stats {s.blocks_vector_stats_after})")
+        for c in p.children():
+            visit(c)
+    visit(plan)
+    return out
+
+
+# ---------------------------------------------------------------- statements
+def _ok(affected: int = 0) -> QueryResult:
+    return QueryResult(DataBlock.empty(), [], affected)
+
+
+def _stmt_create_database(s: SessionContext, st: A.CreateDatabase):
+    s.catalog.create_database(st.name, st.if_not_exists)
+    return _ok()
+
+
+def _stmt_drop_database(s: SessionContext, st: A.DropDatabase):
+    s.catalog.drop_database(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_use(s: SessionContext, st: A.UseDatabase):
+    if s.catalog.get_database(st.name) is None:
+        from ..errors import UnknownDatabase
+        raise UnknownDatabase(f"unknown database {st.name!r}")
+    s.current_database = st.name
+    return _ok()
+
+
+def _stmt_create_table(s: SessionContext, st: A.CreateTable):
+    fields = []
+    for c in st.columns:
+        dtype = parse_type_name(c.type_name)
+        if c.nullable and not dtype.is_nullable():
+            dtype = dtype.wrap_nullable()
+        default = c.default.value if isinstance(c.default, A.Literal) else None
+        fields.append(DataField(c.name, dtype, default))
+    db = st.database or s.current_database
+    cluster_by = [c.name for c in st.cluster_by if isinstance(c, A.ColumnRef)]
+    if st.as_query is not None and not fields:
+        from ..sql.binder import Binder
+        plan = Binder(s).bind_query(st.as_query)
+        fields = [DataField(f.name, f.dtype) for f in plan.output_fields()]
+    info = TableInfo(0, db, st.name, TableSchema(fields), st.engine,
+                     dict(st.options), cluster_by)
+    info = s.catalog.create_table(info, st.if_not_exists)
+    if st.as_query is not None:
+        from ..pipeline.executor import execute_plan
+        from ..sql.binder import Binder
+        plan = Binder(s).bind_query(st.as_query)
+        block = execute_plan(plan)
+        if block.num_rows:
+            s.open_table(info).append(block)
+    return _ok()
+
+
+def _stmt_drop_table(s: SessionContext, st: A.DropTable):
+    db = st.database or s.current_database
+    info = s.catalog.drop_table(db, st.name, st.if_exists)
+    if info is not None and st.all_:
+        import shutil
+        d = os.path.join(s.data_root, "tables", str(info.table_id))
+        shutil.rmtree(d, ignore_errors=True)
+    return _ok()
+
+
+def _stmt_truncate(s: SessionContext, st: A.TruncateTable):
+    s.table(st.name, st.database).truncate()
+    return _ok()
+
+
+def _stmt_rename(s: SessionContext, st: A.RenameTable):
+    db = st.database or s.current_database
+    s.catalog.rename_table(db, st.name, st.new_name)
+    return _ok()
+
+
+def _stmt_create_index(s: SessionContext, st: A.CreateIndex):
+    db = st.database or s.current_database
+    idx = TableIndexDef(st.name, st.index_type, st.columns, dict(st.options), st.sync)
+    info = s.catalog.create_index(db, st.table, idx, st.if_not_exists)
+    if st.sync:
+        s.open_table(info).refresh_indexes(st.name)
+    return _ok()
+
+
+def _stmt_drop_index(s: SessionContext, st: A.DropIndex):
+    s.catalog.drop_index(s.current_database, st.table, st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_refresh_index(s: SessionContext, st: A.RefreshIndex):
+    if st.table:
+        info = s.catalog.get_table(s.current_database, st.table)
+        tables = [info]
+    else:
+        tables = [t for t in s.catalog.list_tables(s.current_database)
+                  if st.name in t.indexes]
+    touched = 0
+    for info in tables:
+        if st.name in info.indexes:
+            touched += s.open_table(info).refresh_indexes(st.name)
+    return _ok(touched)
+
+
+def _stmt_insert(s: SessionContext, st: A.Insert):
+    db = st.database or s.current_database
+    info = s.catalog.get_table(db, st.table)
+    table = s.open_table(info)
+    if st.query is not None:
+        from ..pipeline.executor import execute_plan
+        from ..sql.binder import Binder
+        plan = Binder(s).bind_query(st.query)
+        block = execute_plan(plan)
+        if st.columns:
+            block = DataBlock(st.columns, block.columns, block.num_rows)
+    else:
+        cols = st.columns or info.schema.field_names()
+        if any(len(row) != len(cols) for row in st.values):
+            raise SemanticError("INSERT VALUES row arity mismatch")
+        data: Dict[str, list] = {c: [] for c in cols}
+        one = DataBlock(["__r"], [Column.from_pylist([0], Int64)])
+        for row in st.values:
+            for c, e in zip(cols, row):
+                data[c].append(_eval_insert_value(e, one))
+        columns = []
+        for c in cols:
+            f = info.schema.field(c)
+            target = f.dtype
+            columns.append(Column.from_pylist(data[c], _insert_literal_type(data[c], target)))
+        block = DataBlock(cols, columns, len(st.values))
+    table.append(block, overwrite=st.overwrite)
+    return _ok(block.num_rows)
+
+
+def _insert_literal_type(values, target):
+    # vectors arrive as python lists; other types use the column's own type
+    from ..types import ArrayType, VectorType
+    t = target.remove_nullable()
+    if isinstance(t, (VectorType,)):
+        return target
+    return target
+
+
+def _eval_insert_value(e: A.Expr, one: DataBlock):
+    from ..sql.expr_binder import BindContext, ExprBinder
+    if isinstance(e, A.Literal):
+        return e.value
+    if isinstance(e, A.UnaryOp) and e.op == "-" and isinstance(e.operand, A.Literal):
+        return -e.operand.value
+    bound = ExprBinder(BindContext()).bind(e)
+    col = Evaluator(one).run(bound)
+    return col.get(0)
+
+
+def _stmt_delete(s: SessionContext, st: A.Delete):
+    table = s.table(st.table, st.database)
+    expr = None
+    if st.where is not None:
+        from ..sql.expr_binder import BindContext, ExprBinder
+        ctx = BindContext()
+        for f in table.schema.fields:
+            ctx.add(f.name, f.dtype)
+        expr = ExprBinder(ctx).bind(st.where)
+    n = table.delete_rows(expr)
+    return _ok(n)
+
+
+def _stmt_update(s: SessionContext, st: A.Update):
+    table = s.table(st.table, st.database)
+    from ..sql.expr_binder import BindContext, ExprBinder
+    ctx = BindContext()
+    for f in table.schema.fields:
+        ctx.add(f.name, f.dtype)
+    binder = ExprBinder(ctx)
+    where = binder.bind(st.where) if st.where is not None else None
+    assignments = [(c, binder.bind(e)) for c, e in st.assignments]
+    n = table.update_rows(where, assignments)
+    return _ok(n)
+
+
+def _stmt_show(s: SessionContext, st: A.ShowStmt):
+    import fnmatch
+    like = st.like
+    def match(name):
+        if like is None:
+            return True
+        return fnmatch.fnmatch(name.lower(), like.lower().replace("%", "*").replace("_", "?"))
+    if st.what == "DATABASES":
+        names = sorted(d.name for d in s.catalog.list_databases() if match(d.name))
+        return QueryResult(DataBlock(["database"], [Column.from_pylist(names, String)]),
+                           [DataField("database", String)])
+    if st.what == "TABLES":
+        db = st.from_db or s.current_database
+        names = sorted(t.name for t in s.catalog.list_tables(db) if match(t.name))
+        return QueryResult(DataBlock(["table"], [Column.from_pylist(names, String)]),
+                           [DataField("table", String)])
+    if st.what == "SETTINGS":
+        rows = [r for r in s.settings.all() if match(r[0])]
+        return QueryResult(DataBlock(
+            ["name", "value", "default", "description"],
+            [Column.from_pylist([str(r[i]) for r in rows], String) for i in range(4)]),
+            [DataField(n, String) for n in ("name", "value", "default", "description")])
+    if st.what == "FUNCTIONS":
+        from ..expression.functions import registry
+        from ..expression.functions.aggregates import AGGREGATE_FUNCTIONS
+        names = sorted(set(registry.names()) | set(AGGREGATE_FUNCTIONS))
+        names = [n for n in names if match(n)]
+        return QueryResult(DataBlock(["name"], [Column.from_pylist(names, String)]),
+                           [DataField("name", String)])
+    if st.what == "INDEXES":
+        rows = []
+        for t in s.catalog.list_tables(s.current_database):
+            for idx in t.indexes.values():
+                rows.append((idx.name, idx.index_type.lower(), t.name,
+                             ",".join(idx.columns)))
+        names = ["name", "type", "table", "columns"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(4)]),
+            [DataField(n, String) for n in names])
+    raise UnsupportedFeature(f"SHOW {st.what} not supported")
+
+
+def _stmt_describe(s: SessionContext, st: A.DescribeTable):
+    db = st.database or s.current_database
+    info = s.catalog.get_table(db, st.name)
+    names = ["field", "type", "null", "default"]
+    rows = [(f.name, f.dtype.remove_nullable().sql_name(),
+             "YES" if f.dtype.is_nullable() else "NO",
+             "" if f.default is None else str(f.default)) for f in info.schema.fields]
+    return QueryResult(DataBlock(
+        names, [Column.from_pylist([r[i] for r in rows], String) for i in range(4)]),
+        [DataField(n, String) for n in names])
+
+
+def _stmt_set(s: SessionContext, st: A.SetSetting):
+    s.settings.set(st.name, st.value, st.is_global)
+    return _ok()
+
+
+def _stmt_optimize(s: SessionContext, st: A.OptimizeTable):
+    t = s.table(st.name, st.database)
+    if st.action in ("COMPACT", "ALL"):
+        t.compact()
+    if st.action in ("PURGE", "ALL"):
+        t.vacuum()
+    return _ok()
+
+
+def _stmt_vacuum(s: SessionContext, st: A.VacuumTable):
+    removed = s.table(st.name, st.database).vacuum()
+    return _ok(removed)
+
+
+_STATEMENTS = {
+    A.CreateDatabase: _stmt_create_database,
+    A.DropDatabase: _stmt_drop_database,
+    A.UseDatabase: _stmt_use,
+    A.CreateTable: _stmt_create_table,
+    A.DropTable: _stmt_drop_table,
+    A.TruncateTable: _stmt_truncate,
+    A.RenameTable: _stmt_rename,
+    A.CreateIndex: _stmt_create_index,
+    A.DropIndex: _stmt_drop_index,
+    A.RefreshIndex: _stmt_refresh_index,
+    A.Insert: _stmt_insert,
+    A.Delete: _stmt_delete,
+    A.Update: _stmt_update,
+    A.ShowStmt: _stmt_show,
+    A.DescribeTable: _stmt_describe,
+    A.SetSetting: _stmt_set,
+    A.OptimizeTable: _stmt_optimize,
+    A.VacuumTable: _stmt_vacuum,
+}

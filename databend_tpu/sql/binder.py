@@ -1,0 +1,642 @@
+"""Query binder: AST -> Plan.
+
+Analog of the reference's Binder + semantic rewrites (reference:
+src/query/sql/src/planner/binder/ and semantic/type_check/):
+
+* KNN rewrite — ``<distance_fn>(vector_col, const)`` over a table with a
+  matching VECTOR INDEX becomes the ``_vector_score`` internal column with
+  a VectorIndexInfo pushdown (reference type_check/vector.rs:70-120);
+  HNSW top-k pruning is enabled exactly when the reference would:
+  no residual filter, ASC order on the score, LIMIT present
+  (vector_index_pruner.rs:178-240). Non-rewritten distance calls still
+  evaluate as ordinary scalar functions.
+* Search rewrite — ``match()``/``query()``/``score()`` become
+  ``_search_matched``/``_search_score`` + InvertedIndexInfo pushdown
+  (reference type_check/search.rs:129-293).
+* Predicates and limits push into the Scan for pruning.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..catalog.pushdown import (InvertedIndexInfo, PushDownInfo, Range,
+                                VectorIndexInfo)
+from ..errors import SemanticError, UnknownIndex, UnknownTable
+from ..expression import DataBlock, DataField
+from ..expression.expr import (BoundColumn, CastExpr, Constant, Func,
+                               ScalarExpr)
+from ..expression.functions import registry
+from ..expression.functions.aggregates import create_aggregate, is_aggregate_function
+from ..expression.schema import (SEARCH_MATCHED_COL_NAME,
+                                 SEARCH_SCORE_COL_NAME, VECTOR_SCORE_COL_NAME)
+from ..types import Boolean, Float32, Int64, VectorType
+from . import ast as A
+from .expr_binder import BindContext, ExprBinder
+from .plans import (AggregatePlan, DistinctPlan, FilterPlan, JoinPlan,
+                    LimitPlan, Plan, ProjectPlan, Scan, SortItem, SortPlan,
+                    UnionAllPlan, ValuesPlan)
+
+_DISTANCE_FNS = {"cosine_distance": "cosine", "l2_distance": "l2",
+                 "l1_distance": "l1"}
+
+
+@dataclass
+class ScanState:
+    """Rewrite bookkeeping for a single-table SELECT."""
+
+    scan: Optional[Scan] = None
+    table_info: Optional[object] = None
+    vector_rewrite: Optional[VectorIndexInfo] = None
+    inverted_rewrite: Optional[InvertedIndexInfo] = None
+    used_score_fn: bool = False
+
+
+class SelectExprBinder(ExprBinder):
+    """ExprBinder + index-aware rewrites."""
+
+    def __init__(self, ctx: BindContext, state: ScanState,
+                 aggregate_handler=None, subquery_handler=None):
+        super().__init__(ctx, aggregate_handler)
+        self.state = state
+        self.subquery_handler = subquery_handler
+
+    def bind(self, e: A.Expr) -> ScalarExpr:
+        if isinstance(e, (A.ScalarSubquery, A.InSubquery, A.Exists)) \
+                and self.subquery_handler is not None:
+            return self.subquery_handler(e, self)
+        return super().bind(e)
+
+    def _bind_function(self, e: A.FunctionCall) -> ScalarExpr:
+        name = e.name.lower()
+        if name in _DISTANCE_FNS:
+            rewritten = self._try_rewrite_vector(e)
+            if rewritten is not None:
+                return rewritten
+        if name in ("match", "query", "score"):
+            return self._bind_search_function(e)
+        return super()._bind_function(e)
+
+    # --- KNN rewrite (reference try_rewrite_vector_function) ---------------
+    def _try_rewrite_vector(self, e: A.FunctionCall) -> Optional[ScalarExpr]:
+        st = self.state
+        if st.scan is None or st.vector_rewrite is not None:
+            return None
+        if len(e.args) != 2:
+            return None
+        col_ast, const_ast = e.args
+        if isinstance(col_ast, A.Literal) and isinstance(const_ast, A.ColumnRef):
+            col_ast, const_ast = const_ast, col_ast
+        if not (isinstance(col_ast, A.ColumnRef) and isinstance(const_ast, A.Literal)):
+            return None
+        if not isinstance(const_ast.value, (list, tuple)):
+            return None
+        try:
+            col = self.ctx.resolve(col_ast.name, col_ast.table)
+        except Exception:
+            return None
+        vt = col.dtype.remove_nullable()
+        if not isinstance(vt, VectorType):
+            return None
+        metric = _DISTANCE_FNS[e.name.lower()]
+        # a defined VECTOR INDEX with this distance is required for rewrite
+        for idx in st.table_info.vector_indexes():
+            distances = [m.strip() for m in idx.options.get("distance", "cosine").split(",")]
+            if idx.columns[0].lower() == col.name.lower() and metric in distances:
+                q = [float(v) for v in const_ast.value]
+                if len(q) != vt.dim:
+                    raise SemanticError(
+                        f"{e.name}: vector dims differ ({vt.dim} vs {len(q)})")
+                st.vector_rewrite = VectorIndexInfo(
+                    idx.name, col.name, e.name.lower(), q, dict(idx.options))
+                return BoundColumn(VECTOR_SCORE_COL_NAME, Float32)
+        return None
+
+    # --- search rewrite (reference resolve_*_search_function) --------------
+    def _bind_search_function(self, e: A.FunctionCall) -> ScalarExpr:
+        st = self.state
+        name = e.name.lower()
+        if st.scan is None:
+            raise SemanticError(f"{name}() requires a single indexed table")
+        if name == "score":
+            st.used_score_fn = True
+            if st.inverted_rewrite is not None:
+                st.inverted_rewrite.has_score = True
+            return BoundColumn(SEARCH_SCORE_COL_NAME, Float32)
+        if not e.args or not isinstance(e.args[-1], A.Literal):
+            raise SemanticError(f"{name}() expects a constant query string")
+        indexes = st.table_info.inverted_indexes()
+        if not indexes:
+            raise UnknownIndex(
+                f"{name}() requires an INVERTED INDEX on table "
+                f"{st.table_info.name!r}")
+        if name == "match":
+            if len(e.args) < 2:
+                raise SemanticError("match() expects (column, query[, options])")
+            col_ast = e.args[0]
+            cols = [col_ast.name] if isinstance(col_ast, A.ColumnRef) else []
+            idx = next((i for i in indexes
+                        if not cols or cols[0].lower() in [c.lower() for c in i.columns]),
+                       indexes[0])
+            query_text = e.args[1].value
+            fuzziness, operator = None, "OR"
+            if len(e.args) > 2 and isinstance(e.args[2], A.Literal):
+                for part in str(e.args[2].value).split(";"):
+                    if "=" in part:
+                        k, v = part.split("=", 1)
+                        if k.strip() == "fuzziness":
+                            fuzziness = int(v)
+                        elif k.strip() == "operator":
+                            operator = v.strip().upper()
+            st.inverted_rewrite = InvertedIndexInfo(
+                idx.name, [c.lower() for c in idx.columns], str(query_text),
+                True, fuzziness, operator, has_score=st.used_score_fn)
+        else:  # query('col:foo AND bar')
+            idx = indexes[0]
+            st.inverted_rewrite = InvertedIndexInfo(
+                idx.name, [c.lower() for c in idx.columns],
+                str(e.args[0].value), False, has_score=st.used_score_fn)
+        return BoundColumn(SEARCH_MATCHED_COL_NAME, Boolean)
+
+
+class Binder:
+    def __init__(self, session):
+        self.session = session
+
+    # ------------------------------------------------------------------ query
+    def bind_query(self, q: A.Query,
+                   ctes: Optional[Dict[str, Plan]] = None) -> Plan:
+        ctes = dict(ctes or {})
+        for name, cq in q.ctes:
+            ctes[name.lower()] = self.bind_query(cq, ctes)
+        if isinstance(q.body, A.SelectStmt):
+            return self._bind_select(q.body, q.order_by, q.limit, q.offset, ctes)
+        if isinstance(q.body, A.SetOp):
+            plan = self._bind_setop(q.body, ctes)
+            plan = self._order_limit_over(plan, q)
+            return plan
+        if isinstance(q.body, A.Query):
+            plan = self.bind_query(q.body, ctes)
+            return self._order_limit_over(plan, q)
+        raise SemanticError(f"unsupported query body {type(q.body).__name__}")
+
+    def _order_limit_over(self, plan: Plan, q: A.Query) -> Plan:
+        if q.order_by:
+            names = {f.name.lower() for f in plan.output_fields()}
+            items = []
+            for ob in q.order_by:
+                if isinstance(ob.expr, A.ColumnRef) and ob.expr.name.lower() in names:
+                    items.append(SortItem(ob.expr.name, ob.asc, ob.nulls_first))
+                else:
+                    raise SemanticError("ORDER BY over set operations must reference output columns")
+            plan = SortPlan(plan, items, _limit_value(q))
+        if q.limit is not None or q.offset is not None:
+            plan = LimitPlan(plan, _const_int(q.limit), _const_int(q.offset) or 0)
+        return plan
+
+    def _bind_setop(self, s: A.SetOp, ctes) -> Plan:
+        left = self._bind_body(s.left, ctes)
+        right = self._bind_body(s.right, ctes)
+        lf, rf = left.output_fields(), right.output_fields()
+        if len(lf) != len(rf):
+            raise SemanticError("UNION inputs must have the same number of columns")
+        # align right's column names to left's
+        right = ProjectPlan(right, [
+            (lf[i].name, BoundColumn(rf[i].name, rf[i].dtype)) for i in range(len(lf))])
+        if s.op == "UNION ALL":
+            return UnionAllPlan([left, right])
+        if s.op == "UNION":
+            return DistinctPlan(UnionAllPlan([left, right]))
+        raise SemanticError(f"set operation {s.op} not supported yet")
+
+    def _bind_body(self, body, ctes) -> Plan:
+        if isinstance(body, A.SelectStmt):
+            return self._bind_select(body, [], None, None, ctes)
+        if isinstance(body, A.SetOp):
+            return self._bind_setop(body, ctes)
+        if isinstance(body, A.Query):
+            return self.bind_query(body, ctes)
+        raise SemanticError("unsupported set operand")
+
+    # ----------------------------------------------------------------- select
+    def _bind_select(self, sel: A.SelectStmt, order_by: List[A.OrderByExpr],
+                     limit, offset, ctes) -> Plan:
+        state = ScanState()
+        if sel.from_ is None:
+            plan, ctx = self._one_row_plan()
+        else:
+            plan, ctx = self._bind_table_ref(sel.from_, ctes, state)
+
+        aggs: List[Tuple[str, object, List[ScalarExpr]]] = []
+        agg_asts: List[str] = []
+
+        def agg_handler(e: A.FunctionCall):
+            # count(*) has no args to bind
+            arg_exprs = []
+            if not (e.name.lower() == "count" and
+                    (not e.args or isinstance(e.args[0], A.Star))):
+                arg_exprs = [base_binder.bind(a) for a in e.args]
+            fn = create_aggregate(e.name, [a.dtype for a in arg_exprs], e.distinct)
+            key = _ast_repr(e)
+            for i, existing in enumerate(agg_asts):
+                if existing == key:
+                    return BoundColumn(f"__agg_{i}", aggs[i][1].return_type().wrap_nullable())
+            name = f"__agg_{len(aggs)}"
+            aggs.append((name, fn, arg_exprs))
+            agg_asts.append(key)
+            rt = fn.return_type()
+            return BoundColumn(name, rt if fn.name.startswith("count") else rt.wrap_nullable())
+
+        def subquery_handler(e, binder):
+            return self._bind_subquery_expr(e, binder, ctes)
+
+        base_binder = SelectExprBinder(ctx, state, agg_handler, subquery_handler)
+
+        # WHERE -------------------------------------------------------------
+        where_expr = None
+        if sel.where is not None:
+            no_agg_binder = SelectExprBinder(ctx, state, None, subquery_handler)
+            where_expr = no_agg_binder.bind(sel.where)
+            if state.scan is not None:
+                state.scan.pushdown.filters = where_expr
+            else:
+                plan = FilterPlan(plan, where_expr)
+
+        # GROUP BY / aggregates ----------------------------------------------
+        select_items = self._expand_stars(sel.items, ctx)
+        group_keys: List[Tuple[str, ScalarExpr]] = []
+        group_key_asts: List[str] = []
+        for g in sel.group_by:
+            if isinstance(g, A.Literal) and isinstance(g.value, int):
+                item = select_items[g.value - 1]
+                g = item.expr
+            kb = SelectExprBinder(ctx, state, None, subquery_handler)
+            ge = kb.bind(g)
+            name = _suggest_name(g) or f"__key_{len(group_keys)}"
+            group_keys.append((name, ge))
+            group_key_asts.append(_ast_repr(g))
+
+        # bind select items (fills `aggs` through the handler)
+        bound_items: List[Tuple[str, ScalarExpr]] = []
+        for item in select_items:
+            name = item.alias or _suggest_name(item.expr) or f"col_{len(bound_items)}"
+            e = self._bind_with_group_rewrite(item.expr, base_binder,
+                                              group_key_asts, group_keys)
+            bound_items.append((name, e))
+
+        having_expr = None
+        if sel.having is not None:
+            having_expr = self._bind_with_group_rewrite(
+                sel.having, base_binder, group_key_asts, group_keys)
+
+        # ORDER BY (bind before deciding aggregation so agg refs register)
+        sort_items: List[SortItem] = []
+        extra_items: List[Tuple[str, ScalarExpr]] = []
+        for i, ob in enumerate(order_by or []):
+            target = ob.expr
+            if isinstance(target, A.Literal) and isinstance(target.value, int):
+                name = bound_items[target.value - 1][0]
+                sort_items.append(SortItem(name, ob.asc, ob.nulls_first))
+                continue
+            alias_hit = None
+            if isinstance(target, A.ColumnRef) and target.table is None:
+                for n, _ in bound_items:
+                    if n.lower() == target.name.lower():
+                        alias_hit = n
+                        break
+            if alias_hit is not None:
+                sort_items.append(SortItem(alias_hit, ob.asc, ob.nulls_first))
+                continue
+            e = self._bind_with_group_rewrite(target, base_binder,
+                                              group_key_asts, group_keys)
+            # reuse an identical select item if present
+            same = next((n for n, be in bound_items if _expr_eq(be, e)), None)
+            if same is not None:
+                sort_items.append(SortItem(same, ob.asc, ob.nulls_first))
+            else:
+                name = f"__sort_{i}"
+                extra_items.append((name, e))
+                sort_items.append(SortItem(name, ob.asc, ob.nulls_first))
+
+        has_agg = bool(aggs) or bool(sel.group_by)
+        if has_agg:
+            plan = AggregatePlan(plan, group_keys, aggs)
+            if having_expr is not None:
+                plan = FilterPlan(plan, having_expr)
+        elif having_expr is not None:
+            raise SemanticError("HAVING without aggregation")
+
+        # finalize scan pushdowns (vector/search rewrites recorded during binds)
+        self._finalize_scan(state, where_expr, sort_items, limit,
+                            bound_items + extra_items)
+
+        # projection (+ hidden sort keys)
+        plan = ProjectPlan(plan, bound_items + extra_items)
+        if sel.distinct:
+            if extra_items:
+                raise SemanticError("ORDER BY expressions must appear in SELECT DISTINCT items")
+            plan = DistinctPlan(plan)
+        if sort_items:
+            plan = SortPlan(plan, sort_items, _limit_sum(limit, offset))
+        if extra_items:
+            plan = ProjectPlan(plan, [
+                (n, BoundColumn(n, e.dtype)) for n, e in bound_items])
+        if limit is not None or offset is not None:
+            plan = LimitPlan(plan, _const_int(limit), _const_int(offset) or 0)
+        return plan
+
+    # -------------------------------------------------------------- from refs
+    def _one_row_plan(self):
+        import numpy as np
+        from ..expression import Column
+        block = DataBlock(["__dummy"], [Column.from_numpy(np.zeros(1, np.int8))])
+        return ValuesPlan(block, [DataField("__dummy", Int64)]), BindContext()
+
+    def _bind_table_ref(self, ref: A.TableRef, ctes, state: ScanState):
+        if isinstance(ref, A.TableName):
+            key = ref.name.lower()
+            if ref.database is None and key in ctes:
+                sub = ctes[key]
+                ctx = BindContext()
+                alias = ref.alias or ref.name
+                for f in sub.output_fields():
+                    ctx.add(f.name, f.dtype, alias)
+                return sub, ctx
+            db = ref.database or self.session.current_database
+            info = self.session.catalog.get_table(db, ref.name)
+            table = self.session.open_table(info)
+            scan = Scan(table, PushDownInfo(), snapshot_id=ref.at_snapshot)
+            ctx = BindContext()
+            alias = ref.alias or ref.name
+            for f in info.schema.fields:
+                ctx.add(f.name, f.dtype, alias)
+            if state.scan is None and state.table_info is None:
+                state.scan = scan
+                state.table_info = info
+            else:  # joins: no single-scan rewrites
+                state.scan = None
+                state.table_info = None
+            return scan, ctx
+        if isinstance(ref, A.SubqueryRef):
+            sub = self.bind_query(ref.query, ctes)
+            ctx = BindContext()
+            for f in sub.output_fields():
+                ctx.add(f.name, f.dtype, ref.alias)
+            state.scan = None
+            state.table_info = None
+            return sub, ctx
+        if isinstance(ref, A.TableFunctionRef):
+            return self._bind_table_function(ref, state)
+        if isinstance(ref, A.Join):
+            return self._bind_join(ref, ctes, state)
+        raise SemanticError(f"unsupported table reference {type(ref).__name__}")
+
+    def _bind_table_function(self, ref: A.TableFunctionRef, state: ScanState):
+        from ..service.table_functions import bind_table_function
+        plan = bind_table_function(self.session, ref)
+        ctx = BindContext()
+        for f in plan.output_fields():
+            ctx.add(f.name, f.dtype, ref.alias or ref.name)
+        state.scan = None
+        state.table_info = None
+        return plan, ctx
+
+    def _bind_join(self, j: A.Join, ctes, state: ScanState):
+        lstate, rstate = ScanState(), ScanState()
+        left, lctx = self._bind_table_ref(j.left, ctes, lstate)
+        right, rctx = self._bind_table_ref(j.right, ctes, rstate)
+        state.scan = None
+        state.table_info = None
+        # disambiguate duplicate output names across the two sides
+        lnames = {n.lower() for (n, _, _, _) in lctx.columns}
+        rnames = {n.lower() for (n, _, _, _) in rctx.columns}
+        dup = lnames & rnames
+        ctx = BindContext()
+        out_fields: List[DataField] = []
+        for (n, t, tb, on) in lctx.columns:
+            uniq = f"{tb or 'l'}.{on}" if n.lower() in dup else on
+            ctx.add(n, t, tb, uniq)
+            out_fields.append(DataField(uniq, t))
+        for (n, t, tb, on) in rctx.columns:
+            uniq = f"{tb or 'r'}.{on}" if n.lower() in dup else on
+            ctx.add(n, t, tb, uniq)
+            out_fields.append(DataField(uniq, t))
+        if j.kind in ("LEFT", "FULL"):
+            out_fields = [DataField(f.name, f.dtype if i < len(lctx.columns)
+                                    else f.dtype.wrap_nullable())
+                          for i, f in enumerate(out_fields)]
+        if j.kind in ("RIGHT", "FULL"):
+            out_fields = [DataField(f.name, f.dtype.wrap_nullable()
+                                    if i < len(lctx.columns) else f.dtype)
+                          for i, f in enumerate(out_fields)]
+
+        left_keys: List[ScalarExpr] = []
+        right_keys: List[ScalarExpr] = []
+        residual: Optional[ScalarExpr] = None
+        if j.using:
+            for u in j.using:
+                left_keys.append(ExprBinder(lctx).bind(A.ColumnRef(u)))
+                right_keys.append(ExprBinder(rctx).bind(A.ColumnRef(u)))
+        elif j.condition is not None:
+            residual = self._split_join_condition(
+                j.condition, lctx, rctx, ctx, left_keys, right_keys)
+        elif j.kind != "CROSS":
+            raise SemanticError("JOIN requires ON or USING")
+
+        plan = JoinPlan(j.kind, left, right, left_keys, right_keys, residual, out_fields)
+        return plan, ctx
+
+    def _split_join_condition(self, cond: A.Expr, lctx, rctx, joined_ctx,
+                              left_keys, right_keys) -> Optional[ScalarExpr]:
+        """Pull equi-conjuncts into hash keys; the rest becomes residual."""
+        residual_parts: List[A.Expr] = []
+
+        def visit(e: A.Expr):
+            if isinstance(e, A.BinaryOp) and e.op == "AND":
+                visit(e.left)
+                visit(e.right)
+                return
+            if isinstance(e, A.BinaryOp) and e.op == "=":
+                for a, b in ((e.left, e.right), (e.right, e.left)):
+                    try:
+                        le = ExprBinder(lctx).bind(a)
+                        re_ = ExprBinder(rctx).bind(b)
+                        left_keys.append(le)
+                        right_keys.append(re_)
+                        return
+                    except Exception:
+                        continue
+            residual_parts.append(e)
+
+        visit(cond)
+        if not residual_parts:
+            return None
+        acc = None
+        binder = ExprBinder(joined_ctx)
+        for p in residual_parts:
+            e = binder.bind(p)
+            acc = e if acc is None else Func("and", [acc, e], Boolean)
+        return acc
+
+    # --------------------------------------------------------------- helpers
+    def _expand_stars(self, items: List[A.SelectItem], ctx: BindContext):
+        out = []
+        for item in items:
+            if isinstance(item.expr, A.Star):
+                for (n, t, tb, on) in ctx.columns:
+                    if item.expr.table is None or \
+                            (tb or "").lower() == item.expr.table.lower():
+                        out.append(A.SelectItem(A.ColumnRef(n, tb), None))
+                if not ctx.columns:
+                    raise SemanticError("SELECT * with no FROM")
+            else:
+                out.append(item)
+        return out
+
+    def _bind_with_group_rewrite(self, e: A.Expr, binder: SelectExprBinder,
+                                 group_key_asts: List[str],
+                                 group_keys) -> ScalarExpr:
+        key = _ast_repr(e)
+        for i, ga in enumerate(group_key_asts):
+            if key == ga:
+                name, ge = group_keys[i]
+                return BoundColumn(name, ge.dtype)
+        if not _contains_group_subtree(e, group_key_asts):
+            return binder.bind(e)
+        if isinstance(e, A.BinaryOp):
+            l = self._bind_with_group_rewrite(e.left, binder, group_key_asts, group_keys)
+            r = self._bind_with_group_rewrite(e.right, binder, group_key_asts, group_keys)
+            from .expr_binder import _BINOP_FN
+            name = _BINOP_FN.get(e.op)
+            if name in ("eq", "noteq", "lt", "lte", "gt", "gte"):
+                l, r = binder._coerce_comparison(l, r)
+            return binder._func(name, [l, r])
+        if isinstance(e, A.FunctionCall) and not is_aggregate_function(e.name):
+            # non-aggregate call over grouped subtrees: rebind args recursively
+            args = [self._bind_with_group_rewrite(a, binder, group_key_asts, group_keys)
+                    for a in e.args]
+            if registry.contains(e.name):
+                return binder._func(e.name.lower(), args)
+        return binder.bind(e)
+
+    def _finalize_scan(self, state: ScanState, where_expr, sort_items,
+                       limit, bound_items):
+        scan = state.scan
+        if scan is None:
+            return
+        pd = scan.pushdown
+        if state.vector_rewrite is not None:
+            pd.vector_index = state.vector_rewrite
+            scan.internal_columns.append(VECTOR_SCORE_COL_NAME)
+
+            def _is_score_col(name: str) -> bool:
+                if name == VECTOR_SCORE_COL_NAME:
+                    return True
+                e = next((e for n, e in bound_items if n == name), None)
+                return isinstance(e, BoundColumn) and e.name == VECTOR_SCORE_COL_NAME
+
+            first_sort_is_score = bool(sort_items) and \
+                _is_score_col(sort_items[0].name) and sort_items[0].asc
+            # mirror reference gating: HNSW prune only for
+            # (no filter, ASC score order, limit)
+            pd.vector_index.topk_asc = (
+                where_expr is None and first_sort_is_score and limit is not None)
+        if state.inverted_rewrite is not None:
+            pd.inverted_index = state.inverted_rewrite
+            scan.internal_columns.append(SEARCH_MATCHED_COL_NAME)
+            if state.used_score_fn:
+                pd.inverted_index.has_score = True
+                scan.internal_columns.append(SEARCH_SCORE_COL_NAME)
+        if limit is not None and isinstance(limit, A.Literal):
+            lim = int(limit.value)
+            if not sort_items and where_expr is None:
+                pd.limit = lim
+            elif sort_items:
+                # topn pushdown: sort on plain columns or _vector_score
+                first = sort_items[0]
+                pd.order_by = [Range(first.name, first.asc)]
+                pd.limit = lim
+
+    def _bind_subquery_expr(self, e, binder: SelectExprBinder, ctes):
+        from .subquery import bind_subquery_expr
+        return bind_subquery_expr(self.session, e, binder, ctes)
+
+
+def _ast_repr(e) -> str:
+    return repr(e)
+
+
+def _contains_group_subtree(e, group_key_asts: List[str]) -> bool:
+    if not group_key_asts:
+        return False
+    if _ast_repr(e) in group_key_asts:
+        return True
+    kids = []
+    if isinstance(e, A.BinaryOp):
+        kids = [e.left, e.right]
+    elif isinstance(e, A.UnaryOp):
+        kids = [e.operand]
+    elif isinstance(e, A.FunctionCall):
+        kids = e.args
+    elif isinstance(e, A.Cast):
+        kids = [e.expr]
+    elif isinstance(e, A.Case):
+        kids = ([e.operand] if e.operand else []) + e.conditions + e.results + \
+            ([e.else_result] if e.else_result else [])
+    return any(_contains_group_subtree(k, group_key_asts) for k in kids)
+
+
+def _suggest_name(e: A.Expr) -> Optional[str]:
+    if isinstance(e, A.ColumnRef):
+        return e.name
+    if isinstance(e, A.FunctionCall):
+        return _ast_display(e)
+    if isinstance(e, A.Literal):
+        return str(e.value)
+    return _ast_display(e)
+
+
+def _ast_display(e: A.Expr) -> str:
+    if isinstance(e, A.ColumnRef):
+        return e.name
+    if isinstance(e, A.Literal):
+        return repr(e.value) if not isinstance(e.value, str) else f"'{e.value}'"
+    if isinstance(e, A.FunctionCall):
+        inner = ", ".join(_ast_display(a) for a in e.args)
+        if not e.args:
+            inner = "*" if e.name.lower() == "count" else ""
+        return f"{e.name.lower()}({inner})"
+    if isinstance(e, A.BinaryOp):
+        return f"{_ast_display(e.left)} {e.op} {_ast_display(e.right)}"
+    if isinstance(e, A.Star):
+        return "*"
+    return type(e).__name__.lower()
+
+
+def _expr_eq(a: ScalarExpr, b: ScalarExpr) -> bool:
+    try:
+        return a.display() == b.display()
+    except Exception:
+        return False
+
+
+def _const_int(e) -> Optional[int]:
+    if e is None:
+        return None
+    if isinstance(e, A.Literal) and isinstance(e.value, int):
+        return int(e.value)
+    raise SemanticError("LIMIT/OFFSET must be integer literals")
+
+
+def _limit_value(q: A.Query) -> Optional[int]:
+    lim = _const_int(q.limit)
+    off = _const_int(q.offset) or 0
+    return (lim + off) if lim is not None else None
+
+
+def _limit_sum(limit, offset) -> Optional[int]:
+    lim = _const_int(limit)
+    off = _const_int(offset) or 0
+    return (lim + off) if lim is not None else None

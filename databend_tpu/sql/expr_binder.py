@@ -34,28 +34,33 @@ _CMP_FNS = {"eq", "noteq", "lt", "lte", "gt", "gte"}
 
 
 class BindContext:
-    """Column scope: ordered (name, dtype, table-alias) triples."""
+    """Column scope: ordered (name, dtype, table-alias, output_name) tuples.
+
+    ``output_name`` is the physical column name in the operator's output
+    block — it differs from ``name`` when a join has the same column name
+    on both sides (disambiguated as ``alias.name``)."""
 
     def __init__(self):
-        self.columns: List[tuple] = []  # (name, dtype, table)
+        self.columns: List[tuple] = []  # (name, dtype, table, out_name)
 
-    def add(self, name: str, dtype: DataType, table: Optional[str] = None):
-        self.columns.append((name, dtype, table))
+    def add(self, name: str, dtype: DataType, table: Optional[str] = None,
+            out_name: Optional[str] = None):
+        self.columns.append((name, dtype, table, out_name or name))
 
     def resolve(self, name: str, table: Optional[str] = None) -> BoundColumn:
         matches = [
-            (n, t, tb) for (n, t, tb) in self.columns
-            if n.lower() == name.lower() and (table is None or (tb or "").lower() == table.lower())
+            (n, t, tb, on) for (n, t, tb, on) in self.columns
+            if (n.lower() == name.lower() or on.lower() == name.lower())
+            and (table is None or (tb or "").lower() == table.lower())
         ]
         if not matches:
             raise UnknownColumn(f"unknown column {table + '.' if table else ''}{name}")
         if len(matches) > 1 and table is None:
-            # same name from multiple tables is ambiguous; same table dup is a bug
-            tables = {tb for (_, _, tb) in matches}
+            tables = {tb for (_, _, tb, _) in matches}
             if len(tables) > 1:
                 raise SemanticError(f"ambiguous column {name!r} (in {sorted(t or '?' for t in tables)})")
-        n, t, tb = matches[0]
-        return BoundColumn(n, t, tb)
+        n, t, tb, on = matches[0]
+        return BoundColumn(on, t, tb)
 
 
 class ExprBinder:

@@ -54,7 +54,7 @@ NON_RESERVED = {
     "COMMENT", "ENGINE", "CLUSTER", "KEY", "FIRST", "LAST", "TABLES",
     "DATABASES", "SETTINGS", "VECTOR", "INVERTED", "NGRAM", "SYNC", "ASYNC",
     "REFRESH", "ANALYZE", "VACUUM", "OPTIMIZE", "STAGE", "SNAPSHOT", "AT",
-    "STREAM", "TASK", "COLUMN", "ADD", "MODIFY", "USE", "TO", "FUSE",
+    "STREAM", "TASK", "COLUMN", "ADD", "MODIFY", "USE", "TO", "FUSE", "DEFAULT",
 }
 
 

@@ -59,8 +59,9 @@ def _from_arrow_array(arr: pa.ChunkedArray | pa.Array, dtype: DataType) -> Colum
     if isinstance(inner, ArrayType):
         return Column.from_pylist(arr.to_pylist(), dtype)
     data = arr.to_numpy(zero_copy_only=False)
-    if validity is not None:
-        data = np.nan_to_num(data.astype(inner.numpy_dtype(), copy=True), nan=0)
+    if validity is not None and data.dtype.kind == "f" and \
+            inner.numpy_dtype().kind != "f":
+        data = np.nan_to_num(data, nan=0)  # nulls decode as NaN floats
     return Column(dtype, np.ascontiguousarray(data, dtype=inner.numpy_dtype()), validity)
 
 

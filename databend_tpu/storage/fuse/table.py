@@ -1,0 +1,533 @@
+"""FuseTable: snapshot-storage table engine.
+
+Re-design of the reference's fuse engine (reference:
+src/query/storages/fuse/src/ — append: operations/append.rs:55 +
+io/write/block_writer.rs:167; read: operations/read_partitions.rs:216;
+commit: operations/common/processors/sink_commit.rs:791-808) for a
+TPU-serving engine:
+
+* blocks are parquet files; vector columns land in HBM via a process-wide
+  device cache on first touch and stay there for the serving workload;
+* per-block indexes (HNSW graphs, bloom filters, inverted indexes) are
+  built AT WRITE TIME on the TPU (dense kNN construction, build.py) and
+  stored as sidecar files — write amplification identical to the
+  reference's design;
+* commits swap the snapshot pointer in the meta KV with CAS; concurrent
+  appends retry by re-basing on the new snapshot (append-only conflict
+  resolution, like the reference's TableVersionMismatched retry).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ...catalog.catalog import Catalog, TableIndexDef, TableInfo
+from ...catalog.pushdown import PushDownInfo, VectorIndexInfo
+from ...errors import StorageOther, TableVersionMismatched, VectorError
+from ...expression import Column, DataBlock
+from ...expression.schema import TableSchema
+from ...types import VectorType
+from ...utils.cache import CacheManager
+from . import block_io
+from .snapshot import (BlockMeta, SegmentInfo, TableSnapshot, new_uuid,
+                       read_json, write_json)
+from .statistics import block_stats, vector_stats
+
+DEFAULT_ROW_PER_BLOCK = 262144  # reference caps vector-cluster batches here
+DEFAULT_HNSW_M = 16             # reference vector_index_writer.rs:54
+DEFAULT_EF_CONSTRUCT = 100      # reference vector_index_writer.rs:55
+COMMIT_RETRIES = 10
+
+
+class FuseTable:
+    def __init__(self, info: TableInfo, catalog: Catalog, data_root: str):
+        self.info = info
+        self.catalog = catalog
+        self.table_dir = os.path.join(data_root, str(info.table_id))
+        os.makedirs(self.table_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------ paths
+    def abs_path(self, rel: str) -> str:
+        return os.path.join(self.table_dir, rel)
+
+    @property
+    def schema(self) -> TableSchema:
+        return self.info.schema
+
+    def row_per_block(self) -> int:
+        return int(self.info.options.get("row_per_block", DEFAULT_ROW_PER_BLOCK))
+
+    # ------------------------------------------------------------- snapshots
+    def read_snapshot(self, snapshot_id: Optional[str] = None) -> Optional[TableSnapshot]:
+        if snapshot_id:
+            path = self.abs_path(f"_ss/{snapshot_id}.json")
+            if not os.path.exists(path):
+                raise StorageOther(f"unknown snapshot {snapshot_id!r}")
+            return TableSnapshot.from_dict(read_json(path))
+        loc, _ = self.catalog.get_snapshot_location(self.info.table_id)
+        if loc is None:
+            return None
+        return TableSnapshot.from_dict(read_json(self.abs_path(loc)))
+
+    def read_segments(self, snapshot: TableSnapshot) -> List[SegmentInfo]:
+        return [SegmentInfo.from_dict(read_json(self.abs_path(s)))
+                for s in snapshot.segments]
+
+    # ----------------------------------------------------------------- write
+    def append(self, block: DataBlock, overwrite: bool = False) -> TableSnapshot:
+        """Write a DataBlock (splitting into row_per_block chunks), build
+        per-block indexes, commit a new snapshot (OCC with retry)."""
+        block = self._normalize_block(block)
+        rpb = self.row_per_block()
+        metas: List[BlockMeta] = []
+        for start in range(0, max(block.num_rows, 1), rpb):
+            chunk = block.slice(start, min(start + rpb, block.num_rows))
+            if chunk.num_rows == 0:
+                continue
+            metas.append(self._write_block(chunk))
+        segment_loc = None
+        if metas:
+            segment_loc = f"_sg/{new_uuid()}.json"
+            write_json(self.abs_path(segment_loc), SegmentInfo(metas).to_dict())
+        return self._commit([segment_loc] if segment_loc else [], overwrite)
+
+    def _normalize_block(self, block: DataBlock) -> DataBlock:
+        """Project/reorder columns to the table schema, fill defaults."""
+        from ...expression.evaluator import cast_column, constant_column
+        cols = []
+        names = []
+        for f in self.schema.fields:
+            names.append(f.name)
+            if block.has_column(f.name):
+                col = block.column(f.name)
+                if col.dtype.remove_nullable() != f.dtype.remove_nullable():
+                    col = cast_column(col, f.dtype, False)
+                cols.append(col)
+            else:
+                cols.append(constant_column(f.default, f.dtype.wrap_nullable(),
+                                            block.num_rows))
+        return DataBlock(names, cols, block.num_rows)
+
+    def _write_block(self, chunk: DataBlock) -> BlockMeta:
+        uid = new_uuid()
+        rel = f"_b/{uid}.parquet"
+        os.makedirs(self.abs_path("_b"), exist_ok=True)
+        size = block_io.write_block(self.abs_path(rel), chunk)
+        meta = BlockMeta(rel, chunk.num_rows, size, block_stats(chunk))
+        self._build_block_indexes(meta, chunk, uid)
+        return meta
+
+    # ------------------------------------------------------------ index build
+    def _build_block_indexes(self, meta: BlockMeta, chunk: DataBlock, uid: str):
+        from ...index.bloom import build_column_bloom
+        # bloom filters for eligible columns (reference BloomIndexState)
+        bloom_cols = {}
+        os.makedirs(self.abs_path("_i"), exist_ok=True)
+        for name, col in chunk.items():
+            flt = build_column_bloom(col)
+            if flt is not None:
+                bloom_cols[name.lower()] = True
+        if bloom_cols:
+            rel = f"_i/{uid}.bloom.npz"
+            self._write_bloom(self.abs_path(rel), chunk, bloom_cols)
+            meta.bloom_index = {"location": rel, "columns": bloom_cols}
+        # vector indexes
+        for idx in self.info.vector_indexes():
+            self._build_vector_index(meta, chunk, uid, idx)
+        # inverted indexes
+        for idx in self.info.inverted_indexes():
+            self._build_inverted_index(meta, chunk, uid, idx)
+
+    def _write_bloom(self, path: str, chunk: DataBlock, cols: Dict[str, bool]):
+        import io as _io
+        from ...index.bloom import build_column_bloom
+        payload = {}
+        for name in cols:
+            flt = build_column_bloom(chunk.column(name))
+            payload[f"{name}.bits"] = flt.bits
+            payload[f"{name}.num_bits"] = np.int64(flt.num_bits)
+        buf = _io.BytesIO()
+        np.savez_compressed(buf, **payload)
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+
+    def load_bloom(self, meta: BlockMeta, col: str):
+        from ...index.bloom import BloomFilter
+        if meta.bloom_index is None or col not in meta.bloom_index.get("columns", {}):
+            return None
+        z = np.load(self.abs_path(meta.bloom_index["location"]))
+        if f"{col}.bits" not in z:
+            return None
+        return BloomFilter(z[f"{col}.bits"], int(z[f"{col}.num_bits"]))
+
+    def _build_vector_index(self, meta: BlockMeta, chunk: DataBlock, uid: str,
+                            idx: TableIndexDef):
+        from ...index.hnsw import build_hnsw
+        col_name = idx.columns[0]
+        col = chunk.column(col_name)
+        if not isinstance(col.dtype.remove_nullable(), VectorType):
+            raise VectorError(f"vector index {idx.name} on non-vector column {col_name}")
+        vectors = col.numpy().astype(np.float32)
+        metrics = [m.strip() for m in idx.options.get("distance", "cosine").split(",")]
+        m = int(idx.options.get("m", DEFAULT_HNSW_M))
+        efc = int(idx.options.get("ef_construct", DEFAULT_EF_CONSTRUCT))
+        entry = {"stats": vector_stats(vectors, metrics).to_dict(),
+                 "graphs": {}, "column": col_name}
+        size = 0
+        for metric in metrics:
+            g = build_hnsw(vectors, m=m, ef_construct=efc, metric=metric)
+            rel = f"_i/{uid}.{idx.name}.{metric}.hnsw"
+            size += g.save(self.abs_path(rel))
+            entry["graphs"][metric] = rel
+        entry["size"] = size
+        meta.vector_indexes[idx.name] = entry
+
+    def _build_inverted_index(self, meta: BlockMeta, chunk: DataBlock, uid: str,
+                              idx: TableIndexDef):
+        from ...index.inverted.writer import build_inverted_index
+        rel = f"_i/{uid}.{idx.name}.inv"
+        size = build_inverted_index(
+            self.abs_path(rel),
+            [chunk.column(c) for c in idx.columns], idx.options)
+        meta.inverted_indexes[idx.name] = {
+            "location": rel, "columns": [c.lower() for c in idx.columns],
+            "size": size}
+
+    # ----------------------------------------------------------------- commit
+    def _commit(self, new_segments: List[str], overwrite: bool) -> TableSnapshot:
+        """CAS the snapshot pointer; on conflict re-base (append-only merge),
+        mirroring the reference's OCC retry (sink_commit.rs:791-808)."""
+        last_err = None
+        for _ in range(COMMIT_RETRIES):
+            loc, seq = self.catalog.get_snapshot_location(self.info.table_id)
+            prev = TableSnapshot.from_dict(read_json(self.abs_path(loc))) if loc else None
+            segments = list(new_segments) if overwrite else \
+                (prev.segments if prev else []) + list(new_segments)
+            snap = self._make_snapshot(segments, prev)
+            ss_loc = f"_ss/{snap.snapshot_id}.json"
+            write_json(self.abs_path(ss_loc), snap.to_dict())
+            try:
+                self.catalog.set_snapshot_location(self.info.table_id, ss_loc, seq)
+                return snap
+            except TableVersionMismatched as e:
+                last_err = e
+                continue
+        raise last_err
+
+    def _make_snapshot(self, segments: List[str],
+                       prev: Optional[TableSnapshot]) -> TableSnapshot:
+        row_count = 0
+        block_count = 0
+        index_size = 0
+        for s in segments:
+            seg = SegmentInfo.from_dict(read_json(self.abs_path(s)))
+            row_count += seg.row_count
+            block_count += len(seg.blocks)
+            for b in seg.blocks:
+                index_size += sum(v.get("size", 0) for v in b.vector_indexes.values())
+                index_size += sum(v.get("size", 0) for v in b.inverted_indexes.values())
+        return TableSnapshot(new_uuid(), segments, row_count, block_count,
+                             index_size, prev.snapshot_id if prev else None,
+                             time.time())
+
+    def truncate(self) -> TableSnapshot:
+        return self._commit([], overwrite=True)
+
+    # -------------------------------------------------- mutations / rebuilds
+    def delete_rows(self, filter_expr) -> int:
+        """DELETE FROM ... WHERE: rewrite affected blocks
+        (reference: fuse mutation pipeline, operations/mutation/).
+        Returns number of rows deleted."""
+        from ...expression.evaluator import Evaluator
+        from .pruning.range_pruner import range_should_keep
+        return self._mutate_blocks(filter_expr, mode="delete")
+
+    def update_rows(self, filter_expr, assignments) -> int:
+        """UPDATE ... SET col=expr WHERE ...; assignments: [(col, ScalarExpr)]."""
+        return self._mutate_blocks(filter_expr, mode="update", assignments=assignments)
+
+    def _mutate_blocks(self, filter_expr, mode: str, assignments=None) -> int:
+        import numpy as np
+        from ...expression.evaluator import Evaluator, cast_column
+        from .pruning.range_pruner import range_should_keep
+        snap = self.read_snapshot()
+        if snap is None:
+            return 0
+        affected = 0
+        new_segments: List[str] = []
+        for seg_loc in snap.segments:
+            seg = SegmentInfo.from_dict(read_json(self.abs_path(seg_loc)))
+            new_metas: List[BlockMeta] = []
+            changed = False
+            for bm in seg.blocks:
+                if filter_expr is not None and not range_should_keep(filter_expr, bm.col_stats):
+                    new_metas.append(bm)
+                    continue
+                block = block_io.read_block(self.abs_path(bm.location), self.schema)
+                if filter_expr is not None:
+                    col = Evaluator(block).run(filter_expr)
+                    mask = np.asarray(col.data, np.bool_)
+                    if col.validity is not None:
+                        mask = mask & col.validity
+                else:
+                    mask = np.ones(block.num_rows, np.bool_)
+                hit = int(mask.sum())
+                if hit == 0:
+                    new_metas.append(bm)
+                    continue
+                affected += hit
+                changed = True
+                CacheManager.instance().blocks.invalidate(self.abs_path(bm.location))
+                if mode == "delete":
+                    remaining = block.filter(~mask)
+                    if remaining.num_rows:
+                        new_metas.append(self._write_block(remaining))
+                else:  # update
+                    ev = Evaluator(block)
+                    cols = {}
+                    for col_name, expr in assignments:
+                        f = self.schema.field(col_name)
+                        newc = cast_column(ev.run(expr), f.dtype, False)
+                        old = block.column(f.name)
+                        merged = _merge_column(old, newc, mask)
+                        cols[f.name] = merged
+                    for name, c in cols.items():
+                        block = block.with_column(name, c)
+                    new_metas.append(self._write_block(block))
+            if changed:
+                if new_metas:
+                    loc = f"_sg/{new_uuid()}.json"
+                    write_json(self.abs_path(loc), SegmentInfo(new_metas).to_dict())
+                    new_segments.append(loc)
+            else:
+                new_segments.append(seg_loc)
+        if affected:
+            self._commit_replace(new_segments)
+        return affected
+
+    def _commit_replace(self, segments: List[str]):
+        for _ in range(COMMIT_RETRIES):
+            loc, seq = self.catalog.get_snapshot_location(self.info.table_id)
+            prev = TableSnapshot.from_dict(read_json(self.abs_path(loc))) if loc else None
+            snap = self._make_snapshot(segments, prev)
+            ss_loc = f"_ss/{snap.snapshot_id}.json"
+            write_json(self.abs_path(ss_loc), snap.to_dict())
+            try:
+                self.catalog.set_snapshot_location(self.info.table_id, ss_loc, seq)
+                return snap
+            except TableVersionMismatched:
+                continue
+        raise TableVersionMismatched("mutation commit failed after retries")
+
+    def refresh_indexes(self, index_name: Optional[str] = None) -> int:
+        """(Re)build per-block index sidecars for existing data
+        (reference: RefreshTableIndexInterpreter +
+        VectorIndexBuilder::finalize_with_existing). Returns blocks touched."""
+        snap = self.read_snapshot()
+        if snap is None:
+            return 0
+        wanted = [i for i in self.info.indexes.values()
+                  if index_name is None or i.name == index_name]
+        touched = 0
+        new_segments = []
+        for seg_loc in snap.segments:
+            seg = SegmentInfo.from_dict(read_json(self.abs_path(seg_loc)))
+            changed = False
+            for bm in seg.blocks:
+                missing = [i for i in wanted
+                           if (i.index_type == "VECTOR" and i.name not in bm.vector_indexes)
+                           or (i.index_type in ("INVERTED", "NGRAM")
+                               and i.name not in bm.inverted_indexes)]
+                if not missing:
+                    continue
+                block = block_io.read_block(self.abs_path(bm.location), self.schema)
+                uid = bm.location.split("/")[-1].split(".")[0]
+                for idx in missing:
+                    if idx.index_type == "VECTOR":
+                        self._build_vector_index(bm, block, uid, idx)
+                    else:
+                        self._build_inverted_index(bm, block, uid, idx)
+                touched += 1
+                changed = True
+            if changed:
+                loc = f"_sg/{new_uuid()}.json"
+                write_json(self.abs_path(loc), seg.to_dict())
+                new_segments.append(loc)
+            else:
+                new_segments.append(seg_loc)
+        if touched:
+            self._commit_replace(new_segments)
+        return touched
+
+    def compact(self) -> int:
+        """OPTIMIZE TABLE ... COMPACT: merge small blocks up to row_per_block
+        (reference: operations/compact.rs). Returns blocks after compaction."""
+        snap = self.read_snapshot()
+        if snap is None:
+            return 0
+        segments = self.read_segments(snap)
+        blocks = [b for s in segments for b in s.blocks]
+        rpb = self.row_per_block()
+        small = [b for b in blocks if b.row_count < rpb]
+        if len(small) <= 1:
+            return len(blocks)
+        keep = [b for b in blocks if b.row_count >= rpb]
+        merged = DataBlock.concat([
+            block_io.read_block(self.abs_path(b.location), self.schema) for b in small])
+        new_metas = list(keep)
+        for start in range(0, merged.num_rows, rpb):
+            chunk = merged.slice(start, min(start + rpb, merged.num_rows))
+            if chunk.num_rows:
+                new_metas.append(self._write_block(chunk))
+        loc = f"_sg/{new_uuid()}.json"
+        write_json(self.abs_path(loc), SegmentInfo(new_metas).to_dict())
+        self._commit_replace([loc])
+        return len(new_metas)
+
+    def vacuum(self) -> int:
+        """Delete files unreferenced by the CURRENT snapshot chain head
+        (reference: operations/{gc,vacuum}.rs). Drops time-travel history.
+        Returns files removed."""
+        snap = self.read_snapshot()
+        live = set()
+        if snap is not None:
+            live.add(f"_ss/{snap.snapshot_id}.json")
+            for seg_loc in snap.segments:
+                live.add(seg_loc)
+                seg = SegmentInfo.from_dict(read_json(self.abs_path(seg_loc)))
+                for b in seg.blocks:
+                    live.add(b.location)
+                    if b.bloom_index:
+                        live.add(b.bloom_index["location"])
+                    for v in b.vector_indexes.values():
+                        live.update(v.get("graphs", {}).values())
+                    for v in b.inverted_indexes.values():
+                        live.add(v["location"])
+        removed = 0
+        for sub in ("_b", "_sg", "_ss", "_i"):
+            d = self.abs_path(sub)
+            if not os.path.isdir(d):
+                continue
+            for fn in os.listdir(d):
+                rel = f"{sub}/{fn}"
+                if rel not in live:
+                    os.remove(os.path.join(d, fn))
+                    removed += 1
+        return removed
+
+    # ------------------------------------------------------------------ reads
+    def read_partitions(self, pushdown: Optional[PushDownInfo] = None,
+                        snapshot_id: Optional[str] = None):
+        """Prune and return (PrunedBlock list, PruningStats)."""
+        from .pruning.pruner import FusePruner
+        snap = self.read_snapshot(snapshot_id)
+        if snap is None:
+            return [], None
+        segments = self.read_segments(snap)
+        pruner = FusePruner(self, pushdown)
+        return pruner.prune(segments), pruner.stats
+
+    def read_block(self, meta: BlockMeta,
+                   projection: Optional[List[str]] = None) -> DataBlock:
+        cache = CacheManager.instance().blocks
+        key = self.abs_path(meta.location)
+        blk = cache.get_or_load(key, lambda: block_io.read_block(
+            self.abs_path(meta.location), self.schema))
+        if projection is not None:
+            return blk.project([self.schema.field(n).name for n in projection])
+        return blk
+
+    # -------------------------------------------------------- vector serving
+    def device_vectors(self, meta: BlockMeta, col_name: str, normalized: bool):
+        """Block's vector column as an HBM-resident device array (cached)."""
+        import jax.numpy as jnp
+        from ...ops.distance import normalize
+        cm = CacheManager.instance().vector_columns
+        key = (self.abs_path(meta.location), col_name.lower(), normalized)
+        def load():
+            col = self.read_block(meta, [col_name]).column(col_name)
+            arr = jnp.asarray(col.numpy())
+            return normalize(arr) if normalized else arr
+        return cm.get_or_load(key, load)
+
+    def load_vector_graph(self, meta: BlockMeta, index_name: str, metric: str):
+        from ...index.hnsw import HnswGraph
+        entry = meta.vector_indexes.get(index_name)
+        if entry is None:
+            return None
+        rel = entry["graphs"].get(metric)
+        if rel is None:
+            return None
+        cm = CacheManager.instance().vector_indexes
+        return cm.get_or_load(self.abs_path(rel),
+                              lambda: HnswGraph.load(self.abs_path(rel)))
+
+    def search_vector_index(self, meta: BlockMeta, info: VectorIndexInfo,
+                            q: np.ndarray, limit: int):
+        """Per-block HNSW search (reference VectorIndexReader::prune)."""
+        from ...index.hnsw import hnsw_search
+        from ...index.hnsw.search import postprocess_scores
+        metric = info.func_name.replace("_distance", "")
+        graph = self.load_vector_graph(meta, info.index_name, metric)
+        if graph is None:
+            return None
+        col = meta.vector_indexes[info.index_name].get("column") or info.column
+        x_dev = self.device_vectors(meta, col, normalized=(metric == "cosine"))
+        k = min(limit, graph.num_points)
+        dists, ids = hnsw_search(graph, x_dev, q, k)
+        return postprocess_scores(dists, metric), ids
+
+    def brute_force_block_scores(self, meta: BlockMeta, info: VectorIndexInfo,
+                                 q: np.ndarray, limit: int):
+        """Exact scan fallback for blocks without an index
+        (reference HNSWIndex::generate_scores, hnsw.rs:120)."""
+        import jax.numpy as jnp
+        from ...ops.distance import pairwise_distance
+        from ...ops.topk import topk_smallest
+        metric = info.func_name.replace("_distance", "")
+        x_dev = self.device_vectors(meta, info.column, normalized=False)
+        d = pairwise_distance(jnp.asarray(q), x_dev,
+                              "l2" if metric == "l2" else metric)
+        k = min(limit, x_dev.shape[0])
+        vals, ids = topk_smallest(d, k)
+        return np.asarray(vals), np.asarray(ids)
+
+    def search_inverted(self, meta: BlockMeta, info):
+        """Per-block full-text search -> (rows, scores) or None if no index."""
+        from ...index.inverted.reader import search_block
+        entry = meta.inverted_indexes.get(info.index_name) if info.index_name \
+            else next(iter(meta.inverted_indexes.values()), None)
+        if entry is None:
+            return None
+        cm = CacheManager.instance().inverted_indexes
+        reader = cm.get_or_load(self.abs_path(entry["location"]),
+                                lambda: _load_inverted(self.abs_path(entry["location"])))
+        return search_block(reader, info)
+
+
+def _load_inverted(path: str):
+    from ...index.inverted.reader import InvertedBlockReader
+    return InvertedBlockReader.load(path)
+
+
+def _merge_column(old: Column, new: Column, mask) -> Column:
+    """old where ~mask, new where mask (UPDATE row merge)."""
+    import numpy as np
+    from ...expression.column import StringData
+    va = old.validity if old.validity is not None else np.ones(len(old), bool)
+    vb = new.validity if new.validity is not None else np.ones(len(new), bool)
+    validity = np.where(mask, vb, va)
+    if isinstance(old.data, StringData) or isinstance(new.data, StringData):
+        ol, nl = old.to_pylist(), new.to_pylist()
+        vals = [n if m else o for m, o, n in zip(mask, ol, nl)]
+        return Column.from_pylist(vals, old.dtype)
+    if isinstance(old.data, np.ndarray) and old.data.ndim == 2:
+        payload = np.where(mask[:, None], new.data, old.data)
+    else:
+        payload = np.where(mask, new.data.astype(old.data.dtype), old.data)
+    return Column(old.dtype.remove_nullable(), payload,
+                  None if validity.all() else validity)
