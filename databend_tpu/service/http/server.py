@@ -1,0 +1,224 @@
+"""HTTP query endpoint — the `/v1/query` protocol.
+
+TPU-native re-design of the reference's poem handlers
+(src/query/service/src/servers/http/v1/{http_query_handlers.rs,
+query/execute_state.rs:401}): POST a SQL statement, receive the first page
+plus a `next_uri` for pagination; `/final` acknowledges completion,
+`/kill` cancels. Also serves `/v1/health` and a Prometheus-style
+`/v1/metrics` (reference MetricService, src/binaries/query/entry.rs:205).
+
+Queries execute in a worker thread (the engine itself dispatches jitted
+XLA programs; the host side is orchestration only). State machine mirrors
+ExecuteStateKind: Starting -> Running -> Succeeded | Failed.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import math
+import threading
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+from ...errors import DatabendError
+from ..session import QueryResult, SessionContext
+
+PAGE_ROWS = 10_000
+
+
+def _json_value(v):
+    """Render a cell the way the reference's JSON output does: everything a
+    string, NULL as None, vectors as '[x,y,...]'."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return repr(v)
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(str(_json_value(x)) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+class HttpQuery:
+    """One tracked query (reference HttpQueryManager + ExecuteState)."""
+
+    def __init__(self, qid: str, sql: str):
+        self.id = qid
+        self.sql = sql
+        self.state = "Starting"
+        self.error: Optional[Dict[str, Any]] = None
+        self.result: Optional[QueryResult] = None
+        self.started = time.time()
+        self.finished_at: Optional[float] = None
+        self.pages: List[List[list]] = []
+        self.schema: List[Dict[str, str]] = []
+        self.stats: Dict[str, Any] = {}
+
+    def run(self, ctx: SessionContext) -> None:
+        self.state = "Running"
+        try:
+            res = ctx.sql(self.sql)
+            self.result = res
+            self.schema = [{"name": f.name, "type": str(f.dtype)}
+                           for f in res.fields]
+            rows = [[_json_value(v) for v in row] for row in res.rows()]
+            self.pages = [rows[i:i + PAGE_ROWS]
+                          for i in range(0, len(rows), PAGE_ROWS)] or [[]]
+            self.stats = {
+                "rows": len(rows),
+                "affected_rows": res.affected_rows,
+                "running_time_ms": (time.time() - self.started) * 1e3,
+                **res.profile,
+            }
+            self.state = "Succeeded"
+        except DatabendError as e:
+            self.error = {"code": getattr(e, "code", 1000), "message": str(e)}
+            self.state = "Failed"
+        except Exception as e:  # engine bug surfaced as internal error
+            self.error = {"code": 1001, "message": f"{type(e).__name__}: {e}"}
+            self.state = "Failed"
+        finally:
+            self.finished_at = time.time()
+
+    def page_response(self, page_no: int) -> Dict[str, Any]:
+        body: Dict[str, Any] = {
+            "id": self.id,
+            "state": self.state,
+            "schema": self.schema,
+            "stats": self.stats,
+            "error": self.error,
+        }
+        if self.state == "Succeeded" and page_no < len(self.pages):
+            body["data"] = self.pages[page_no]
+            if page_no + 1 < len(self.pages):
+                body["next_uri"] = f"/v1/query/{self.id}/page/{page_no + 1}"
+            else:
+                body["final_uri"] = f"/v1/query/{self.id}/final"
+        else:
+            body["data"] = []
+            if self.state in ("Starting", "Running"):
+                body["next_uri"] = f"/v1/query/{self.id}/page/{page_no}"
+        return body
+
+
+class QueryServer:
+    """aiohttp application hosting the query protocol over one engine."""
+
+    def __init__(self, data_root: str = ".databend_tpu",
+                 max_finished: int = 256):
+        self.ctx = SessionContext(data_root=data_root)
+        self.queries: Dict[str, HttpQuery] = {}
+        self._lock = threading.Lock()
+        self._max_finished = max_finished
+
+    # ----------------------------------------------------------- handlers
+    async def handle_query(self, request):
+        from aiohttp import web
+        try:
+            payload = await request.json()
+        except Exception:
+            return web.json_response(
+                {"error": {"code": 1002, "message": "invalid JSON body"}},
+                status=400)
+        sql = payload.get("sql")
+        if not sql:
+            return web.json_response(
+                {"error": {"code": 1002, "message": "missing 'sql'"}},
+                status=400)
+        q = HttpQuery(uuid.uuid4().hex, sql)
+        with self._lock:
+            self.queries[q.id] = q
+            self._gc_locked()
+        # one worker thread per query; the engine is thread-safe per-session
+        # for read paths and serializes commits via OCC
+        await asyncio.get_event_loop().run_in_executor(None, q.run, self.ctx)
+        return web.json_response(q.page_response(0))
+
+    async def handle_page(self, request):
+        from aiohttp import web
+        q = self.queries.get(request.match_info["qid"])
+        if q is None:
+            return web.json_response(
+                {"error": {"code": 1003, "message": "query not found"}},
+                status=404)
+        try:
+            page_no = int(request.match_info["page"])
+        except ValueError:
+            return web.json_response(
+                {"error": {"code": 1002, "message": "bad page"}}, status=400)
+        return web.json_response(q.page_response(page_no))
+
+    async def handle_final(self, request):
+        from aiohttp import web
+        q = self.queries.pop(request.match_info["qid"], None)
+        return web.json_response({"id": getattr(q, "id", None),
+                                  "state": getattr(q, "state", "Unknown")})
+
+    async def handle_kill(self, request):
+        from aiohttp import web
+        q = self.queries.get(request.match_info["qid"])
+        if q is not None and q.state in ("Starting", "Running"):
+            q.state = "Failed"
+            q.error = {"code": 1004, "message": "killed"}
+        return web.json_response({"id": getattr(q, "id", None),
+                                  "state": getattr(q, "state", "Unknown")})
+
+    async def handle_health(self, request):
+        from aiohttp import web
+        return web.json_response({"status": "ok"})
+
+    async def handle_metrics(self, request):
+        from aiohttp import web
+        from ...utils.metrics import METRICS
+        return web.Response(text=METRICS.prometheus_text(),
+                            content_type="text/plain")
+
+    def _gc_locked(self) -> None:
+        done = [qid for qid, q in self.queries.items()
+                if q.state in ("Succeeded", "Failed")]
+        excess = len(done) - self._max_finished
+        if excess > 0:
+            done.sort(key=lambda qid: self.queries[qid].finished_at or 0)
+            for qid in done[:excess]:
+                del self.queries[qid]
+
+    # --------------------------------------------------------------- app
+    def make_app(self):
+        from aiohttp import web
+        app = web.Application(client_max_size=64 * 1024 * 1024)
+        app.router.add_post("/v1/query", self.handle_query)
+        app.router.add_post("/v1/query/", self.handle_query)
+        app.router.add_get("/v1/query/{qid}/page/{page}", self.handle_page)
+        app.router.add_post("/v1/query/{qid}/final", self.handle_final)
+        app.router.add_get("/v1/query/{qid}/final", self.handle_final)
+        app.router.add_post("/v1/query/{qid}/kill", self.handle_kill)
+        app.router.add_get("/v1/health", self.handle_health)
+        app.router.add_get("/v1/metrics", self.handle_metrics)
+        return app
+
+    def run(self, host: str = "127.0.0.1", port: int = 8124):  # pragma: no cover
+        from aiohttp import web
+        web.run_app(self.make_app(), host=host, port=port)
+
+
+def main():  # pragma: no cover
+    import argparse
+    p = argparse.ArgumentParser(description="databend_tpu query server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8124)
+    p.add_argument("--data-root", default=".databend_tpu")
+    a = p.parse_args()
+    QueryServer(data_root=a.data_root).run(a.host, a.port)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

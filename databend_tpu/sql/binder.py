@@ -32,15 +32,34 @@ from ..expression.functions import registry
 from ..expression.functions.aggregates import create_aggregate, is_aggregate_function
 from ..expression.schema import (SEARCH_MATCHED_COL_NAME,
                                  SEARCH_SCORE_COL_NAME, VECTOR_SCORE_COL_NAME)
-from ..types import Boolean, Float32, Int64, VectorType
+from ..types import Boolean, Float32, Float64, Int64, VectorType
 from . import ast as A
 from .expr_binder import BindContext, ExprBinder
 from .plans import (AggregatePlan, DistinctPlan, FilterPlan, JoinPlan,
                     LimitPlan, Plan, ProjectPlan, Scan, SortItem, SortPlan,
-                    UnionAllPlan, ValuesPlan)
+                    UnionAllPlan, ValuesPlan, WindowItem, WindowPlan)
 
 _DISTANCE_FNS = {"cosine_distance": "cosine", "l2_distance": "l2",
                  "l1_distance": "l1"}
+
+# pure window functions (aggregates used with OVER are also valid windows)
+_WINDOW_ONLY_FNS = {"row_number", "rank", "dense_rank", "ntile",
+                    "percent_rank", "cume_dist", "lag", "lead",
+                    "first_value", "last_value"}
+
+
+def _window_return_type(name: str, args: List[ScalarExpr]):
+    if name in ("row_number", "rank", "dense_rank", "ntile"):
+        return Int64
+    if name in ("percent_rank", "cume_dist"):
+        return Float64
+    if name in ("lag", "lead", "first_value", "last_value"):
+        if not args:
+            raise SemanticError(f"{name}() expects at least one argument")
+        return args[0].dtype.wrap_nullable()
+    fn = create_aggregate(name, [a.dtype for a in args], False)
+    rt = fn.return_type()
+    return rt if name.startswith("count") else rt.wrap_nullable()
 
 
 @dataclass
@@ -58,8 +77,9 @@ class SelectExprBinder(ExprBinder):
     """ExprBinder + index-aware rewrites."""
 
     def __init__(self, ctx: BindContext, state: ScanState,
-                 aggregate_handler=None, subquery_handler=None):
-        super().__init__(ctx, aggregate_handler)
+                 aggregate_handler=None, subquery_handler=None,
+                 window_handler=None):
+        super().__init__(ctx, aggregate_handler, window_handler)
         self.state = state
         self.subquery_handler = subquery_handler
 
@@ -252,7 +272,38 @@ class Binder:
         def subquery_handler(e, binder):
             return self._bind_subquery_expr(e, binder, ctes)
 
-        base_binder = SelectExprBinder(ctx, state, agg_handler, subquery_handler)
+        windows: List[WindowItem] = []
+        window_asts: List[str] = []
+
+        def window_handler(e: A.FunctionCall):
+            name = e.name.lower()
+            w = e.window
+            key = (_ast_repr(e)
+                   + "|part:" + ",".join(_ast_repr(p) for p in w.partition_by)
+                   + "|ord:" + ",".join(f"{_ast_repr(ob.expr)}:{ob.asc}:{ob.nulls_first}"
+                                        for ob in w.order_by))
+            for i, existing in enumerate(window_asts):
+                if existing == key:
+                    return BoundColumn(windows[i].out_name, windows[i].dtype)
+            if name not in _WINDOW_ONLY_FNS and not is_aggregate_function(name):
+                raise SemanticError(f"{name}() is not a window function")
+            if e.distinct:
+                raise SemanticError("DISTINCT is not supported in window functions")
+            arg_asts = e.args
+            if name == "count" and arg_asts and isinstance(arg_asts[0], A.Star):
+                arg_asts = []  # count(*) over (...)
+            arg_exprs = [base_binder.bind(a) for a in arg_asts]
+            part = [base_binder.bind(p) for p in e.window.partition_by]
+            order = [(base_binder.bind(ob.expr), ob.asc, ob.nulls_first)
+                     for ob in e.window.order_by]
+            dtype = _window_return_type(name, arg_exprs)
+            out = f"__win_{len(windows)}"
+            windows.append(WindowItem(out, name, arg_exprs, part, order, dtype))
+            window_asts.append(key)
+            return BoundColumn(out, dtype)
+
+        base_binder = SelectExprBinder(ctx, state, agg_handler, subquery_handler,
+                                       window_handler)
 
         # WHERE -------------------------------------------------------------
         where_expr = None
@@ -327,6 +378,9 @@ class Binder:
                 plan = FilterPlan(plan, having_expr)
         elif having_expr is not None:
             raise SemanticError("HAVING without aggregation")
+
+        if windows:
+            plan = WindowPlan(plan, windows)
 
         # finalize scan pushdowns (vector/search rewrites recorded during binds)
         self._finalize_scan(state, where_expr, sort_items, limit,

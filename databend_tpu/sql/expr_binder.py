@@ -65,10 +65,13 @@ class BindContext:
 
 class ExprBinder:
     def __init__(self, ctx: BindContext,
-                 aggregate_handler: Optional[Callable] = None):
+                 aggregate_handler: Optional[Callable] = None,
+                 window_handler: Optional[Callable] = None):
         self.ctx = ctx
         # planner hook: called for aggregate FunctionCalls, returns a ScalarExpr
         self.aggregate_handler = aggregate_handler
+        # planner hook: called for FunctionCalls with an OVER (...) clause
+        self.window_handler = window_handler
 
     def bind(self, e: A.Expr) -> ScalarExpr:
         if isinstance(e, A.Literal):
@@ -150,6 +153,10 @@ class ExprBinder:
 
     def _bind_function(self, e: A.FunctionCall) -> ScalarExpr:
         name = e.name.lower()
+        if e.window is not None:
+            if self.window_handler is None:
+                raise SemanticError(f"window function {name}() not allowed here")
+            return self.window_handler(e)
         if is_aggregate_function(name):
             if self.aggregate_handler is None:
                 raise SemanticError(f"aggregate function {name}() not allowed here")

@@ -202,6 +202,37 @@ class JoinPlan(Plan):
 
 
 @dataclass
+class WindowItem:
+    out_name: str
+    func: str                       # row_number | rank | ... | sum | avg | ...
+    args: List[ScalarExpr]
+    partition_by: List[ScalarExpr]
+    order_by: List[Tuple[ScalarExpr, bool, Optional[bool]]]  # (expr, asc, nulls_first)
+    dtype: DataType = None
+
+
+@dataclass
+class WindowPlan(Plan):
+    """Window-function evaluation (reference: window transforms under
+    src/query/service/src/pipelines/processors/transforms/window/ and the
+    WindowFunction plan, src/query/sql/src/planner/plans/). Executed as
+    one vectorized pass: lexsort by (partition, order) keys, segmented
+    scans on the sorted arrays, inverse-permute back."""
+    child: Plan
+    items: List[WindowItem]
+
+    def children(self):
+        return [self.child]
+
+    def output_fields(self):
+        return self.child.output_fields() + [
+            DataField(i.out_name, i.dtype) for i in self.items]
+
+    def _explain_line(self):
+        return "Window: " + ", ".join(f"{i.func}() as {i.out_name}" for i in self.items)
+
+
+@dataclass
 class UnionAllPlan(Plan):
     inputs: List[Plan]
 

@@ -6,10 +6,17 @@ one chip in CI); tiny shapes keep this fast.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The CI image's sitecustomize imports jax at interpreter startup (to register
+# the axon TPU plugin), so env vars alone are too late — force the platform
+# through jax.config before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

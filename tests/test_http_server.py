@@ -1,0 +1,86 @@
+"""HTTP /v1/query protocol tests (aiohttp test client)."""
+
+import json
+
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer
+
+from databend_tpu.service.http.server import QueryServer
+
+
+@pytest.fixture
+def client(tmp_path, event_loop=None):
+    import asyncio
+
+    srv = QueryServer(data_root=str(tmp_path))
+    loop = asyncio.new_event_loop()
+    c = TestClient(TestServer(srv.make_app()), loop=loop)
+    loop.run_until_complete(c.start_server())
+    yield c, loop
+    loop.run_until_complete(c.close())
+    loop.close()
+
+
+def _post(client, loop, path, body):
+    async def go():
+        r = await client.post(path, json=body)
+        return r.status, await r.json()
+    return loop.run_until_complete(go())
+
+
+def _get(client, loop, path):
+    async def go():
+        r = await client.get(path)
+        return r.status, (await r.json() if "json" in r.content_type
+                          else await r.text())
+    return loop.run_until_complete(go())
+
+
+def test_query_roundtrip(client):
+    c, loop = client
+    st, body = _post(c, loop, "/v1/query", {"sql": "SELECT 1 + 2"})
+    assert st == 200 and body["state"] == "Succeeded"
+    assert body["data"] == [["3"]]
+    assert body["schema"][0]["name"]
+
+    # DDL + insert + vector search through the wire
+    for sql in [
+        "CREATE TABLE hx (id INT, emb VECTOR(4))",
+        "INSERT INTO hx VALUES (1, [1.0,0.0,0.0,0.0]), (2, [0.0,1.0,0.0,0.0])",
+    ]:
+        st, b = _post(c, loop, "/v1/query", {"sql": sql})
+        assert st == 200 and b["state"] == "Succeeded", b
+    st, b = _post(c, loop, "/v1/query", {
+        "sql": "SELECT id FROM hx ORDER BY cosine_distance(emb, [1.0,0.0,0.0,0.0]) LIMIT 1"})
+    assert b["data"] == [["1"]]
+    # final
+    st, fin = _post(c, loop, f"/v1/query/{b['id']}/final", {})
+    assert fin["state"] == "Succeeded"
+
+
+def test_query_error_and_health(client):
+    c, loop = client
+    st, body = _post(c, loop, "/v1/query", {"sql": "SELECT * FROM nope"})
+    assert body["state"] == "Failed" and body["error"]["message"]
+    st, body = _post(c, loop, "/v1/query", {})
+    assert st == 400
+    st, h = _get(c, loop, "/v1/health")
+    assert h["status"] == "ok"
+    st, m = _get(c, loop, "/v1/metrics")
+    assert st == 200
+
+
+def test_pagination(client):
+    c, loop = client
+    _post(c, loop, "/v1/query", {"sql": "CREATE TABLE big (v BIGINT)"})
+    st, b = _post(c, loop, "/v1/query",
+                  {"sql": "SELECT number FROM numbers(25000)"})
+    assert b["state"] == "Succeeded"
+    assert len(b["data"]) == 10000
+    nxt = b["next_uri"]
+    st, p1 = _get(c, loop, nxt)
+    assert len(p1["data"]) == 10000 and p1["next_uri"]
+    st, p2 = _get(c, loop, p1["next_uri"])
+    assert len(p2["data"]) == 5000 and "final_uri" in p2
