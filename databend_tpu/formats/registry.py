@@ -1,0 +1,197 @@
+"""Format registry: CSV / TSV / NDJSON / PARQUET read+write.
+
+Reference analogs: src/query/formats/src/field_decoder/ (per-format field
+decoders) and output formats. Values are decoded as python objects then
+lowered through Column.from_pylist + cast so NULL/typing semantics match
+the INSERT path exactly.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..errors import BadArguments, SemanticError
+from ..expression import Column, DataBlock, StringData
+from ..expression.schema import TableSchema
+from ..types import (ArrayType, Boolean, Date, NumberType, String, StringType,
+                     Timestamp, VectorType)
+
+
+@dataclass
+class FileFormatOptions:
+    type: str = "CSV"                  # CSV | TSV | NDJSON | PARQUET
+    field_delimiter: str = ","
+    record_delimiter: str = "\n"
+    skip_header: int = 0
+    quote: str = '"'
+    compression: str = "NONE"          # NONE | GZIP
+    null_display: str = "\\N"
+
+    @staticmethod
+    def from_dict(d: Dict[str, str]) -> "FileFormatOptions":
+        o = FileFormatOptions()
+        for k, v in d.items():
+            k = k.lower()
+            if k == "type":
+                o.type = str(v).upper()
+            elif k == "field_delimiter":
+                o.field_delimiter = str(v)
+            elif k == "record_delimiter":
+                o.record_delimiter = str(v)
+            elif k == "skip_header":
+                o.skip_header = int(v)
+            elif k == "quote":
+                o.quote = str(v)
+            elif k == "compression":
+                o.compression = str(v).upper()
+            elif k == "null_display":
+                o.null_display = str(v)
+            else:
+                raise BadArguments(f"unknown file format option {k!r}")
+        if o.type == "TSV":
+            o.type = "CSV"
+            o.field_delimiter = "\t"
+        return o
+
+
+def detect_format(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    return {"csv": "CSV", "tsv": "TSV", "ndjson": "NDJSON", "jsonl": "NDJSON",
+            "json": "NDJSON", "parquet": "PARQUET", "pq": "PARQUET"}.get(ext, "CSV")
+
+
+def _open_text(path: str, opts: FileFormatOptions, mode: str = "rt"):
+    if opts.compression == "GZIP" or path.endswith(".gz"):
+        import gzip
+        return gzip.open(path, mode, encoding=None if "b" in mode else "utf-8")
+    return open(path, mode, encoding=None if "b" in mode else "utf-8")
+
+
+def _parse_cell(text: Optional[str], dtype, opts: FileFormatOptions):
+    if text is None or text == opts.null_display or text == "":
+        inner = dtype.remove_nullable()
+        if isinstance(inner, StringType) and text == "":
+            return ""
+        return None
+    inner = dtype.remove_nullable()
+    if isinstance(inner, StringType):
+        return text
+    if inner is Boolean:
+        return text.strip().lower() in ("1", "true", "t", "yes")
+    if isinstance(inner, (VectorType, ArrayType)):
+        return json.loads(text)
+    if isinstance(inner, NumberType):
+        return int(text) if inner.is_integer() else float(text)
+    return text  # dates/timestamps: cast layer parses strings
+
+
+def _rows_to_block(rows: List[List], schema: TableSchema,
+                   opts: FileFormatOptions) -> DataBlock:
+    from ..expression.evaluator import cast_column
+    nfields = len(schema.fields)
+    cols = []
+    names = []
+    for i, f in enumerate(schema.fields):
+        vals = [(_parse_cell(r[i] if i < len(r) else None, f.dtype, opts)
+                 if not isinstance(r[i] if i < len(r) else None, (list, int, float, bool, dict))
+                 else (r[i] if i < len(r) else None))
+                for r in rows]
+        col = Column.from_pylist(vals, f.dtype.wrap_nullable()
+                                 if any(v is None for v in vals) else f.dtype)
+        if col.dtype.remove_nullable() != f.dtype.remove_nullable():
+            col = cast_column(col, f.dtype, False)
+        cols.append(col)
+        names.append(f.name)
+    return DataBlock(names, cols, len(rows))
+
+
+# ------------------------------------------------------------------- readers
+def _read_csv(path: str, schema: TableSchema, opts: FileFormatOptions) -> DataBlock:
+    with _open_text(path, opts) as f:
+        reader = csv.reader(f, delimiter=opts.field_delimiter,
+                            quotechar=opts.quote)
+        rows = list(reader)
+    rows = rows[opts.skip_header:]
+    return _rows_to_block(rows, schema, opts)
+
+
+def _read_ndjson(path: str, schema: TableSchema, opts: FileFormatOptions) -> DataBlock:
+    objs = []
+    with _open_text(path, opts) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                objs.append(json.loads(line))
+    lower = {f.name.lower(): f.name for f in schema.fields}
+    rows = []
+    for o in objs:
+        o2 = {k.lower(): v for k, v in o.items()}
+        rows.append([o2.get(f.name.lower()) for f in schema.fields])
+    return _rows_to_block(rows, schema, opts)
+
+
+def _read_parquet(path: str, schema: TableSchema, opts: FileFormatOptions) -> DataBlock:
+    from ..storage.fuse.block_io import read_block
+    return read_block(path, schema)
+
+
+def read_file(path: str, schema: TableSchema,
+              opts: Optional[FileFormatOptions] = None) -> DataBlock:
+    if opts is None:
+        opts = FileFormatOptions(type=detect_format(path))
+    t = opts.type.upper()
+    if t in ("CSV", "TSV"):
+        return _read_csv(path, schema, opts)
+    if t == "NDJSON":
+        return _read_ndjson(path, schema, opts)
+    if t == "PARQUET":
+        return _read_parquet(path, schema, opts)
+    raise BadArguments(f"unsupported file format {t!r}")
+
+
+# ------------------------------------------------------------------- writers
+def _cell_text(v, opts: FileFormatOptions) -> str:
+    if v is None:
+        return opts.null_display
+    if isinstance(v, (list, tuple)):
+        return json.dumps(list(v))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def write_file(path: str, block: DataBlock,
+               opts: Optional[FileFormatOptions] = None) -> int:
+    if opts is None:
+        opts = FileFormatOptions(type=detect_format(path))
+    t = opts.type.upper()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if t in ("CSV", "TSV"):
+        with _open_text(path, opts, "wt") as f:
+            w = csv.writer(f, delimiter=opts.field_delimiter,
+                           quotechar=opts.quote, lineterminator=opts.record_delimiter)
+            for r in block.to_rows():
+                w.writerow([_cell_text(v, opts) if v is not None else opts.null_display
+                            for v in r])
+        return block.num_rows
+    if t == "NDJSON":
+        names = [n for n, _ in block.items()]
+        with _open_text(path, opts, "wt") as f:
+            for r in block.to_rows():
+                f.write(json.dumps({n: (list(v) if isinstance(v, (list, tuple)) else v)
+                                    for n, v in zip(names, r)}) + "\n")
+        return block.num_rows
+    if t == "PARQUET":
+        from ..storage.fuse.block_io import write_block
+        write_block(path, block)
+        return block.num_rows
+    raise BadArguments(f"unsupported file format {t!r}")

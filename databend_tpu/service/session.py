@@ -16,7 +16,7 @@ import numpy as np
 
 from ..catalog import Catalog, TableInfo
 from ..catalog.catalog import TableIndexDef
-from ..errors import (DatabendError, SemanticError, UnknownTable,
+from ..errors import (BadArguments, DatabendError, SemanticError, UnknownTable,
                       UnsupportedFeature)
 from ..expression import Column, DataBlock, DataField, TableSchema
 from ..expression.evaluator import Evaluator, cast_column, infer_literal_type
@@ -240,6 +240,65 @@ def _stmt_rename(s: SessionContext, st: A.RenameTable):
     return _ok()
 
 
+def _stmt_flashback(s: SessionContext, st: A.FlashbackTable):
+    t = s.table(st.name, st.database)
+    t.flashback(st.point)
+    return _ok()
+
+
+def _copy_sources(src: str, pattern: Optional[str]) -> List[str]:
+    import fnmatch
+    import glob
+    if os.path.isdir(src):
+        names = sorted(os.listdir(src))
+        if pattern:
+            names = [n for n in names if fnmatch.fnmatch(n, pattern)]
+        return [os.path.join(src, n) for n in names if os.path.isfile(os.path.join(src, n))]
+    hits = sorted(glob.glob(src))
+    if not hits:
+        raise BadArguments(f"COPY source matches no files: {src!r}")
+    return hits
+
+
+def _stmt_copy_into_table(s: SessionContext, st: A.CopyIntoTable):
+    """COPY INTO t FROM 'path' — bulk load (reference: stage COPY path,
+    src/query/storages/stage + formats field decoders)."""
+    from ..formats import FileFormatOptions, detect_format, read_file
+    t = s.table(st.table, st.database)
+    files = _copy_sources(st.src, st.pattern)
+    opts = None
+    if st.file_format:
+        opts = FileFormatOptions.from_dict(st.file_format)
+    loaded = 0
+    for path in files:
+        o = opts or FileFormatOptions(type=detect_format(path))
+        block = read_file(path, t.schema, o)
+        if block.num_rows:
+            t.append(block)
+            loaded += block.num_rows
+    res = _ok(loaded)
+    METRICS.inc("copy_rows_loaded", loaded)
+    return res
+
+
+def _stmt_copy_into_location(s: SessionContext, st: A.CopyIntoLocation):
+    from ..formats import FileFormatOptions, detect_format, write_file
+    from ..pipeline.executor import execute_plan
+    from ..sql.binder import Binder
+    if st.query is not None:
+        plan = Binder(s).bind_query(st.query)
+        block = execute_plan(plan)
+    else:
+        t = s.table(st.table, st.database)
+        from ..catalog.pushdown import PushDownInfo
+        from ..sql.plans import Scan
+        block = execute_plan(Scan(t, PushDownInfo()))
+    opts = (FileFormatOptions.from_dict(st.file_format) if st.file_format
+            else FileFormatOptions(type=detect_format(st.dst)))
+    n = write_file(st.dst, block, opts)
+    return _ok(n)
+
+
 def _stmt_create_index(s: SessionContext, st: A.CreateIndex):
     db = st.database or s.current_database
     idx = TableIndexDef(st.name, st.index_type, st.columns, dict(st.options), st.sync)
@@ -425,6 +484,9 @@ _STATEMENTS = {
     A.DropTable: _stmt_drop_table,
     A.TruncateTable: _stmt_truncate,
     A.RenameTable: _stmt_rename,
+    A.FlashbackTable: _stmt_flashback,
+    A.CopyIntoTable: _stmt_copy_into_table,
+    A.CopyIntoLocation: _stmt_copy_into_location,
     A.CreateIndex: _stmt_create_index,
     A.DropIndex: _stmt_drop_index,
     A.RefreshIndex: _stmt_refresh_index,

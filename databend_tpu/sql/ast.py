@@ -290,6 +290,34 @@ class RenameTable(Statement):
 
 
 @dataclass
+class FlashbackTable(Statement):
+    """ALTER TABLE t FLASHBACK TO (SNAPSHOT => 'id' | OFFSET | TIMESTAMP)"""
+    name: str
+    point: tuple
+    database: Optional[str] = None
+
+
+@dataclass
+class CopyIntoTable(Statement):
+    """COPY INTO t FROM 'path' FILE_FORMAT=(...) PATTERN='...'"""
+    table: str
+    database: Optional[str]
+    src: str
+    file_format: Dict[str, str] = field(default_factory=dict)
+    pattern: Optional[str] = None
+
+
+@dataclass
+class CopyIntoLocation(Statement):
+    """COPY INTO 'path' FROM t | (query) FILE_FORMAT=(...)"""
+    dst: str
+    table: Optional[str] = None
+    database: Optional[str] = None
+    query: Optional["Query"] = None
+    file_format: Dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
 class CreateIndex(Statement):
     """CREATE [VECTOR|INVERTED|NGRAM] INDEX idx ON t(cols) opt=val ..."""
 

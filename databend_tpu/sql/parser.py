@@ -144,7 +144,57 @@ class Parser:
             return A.VacuumTable(name, db)
         if self.at_keyword("ALTER"):
             return self.parse_alter()
+        if self.at_keyword("COPY"):
+            return self.parse_copy()
         self.error("expected statement")
+
+    def parse_copy(self):
+        """COPY INTO t FROM 'path' | COPY INTO 'path' FROM t|(query),
+        with FILE_FORMAT = (TYPE=CSV ...) and PATTERN = '...' options."""
+        self.expect_keyword("COPY")
+        self.expect_keyword("INTO")
+        if self.peek().kind == "STRING":
+            dst = self.next().text
+            self.expect_keyword("FROM")
+            table = db = query = None
+            if self.at_op("("):
+                self.next()
+                query = self.parse_query()
+                self.expect_op(")")
+            else:
+                db, table = self.qualified_name()
+            fmt = self._parse_copy_options()[0]
+            return A.CopyIntoLocation(dst, table, db, query, fmt)
+        db, name = self.qualified_name()
+        self.expect_keyword("FROM")
+        if self.peek().kind != "STRING":
+            self.error("COPY INTO <table> FROM expects a file path string")
+        src = self.next().text
+        fmt, pattern = self._parse_copy_options()
+        return A.CopyIntoTable(name, db, src, fmt, pattern)
+
+    def _parse_copy_options(self):
+        fmt: dict = {}
+        pattern = None
+        while self.peek().kind in ("IDENT", "KEYWORD"):
+            kw = self.peek().text.upper()
+            if kw == "FILE_FORMAT":
+                self.next()
+                self.expect_op("=")
+                self.expect_op("(")
+                while not self.at_op(")"):
+                    k = self.next().text
+                    self.expect_op("=")
+                    fmt[k.lower()] = self.next().text
+                    self.accept_op(",")
+                self.expect_op(")")
+            elif kw == "PATTERN":
+                self.next()
+                self.expect_op("=")
+                pattern = self.next().text
+            else:
+                break
+        return fmt, pattern
 
     def parse(self) -> A.Statement:
         stmt = self.parse_statement()
@@ -341,6 +391,9 @@ class Parser:
         if self.accept_keyword("RENAME"):
             self.expect_keyword("TO")
             return A.RenameTable(name, self.ident(), db)
+        if self.accept_keyword("FLASHBACK"):
+            self.expect_keyword("TO")
+            return A.FlashbackTable(name, self.parse_travel_point(), db)
         self.error("unsupported ALTER TABLE action")
 
     # -------------------------------------------------------------------- dml
@@ -622,12 +675,32 @@ class Parser:
         db, name = self.qualified_name()
         at_snapshot = None
         if self.accept_keyword("AT"):
-            self.expect_op("(")
-            self.expect_keyword("SNAPSHOT")
-            self.expect_op("=>")
-            at_snapshot = self.next().text
-            self.expect_op(")")
+            at_snapshot = self.parse_travel_point()
         return A.TableName(name, db, self._table_alias(), at_snapshot)
+
+    def parse_travel_point(self):
+        """AT (SNAPSHOT => 'id' | OFFSET => -n | TIMESTAMP => 'iso')"""
+        self.expect_op("(")
+        kw = self.next().text.upper()
+        self.expect_op("=>")
+        if kw == "SNAPSHOT":
+            point = ("snapshot", self.next().text)
+        elif kw == "OFFSET":
+            sign = 1.0
+            if self.at_op("-"):
+                self.next()
+                sign = -1.0
+            point = ("offset", sign * float(self.next().text))
+        elif kw == "TIMESTAMP":
+            import datetime
+            ts = datetime.datetime.fromisoformat(self.next().text)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
+            point = ("timestamp", ts.timestamp())
+        else:
+            raise self.error(f"expected SNAPSHOT/OFFSET/TIMESTAMP, got {kw}")
+        self.expect_op(")")
+        return point
 
     def _table_alias(self) -> Optional[str]:
         if self.accept_keyword("AS"):

@@ -46,7 +46,7 @@ KEYWORDS = {
     "ANALYZE", "USE", "OPTIMIZE", "VACUUM", "REFRESH", "SETTINGS",
     "CLUSTER", "PRIMARY", "KEY", "DEFAULT", "COMMENT", "ENGINE",
     "TO", "SYNC", "ASYNC", "COLUMN", "ADD", "MODIFY", "FUNCTION", "STAGE",
-    "UNDROP", "FUSE", "SNAPSHOT", "AT", "STREAM", "TASK",
+    "UNDROP", "FUSE", "SNAPSHOT", "AT", "STREAM", "TASK", "FLASHBACK",
 }
 
 NON_RESERVED = {
@@ -55,6 +55,7 @@ NON_RESERVED = {
     "DATABASES", "SETTINGS", "VECTOR", "INVERTED", "NGRAM", "SYNC", "ASYNC",
     "REFRESH", "ANALYZE", "VACUUM", "OPTIMIZE", "STAGE", "SNAPSHOT", "AT",
     "STREAM", "TASK", "COLUMN", "ADD", "MODIFY", "USE", "TO", "FUSE", "DEFAULT",
+    "FLASHBACK",
 }
 
 

@@ -62,7 +62,12 @@ class FuseTable:
         return int(self.info.options.get("row_per_block", DEFAULT_ROW_PER_BLOCK))
 
     # ------------------------------------------------------------- snapshots
-    def read_snapshot(self, snapshot_id: Optional[str] = None) -> Optional[TableSnapshot]:
+    def read_snapshot(self, snapshot_id=None) -> Optional[TableSnapshot]:
+        """Resolve the head snapshot, a specific snapshot id, or a time-travel
+        point ``(kind, value)`` with kind in snapshot|offset|timestamp
+        (reference: operations/navigate.rs — AT (SNAPSHOT/OFFSET/TIMESTAMP))."""
+        if isinstance(snapshot_id, tuple):
+            return self.navigate(snapshot_id)
         if snapshot_id:
             path = self.abs_path(f"_ss/{snapshot_id}.json")
             if not os.path.exists(path):
@@ -73,6 +78,50 @@ class FuseTable:
             return None
         return TableSnapshot.from_dict(read_json(self.abs_path(loc)))
 
+    def navigate(self, point) -> Optional[TableSnapshot]:
+        """Walk the prev_snapshot chain to a time-travel point."""
+        kind, value = point
+        if kind == "snapshot":
+            return self.read_snapshot(str(value))
+        head = self.read_snapshot()
+        if head is None:
+            return None
+        if kind == "timestamp":
+            target = float(value)
+        elif kind == "offset":
+            target = time.time() + float(value)  # offset is negative seconds
+        else:
+            raise StorageOther(f"unknown travel point kind {kind!r}")
+        snap = head
+        while snap is not None and snap.timestamp > target:
+            if not snap.prev_snapshot:
+                raise StorageOther(
+                    "no snapshot exists at or before the requested time")
+            snap = self.read_snapshot(snap.prev_snapshot)
+        return snap
+
+    def snapshot_history(self) -> List[TableSnapshot]:
+        """Head-first chain of all reachable snapshots (fuse_snapshot)."""
+        out = []
+        snap = self.read_snapshot()
+        while snap is not None:
+            out.append(snap)
+            snap = (self.read_snapshot(snap.prev_snapshot)
+                    if snap.prev_snapshot else None)
+        return out
+
+    def flashback(self, point) -> TableSnapshot:
+        """FLASHBACK TABLE ... TO: repoint the head to an older snapshot
+        (reference operations/revert.rs). OCC on the catalog seq."""
+        target = self.navigate(point if isinstance(point, tuple)
+                               else ("snapshot", point))
+        if target is None:
+            raise StorageOther("flashback target snapshot not found")
+        _, seq = self.catalog.get_snapshot_location(self.info.table_id)
+        self.catalog.set_snapshot_location(
+            self.info.table_id, f"_ss/{target.snapshot_id}.json", seq)
+        return target
+
     def read_segments(self, snapshot: TableSnapshot) -> List[SegmentInfo]:
         return [SegmentInfo.from_dict(read_json(self.abs_path(s)))
                 for s in snapshot.segments]
@@ -82,6 +131,7 @@ class FuseTable:
         """Write a DataBlock (splitting into row_per_block chunks), build
         per-block indexes, commit a new snapshot (OCC with retry)."""
         block = self._normalize_block(block)
+        block = self._cluster_sort(block)
         rpb = self.row_per_block()
         metas: List[BlockMeta] = []
         for start in range(0, max(block.num_rows, 1), rpb):
@@ -111,6 +161,41 @@ class FuseTable:
                 cols.append(constant_column(f.default, f.dtype.wrap_nullable(),
                                             block.num_rows))
         return DataBlock(names, cols, block.num_rows)
+
+    def _cluster_sort(self, block: DataBlock) -> DataBlock:
+        """CLUSTER BY handling at write (reference TransformVectorCluster,
+        transform_vector_cluster.rs:29-141): vector keys -> k-means sort by
+        (cluster_id, distance-to-centroid); scalar keys -> plain lexsort.
+        Tightens per-block stats so range/vector-stats pruning bites."""
+        import numpy as np
+        from ...types import VectorType
+        if not self.info.cluster_by or block.num_rows <= 1:
+            return block
+        key = self.info.cluster_by[0]
+        if not block.has_column(key):
+            return block
+        col = block.column(key)
+        if isinstance(col.dtype.remove_nullable(), VectorType):
+            from ...index.kmeans import MAX_CLUSTERS, cluster_sort_order
+            # one cluster per output block so blocks ~= clusters and the
+            # centroid/radius stats prune tightly (capped like the reference)
+            k = min(MAX_CLUSTERS,
+                    max(1, -(-block.num_rows // self.row_per_block())))
+            order = cluster_sort_order(np.asarray(col.data, dtype=np.float32), k=k)
+            return block.take(order)
+        # scalar cluster keys: lexsort (minor->major)
+        keys = []
+        for k in reversed(self.info.cluster_by):
+            if not block.has_column(k):
+                continue
+            c = block.column(k)
+            from ...expression import StringData
+            arr = (np.array(c.data.to_pylist(), dtype=object)
+                   if isinstance(c.data, StringData) else np.asarray(c.data))
+            keys.append(arr)
+        if not keys:
+            return block
+        return block.take(np.lexsort(keys))
 
     def _write_block(self, chunk: DataBlock) -> BlockMeta:
         uid = new_uuid()

@@ -177,4 +177,9 @@ class TestMisc:
 
     def test_time_travel(self):
         query = q("SELECT * FROM t AT (SNAPSHOT => 'abc123')")
-        assert query.body.from_.at_snapshot == "abc123"
+        assert query.body.from_.at_snapshot == ("snapshot", "abc123")
+        query = q("SELECT * FROM t AT (OFFSET => -3600)")
+        assert query.body.from_.at_snapshot == ("offset", -3600.0)
+        query = q("SELECT * FROM t AT (TIMESTAMP => '2026-01-01T00:00:00+00:00')")
+        kind, ts = query.body.from_.at_snapshot
+        assert kind == "timestamp" and ts > 1.7e9
