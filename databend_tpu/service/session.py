@@ -28,6 +28,15 @@ from ..storage.fuse import FuseTable
 from ..types import Boolean, Float64, Int64, String, parse_type_name
 from ..utils.metrics import METRICS
 
+QUERY_LOG_CAPACITY = 10_000
+
+# EXECUTE IMMEDIATE $$ <script> $$ (reference: SQL scripting, src/query/script)
+import re as _re
+
+_EXEC_IMMEDIATE_RE = _re.compile(
+    r"^\s*EXECUTE\s+IMMEDIATE\s+\$\$(.*)\$\$\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL)
+
 
 class QueryResult:
     """Result of one statement: a DataBlock + schema + profile info."""
@@ -83,6 +92,8 @@ class SessionContext:
         self.settings = Settings()
         self.current_database = "default"
         self._tables: Dict[int, FuseTable] = {}
+        # in-memory query history (system.query_log; reference history_tables)
+        self.query_log: List[dict] = []
 
     # ------------------------------------------------------------------- api
     def open_table(self, info: TableInfo) -> FuseTable:
@@ -98,15 +109,34 @@ class SessionContext:
 
     def sql(self, sql: str) -> QueryResult:
         start = time.time()
-        stmt = parse_sql(sql)
+        entry = {"query_id": f"q{len(self.query_log)}_{int(start * 1e3)}",
+                 "query_text": sql.strip(), "query_kind": "Other",
+                 "start": start, "duration_ms": 0.0, "result_rows": 0,
+                 "error": None}
+        m = _EXEC_IMMEDIATE_RE.match(sql)
         try:
+            if m is not None:
+                entry["query_kind"] = "Script"
+                from ..script import execute_script_block
+                result = execute_script_block(self, m.group(1))
+                entry["result_rows"] = len(result)
+                METRICS.inc("queries_total")
+                return result
+            stmt = parse_sql(sql)
+            entry["query_kind"] = type(stmt).__name__.replace("Stmt", "")
             result = self._execute_statement(stmt)
+            entry["result_rows"] = len(result)
             METRICS.inc("queries_total")
             return result
-        except DatabendError:
+        except DatabendError as e:
+            entry["error"] = str(e)
             METRICS.inc("queries_failed")
             raise
         finally:
+            entry["duration_ms"] = (time.time() - start) * 1e3
+            self.query_log.append(entry)
+            if len(self.query_log) > QUERY_LOG_CAPACITY:
+                del self.query_log[:len(self.query_log) - QUERY_LOG_CAPACITY]
             METRICS.observe("query_seconds", time.time() - start)
 
     def execute_script(self, sql: str) -> List[QueryResult]:

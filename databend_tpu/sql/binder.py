@@ -419,6 +419,15 @@ class Binder:
                     ctx.add(f.name, f.dtype, alias)
                 return sub, ctx
             db = ref.database or self.session.current_database
+            if db.lower() == "system":
+                from ..service.system_tables import system_table_plan
+                plan = system_table_plan(self.session, ref.name)
+                ctx = BindContext()
+                for f in plan.output_fields():
+                    ctx.add(f.name, f.dtype, ref.alias or ref.name)
+                state.scan = None
+                state.table_info = None
+                return plan, ctx
             info = self.session.catalog.get_table(db, ref.name)
             table = self.session.open_table(info)
             scan = Scan(table, PushDownInfo(), snapshot_id=ref.at_snapshot)

@@ -26,7 +26,7 @@ _TOKEN_RE = re.compile(
   | (?P<QUOTED_IDENT>"(?:[^"]|"")*"|`(?:[^`])*`)
   | (?P<PARAM>\$\d+|\?)
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_$]*)
-  | (?P<OP><=>|<>|!=|>=|<=|==|\|\||->>|->|=>|::|[-+*/%(),.;=<>\[\]{}:@^~&|!])
+  | (?P<OP><=>|<>|!=|>=|<=|==|\|\||->>|->|=>|::|:=|[-+*/%(),.;=<>\[\]{}:@^~&|!])
     """,
     re.X | re.S,
 )
@@ -55,7 +55,7 @@ NON_RESERVED = {
     "DATABASES", "SETTINGS", "VECTOR", "INVERTED", "NGRAM", "SYNC", "ASYNC",
     "REFRESH", "ANALYZE", "VACUUM", "OPTIMIZE", "STAGE", "SNAPSHOT", "AT",
     "STREAM", "TASK", "COLUMN", "ADD", "MODIFY", "USE", "TO", "FUSE", "DEFAULT",
-    "FLASHBACK",
+    "FLASHBACK", "TABLE", "DATABASE",
 }
 
 

@@ -1,0 +1,53 @@
+"""system.* tables over the full SQL surface."""
+
+
+def test_system_tables_and_columns(tmp_catalog):
+    c = tmp_catalog
+    c.sql("CREATE TABLE st (id BIGINT, name VARCHAR)")
+    c.sql("INSERT INTO st VALUES (1, 'a'), (2, 'b')")
+    rows = c.sql("SELECT database, name, num_rows FROM system.tables"
+                 " WHERE name = 'st'").rows()
+    assert rows == [("default", "st", 2)]
+    cols = c.sql("SELECT name, type FROM system.columns WHERE table = 'st'"
+                 " ORDER BY name").rows()
+    assert [r[0] for r in cols] == ["id", "name"]
+
+
+def test_system_one_settings_functions(tmp_catalog):
+    c = tmp_catalog
+    assert c.sql("SELECT dummy FROM system.one").scalar() == 1
+    assert c.sql("SELECT count(*) FROM system.settings").scalar() > 0
+    agg = c.sql("SELECT count(*) FROM system.functions WHERE is_aggregate").scalar()
+    assert agg >= 5
+
+
+def test_system_query_log(tmp_catalog):
+    c = tmp_catalog
+    c.sql("SELECT 1 + 1")
+    rows = c.sql("SELECT query_text, query_kind FROM system.query_log").rows()
+    assert any("1 + 1" in r[0] for r in rows)
+    # failed queries are logged with exception text
+    try:
+        c.sql("SELECT * FROM no_such_table")
+    except Exception:
+        pass
+    rows = c.sql("SELECT exception_text FROM system.query_log"
+                 " WHERE exception_text IS NOT NULL").rows()
+    assert len(rows) >= 1
+
+
+def test_system_caches_metrics_build(tmp_catalog):
+    c = tmp_catalog
+    assert c.sql("SELECT count(*) FROM system.caches").scalar() == 5
+    c.sql("SELECT 1")
+    assert c.sql("SELECT count(*) FROM system.metrics").scalar() > 0
+    rows = dict(c.sql("SELECT name, value FROM system.build_options").rows())
+    assert "jax_version" in rows
+
+
+def test_system_indexes(tmp_catalog):
+    c = tmp_catalog
+    c.sql("CREATE TABLE sv (id INT, emb VECTOR(4))")
+    c.sql("CREATE VECTOR INDEX vidx ON sv(emb) distance='cosine'")
+    rows = c.sql("SELECT name, type FROM system.indexes WHERE table = 'sv'").rows()
+    assert rows == [("vidx", "vector")]
