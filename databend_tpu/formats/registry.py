@@ -113,11 +113,45 @@ def _rows_to_block(rows: List[List], schema: TableSchema,
 
 
 # ------------------------------------------------------------------- readers
+def _csv_rows_native(path: str, opts: FileFormatOptions):
+    """Tokenize with the C++ scanner (native/csv_scan.cpp); None = fall back."""
+    from .. import native
+    if (opts.compression != "NONE" or path.endswith(".gz")
+            or len(opts.field_delimiter) != 1 or len(opts.quote) != 1):
+        return None
+    if not native.available():
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    scanned = native.csv_scan(data, opts.field_delimiter, opts.quote)
+    if scanned is None:
+        return None
+    starts, lens, quoted, row_ends = scanned
+    q = opts.quote
+    rows = []
+    begin = 0
+    for end in row_ends:
+        row = []
+        for i in range(begin, end):
+            cell = data[starts[i]:starts[i] + lens[i]].decode("utf-8")
+            if quoted[i]:
+                cell = cell.strip()
+                if len(cell) >= 2 and cell[0] == q and cell[-1] == q:
+                    cell = cell[1:-1]
+                cell = cell.replace(q + q, q)
+            row.append(cell)
+        rows.append(row)
+        begin = end
+    return rows
+
+
 def _read_csv(path: str, schema: TableSchema, opts: FileFormatOptions) -> DataBlock:
-    with _open_text(path, opts) as f:
-        reader = csv.reader(f, delimiter=opts.field_delimiter,
-                            quotechar=opts.quote)
-        rows = list(reader)
+    rows = _csv_rows_native(path, opts)
+    if rows is None:
+        with _open_text(path, opts) as f:
+            reader = csv.reader(f, delimiter=opts.field_delimiter,
+                                quotechar=opts.quote)
+            rows = list(reader)
     rows = rows[opts.skip_header:]
     return _rows_to_block(rows, schema, opts)
 

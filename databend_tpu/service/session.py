@@ -94,6 +94,16 @@ class SessionContext:
         self._tables: Dict[int, FuseTable] = {}
         # in-memory query history (system.query_log; reference history_tables)
         self.query_log: List[dict] = []
+        from ..users import UserManager
+        self.users = UserManager(self.meta)
+        self.current_user = self.users.get_user("root")
+
+    def authenticate(self, user: str, password: Optional[str] = None) -> None:
+        """Switch the session to an authenticated user (HTTP basic auth)."""
+        self.current_user = self.users.authenticate(user, password)
+
+    def check_privilege(self, priv: str, database: str, table: str = "*"):
+        self.users.check(self.current_user, priv, database, table)
 
     # ------------------------------------------------------------------- api
     def open_table(self, info: TableInfo) -> FuseTable:
@@ -223,6 +233,8 @@ def _stmt_use(s: SessionContext, st: A.UseDatabase):
 
 
 def _stmt_create_table(s: SessionContext, st: A.CreateTable):
+    s.check_privilege("CREATE", st.database or s.current_database)
+
     fields = []
     for c in st.columns:
         dtype = parse_type_name(c.type_name)
@@ -250,6 +262,8 @@ def _stmt_create_table(s: SessionContext, st: A.CreateTable):
 
 
 def _stmt_drop_table(s: SessionContext, st: A.DropTable):
+    s.check_privilege("DROP", st.database or s.current_database, st.name)
+
     db = st.database or s.current_database
     info = s.catalog.drop_table(db, st.name, st.if_exists)
     if info is not None and st.all_:
@@ -288,6 +302,62 @@ def _copy_sources(src: str, pattern: Optional[str]) -> List[str]:
     if not hits:
         raise BadArguments(f"COPY source matches no files: {src!r}")
     return hits
+
+
+def _stmt_create_user(s: SessionContext, st: A.CreateUser):
+    s.users.create_user(st.name, st.password, st.if_not_exists)
+    return _ok()
+
+
+def _stmt_drop_user(s: SessionContext, st: A.DropUser):
+    s.users.drop_user(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_create_role(s: SessionContext, st: A.CreateRole):
+    s.users.create_role(st.name, st.if_not_exists)
+    return _ok()
+
+
+def _stmt_drop_role(s: SessionContext, st: A.DropRole):
+    s.users.drop_role(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_grant_role(s: SessionContext, st: A.GrantRole):
+    if st.is_grant:
+        s.users.grant_role(st.role, st.user)
+    else:
+        u = s.users.get_user(st.user)
+        if u is not None and st.role.lower() in u.roles:
+            u.roles.remove(st.role.lower())
+            s.users.meta.upsert(f"users/{u.name}", u.to_dict())
+    return _ok()
+
+
+def _stmt_grant_privileges(s: SessionContext, st: A.GrantPrivileges):
+    db = st.database if st.database is not None else (
+        "*" if st.table == "*" else s.current_database)
+    privs = {p.upper() for p in st.privileges}
+    if st.is_grant:
+        s.users.grant(privs, db, st.table, to_role=st.role, to_user=st.user)
+    else:
+        s.users.revoke(privs, db, st.table, from_role=st.role, from_user=st.user)
+    return _ok()
+
+
+def _stmt_show_grants(s: SessionContext, st: A.ShowGrants):
+    name = st.user or s.current_user.name
+    u = s.users.get_user(name)
+    if u is None:
+        from ..users import UnknownUser
+        raise UnknownUser(f"unknown user {name!r}")
+    lines = []
+    for g in s.users.effective_grants(u):
+        lines.append(f"GRANT {','.join(sorted(g.privileges))} ON "
+                     f"{g.database}.{g.table} TO {u.name}")
+    col = Column.from_pylist(lines, String)
+    return QueryResult(DataBlock(["grants"], [col]), [DataField("grants", String)])
 
 
 def _stmt_copy_into_table(s: SessionContext, st: A.CopyIntoTable):
@@ -358,6 +428,8 @@ def _stmt_refresh_index(s: SessionContext, st: A.RefreshIndex):
 
 
 def _stmt_insert(s: SessionContext, st: A.Insert):
+    s.check_privilege("INSERT", st.database or s.current_database, st.table)
+
     db = st.database or s.current_database
     info = s.catalog.get_table(db, st.table)
     table = s.open_table(info)
@@ -408,6 +480,8 @@ def _eval_insert_value(e: A.Expr, one: DataBlock):
 
 
 def _stmt_delete(s: SessionContext, st: A.Delete):
+    s.check_privilege("DELETE", st.database or s.current_database, st.table)
+
     table = s.table(st.table, st.database)
     expr = None
     if st.where is not None:
@@ -421,6 +495,8 @@ def _stmt_delete(s: SessionContext, st: A.Delete):
 
 
 def _stmt_update(s: SessionContext, st: A.Update):
+    s.check_privilege("UPDATE", st.database or s.current_database, st.table)
+
     table = s.table(st.table, st.database)
     from ..sql.expr_binder import BindContext, ExprBinder
     ctx = BindContext()
@@ -517,6 +593,13 @@ _STATEMENTS = {
     A.FlashbackTable: _stmt_flashback,
     A.CopyIntoTable: _stmt_copy_into_table,
     A.CopyIntoLocation: _stmt_copy_into_location,
+    A.CreateUser: _stmt_create_user,
+    A.DropUser: _stmt_drop_user,
+    A.CreateRole: _stmt_create_role,
+    A.DropRole: _stmt_drop_role,
+    A.GrantRole: _stmt_grant_role,
+    A.GrantPrivileges: _stmt_grant_privileges,
+    A.ShowGrants: _stmt_show_grants,
     A.CreateIndex: _stmt_create_index,
     A.DropIndex: _stmt_drop_index,
     A.RefreshIndex: _stmt_refresh_index,

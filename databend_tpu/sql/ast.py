@@ -298,6 +298,53 @@ class FlashbackTable(Statement):
 
 
 @dataclass
+class CreateUser(Statement):
+    name: str
+    password: Optional[str] = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropUser(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class CreateRole(Statement):
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropRole(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class GrantRole(Statement):
+    role: str
+    user: str
+    is_grant: bool = True
+
+
+@dataclass
+class GrantPrivileges(Statement):
+    privileges: List[str]
+    database: Optional[str]  # None = current db; "*" = all
+    table: str               # "*" = all
+    user: Optional[str] = None
+    role: Optional[str] = None
+    is_grant: bool = True
+
+
+@dataclass
+class ShowGrants(Statement):
+    user: Optional[str] = None
+
+
+@dataclass
 class CopyIntoTable(Statement):
     """COPY INTO t FROM 'path' FILE_FORMAT=(...) PATTERN='...'"""
     table: str

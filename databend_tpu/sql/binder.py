@@ -428,6 +428,7 @@ class Binder:
                 state.scan = None
                 state.table_info = None
                 return plan, ctx
+            self.session.check_privilege("SELECT", db, ref.name)
             info = self.session.catalog.get_table(db, ref.name)
             table = self.session.open_table(info)
             scan = Scan(table, PushDownInfo(), snapshot_id=ref.at_snapshot)

@@ -146,6 +146,8 @@ class Parser:
             return self.parse_alter()
         if self.at_keyword("COPY"):
             return self.parse_copy()
+        if self._at_word("GRANT", "REVOKE"):
+            return self.parse_grant_revoke()
         self.error("expected statement")
 
     def parse_copy(self):
@@ -222,7 +224,29 @@ class Parser:
                     return self.parse_create_index(itype)
         if self.at_keyword("INDEX"):
             return self.parse_create_index("AGGREGATING")
-        self.error("expected DATABASE/TABLE/INDEX after CREATE")
+        if self._at_word("USER"):
+            self.next()
+            ine = self._if_not_exists()
+            name = self._user_name()
+            password = None
+            if self._at_word("IDENTIFIED"):
+                self.next()
+                self.expect_keyword("BY")
+                password = self.next().text
+            return A.CreateUser(name, password, ine)
+        if self._at_word("ROLE"):
+            self.next()
+            ine = self._if_not_exists()
+            return A.CreateRole(self._user_name(), ine)
+        self.error("expected DATABASE/TABLE/INDEX/USER/ROLE after CREATE")
+
+    def _at_word(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind in ("IDENT", "KEYWORD") and t.text.upper() in words
+
+    def _user_name(self) -> str:
+        t = self.next()
+        return t.text
 
     def _if_not_exists(self) -> bool:
         if self.accept_keyword("IF"):
@@ -370,7 +394,54 @@ class Parser:
         if self.accept_keyword("INDEX"):
             ie = self._if_exists()
             return A.DropIndex("AGGREGATING", self.ident(), None, ie)
-        self.error("expected DATABASE/TABLE/INDEX after DROP")
+        if self._at_word("USER"):
+            self.next()
+            ie = self._if_exists()
+            return A.DropUser(self._user_name(), ie)
+        if self._at_word("ROLE"):
+            self.next()
+            ie = self._if_exists()
+            return A.DropRole(self._user_name(), ie)
+        self.error("expected DATABASE/TABLE/INDEX/USER/ROLE after DROP")
+
+    def parse_grant_revoke(self):
+        is_grant = self.next().text.upper() == "GRANT"
+        kw_to = "TO" if is_grant else "FROM"
+        # GRANT ROLE r TO u
+        if self._at_word("ROLE"):
+            self.next()
+            role = self._user_name()
+            self.expect_keyword(kw_to)
+            user = self._user_name()
+            return A.GrantRole(role, user, is_grant)
+        privs = [self.next().text.upper()]
+        while self.accept_op(","):
+            privs.append(self.next().text.upper())
+        self.expect_keyword("ON")
+        db, table = self._grant_object()
+        if is_grant:
+            self.expect_keyword("TO")
+        else:
+            self.expect_keyword("FROM")
+        to_role = None
+        if self._at_word("ROLE"):
+            self.next()
+            to_role = self._user_name()
+            return A.GrantPrivileges(privs, db, table, None, to_role, is_grant)
+        return A.GrantPrivileges(privs, db, table, self._user_name(), None, is_grant)
+
+    def _grant_object(self):
+        """*.* | db.* | db.table | table"""
+        if self.accept_op("*"):
+            self.expect_op(".")
+            self.expect_op("*")
+            return "*", "*"
+        first = self.ident()
+        if self.accept_op("."):
+            if self.accept_op("*"):
+                return first, "*"
+            return first, self.ident()
+        return None, first  # current database
 
     def parse_refresh(self):
         self.expect_keyword("REFRESH")
@@ -471,6 +542,13 @@ class Parser:
             return A.ShowStmt("DATABASES", None, self._opt_like())
         if self.accept_keyword("SETTINGS"):
             return A.ShowStmt("SETTINGS", None, self._opt_like())
+        if self._at_word("GRANTS"):
+            self.next()
+            user = None
+            if self._at_word("FOR"):
+                self.next()
+                user = self._user_name()
+            return A.ShowGrants(user)
         if self.peek().kind in ("IDENT", "KEYWORD"):
             what = self.next().text.upper()
             return A.ShowStmt(what, None, self._opt_like())
