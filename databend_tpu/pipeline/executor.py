@@ -204,6 +204,21 @@ def _exec_sort(plan: SortPlan):
     blocks = list(execute_plan_blocks(plan.child))
     if not blocks:
         return
+    def _spillable():
+        # DESC over strings inverts via per-block rank codes, which are not
+        # comparable across runs — keep those sorts in memory
+        for it in plan.items:
+            if not it.asc:
+                col = blocks[0].column(it.name)
+                if isinstance(col.data, StringData):
+                    return False
+        return True
+
+    if (plan.limit is None and plan.spill_threshold_rows
+            and sum(b.num_rows for b in blocks) > plan.spill_threshold_rows
+            and _spillable()):
+        yield from _exec_sort_spill(plan, blocks)
+        return
     if plan.limit is not None:
         # per-block partial top-n before the final merge (the streaming
         # analog of TransformSortMergeLimit, sort_merge_limit.rs:33)
@@ -221,6 +236,93 @@ def _exec_sort(plan: SortPlan):
     if plan.limit is not None:
         order = order[: plan.limit]
     yield merged.take(order)
+
+
+def _exec_sort_spill(plan: SortPlan, blocks):
+    """External sort: sort bounded runs, spill each to a parquet file,
+    k-way merge the runs streaming (reference: sort_spill.rs +
+    spillers/inner.rs — disk/S3 spill with bounded memory)."""
+    import heapq
+    import os
+    import tempfile
+    from ..storage.fuse import block_io
+    from ..utils.metrics import METRICS
+
+    run_rows = max(plan.spill_threshold_rows // 4, 1)
+    merged = DataBlock.concat(blocks)
+    del blocks
+    fields = plan.output_fields()
+    schema_like = merged
+
+    spill_dir = tempfile.mkdtemp(prefix="dbtpu_spill_")
+    runs = []
+    for start in range(0, merged.num_rows, run_rows):
+        chunk = merged.slice(start, min(start + run_rows, merged.num_rows))
+        keys = _sort_key_arrays(chunk, plan.items)
+        chunk = chunk.take(np.lexsort(keys))
+        path = os.path.join(spill_dir, f"run_{len(runs)}.parquet")
+        block_io.write_block(path, chunk)
+        METRICS.inc("sort_spill_runs")
+        METRICS.inc("sort_spill_rows", chunk.num_rows)
+        runs.append(path)
+    del merged
+
+    # streaming k-way merge over the sorted runs
+    from ..expression.schema import TableSchema
+    schema = TableSchema(list(fields))
+
+    def run_iter(path):
+        b = block_io.read_block(path, schema)
+        key_cols = _spill_key_tuples(b, plan.items)
+        rows = b.to_rows()
+        for kr, row in zip(key_cols, rows):
+            yield kr, row
+
+    out_rows = []
+    for kr, row in heapq.merge(*(run_iter(p) for p in runs), key=lambda t: t[0]):
+        out_rows.append(row)
+        if len(out_rows) >= 65536:
+            yield _rows_block(out_rows, fields)
+            out_rows = []
+    if out_rows:
+        yield _rows_block(out_rows, fields)
+    for p in runs:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+def _spill_key_tuples(block: DataBlock, items):
+    """Per-row comparison tuples, shape-stable across blocks: for each sort
+    item (major first) always (null_rank, value) regardless of whether this
+    particular block happens to contain NULLs."""
+    parts = []
+    for it in items:
+        col = block.column(it.name)
+        arr = _comparable_array(col)
+        if not it.asc:
+            arr = _invert_order(arr)
+        if col.validity is not None:
+            nulls_first = it.nulls_first if it.nulls_first is not None else (not it.asc)
+            null_rank = np.where(col.validity, 0, -1 if nulls_first else 1)
+            fill = 0 if arr.dtype.kind in "iufb" else ""
+            arr = np.where(col.validity, arr, fill)
+        else:
+            nulls_first = it.nulls_first if it.nulls_first is not None else (not it.asc)
+            null_rank = np.zeros(block.num_rows, np.int64)
+        parts.append(null_rank.tolist())
+        parts.append(arr.tolist())
+    return list(zip(*parts))
+
+
+def _rows_block(rows, fields) -> DataBlock:
+    cols = []
+    for i, f in enumerate(fields):
+        vals = [r[i] for r in rows]
+        cols.append(Column.from_pylist(vals, f.dtype.wrap_nullable()
+                                       if any(v is None for v in vals) else f.dtype))
+    return DataBlock([f.name for f in fields], cols, len(rows))
 
 
 # ----------------------------------------------------------------- aggregate

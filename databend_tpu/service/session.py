@@ -159,10 +159,30 @@ class SessionContext:
         t.append(block)
         return block.num_rows
 
+    @property
+    def streams(self):
+        if getattr(self, "_streams", None) is None:
+            from ..storage.stream import StreamManager
+            self._streams = StreamManager(self)
+        return self._streams
+
+    @property
+    def udfs(self) -> Dict[str, dict]:
+        if getattr(self, "_udf_cache", None) is None:
+            self._udf_cache = {k.split("/", 1)[1]: v for k, v, _
+                               in self.meta.list_prefix("udfs/")}
+        return self._udf_cache
+
+    def invalidate_udfs(self):
+        self._udf_cache = None
+
     # ----------------------------------------------------------- dispatching
     def _execute_statement(self, stmt: A.Statement) -> QueryResult:
         from ..pipeline.executor import execute_plan
         from ..sql.binder import Binder
+        if self.udfs and not isinstance(stmt, (A.CreateFunction, A.DropFunction)):
+            from ..sql.udf import expand_udfs
+            stmt = expand_udfs(stmt, self.udfs)
         if isinstance(stmt, A.QueryStmt):
             plan = Binder(self).bind_query(stmt.query)
             block = execute_plan(plan)
@@ -304,6 +324,48 @@ def _copy_sources(src: str, pattern: Optional[str]) -> List[str]:
     return hits
 
 
+def _stmt_create_stream(s: SessionContext, st: A.CreateStream):
+    db = st.database or s.current_database
+    tdb = st.table_database or s.current_database
+    s.streams.create(db, st.name, tdb, st.table, st.if_not_exists)
+    return _ok()
+
+
+def _stmt_drop_stream(s: SessionContext, st: A.DropStream):
+    db = st.database or s.current_database
+    s.streams.drop(db, st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_create_function(s: SessionContext, st: A.CreateFunction):
+    key = f"udfs/{st.name.lower()}"
+    cur, _ = s.meta.get(key)
+    if cur is not None and not st.or_replace:
+        if st.if_not_exists:
+            return _ok()
+        raise SemanticError(f"function {st.name!r} already exists")
+    from ..expression.functions import registry
+    from ..expression.functions.aggregates import is_aggregate_function
+    if registry.contains(st.name.lower()) or is_aggregate_function(st.name.lower()):
+        raise SemanticError(f"cannot shadow built-in function {st.name!r}")
+    s.meta.upsert(key, {"params": [p.lower() for p in st.params],
+                        "body_text": st.body_text})
+    s.invalidate_udfs()
+    return _ok()
+
+
+def _stmt_drop_function(s: SessionContext, st: A.DropFunction):
+    key = f"udfs/{st.name.lower()}"
+    cur, _ = s.meta.get(key)
+    if cur is None:
+        if st.if_exists:
+            return _ok()
+        raise SemanticError(f"unknown function {st.name!r}")
+    s.meta.delete(key)
+    s.invalidate_udfs()
+    return _ok()
+
+
 def _stmt_create_user(s: SessionContext, st: A.CreateUser):
     s.users.create_user(st.name, st.password, st.if_not_exists)
     return _ok()
@@ -433,11 +495,14 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
     db = st.database or s.current_database
     info = s.catalog.get_table(db, st.table)
     table = s.open_table(info)
+    touched_streams = []
     if st.query is not None:
         from ..pipeline.executor import execute_plan
         from ..sql.binder import Binder
-        plan = Binder(s).bind_query(st.query)
+        binder = Binder(s)
+        plan = binder.bind_query(st.query)
         block = execute_plan(plan)
+        touched_streams = binder.touched_streams
         if st.columns:
             block = DataBlock(st.columns, block.columns, block.num_rows)
     else:
@@ -456,6 +521,10 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
             columns.append(Column.from_pylist(data[c], _insert_literal_type(data[c], target)))
         block = DataBlock(cols, columns, len(st.values))
     table.append(block, overwrite=st.overwrite)
+    # transactional stream consumption: a successful DML that read a
+    # stream advances its watermark (reference storages/stream semantics)
+    for sdb, sname in touched_streams:
+        s.streams.advance(sdb, sname)
     return _ok(block.num_rows)
 
 
@@ -538,6 +607,13 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         names = [n for n in names if match(n)]
         return QueryResult(DataBlock(["name"], [Column.from_pylist(names, String)]),
                            [DataField("name", String)])
+    if st.what == "STREAMS":
+        rows = [(key.split("/", 1)[1], v["table_database"] + "." + v["table_name"],
+                 v["watermark"] or "") for key, v in s.streams.list()]
+        names = ["name", "table", "watermark"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
+            [DataField(n, String) for n in names])
     if st.what == "INDEXES":
         rows = []
         for t in s.catalog.list_tables(s.current_database):
@@ -593,6 +669,10 @@ _STATEMENTS = {
     A.FlashbackTable: _stmt_flashback,
     A.CopyIntoTable: _stmt_copy_into_table,
     A.CopyIntoLocation: _stmt_copy_into_location,
+    A.CreateFunction: _stmt_create_function,
+    A.DropFunction: _stmt_drop_function,
+    A.CreateStream: _stmt_create_stream,
+    A.DropStream: _stmt_drop_stream,
     A.CreateUser: _stmt_create_user,
     A.DropUser: _stmt_drop_user,
     A.CreateRole: _stmt_create_role,

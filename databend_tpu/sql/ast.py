@@ -298,6 +298,41 @@ class FlashbackTable(Statement):
 
 
 @dataclass
+class CreateStream(Statement):
+    """CREATE STREAM s ON TABLE t (CDC; reference src/query/storages/stream)"""
+    name: str
+    table: str
+    table_database: Optional[str] = None
+    database: Optional[str] = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropStream(Statement):
+    name: str
+    database: Optional[str] = None
+    if_exists: bool = False
+
+
+@dataclass
+class CreateFunction(Statement):
+    """CREATE FUNCTION f AS (x, y) -> <expr> (lambda UDF, reference
+    interpreter_user_defined_function + bendpy UDF surface)."""
+    name: str
+    params: List[str]
+    body: "Expr"
+    body_text: str
+    or_replace: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropFunction(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
 class CreateUser(Statement):
     name: str
     password: Optional[str] = None

@@ -184,6 +184,8 @@ class SelectExprBinder(ExprBinder):
 class Binder:
     def __init__(self, session):
         self.session = session
+        # streams read by this query (consumed by a successful DML)
+        self.touched_streams: List[Tuple[str, str]] = []
 
     # ------------------------------------------------------------------ query
     def bind_query(self, q: A.Query,
@@ -393,7 +395,13 @@ class Binder:
                 raise SemanticError("ORDER BY expressions must appear in SELECT DISTINCT items")
             plan = DistinctPlan(plan)
         if sort_items:
-            plan = SortPlan(plan, sort_items, _limit_sum(limit, offset))
+            spill_rows = None
+            try:
+                spill_rows = int(self.session.settings.get("sort_spill_row_threshold")) or None
+            except Exception:
+                pass
+            plan = SortPlan(plan, sort_items, _limit_sum(limit, offset),
+                            spill_threshold_rows=spill_rows)
         if extra_items:
             plan = ProjectPlan(plan, [
                 (n, BoundColumn(n, e.dtype)) for n, e in bound_items])
@@ -425,6 +433,23 @@ class Binder:
                 ctx = BindContext()
                 for f in plan.output_fields():
                     ctx.add(f.name, f.dtype, ref.alias or ref.name)
+                state.scan = None
+                state.table_info = None
+                return plan, ctx
+            # streams shadow tables of the same name only if no table exists
+            stream_info = self.session.streams.get(db, ref.name) \
+                if hasattr(self.session, "streams") else None
+            if stream_info is not None:
+                self.session.check_privilege(
+                    "SELECT", stream_info["table_database"],
+                    stream_info["table_name"])
+                block, fields = self.session.streams.read_delta(db, ref.name)
+                self.touched_streams.append((db, ref.name))
+                plan = ValuesPlan(block, fields)
+                ctx = BindContext()
+                alias = ref.alias or ref.name
+                for f in fields:
+                    ctx.add(f.name, f.dtype, alias)
                 state.scan = None
                 state.table_info = None
                 return plan, ctx

@@ -238,7 +238,34 @@ class Parser:
             self.next()
             ine = self._if_not_exists()
             return A.CreateRole(self._user_name(), ine)
-        self.error("expected DATABASE/TABLE/INDEX/USER/ROLE after CREATE")
+        if self.at_keyword("STREAM"):
+            self.next()
+            ine = self._if_not_exists()
+            db, name = self.qualified_name()
+            self.expect_keyword("ON")
+            self.expect_keyword("TABLE")
+            tdb, tname = self.qualified_name()
+            return A.CreateStream(name, tname, tdb, db, ine)
+        if self.at_keyword("FUNCTION"):
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            self.expect_keyword("AS")
+            self.expect_op("(")
+            params = []
+            if not self.at_op(")"):
+                params.append(self.ident())
+                while self.accept_op(","):
+                    params.append(self.ident())
+            self.expect_op(")")
+            self.expect_op("->")
+            body_start = self.peek().pos
+            body = self.parse_expr()
+            end = self.peek().pos if self.peek().kind != "EOF" else len(self.sql)
+            return A.CreateFunction(name, params, body,
+                                    self.sql[body_start:end].strip(),
+                                    replace, ine)
+        self.error("expected DATABASE/TABLE/INDEX/USER/ROLE/FUNCTION after CREATE")
 
     def _at_word(self, *words: str) -> bool:
         t = self.peek()
@@ -402,7 +429,14 @@ class Parser:
             self.next()
             ie = self._if_exists()
             return A.DropRole(self._user_name(), ie)
-        self.error("expected DATABASE/TABLE/INDEX/USER/ROLE after DROP")
+        if self.accept_keyword("STREAM"):
+            ie = self._if_exists()
+            db, name = self.qualified_name()
+            return A.DropStream(name, db, ie)
+        if self.accept_keyword("FUNCTION"):
+            ie = self._if_exists()
+            return A.DropFunction(self.ident(), ie)
+        self.error("expected DATABASE/TABLE/INDEX/USER/ROLE/FUNCTION after DROP")
 
     def parse_grant_revoke(self):
         is_grant = self.next().text.upper() == "GRANT"

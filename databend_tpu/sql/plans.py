@@ -153,6 +153,9 @@ class SortPlan(Plan):
     child: Plan
     items: List[SortItem]
     limit: Optional[int] = None  # top-n fast path
+    # rows above which the sort spills sorted runs to disk and k-way
+    # merges them (reference sort_spill.rs); None = never spill
+    spill_threshold_rows: Optional[int] = None
 
     def children(self):
         return [self.child]
