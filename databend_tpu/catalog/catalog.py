@@ -74,7 +74,10 @@ class TableInfo:
         return [i for i in self.indexes.values() if i.index_type == "VECTOR"]
 
     def inverted_indexes(self) -> List[TableIndexDef]:
-        return [i for i in self.indexes.values() if i.index_type in ("INVERTED", "NGRAM")]
+        return [i for i in self.indexes.values() if i.index_type == "INVERTED"]
+
+    def ngram_indexes(self) -> List[TableIndexDef]:
+        return [i for i in self.indexes.values() if i.index_type == "NGRAM"]
 
 
 @dataclass

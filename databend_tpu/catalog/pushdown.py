@@ -57,3 +57,6 @@ class PushDownInfo:
     order_by: List[Range] = field(default_factory=list)
     vector_index: Optional[VectorIndexInfo] = None
     inverted_index: Optional[InvertedIndexInfo] = None
+    # shard the exact-scan search over the device mesh when >1 device
+    # (reference enable_distributed_pruning, settings_default.rs:1470)
+    enable_distributed: bool = False

@@ -84,6 +84,7 @@ def _search_level0(x, links0, q, entry_ids, ef: int, k: int, metric: str,
     n, m0 = links0.shape
 
     e = entry_ids.shape[1]  # seeded entries per query
+    ef = max(ef, e)  # tiny blocks: never fewer candidate slots than seeds
     seed_d = _batch_dist(q, x[entry_ids], metric)  # [B, e]
     # dedupe identical seeds
     dup = (entry_ids[:, :, None] == entry_ids[:, None, :]) & (

@@ -1,0 +1,111 @@
+"""Scalar quantization (SQ-u8) scoring on the int8 MXU.
+
+Reference: EncodedVectorsU8 (src/query/storages/common/index/src/hnsw_index/
+quantization/encoded_vectors_u8.rs:33-427) — per-index (alpha, offset)
+affine u8 encoding with optional quantile clipping, scored by C SIMD u8
+dot kernels (cpp/avx2.c:42). TPU-native version: values are centered to
+int8 (c = u8 - 128) so scoring is an int8 x int8 matmul accumulating in
+int32 on the MXU, plus rank-1 correction terms from per-vector element
+sums:
+
+    x ~ alpha * u + offset,  u = c + 128
+    dot(x, y) = alpha^2 * (c_x . c_y)
+              + alpha * (alpha*128 + offset) * (s_x + s_y)
+              + d * (alpha*128 + offset)^2
+  with s = sum(c). Quantized corpora are 4x smaller than f32 (2x smaller
+than bf16), halving the HBM scan bound again.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SQ8Meta(NamedTuple):
+    alpha: float
+    offset: float
+    dim: int
+
+
+class SQ8Corpus(NamedTuple):
+    codes: jax.Array      # [N, d] int8 (centered)
+    sums: jax.Array       # [N] f32: sum of centered codes per row
+    sq_norms: jax.Array   # [N] f32: exact |x|^2 of the ORIGINAL vectors
+    meta: SQ8Meta
+
+
+def encode(x: np.ndarray, quantile: float = 0.99) -> SQ8Corpus:
+    """Fit (alpha, offset) on [lo, hi] quantiles (reference quantile.rs)
+    and encode to centered int8."""
+    x = np.asarray(x, np.float32)
+    n, d = x.shape
+    if quantile >= 1.0:
+        lo, hi = float(x.min()), float(x.max())
+    else:
+        lo = float(np.quantile(x, 1.0 - quantile))
+        hi = float(np.quantile(x, quantile))
+    if hi <= lo:
+        hi = lo + 1e-6
+    alpha = (hi - lo) / 255.0
+    offset = lo
+    u = np.clip(np.rint((x - offset) / alpha), 0, 255).astype(np.int32)
+    c = (u - 128).astype(np.int8)
+    sums = c.astype(np.float32).sum(axis=1)
+    sq = (x.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+    return SQ8Corpus(jnp.asarray(c), jnp.asarray(sums), jnp.asarray(sq),
+                     SQ8Meta(alpha, offset, d))
+
+
+def encode_query(q: np.ndarray, meta: SQ8Meta) -> Tuple[jax.Array, jax.Array]:
+    """Encode queries once, then score against the whole corpus
+    (reference encode_query / score_point split)."""
+    q = np.asarray(q, np.float32)
+    u = np.clip(np.rint((q - meta.offset) / meta.alpha), 0, 255).astype(np.int32)
+    c = (u - 128).astype(np.int8)
+    return jnp.asarray(c), jnp.asarray(c.astype(np.float32).sum(axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "offset", "dim"))
+def _dot_scores(qc, qs, codes, sums, alpha: float, offset: float, dim: int):
+    idot = jax.lax.dot_general(
+        qc, codes, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                     # [B, N] int32
+    beta = alpha * 128.0 + offset
+    return (alpha * alpha * idot.astype(jnp.float32)
+            + alpha * beta * (qs[:, None] + sums[None, :])
+            + dim * beta * beta)
+
+
+def approx_dot(q_codes, q_sums, corpus: SQ8Corpus) -> jax.Array:
+    """Pairwise approximate dot products `[B, N]` from int8 codes."""
+    m = corpus.meta
+    return _dot_scores(q_codes, q_sums, corpus.codes, corpus.sums,
+                       m.alpha, m.offset, m.dim)
+
+
+def topk_l2(q: np.ndarray, corpus: SQ8Corpus, k: int,
+            x_f32: Optional[jax.Array] = None,
+            shortlist_mult: int = 4) -> Tuple[jax.Array, jax.Array]:
+    """Quantized exact-scan top-k: int8 matmul scores + (optional) exact
+    f32 re-rank of a k*shortlist_mult shortlist (the quantized HNSW
+    scoring path of the reference, generalized to full scans)."""
+    qj = jnp.asarray(np.asarray(q, np.float32))
+    q_codes, q_sums = encode_query(q, corpus.meta)
+    dots = approx_dot(q_codes, q_sums, corpus)                # ~ q.x
+    qq = jnp.sum(qj * qj, axis=1, keepdims=True)
+    d2 = qq - 2.0 * dots + corpus.sq_norms[None, :]
+    if x_f32 is None:
+        vals, ids = jax.lax.top_k(-d2, k)
+        return -vals, ids
+    s = min(k * shortlist_mult, d2.shape[1])
+    _, cand = jax.lax.approx_min_k(d2, s)
+    cand_vecs = x_f32[cand]
+    diff = cand_vecs - qj[:, None, :]
+    exact = jnp.sum(diff * diff, axis=-1)
+    vals, pos = jax.lax.top_k(-exact, k)
+    return -vals, jnp.take_along_axis(cand, pos, axis=1)

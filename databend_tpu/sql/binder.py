@@ -616,6 +616,12 @@ class Binder:
         if scan is None:
             return
         pd = scan.pushdown
+        try:
+            if self.session.settings.get("enable_distributed_pruning"):
+                import jax
+                pd.enable_distributed = jax.device_count() > 1
+        except Exception:
+            pass
         if state.vector_rewrite is not None:
             pd.vector_index = state.vector_rewrite
             scan.internal_columns.append(VECTOR_SCORE_COL_NAME)

@@ -78,6 +78,7 @@ class FusePruner:
         # bloom prune (point predicates)
         if pd.filters is not None:
             blocks = self._bloom_prune(blocks)
+            blocks = self._ngram_prune(blocks)
         self.stats.blocks_bloom_after = len(blocks)
 
         # inverted index prune (match()/query())
@@ -175,6 +176,37 @@ class FusePruner:
                 out.append(b)
         return out
 
+    def _ngram_prune(self, blocks: List[BlockMeta]) -> List[BlockMeta]:
+        """Skip blocks whose ngram filter is missing any gram of a LIKE
+        pattern's literal segments (reference NgramArgs,
+        bloom_index.rs:649)."""
+        likes = _extract_like_predicates(self.pushdown.filters)
+        if not likes:
+            return blocks
+        import numpy as np
+        from ....index.bloom import BloomFilter
+        from ....index.ngram import filter_may_match
+        out = []
+        for b in blocks:
+            if b.ngram_index is None:
+                out.append(b)
+                continue
+            keep = True
+            data = None
+            for col_name, pattern in likes:
+                n = b.ngram_index.get("columns", {}).get(col_name.lower())
+                if n is None:
+                    continue
+                if data is None:
+                    data = np.load(self.table.abs_path(b.ngram_index["location"]))
+                flt = BloomFilter.from_bytes(data[col_name.lower()].tobytes())
+                if not filter_may_match(flt, pattern, int(n)):
+                    keep = False
+                    break
+            if keep:
+                out.append(b)
+        return out
+
     def _inverted_prune(self, blocks: List[PrunedBlock]) -> List[PrunedBlock]:
         info = self.pushdown.inverted_index
         out = []
@@ -219,7 +251,20 @@ class FusePruner:
                 blocks = [blocks[i] for i in keep]
         self.stats.blocks_vector_stats_after = len(blocks)
 
-        # (b) per-block HNSW search (device-batched), ef = 4*limit
+        # (b) distributed exact scan over the device mesh: when no block
+        # has an HNSW graph and >1 device, the candidate blocks become one
+        # row-sharded corpus searched with per-shard top-k + all_gather
+        # merge over ICI (reference distributed pruning,
+        # read_partitions.rs:263-290 + MergeExchange)
+        has_graphs = any(info.index_name in pb.meta.vector_indexes
+                         and pb.meta.vector_indexes[info.index_name].get("graphs")
+                         for pb in blocks)
+        if (self.pushdown.enable_distributed and not has_graphs and blocks):
+            dist = self._vector_prune_distributed(blocks, info, q, limit)
+            if dist is not None:
+                return dist
+
+        # per-block HNSW search (device-batched), ef = 4*limit
         results = []  # (block_idx, row, score)
         for bi, pb in enumerate(blocks):
             hit = self.table.search_vector_index(pb.meta, info, q, limit)
@@ -245,8 +290,87 @@ class FusePruner:
         return out
 
 
+    def _vector_prune_distributed(self, blocks, info, q, limit):
+        """Mesh-sharded exact top-k across candidate blocks; returns pruned
+        blocks with vector_scores, or None to fall back single-device."""
+        import jax
+        import numpy as np
+        from ....parallel import (make_mesh, query_sharding, shard_rows,
+                                  sharded_brute_force_topk)
+        metric = info.func_name.replace("_distance", "")
+        cols = []
+        offsets = [0]
+        for pb in blocks:
+            b = self.table.read_block(pb.meta, [info.column])
+            arr = np.asarray(b.column(info.column).data, np.float32)
+            cols.append(arr)
+            offsets.append(offsets[-1] + arr.shape[0])
+        corpus = np.concatenate(cols, axis=0)
+        if metric == "cosine":
+            from ....ops.distance import normalize
+            corpus = np.asarray(normalize(corpus))
+            qn = np.asarray(normalize(q.astype(np.float32)))
+            metric_used, qq = "ip", qn
+        else:
+            metric_used, qq = ("l2" if metric == "l2" else metric), q
+        try:
+            mesh = make_mesh(jax.device_count())
+            x_dev, n_valid = shard_rows(corpus, mesh)
+            q_dev = jax.device_put(np.asarray(qq, np.float32), query_sharding(mesh))
+            k = min(limit, n_valid)
+            dists, ids = sharded_brute_force_topk(mesh, q_dev, x_dev, k,
+                                                  metric_used)
+        except Exception:
+            return None
+        dists = np.asarray(dists)[0]
+        ids = np.asarray(ids)[0]
+        if metric == "cosine":
+            dists = 1.0 + dists  # ip = -dot on normalized vectors
+        results = []
+        bounds = np.asarray(offsets)
+        for gid, s in zip(ids.tolist(), dists.tolist()):
+            if gid < 0 or gid >= n_valid:
+                continue
+            bi = int(np.searchsorted(bounds, gid, side="right") - 1)
+            results.append((bi, gid - int(bounds[bi]), float(s)))
+        per_block = {}
+        for bi, r, s in results:
+            per_block.setdefault(bi, []).append((r, s))
+        out = []
+        for bi, pb in enumerate(blocks):
+            if bi in per_block:
+                pb.vector_scores = per_block[bi]
+                out.append(pb)
+        return out
+
+
 def _num(v):
     return v if isinstance(v, (int, float)) else 0
+
+
+def _extract_like_predicates(expr: Optional[ScalarExpr]):
+    """(col, pattern) pairs from top-level AND-ed LIKE predicates."""
+    out = []
+    if expr is None:
+        return out
+
+    def visit(e: ScalarExpr):
+        if not isinstance(e, Func):
+            return
+        if e.name == "and":
+            for a in e.args:
+                visit(a)
+            return
+        if e.name == "like" and len(e.args) == 2:
+            a, b = e.args
+            a2 = a.arg if isinstance(a, CastExpr) else a
+            b2 = b.arg if isinstance(b, CastExpr) else b
+            if isinstance(a2, BoundColumn) and isinstance(b2, Constant) \
+                    and isinstance(b2.value, str):
+                out.append((a2.name, b2.value))
+
+    visit(expr)
+    return out
 
 
 def _extract_point_predicates(expr: Optional[ScalarExpr]):

@@ -33,6 +33,7 @@ class BlockMeta:
     vector_indexes: Dict[str, dict] = field(default_factory=dict)
     inverted_indexes: Dict[str, dict] = field(default_factory=dict)
     bloom_index: Optional[dict] = None
+    ngram_index: Optional[dict] = None
     cluster_id: Optional[int] = None
 
     def to_dict(self):
@@ -44,6 +45,7 @@ class BlockMeta:
             "vector_indexes": self.vector_indexes,
             "inverted_indexes": self.inverted_indexes,
             "bloom_index": self.bloom_index,
+            "ngram_index": self.ngram_index,
             "cluster_id": self.cluster_id,
         }
 
@@ -53,7 +55,7 @@ class BlockMeta:
             d["location"], d["row_count"], d["block_size"],
             {k: ColumnStats.from_dict(v) for k, v in d.get("col_stats", {}).items()},
             d.get("vector_indexes", {}), d.get("inverted_indexes", {}),
-            d.get("bloom_index"), d.get("cluster_id"))
+            d.get("bloom_index"), d.get("ngram_index"), d.get("cluster_id"))
 
     def vector_stats_for(self, index_name: str) -> Optional[VectorStats]:
         vi = self.vector_indexes.get(index_name)

@@ -226,6 +226,22 @@ class FuseTable:
         # inverted indexes
         for idx in self.info.inverted_indexes():
             self._build_inverted_index(meta, chunk, uid, idx)
+        # ngram (LIKE) filters
+        ngram_cols = {}
+        for idx in self.info.ngram_indexes():
+            from ...index.ngram import DEFAULT_GRAM, build_ngram_filter
+            n = int(idx.options.get("gram_size", DEFAULT_GRAM))
+            for cname in idx.columns:
+                flt = build_ngram_filter(chunk.column(cname), n)
+                if flt is not None:
+                    ngram_cols[cname.lower()] = (flt, n)
+        if ngram_cols:
+            rel = f"_i/{uid}.ngram.npz"
+            np.savez(self.abs_path(rel), **{
+                c: np.frombuffer(f.to_bytes(), np.uint8)
+                for c, (f, _) in ngram_cols.items()})
+            meta.ngram_index = {"location": rel,
+                                "columns": {c: n for c, (_, n) in ngram_cols.items()}}
 
     def _write_bloom(self, path: str, chunk: DataBlock, cols: Dict[str, bool]):
         import io as _io
