@@ -136,6 +136,13 @@ class Column:
             dtype = dtype.wrap_nullable()
         if isinstance(inner, StringType):
             return Column(dtype, StringData.from_pylist(values), validity)
+        from ..types import VariantType
+        if isinstance(inner, VariantType):
+            import json as _json
+            texts = [None if v is None
+                     else (v if isinstance(v, str) else _json.dumps(v))
+                     for v in values]
+            return Column(dtype, StringData.from_pylist(texts), validity)
         if isinstance(inner, VectorType):
             dim = inner.dim
             out = np.zeros((len(values), dim), dtype=inner.numpy_dtype())

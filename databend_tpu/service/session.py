@@ -324,6 +324,30 @@ def _copy_sources(src: str, pattern: Optional[str]) -> List[str]:
     return hits
 
 
+def _stmt_create_view(s: SessionContext, st: A.CreateView):
+    db = st.database or s.current_database
+    key = f"views/{db.lower()}/{st.name.lower()}"
+    cur, _ = s.meta.get(key)
+    if cur is not None and not st.or_replace:
+        if st.if_not_exists:
+            return _ok()
+        raise SemanticError(f"view {st.name!r} already exists")
+    s.meta.upsert(key, {"query_text": st.query_text})
+    return _ok()
+
+
+def _stmt_drop_view(s: SessionContext, st: A.DropView):
+    db = st.database or s.current_database
+    key = f"views/{db.lower()}/{st.name.lower()}"
+    cur, _ = s.meta.get(key)
+    if cur is None:
+        if st.if_exists:
+            return _ok()
+        raise SemanticError(f"unknown view {st.name!r}")
+    s.meta.delete(key)
+    return _ok()
+
+
 def _stmt_create_stream(s: SessionContext, st: A.CreateStream):
     db = st.database or s.current_database
     tdb = st.table_database or s.current_database
@@ -673,6 +697,8 @@ _STATEMENTS = {
     A.DropFunction: _stmt_drop_function,
     A.CreateStream: _stmt_create_stream,
     A.DropStream: _stmt_drop_stream,
+    A.CreateView: _stmt_create_view,
+    A.DropView: _stmt_drop_view,
     A.CreateUser: _stmt_create_user,
     A.DropUser: _stmt_drop_user,
     A.CreateRole: _stmt_create_role,

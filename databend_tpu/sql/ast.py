@@ -298,6 +298,24 @@ class FlashbackTable(Statement):
 
 
 @dataclass
+class CreateView(Statement):
+    """CREATE [OR REPLACE] VIEW v AS SELECT ... (stored as SQL text,
+    expanded at bind time)."""
+    name: str
+    query_text: str
+    database: Optional[str] = None
+    or_replace: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropView(Statement):
+    name: str
+    database: Optional[str] = None
+    if_exists: bool = False
+
+
+@dataclass
 class CreateStream(Statement):
     """CREATE STREAM s ON TABLE t (CDC; reference src/query/storages/stream)"""
     name: str

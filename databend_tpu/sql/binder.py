@@ -436,6 +436,27 @@ class Binder:
                 state.scan = None
                 state.table_info = None
                 return plan, ctx
+            # views expand to their stored query (bound as a subquery)
+            view, _ = self.session.meta.get(
+                f"views/{db.lower()}/{ref.name.lower()}")
+            if view is not None:
+                self._view_depth = getattr(self, "_view_depth", 0) + 1
+                if self._view_depth > 16:
+                    raise SemanticError(
+                        f"view {ref.name!r} expansion too deep (recursive?)")
+                from .parser import Parser
+                try:
+                    sub = self.bind_query(Parser(view["query_text"]).parse_query(),
+                                          ctes)
+                finally:
+                    self._view_depth -= 1
+                ctx = BindContext()
+                alias = ref.alias or ref.name
+                for f in sub.output_fields():
+                    ctx.add(f.name, f.dtype, alias)
+                state.scan = None
+                state.table_info = None
+                return sub, ctx
             # streams shadow tables of the same name only if no table exists
             stream_info = self.session.streams.get(db, ref.name) \
                 if hasattr(self.session, "streams") else None

@@ -28,6 +28,7 @@ _BINOP_FN = {
     "AND": "and", "OR": "or", "XOR": "xor",
     "LIKE": "like", "ILIKE": "ilike", "REGEXP": "regexp", "RLIKE": "regexp",
     "||": "concat",
+    "->": "json_get", "->>": "json_get_text",
 }
 
 _CMP_FNS = {"eq", "noteq", "lt", "lte", "gt", "gte"}

@@ -23,6 +23,7 @@ _BIN_POWER = {
     "=": 40, "==": 40, "!=": 40, "<>": 40, "<": 40, "<=": 40, ">": 40,
     ">=": 40, "<=>": 40, "LIKE": 40, "ILIKE": 40, "REGEXP": 40, "RLIKE": 40,
     "||": 50,
+    "->": 55, "->>": 55,
     "+": 60, "-": 60,
     "*": 70, "/": 70, "%": 70,
     "^": 80,
@@ -246,6 +247,15 @@ class Parser:
             self.expect_keyword("TABLE")
             tdb, tname = self.qualified_name()
             return A.CreateStream(name, tname, tdb, db, ine)
+        if self.at_keyword("VIEW"):
+            self.next()
+            ine = self._if_not_exists()
+            db, name = self.qualified_name()
+            self.expect_keyword("AS")
+            start = self.peek().pos
+            self.parse_query()  # validate the query parses now
+            return A.CreateView(name, self.sql[start:].strip().rstrip(";"),
+                                db, replace, ine)
         if self.at_keyword("FUNCTION"):
             self.next()
             ine = self._if_not_exists()
@@ -433,6 +443,10 @@ class Parser:
             ie = self._if_exists()
             db, name = self.qualified_name()
             return A.DropStream(name, db, ie)
+        if self.accept_keyword("VIEW"):
+            ie = self._if_exists()
+            db, name = self.qualified_name()
+            return A.DropView(name, db, ie)
         if self.accept_keyword("FUNCTION"):
             ie = self._if_exists()
             return A.DropFunction(self.ident(), ie)

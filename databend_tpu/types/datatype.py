@@ -152,6 +152,18 @@ class TimestampType(DataType):
         return np.dtype(np.int64)
 
 
+class VariantType(DataType):
+    """Semi-structured JSON values stored as canonical JSON text
+    (reference: jsonb-backed Variant, src/query/expression/src/types/
+    variant.rs). Host-side type — never enters device kernels."""
+
+    def sql_name(self) -> str:
+        return "VARIANT"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(object)
+
+
 @dataclass(frozen=True, eq=False)
 class VectorType(DataType):
     """Fixed-dim vector; element is Float32 or Int8.
@@ -242,6 +254,7 @@ Float64 = NumberType("f64")
 String = StringType()
 Date = DateType()
 Timestamp = TimestampType()
+Variant = VariantType()
 
 ALL_NUMBER_TYPES = [Int8, Int16, Int32, Int64, UInt8, UInt16, UInt32, UInt64, Float32, Float64]
 
@@ -301,6 +314,7 @@ _TYPE_NAMES = {
     "VARCHAR": String, "STRING": String, "TEXT": String,
     "DATE": Date,
     "TIMESTAMP": Timestamp, "DATETIME": Timestamp,
+    "VARIANT": Variant, "JSON": Variant,
 }
 
 _VECTOR_RE = re.compile(r"^VECTOR\s*\(\s*(\d+)\s*(?:,\s*(INT8|FLOAT32)\s*)?\)$", re.I)
