@@ -34,7 +34,28 @@ def execute_plan_blocks(plan: Plan) -> Iterator[DataBlock]:
     fn = _DISPATCH.get(type(plan))
     if fn is None:
         raise SemanticError(f"no executor for {type(plan).__name__}")
-    return fn(plan)
+    return _profiled(plan, fn(plan))
+
+
+def _profiled(plan: Plan, it: Iterator[DataBlock]) -> Iterator[DataBlock]:
+    """Per-operator wall-clock + row counters (reference PlanProfile,
+    src/query/pipeline/src/core/profile.rs:93; surfaced by EXPLAIN
+    ANALYZE). Inclusive time: child pull time counts toward the parent
+    only while the parent is driving it."""
+    import time as _t
+    prof = plan.__dict__.setdefault("_profile", {"rows": 0, "blocks": 0,
+                                                 "ms": 0.0})
+    while True:
+        t0 = _t.perf_counter()
+        try:
+            block = next(it)
+        except StopIteration:
+            prof["ms"] += (_t.perf_counter() - t0) * 1e3
+            return
+        prof["ms"] += (_t.perf_counter() - t0) * 1e3
+        prof["rows"] += block.num_rows
+        prof["blocks"] += 1
+        yield block
 
 
 def execute_plan(plan: Plan) -> DataBlock:

@@ -205,11 +205,29 @@ class SessionContext:
             t0 = time.time()
             block = execute_plan(plan)
             elapsed = time.time() - t0
+            # re-render the tree with per-operator profiles (reference
+            # EXPLAIN ANALYZE / PlanProfile)
+            lines = _explain_with_profile(plan).split("\n")
             lines.append(f"-- executed in {elapsed*1000:.1f} ms, {block.num_rows} rows")
             for line in _collect_pruning_stats(plan):
                 lines.append("-- " + line)
         col = Column.from_pylist(lines, String)
         return QueryResult(DataBlock(["explain"], [col]), [DataField("explain", String)])
+
+
+def _explain_with_profile(plan, indent: int = 0) -> str:
+    pad = "  " * indent
+    prof = getattr(plan, "_profile", None) or plan.__dict__.get("_profile")
+    line = pad + plan._explain_line()
+    if prof:
+        child_ms = sum((c.__dict__.get("_profile") or {}).get("ms", 0.0)
+                       for c in plan.children())
+        own = max(prof["ms"] - child_ms, 0.0)
+        line += (f"  [rows: {prof['rows']}, blocks: {prof['blocks']}, "
+                 f"total: {prof['ms']:.2f} ms, self: {own:.2f} ms]")
+    parts = [line] + [_explain_with_profile(c, indent + 1)
+                      for c in plan.children()]
+    return "\n".join(parts)
 
 
 def _collect_pruning_stats(plan) -> List[str]:
