@@ -81,17 +81,33 @@ def _exec_scan(plan: Scan) -> Iterator[DataBlock]:
     parts, stats = table.read_partitions(pd, plan.snapshot_id)
     plan.pruning_stats = stats  # stashed for EXPLAIN ANALYZE
     needed = plan.columns if plan.columns is not None else table.schema.field_names()
-    for part in parts:
-        block = table.read_block(part.meta, needed)
-        block = _materialize_internal(plan, part, block)
-        if pd.filters is not None:
-            mask_col = Evaluator(block).run(pd.filters)
-            mask = np.asarray(mask_col.data, dtype=np.bool_)
-            if mask_col.validity is not None:
-                mask = mask & mask_col.validity
-            block = block.filter(mask)
-        if block.num_rows:
-            yield block
+
+    # block IO prefetch pipeline: host threads keep the next blocks in
+    # flight while the current one is processed (the analog of the
+    # reference's async pruning/read runtime, fuse_pruner.rs:386 +
+    # GlobalIORuntime) — decode/IO overlaps compute
+    from concurrent.futures import ThreadPoolExecutor
+    PREFETCH = 4
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = []
+        idx = 0
+        while idx < min(PREFETCH, len(parts)):
+            futures.append(pool.submit(table.read_block, parts[idx].meta, needed))
+            idx += 1
+        for pi, part in enumerate(parts):
+            block = futures[pi].result()
+            if idx < len(parts):
+                futures.append(pool.submit(table.read_block, parts[idx].meta, needed))
+                idx += 1
+            block = _materialize_internal(plan, part, block)
+            if pd.filters is not None:
+                mask_col = Evaluator(block).run(pd.filters)
+                mask = np.asarray(mask_col.data, dtype=np.bool_)
+                if mask_col.validity is not None:
+                    mask = mask & mask_col.validity
+                block = block.filter(mask)
+            if block.num_rows:
+                yield block
 
 
 def _materialize_internal(plan: Scan, part, block: DataBlock) -> DataBlock:
@@ -368,10 +384,54 @@ def _group_ids(block: DataBlock, key_cols: List[Column], state: dict):
     return gids, state
 
 
+def _try_stats_aggregate(plan: AggregatePlan) -> Optional[DataBlock]:
+    """Answer global count(*)/min/max straight from block statistics when no
+    filter/group-by touches row data (the aggregating-index fast path —
+    reference: TableIndexType::Aggregating + per-block ColumnStats)."""
+    child = plan.child
+    if type(child) is not Scan or plan.keys or child.internal_columns:
+        return None
+    pd = child.pushdown
+    if pd.filters is not None or pd.vector_index is not None \
+            or pd.inverted_index is not None or pd.limit is not None:
+        return None
+    for name, fn, arg_exprs in plan.aggs:
+        if fn.distinct:
+            return None
+        if fn.name == "count" and not arg_exprs:
+            continue
+        if fn.name in ("min", "max") and len(arg_exprs) == 1 \
+                and isinstance(arg_exprs[0], BoundColumn):
+            continue
+        return None
+    parts, stats = child.table.read_partitions(pd, child.snapshot_id)
+    child.pruning_stats = stats
+    cols, names = [], []
+    for name, fn, arg_exprs in plan.aggs:
+        names.append(name)
+        if fn.name == "count":
+            total = sum(p.meta.row_count for p in parts)
+            cols.append(Column.from_pylist([total], fn.return_type()))
+        else:
+            col_name = arg_exprs[0].name
+            vals = [p.meta.col_stats[col_name].min if fn.name == "min"
+                    else p.meta.col_stats[col_name].max
+                    for p in parts if col_name in p.meta.col_stats]
+            vals = [v for v in vals if v is not None]
+            agg = None if not vals else (min(vals) if fn.name == "min" else max(vals))
+            cols.append(Column.from_pylist(
+                [agg], fn.return_type().wrap_nullable()))
+    return DataBlock(names, cols, 1)
+
+
 def _exec_aggregate(plan: AggregatePlan):
     """Two-phase hash aggregation: assign dense group ids streaming, buffer
     the (small) per-block gid + argument columns, then run each aggregate's
     vectorized update once states are sized to the final group count."""
+    fast = _try_stats_aggregate(plan)
+    if fast is not None:
+        yield fast
+        return
     state: dict = {}
     key_types = [e.dtype for _, e in plan.keys]
     buffered: List[Tuple[np.ndarray, List[Optional[Column]]]] = []
