@@ -37,29 +37,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _flash_kernel(q_ref, x_ref, norms_ref, out_ref, *, tile: int,
-                  buckets: int, metric: str):
+                  buckets: int, metric: str, subtile: int):
     b = q_ref.shape[0]
-    # MXU: q [B, D] x tile [T, D] -> scores [B, T]
-    dots = jax.lax.dot_general(
-        q_ref[:], x_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if metric == "l2":
-        # per-row |q|^2 dropped: it never changes per-row ordering
-        scores = norms_ref[:] - 2.0 * dots
-    else:  # ip / pre-normalized cosine: norms = 0 (real) / +inf (pad)
-        scores = norms_ref[:] - dots
-    # group-min over lane-aligned groups: column c -> (group c//L ... no —
-    # c = s*L + lane, reduce over s) keeps the last dim = lanes
-    grouped = scores.reshape(b, tile // buckets, buckets)
-    out_ref[0, :, :] = jnp.min(grouped, axis=1)
+    acc = None
+    # in-kernel subtile loop: amortizes per-grid-step overhead while the
+    # [B, subtile] score buffer stays VMEM-sized
+    for s in range(tile // subtile):
+        xs = x_ref[s * subtile:(s + 1) * subtile, :]
+        dots = jax.lax.dot_general(
+            q_ref[:], xs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ns = norms_ref[:, s * subtile:(s + 1) * subtile]
+        if metric == "l2":
+            # per-row |q|^2 dropped: never changes per-row ordering
+            scores = ns - 2.0 * dots
+        else:  # ip / pre-normalized cosine: norms = 0 (real) / +inf (pad)
+            scores = ns - dots
+        # group-min over lane-aligned groups (column c = g*buckets + lane)
+        m = jnp.min(scores.reshape(b, subtile // buckets, buckets), axis=1)
+        acc = m if acc is None else jnp.minimum(acc, m)
+    out_ref[0, :, :] = acc
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("metric", "tile", "buckets", "interpret"))
+                   static_argnames=("metric", "tile", "buckets", "subtile",
+                                    "interpret"))
 def flash_group_minima(q: jax.Array, x_bf16: jax.Array, norms: jax.Array,
-                       metric: str = "l2", tile: int = 4096,
-                       buckets: int = 128,
+                       metric: str = "l2", tile: int = 16384,
+                       buckets: int = 128, subtile: int = 0,
                        interpret: bool = False) -> jax.Array:
     """Fused scan returning `[ntiles, B, L]` group minima (see module doc).
 
@@ -71,10 +77,13 @@ def flash_group_minima(q: jax.Array, x_bf16: jax.Array, norms: jax.Array,
     n = x_bf16.shape[0]
     assert n % tile == 0, f"corpus rows {n} not a multiple of tile {tile}"
     assert tile % buckets == 0
+    if subtile <= 0:
+        subtile = min(tile, 4096)
+    assert tile % subtile == 0 and subtile % buckets == 0
     ntiles = n // tile
 
     kernel = functools.partial(_flash_kernel, tile=tile, buckets=buckets,
-                               metric=metric)
+                               metric=metric, subtile=subtile)
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -108,11 +117,12 @@ def pad_for_flash(x, norms, tile: int = 4096):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "tile", "buckets",
-                                             "shortlist", "interpret"))
+                                             "shortlist", "subtile",
+                                             "interpret"))
 def flash_topk(q: jax.Array, x_bf16: jax.Array, norms: jax.Array,
                x_f32: jax.Array, k: int, metric: str = "l2",
-               tile: int = 4096, buckets: int = 128, shortlist: int = 0,
-               n_valid: Optional[jax.Array] = None,
+               tile: int = 16384, buckets: int = 128, shortlist: int = 0,
+               subtile: int = 0, n_valid: Optional[jax.Array] = None,
                interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Fused scan + exact top-k (see module doc).
 
@@ -128,6 +138,7 @@ def flash_topk(q: jax.Array, x_bf16: jax.Array, norms: jax.Array,
     group = tile // buckets
 
     minima = flash_group_minima(q, x_bf16, norms, metric, tile, buckets,
+                                subtile=subtile,
                                 interpret=interpret)          # [ntiles, B, L]
     flat = jnp.transpose(minima, (1, 0, 2)).reshape(b, -1)    # [B, ntiles*L]
     _, win = jax.lax.top_k(-flat, shortlist)                  # [B, S]

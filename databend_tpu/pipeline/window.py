@@ -200,6 +200,8 @@ def _const_int_arg(item: WindowItem, i: int, fname: str, default=None) -> int:
 def _window_aggregate(ev, item: WindowItem, perm, n, starts, part_start,
                       part_count, peer_end) -> Column:
     name = item.func
+    if item.frame is not None:
+        return _rows_frame_aggregate(ev, item, perm, n, part_start, part_count)
     cumulative = bool(item.order_by)
 
     if name == "count" and not item.args:
@@ -263,6 +265,81 @@ def _window_aggregate(ev, item: WindowItem, perm, n, starts, part_start,
         red = op.reduceat(work, starts)
         out = np.repeat(red, reps)
         c = np.repeat(np.add.reduceat(vcnt, starts), reps)
+    validity = c > 0
+    out = np.where(validity, out, 0.0)
+    return Column.from_numpy(out, item.dtype,
+                             validity if not validity.all() else None)
+
+
+def _rows_frame_aggregate(ev, item: WindowItem, perm, n, part_start,
+                          part_count) -> Column:
+    """Explicit ROWS BETWEEN a AND b frames: per-row window [i+a, i+b]
+    clipped to the partition, computed with prefix sums (sum/count/avg)
+    or stacked-shift reductions (min/max)."""
+    name = item.func
+    a, b = item.frame
+    part_end = part_start + part_count - 1
+    idx = np.arange(n)
+    lo = part_start if a is None else np.maximum(idx + a, part_start)
+    hi = part_end if b is None else np.minimum(idx + b, part_end)
+    empty = lo > hi
+
+    if name == "count" and not item.args:
+        out = np.where(empty, 0, hi - lo + 1).astype(np.int64)
+        return Column.from_numpy(out)
+
+    src = ev.run(item.args[0]).take(perm)
+    if isinstance(src.data, StringData):
+        raise SemanticError(f"window {name}() over strings is not supported")
+    data = np.asarray(src.data, dtype=np.float64)
+    valid = src.validity if src.validity is not None else np.ones(n, np.bool_)
+    filled = np.where(valid, data, 0.0)
+    vcnt = valid.astype(np.int64)
+    lo_c = np.clip(lo, 0, n - 1)
+    hi_c = np.clip(hi, 0, n - 1)
+
+    if name in ("sum", "avg", "count"):
+        cs = np.concatenate([[0.0], np.cumsum(filled)])
+        cc = np.concatenate([[0], np.cumsum(vcnt)])
+        s = cs[hi_c + 1] - cs[lo_c]
+        c = cc[hi_c + 1] - cc[lo_c]
+        s = np.where(empty, 0.0, s)
+        c = np.where(empty, 0, c)
+        if name == "count":
+            return Column.from_numpy(c.astype(np.int64))
+        out = s if name == "sum" else np.divide(s, np.maximum(c, 1))
+        validity = c > 0
+        return Column.from_numpy(out, item.dtype,
+                                 validity if not validity.all() else None)
+
+    # min/max via shifted stacking when the frame is bounded; otherwise
+    # fall back to a per-row loop over partitions (rare: unbounded + frame)
+    op = np.minimum if name == "min" else np.maximum
+    neutral = np.inf if name == "min" else -np.inf
+    work = np.where(valid, data, neutral)
+    if a is not None and b is not None:
+        acc = np.full(n, neutral)
+        for off in range(a, b + 1):
+            sh = np.full(n, neutral)
+            if off < 0:
+                sh[-off:] = work[:n + off] if off != 0 else work
+            elif off > 0:
+                sh[:n - off] = work[off:]
+            else:
+                sh = work
+            inside = (idx + off >= lo) & (idx + off <= hi)
+            acc = op(acc, np.where(inside, sh, neutral))
+        out = acc
+        cc = np.concatenate([[0], np.cumsum(vcnt)])
+        c = np.where(empty, 0, cc[hi_c + 1] - cc[lo_c])
+    else:
+        out = np.full(n, neutral)
+        c = np.zeros(n, np.int64)
+        for i in range(n):
+            if lo[i] <= hi[i]:
+                seg = work[lo[i]:hi[i] + 1]
+                out[i] = seg.min() if name == "min" else seg.max()
+                c[i] = vcnt[lo[i]:hi[i] + 1].sum()
     validity = c > 0
     out = np.where(validity, out, 0.0)
     return Column.from_numpy(out, item.dtype,

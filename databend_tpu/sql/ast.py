@@ -69,6 +69,9 @@ class FunctionCall(Expr):
 class WindowSpec:
     partition_by: List[Expr] = field(default_factory=list)
     order_by: List["OrderByExpr"] = field(default_factory=list)
+    # ROWS frame: (start, end) where each bound is None (unbounded) or an
+    # int row offset (negative = preceding, 0 = current row)
+    frame: Optional[Tuple[Optional[int], Optional[int]]] = None
 
 
 @dataclass

@@ -283,7 +283,8 @@ class Binder:
             key = (_ast_repr(e)
                    + "|part:" + ",".join(_ast_repr(p) for p in w.partition_by)
                    + "|ord:" + ",".join(f"{_ast_repr(ob.expr)}:{ob.asc}:{ob.nulls_first}"
-                                        for ob in w.order_by))
+                                        for ob in w.order_by)
+                   + f"|frame:{w.frame}")
             for i, existing in enumerate(window_asts):
                 if existing == key:
                     return BoundColumn(windows[i].out_name, windows[i].dtype)
@@ -300,7 +301,8 @@ class Binder:
                      for ob in e.window.order_by]
             dtype = _window_return_type(name, arg_exprs)
             out = f"__win_{len(windows)}"
-            windows.append(WindowItem(out, name, arg_exprs, part, order, dtype))
+            windows.append(WindowItem(out, name, arg_exprs, part, order, dtype,
+                                      frame=w.frame))
             window_asts.append(key)
             return BoundColumn(out, dtype)
 

@@ -1052,8 +1052,43 @@ class Parser:
             spec.order_by.append(self.parse_order_by_expr())
             while self.accept_op(","):
                 spec.order_by.append(self.parse_order_by_expr())
+        if self._at_word("ROWS"):
+            self.next()
+            if self._at_word("BETWEEN"):
+                self.next()
+                start = self._parse_frame_bound()
+                self.expect_keyword("AND")
+                end = self._parse_frame_bound()
+            else:
+                start = self._parse_frame_bound()
+                end = 0  # single-bound form: ... AND CURRENT ROW
+            spec.frame = (start, end)
         self.expect_op(")")
         return spec
+
+    def _parse_frame_bound(self):
+        """UNBOUNDED PRECEDING|FOLLOWING | CURRENT ROW | n PRECEDING|FOLLOWING
+        -> None (unbounded) or signed row offset."""
+        if self._at_word("UNBOUNDED"):
+            self.next()
+            if not self._at_word("PRECEDING", "FOLLOWING"):
+                self.error("expected PRECEDING/FOLLOWING")
+            self.next()
+            return None
+        if self._at_word("CURRENT"):
+            self.next()
+            if not self._at_word("ROW"):
+                self.error("expected ROW")
+            self.next()
+            return 0
+        n = int(self.next().text)
+        if self._at_word("PRECEDING"):
+            self.next()
+            return -n
+        if self._at_word("FOLLOWING"):
+            self.next()
+            return n
+        self.error("expected PRECEDING/FOLLOWING")
 
 
 def parse_sql(sql: str) -> A.Statement:

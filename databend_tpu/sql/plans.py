@@ -212,6 +212,8 @@ class WindowItem:
     partition_by: List[ScalarExpr]
     order_by: List[Tuple[ScalarExpr, bool, Optional[bool]]]  # (expr, asc, nulls_first)
     dtype: DataType = None
+    # ROWS frame (start, end): None bound = unbounded, int = row offset
+    frame: Optional[Tuple[Optional[int], Optional[int]]] = None
 
 
 @dataclass
