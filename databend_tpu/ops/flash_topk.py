@@ -23,6 +23,13 @@ Replaces the C SIMD scorers of the reference
 (src/query/storages/common/index/cpp/avx2.c:42) as the brute-force hot
 kernel; the selection shape mirrors lax.approx_min_k's PartialReduce but
 with fused scoring.
+
+Status (v5e, SIFT1M shape, B=256, measured): kernel 2.3 ms/batch, full
+path 3.4-4.0 ms at recall@10 = 1.0. The XLA matmul + lax.approx_min_k
+path (ops/topk.py) measures 0.97 ms at recall 0.9875 on the same config —
+per-grid-step overhead (~13 us/step) dominates this kernel, so the XLA
+path remains the default serving path; this kernel is kept for
+exact-recall workloads and as the base for future fusion work.
 """
 
 from __future__ import annotations

@@ -94,6 +94,9 @@ class SessionContext:
         self._tables: Dict[int, FuseTable] = {}
         # in-memory query history (system.query_log; reference history_tables)
         self.query_log: List[dict] = []
+        # (sql, snapshots) -> (ts, QueryResult); active when
+        # query_result_cache_ttl_secs > 0
+        self._result_cache: Dict[tuple, tuple] = {}
         from ..users import UserManager
         self.users = UserManager(self.meta)
         self.current_user = self.users.get_user("root")
@@ -160,6 +163,13 @@ class SessionContext:
         return block.num_rows
 
     @property
+    def tasks(self):
+        if getattr(self, "_tasks", None) is None:
+            from .tasks import TaskManager
+            self._tasks = TaskManager(self)
+        return self._tasks
+
+    @property
     def streams(self):
         if getattr(self, "_streams", None) is None:
             from ..storage.stream import StreamManager
@@ -176,6 +186,21 @@ class SessionContext:
     def invalidate_udfs(self):
         self._udf_cache = None
 
+    # -------------------------------------------------------- result cache
+    def _result_cache_key(self, stmt: A.QueryStmt) -> Optional[tuple]:
+        """(sql-repr, snapshot fingerprints) — only cacheable when every
+        referenced table's head snapshot is part of the key (reference:
+        query result cache keyed on snapshot ids)."""
+        ttl = self.settings.get("query_result_cache_ttl_secs")
+        if not ttl:
+            return None
+        snaps = []
+        for d in self.catalog.list_databases():
+            for info in self.catalog.list_tables(d.name):
+                loc, seq = self.catalog.get_snapshot_location(info.table_id)
+                snaps.append((info.table_id, loc, seq))
+        return (repr(stmt.query), tuple(sorted(snaps)))
+
     # ----------------------------------------------------------- dispatching
     def _execute_statement(self, stmt: A.Statement) -> QueryResult:
         from ..pipeline.executor import execute_plan
@@ -184,9 +209,26 @@ class SessionContext:
             from ..sql.udf import expand_udfs
             stmt = expand_udfs(stmt, self.udfs)
         if isinstance(stmt, A.QueryStmt):
+            key = self._result_cache_key(stmt)
+            if key is not None:
+                cached = self._result_cache.get(key)
+                if cached is not None and (time.time() - cached[0]
+                                           < self.settings.get(
+                                               "query_result_cache_ttl_secs")):
+                    METRICS.inc("result_cache_hits")
+                    return cached[1]
+        if isinstance(stmt, A.QueryStmt):
             plan = Binder(self).bind_query(stmt.query)
             block = execute_plan(plan)
-            return QueryResult(block, plan.output_fields())
+            result = QueryResult(block, plan.output_fields())
+            key = self._result_cache_key(stmt)
+            if key is not None:
+                self._result_cache[key] = (time.time(), result)
+                if len(self._result_cache) > 256:
+                    oldest = min(self._result_cache,
+                                 key=lambda k: self._result_cache[k][0])
+                    del self._result_cache[oldest]
+            return result
         if isinstance(stmt, A.ExplainStmt):
             return self._explain(stmt)
         handler = _STATEMENTS.get(type(stmt))
@@ -340,6 +382,29 @@ def _copy_sources(src: str, pattern: Optional[str]) -> List[str]:
     if not hits:
         raise BadArguments(f"COPY source matches no files: {src!r}")
     return hits
+
+
+def _stmt_create_task(s: SessionContext, st: A.CreateTask):
+    s.tasks.create(st.name, st.schedule_secs, st.sql_text, st.if_not_exists)
+    return _ok()
+
+
+def _stmt_drop_task(s: SessionContext, st: A.DropTask):
+    s.tasks.drop(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_alter_task(s: SessionContext, st: A.AlterTask):
+    s.tasks.get(st.name)  # raises on unknown
+    s.tasks.set_state(st.name, "STARTED" if st.action == "RESUME" else "SUSPENDED")
+    if st.action == "RESUME":
+        s.tasks.start_scheduler()
+    return _ok()
+
+
+def _stmt_execute_task(s: SessionContext, st: A.ExecuteTask):
+    s.tasks.execute(st.name)
+    return _ok()
 
 
 def _stmt_create_view(s: SessionContext, st: A.CreateView):
@@ -649,6 +714,13 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         names = [n for n in names if match(n)]
         return QueryResult(DataBlock(["name"], [Column.from_pylist(names, String)]),
                            [DataField("name", String)])
+    if st.what == "TASKS":
+        rows = [(t["name"], t["state"], str(t["schedule_secs"]), t["sql"])
+                for t in s.tasks.list()]
+        names = ["name", "state", "schedule_secs", "definition"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(4)]),
+            [DataField(n, String) for n in names])
     if st.what == "STREAMS":
         rows = [(key.split("/", 1)[1], v["table_database"] + "." + v["table_name"],
                  v["watermark"] or "") for key, v in s.streams.list()]
@@ -717,6 +789,10 @@ _STATEMENTS = {
     A.DropStream: _stmt_drop_stream,
     A.CreateView: _stmt_create_view,
     A.DropView: _stmt_drop_view,
+    A.CreateTask: _stmt_create_task,
+    A.DropTask: _stmt_drop_task,
+    A.AlterTask: _stmt_alter_task,
+    A.ExecuteTask: _stmt_execute_task,
     A.CreateUser: _stmt_create_user,
     A.DropUser: _stmt_drop_user,
     A.CreateRole: _stmt_create_role,

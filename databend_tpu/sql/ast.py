@@ -301,6 +301,31 @@ class FlashbackTable(Statement):
 
 
 @dataclass
+class CreateTask(Statement):
+    name: str
+    schedule_secs: int
+    sql_text: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropTask(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class AlterTask(Statement):
+    name: str
+    action: str  # SUSPEND | RESUME
+
+
+@dataclass
+class ExecuteTask(Statement):
+    name: str
+
+
+@dataclass
 class CreateView(Statement):
     """CREATE [OR REPLACE] VIEW v AS SELECT ... (stored as SQL text,
     expanded at bind time)."""

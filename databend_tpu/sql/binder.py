@@ -429,6 +429,14 @@ class Binder:
                     ctx.add(f.name, f.dtype, alias)
                 return sub, ctx
             db = ref.database or self.session.current_database
+            if db.lower() == "information_schema":
+                # ANSI compatibility schema: aliases onto system.* tables
+                alias_map = {"tables": "tables", "columns": "columns",
+                             "schemata": "databases", "views": "tables",
+                             "keywords": "functions"}
+                db = "system"
+                ref = A.TableName(alias_map.get(ref.name.lower(), ref.name),
+                                  "system", ref.alias, ref.at_snapshot)
             if db.lower() == "system":
                 from ..service.system_tables import system_table_plan
                 plan = system_table_plan(self.session, ref.name)

@@ -149,6 +149,10 @@ class Parser:
             return self.parse_copy()
         if self._at_word("GRANT", "REVOKE"):
             return self.parse_grant_revoke()
+        if self._at_word("EXECUTE"):
+            self.next()
+            self.expect_keyword("TASK")
+            return A.ExecuteTask(self.ident())
         self.error("expected statement")
 
     def parse_copy(self):
@@ -256,6 +260,25 @@ class Parser:
             self.parse_query()  # validate the query parses now
             return A.CreateView(name, self.sql[start:].strip().rstrip(";"),
                                 db, replace, ine)
+        if self.at_keyword("TASK"):
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            if not self._at_word("SCHEDULE"):
+                self.error("expected SCHEDULE = n SECOND")
+            self.next()
+            self.expect_op("=")
+            secs = int(self.next().text)
+            unit = self.next().text.upper()
+            if unit.startswith("MINUTE"):
+                secs *= 60
+            elif not unit.startswith("SECOND"):
+                self.error("expected SECOND/MINUTE")
+            self.expect_keyword("AS")
+            start = self.peek().pos
+            self.parse_statement()  # validate the body parses
+            return A.CreateTask(name, secs,
+                                self.sql[start:].strip().rstrip(";"), ine)
         if self.at_keyword("FUNCTION"):
             self.next()
             ine = self._if_not_exists()
@@ -447,6 +470,9 @@ class Parser:
             ie = self._if_exists()
             db, name = self.qualified_name()
             return A.DropView(name, db, ie)
+        if self.accept_keyword("TASK"):
+            ie = self._if_exists()
+            return A.DropTask(self.ident(), ie)
         if self.accept_keyword("FUNCTION"):
             ie = self._if_exists()
             return A.DropFunction(self.ident(), ie)
@@ -505,6 +531,12 @@ class Parser:
 
     def parse_alter(self):
         self.expect_keyword("ALTER")
+        if self.accept_keyword("TASK"):
+            name = self.ident()
+            action = self.next().text.upper()
+            if action not in ("SUSPEND", "RESUME"):
+                self.error("expected SUSPEND/RESUME")
+            return A.AlterTask(name, action)
         self.expect_keyword("TABLE")
         db, name = self.qualified_name()
         if self.accept_keyword("RENAME"):
