@@ -60,3 +60,7 @@ class PushDownInfo:
     # shard the exact-scan search over the device mesh when >1 device
     # (reference enable_distributed_pruning, settings_default.rs:1470)
     enable_distributed: bool = False
+    # per-block KNN strategy (settings: vector_search_mode) and the auto-
+    # mode exact-scan row ceiling
+    vector_search_mode: str = "auto"
+    vector_exact_scan_max_rows: int = 1 << 20

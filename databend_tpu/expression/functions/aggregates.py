@@ -323,7 +323,90 @@ class StringAggAgg(AggregateFunction):
         return Column.from_pylist([sep.join(v) for v in state[0]], String)
 
 
+class MedianAgg(AggregateFunction):
+    """median / quantile (exact, buffered per group — reference:
+    aggregates/aggregate_quantile_*.rs family)."""
+    name = "median"
+    _q = 0.5
+
+    def return_type(self):
+        return Float64
+
+    def init_state(self, num_groups):
+        return [[[] for _ in range(num_groups)]]
+
+    def update(self, state, group_ids, payload, validity):
+        vals = np.asarray(payload, np.float64)
+        for i, g in enumerate(group_ids.tolist()):
+            if validity is not None and not validity[i]:
+                continue
+            state[0][g].append(vals[i])
+
+    def finalize(self, state, num_groups):
+        out = np.zeros(num_groups, np.float64)
+        valid = np.ones(num_groups, np.bool_)
+        for g, buf in enumerate(state[0]):
+            if buf:
+                out[g] = float(np.quantile(np.asarray(buf), self._q))
+            else:
+                valid[g] = False
+        return Column(Float64.wrap_nullable(), out,
+                      None if valid.all() else valid)
+
+
+class Quantile25Agg(MedianAgg):
+    name = "quantile_25"
+    _q = 0.25
+
+
+class Quantile75Agg(MedianAgg):
+    name = "quantile_75"
+    _q = 0.75
+
+
+class Quantile90Agg(MedianAgg):
+    name = "quantile_90"
+    _q = 0.9
+
+
+class Quantile99Agg(MedianAgg):
+    name = "quantile_99"
+    _q = 0.99
+
+
+class ArrayAggAgg(AggregateFunction):
+    name = "array_agg"
+
+    def return_type(self):
+        from ...types import ArrayType, Float64 as _F
+        inner = self.arg_types[0].remove_nullable() if self.arg_types else _F
+        from ...types import ArrayType
+        return ArrayType(inner)
+
+    def init_state(self, num_groups):
+        return [[[] for _ in range(num_groups)]]
+
+    def update(self, state, group_ids, payload, validity):
+        vals = payload.to_pylist() if isinstance(payload, StringData) \
+            else payload.tolist()
+        for i, g in enumerate(group_ids.tolist()):
+            if validity is not None and not validity[i]:
+                continue
+            state[0][g].append(vals[i])
+
+    def finalize(self, state, num_groups):
+        return Column.from_pylist(state[0], self.return_type())
+
+
 AGGREGATE_FUNCTIONS: Dict[str, Type[AggregateFunction]] = {
+    "median": MedianAgg,
+    "quantile": MedianAgg,
+    "quantile_25": Quantile25Agg,
+    "quantile_75": Quantile75Agg,
+    "quantile_90": Quantile90Agg,
+    "quantile_99": Quantile99Agg,
+    "array_agg": ArrayAggAgg,
+    "list": ArrayAggAgg,
     "count": CountAgg,
     "sum": SumAgg,
     "avg": AvgAgg,

@@ -31,6 +31,14 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "shard segment pruning across the mesh (reference settings_default.rs:1470)"),
         SettingDef("hnsw_ef_search_scale", 4,
                    "ef = scale * limit for HNSW search (reference hnsw.rs:108)", (1, 64)),
+        SettingDef("vector_search_mode", "auto",
+                   "per-block KNN strategy: auto = exact MXU scan for blocks"
+                   " up to vector_exact_scan_max_rows (faster AND exact on"
+                   " TPU), hnsw = always graph search, exact = always scan"),
+        SettingDef("vector_exact_scan_max_rows", 1 << 20,
+                   "auto mode: blocks with fewer rows use the exact MXU scan"
+                   " instead of HNSW (the 262k-row reference block cap is"
+                   " far below the crossover on TPU)", (0, 1 << 40)),
         SettingDef("vector_search_bf16", True,
                    "score candidates in bfloat16 on the MXU (exact rerank keeps recall)"),
         SettingDef("enable_vector_index", True, "use HNSW indexes for KNN queries"),

@@ -651,6 +651,10 @@ class Binder:
             if self.session.settings.get("enable_distributed_pruning"):
                 import jax
                 pd.enable_distributed = jax.device_count() > 1
+            pd.vector_search_mode = str(
+                self.session.settings.get("vector_search_mode"))
+            pd.vector_exact_scan_max_rows = int(
+                self.session.settings.get("vector_exact_scan_max_rows"))
         except Exception:
             pass
         if state.vector_rewrite is not None:

@@ -65,10 +65,15 @@ def _from_arrow_array(arr: pa.ChunkedArray | pa.Array, dtype: DataType) -> Colum
     return Column(dtype, np.ascontiguousarray(data, dtype=inner.numpy_dtype()), validity)
 
 
+def block_to_arrow(block: DataBlock) -> pa.Table:
+    """DataBlock -> arrow Table (Flight/IPC interchange)."""
+    arrays = [_to_arrow_array(c) for c in block.columns]
+    return pa.table(dict(zip(block.names, arrays)))
+
+
 def write_block(path: str, block: DataBlock) -> int:
     """Write a DataBlock as parquet; returns file size in bytes."""
-    arrays = [_to_arrow_array(c) for c in block.columns]
-    table = pa.table(dict(zip(block.names, arrays)))
+    table = block_to_arrow(block)
     pq.write_table(table, path, compression="zstd")
     import os
     return os.path.getsize(path)

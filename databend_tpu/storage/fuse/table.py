@@ -591,10 +591,16 @@ class FuseTable:
         from ...ops.topk import topk_smallest
         metric = info.func_name.replace("_distance", "")
         x_dev = self.device_vectors(meta, info.column, normalized=False)
-        d = pairwise_distance(jnp.asarray(q), x_dev,
-                              "l2" if metric == "l2" else metric)
+        qd = jnp.asarray(q)
+        d = pairwise_distance(qd, x_dev, "l2" if metric == "l2" else metric)
         k = min(limit, x_dev.shape[0])
         vals, ids = topk_smallest(d, k)
+        if metric == "l2":
+            # the norm-expansion form cancels catastrophically for tiny
+            # distances; re-score the winners diff-based (exact)
+            cand = x_dev[ids]                                 # [B, k, d]
+            diff = cand - qd[:, None, :]
+            vals = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
         return np.asarray(vals), np.asarray(ids)
 
     def search_inverted(self, meta: BlockMeta, info):
