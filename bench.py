@@ -56,23 +56,25 @@ def main():
     jax.block_until_ready((x_bf16, norms, q_dev))
 
     @jax.jit
-    def step(qb):
+    def step(qb, xb, nb):
+        # corpus passed as arguments (never closed over: captured device
+        # arrays can be serialized into remote-compile requests)
         dots = jax.lax.dot_general(
-            qb.astype(jnp.bfloat16), x_bf16,
+            qb.astype(jnp.bfloat16), xb,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        d2 = jnp.sum(qb * qb, -1, keepdims=True) - 2.0 * dots + norms[None, :]
+        d2 = jnp.sum(qb * qb, -1, keepdims=True) - 2.0 * dots + nb[None, :]
         v, i = jax.lax.approx_min_k(d2, K)
         return v, i, qb + (v[0, 0] * 0.0)  # serialize iterations
 
-    d, i, qc = step(q_dev)
+    d, i, qc = step(q_dev, x_bf16, norms)
     np.asarray(d)  # compile + settle
 
     iters = 100
     qc = q_dev
     t0 = time.perf_counter()
     for _ in range(iters):
-        d, i, qc = step(qc)
+        d, i, qc = step(qc, x_bf16, norms)
     np.asarray(d)  # forces the whole chain
     dt = time.perf_counter() - t0
     qps = B * iters / dt

@@ -136,7 +136,15 @@ class Column:
             dtype = dtype.wrap_nullable()
         if isinstance(inner, StringType):
             return Column(dtype, StringData.from_pylist(values), validity)
-        from ..types import VariantType
+        from ..types import DecimalType, VariantType
+        if isinstance(inner, DecimalType):
+            import decimal
+            q = inner.quantum()
+            payload = np.empty(len(values), object)
+            for i, v in enumerate(values):
+                payload[i] = (decimal.Decimal(0) if v is None
+                              else decimal.Decimal(str(v)).quantize(q))
+            return Column(dtype, payload, validity)
         if isinstance(inner, VariantType):
             import json as _json
             texts = [None if v is None

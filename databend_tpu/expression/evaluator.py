@@ -163,6 +163,36 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
                 v = None
         return Column(dst, payload, v)
 
+    # decimal casts (exact python Decimal payloads)
+    from ..types import DecimalType
+    if isinstance(dst, DecimalType):
+        import decimal
+        quantum = dst.quantum()
+        if isinstance(src, StringType):
+            vals = col.data.to_pylist()
+        elif isinstance(src, (NumberType, DecimalType)) or src == Boolean:
+            vals = col.data.tolist()
+        else:
+            raise BadDataValueType(f"cannot cast {src} to {dst}")
+        payload = np.empty(n, object)
+        ok = np.ones(n, np.bool_)
+        for i, v in enumerate(vals):
+            try:
+                payload[i] = decimal.Decimal(str(v)).quantize(
+                    quantum, rounding=decimal.ROUND_HALF_UP)
+            except (decimal.InvalidOperation, ValueError, TypeError):
+                if not is_try:
+                    raise BadDataValueType(f"cannot cast {v!r} to {dst}")
+                payload[i] = decimal.Decimal(0)
+                ok[i] = False
+        return out(payload, ok if not ok.all() else None)
+    if isinstance(src, DecimalType):
+        if isinstance(dst, NumberType):
+            arr = np.asarray([float(v) for v in col.data.tolist()],
+                             np.float64)
+            return out(arr.astype(dst.numpy_dtype()))
+        # decimal -> string handled by the generic string arm below
+
     # numeric <-> numeric / bool
     if (isinstance(src, NumberType) or src == Boolean or src in (Date, Timestamp)) and \
        (isinstance(dst, NumberType) or dst == Boolean or dst in (Date, Timestamp)):

@@ -74,18 +74,37 @@ class CountAgg(AggregateFunction):
 class SumAgg(AggregateFunction):
     name = "sum"
 
+    def _decimal_type(self):
+        from ...types import DecimalType
+        t = self.arg_types[0].remove_nullable() if self.arg_types else None
+        return t if isinstance(t, DecimalType) else None
+
     def return_type(self):
         t = self.arg_types[0].remove_nullable()
         if not t.is_numeric() and t != Boolean:
             raise SemanticError(f"sum expects numeric, got {t}")
+        dt = self._decimal_type()
+        if dt is not None:
+            return dt
         if isinstance(t, NumberType) and t.is_float():
             return Float64
         return Int64 if t != Boolean else UInt64
 
     def init_state(self, num_groups):
+        if self._decimal_type() is not None:
+            import decimal
+            return [[decimal.Decimal(0)] * num_groups]
         return np.zeros(num_groups, np.float64)
 
     def update(self, state, group_ids, payload, validity):
+        if self._decimal_type() is not None:
+            acc = state[0]
+            vals = payload.tolist()
+            for i, g in enumerate(group_ids.tolist()):
+                if validity is not None and not validity[i]:
+                    continue
+                acc[g] += vals[i]
+            return
         gids, p = self._mask(group_ids, np.asarray(payload, np.float64), validity)
         state += np.bincount(gids, weights=p, minlength=len(state))
 
@@ -94,6 +113,8 @@ class SumAgg(AggregateFunction):
 
     def finalize(self, state, num_groups):
         rt = self.return_type()
+        if self._decimal_type() is not None:
+            return Column.from_pylist(state[0], rt)
         return Column.from_numpy(state.astype(rt.numpy_dtype()), rt)
 
 
@@ -129,16 +150,19 @@ class _MinMaxAgg(AggregateFunction):
     def return_type(self):
         return self.arg_types[0].remove_nullable()
 
-    def init_state(self, num_groups):
+    def _py_path(self):
+        from ...types import DecimalType
         t = self.arg_types[0].remove_nullable()
-        if t == String:
+        return t == String or isinstance(t, DecimalType)
+
+    def init_state(self, num_groups):
+        if self._py_path():
             return [[None] * num_groups]
         fill = np.inf if self._is_min else -np.inf
         return [np.full(num_groups, fill, np.float64), np.zeros(num_groups, np.bool_)]
 
     def update(self, state, group_ids, payload, validity):
-        t = self.arg_types[0].remove_nullable()
-        if t == String:
+        if self._py_path():
             vals = payload.to_pylist() if isinstance(payload, StringData) else list(payload)
             best = state[0]
             for i, g in enumerate(group_ids.tolist()):
@@ -154,8 +178,7 @@ class _MinMaxAgg(AggregateFunction):
         state[1][gids] = True
 
     def merge(self, s1, s2):
-        t = self.arg_types[0].remove_nullable()
-        if t == String:
+        if self._py_path():
             out = []
             for a, b in zip(s1[0], s2[0]):
                 if a is None:
@@ -170,8 +193,8 @@ class _MinMaxAgg(AggregateFunction):
 
     def finalize(self, state, num_groups):
         t = self.arg_types[0].remove_nullable()
-        if t == String:
-            return Column.from_pylist(state[0], String.wrap_nullable())
+        if self._py_path():
+            return Column.from_pylist(state[0], t.wrap_nullable())
         vals, seen = state
         col_vals = np.where(seen, vals, 0.0).astype(t.numpy_dtype())
         return Column(t.wrap_nullable(), col_vals, None if seen.all() else seen)

@@ -232,6 +232,11 @@ def _comparable_array(col: Column) -> np.ndarray:
 def _invert_order(arr: np.ndarray) -> np.ndarray:
     if arr.dtype.kind in "iuf" or arr.dtype.kind == "b":
         return -arr.astype(np.float64)
+    if arr.dtype.kind == "O":
+        try:  # decimals and other numeric objects invert numerically
+            return -np.asarray([float(v) for v in arr], np.float64)
+        except (TypeError, ValueError):
+            pass
     # strings: rank-invert via sorted unique codes
     uniq, inv = np.unique(arr.astype(str), return_inverse=True)
     return -inv.astype(np.int64)

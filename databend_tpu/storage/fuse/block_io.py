@@ -16,8 +16,9 @@ import pyarrow.parquet as pq
 
 from ...expression import Column, DataBlock, StringData
 from ...expression.schema import TableSchema
-from ...types import (ArrayType, Boolean, DataType, Date, NumberType, String,
-                      StringType, Timestamp, VariantType, VectorType)
+from ...types import (ArrayType, Boolean, DataType, Date, DecimalType,
+                      NumberType, String, StringType, Timestamp, VariantType,
+                      VectorType)
 
 
 def _to_arrow_array(col: Column) -> pa.Array:
@@ -38,6 +39,10 @@ def _to_arrow_array(col: Column) -> pa.Array:
     if isinstance(inner, (StringType, VariantType)):
         return pa.array(col.data.to_pylist(), type=pa.string(),
                         mask=mask if mask is not None else None)
+    if isinstance(inner, DecimalType):
+        return pa.array(col.data.tolist(),
+                        type=pa.decimal128(min(inner.precision, 38), inner.scale),
+                        mask=mask if mask is not None else None)
     if isinstance(inner, ArrayType):
         return pa.array(col.to_pylist())
     return pa.array(col.data, mask=mask)
@@ -56,6 +61,14 @@ def _from_arrow_array(arr: pa.ChunkedArray | pa.Array, dtype: DataType) -> Colum
         return Column(dtype if validity is None else dtype.wrap_nullable(), data, validity)
     if isinstance(inner, (StringType, VariantType)):
         return Column.from_pylist(arr.to_pylist(), dtype)
+    if isinstance(inner, DecimalType):
+        import numpy as _np
+        vals = arr.to_pylist()
+        payload = _np.empty(len(vals), object)
+        import decimal as _d
+        for i, v in enumerate(vals):
+            payload[i] = _d.Decimal(0) if v is None else v
+        return Column(dtype, payload, validity)
     if isinstance(inner, ArrayType):
         return Column.from_pylist(arr.to_pylist(), dtype)
     data = arr.to_numpy(zero_copy_only=False)

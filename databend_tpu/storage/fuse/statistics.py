@@ -90,6 +90,14 @@ def column_stats(col: Column) -> ColumnStats:
         return ColumnStats(bool(data.min()), bool(data.max()), nulls, col.data.nbytes)
     if isinstance(inner, VectorType):
         return ColumnStats(None, None, nulls, col.data.nbytes)
+    from ...types import DecimalType
+    if isinstance(inner, DecimalType):
+        vals = ([v for v, ok in zip(col.data.tolist(), valid) if ok]
+                if valid is not None else list(col.data.tolist()))
+        if not vals:
+            return ColumnStats(None, None, nulls, 16 * len(col))
+        # stored as strings so the JSON snapshot stays exact
+        return ColumnStats(str(min(vals)), str(max(vals)), nulls, 16 * len(col))
     # date/timestamp are numpy ints
     if isinstance(col.data, np.ndarray) and col.data.dtype.kind in "iu":
         data = col.data if valid is None else col.data[valid]

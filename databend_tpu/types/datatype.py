@@ -152,6 +152,36 @@ class TimestampType(DataType):
         return np.dtype(np.int64)
 
 
+@dataclass(frozen=True, eq=False, repr=False)
+class DecimalType(DataType):
+    """Exact fixed-point numbers (reference: types/decimal.rs — i128/i256
+    backed). Host-side payload is python decimal.Decimal in an object
+    array: exact semantics for money columns; never enters device kernels."""
+    precision: int = 38
+    scale: int = 2
+
+    def sql_name(self) -> str:
+        return f"DECIMAL({self.precision}, {self.scale})"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(object)
+
+    def is_numeric(self) -> bool:
+        return True
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, DecimalType)
+                and other.precision == self.precision
+                and other.scale == self.scale)
+
+    def __hash__(self):
+        return hash(("decimal", self.precision, self.scale))
+
+    def quantum(self):
+        import decimal
+        return decimal.Decimal(1).scaleb(-self.scale)
+
+
 class VariantType(DataType):
     """Semi-structured JSON values stored as canonical JSON text
     (reference: jsonb-backed Variant, src/query/expression/src/types/
@@ -276,6 +306,17 @@ def common_super_type(a: DataType, b: DataType) -> DataType:
         return a.wrap_nullable()
     if ai == bi:
         out = ai
+    elif isinstance(ai, DecimalType) or isinstance(bi, DecimalType):
+        d, o = (ai, bi) if isinstance(ai, DecimalType) else (bi, ai)
+        if isinstance(o, DecimalType):
+            out = DecimalType(max(d.precision, o.precision),
+                              max(d.scale, o.scale))
+        elif isinstance(o, NumberType) and o.is_integer():
+            out = d
+        elif isinstance(o, NumberType):
+            out = Float64  # decimal with float degrades to f64
+        else:
+            raise TypeMismatch(f"no common super type for {ai} and {bi}")
     elif isinstance(ai, NumberType) and isinstance(bi, NumberType):
         out = _super_number(ai, bi)
     elif isinstance(ai, StringType) or isinstance(bi, StringType):
@@ -319,6 +360,8 @@ _TYPE_NAMES = {
 
 _VECTOR_RE = re.compile(r"^VECTOR\s*\(\s*(\d+)\s*(?:,\s*(INT8|FLOAT32)\s*)?\)$", re.I)
 _ARRAY_RE = re.compile(r"^ARRAY\s*\((.*)\)$", re.I | re.S)
+_DECIMAL_RE = re.compile(
+    r"^(?:DECIMAL|NUMERIC)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?$", re.I)
 
 
 def parse_type_name(name: str) -> DataType:
@@ -337,6 +380,12 @@ def parse_type_name(name: str) -> DataType:
     if up in _TYPE_NAMES:
         ty = _TYPE_NAMES[up]
     else:
+        m = _DECIMAL_RE.match(up)
+        if m:
+            p = int(m.group(1)) if m.group(1) else 38
+            sc = int(m.group(2)) if m.group(2) else 0
+            return (DecimalType(p, sc).wrap_nullable() if nullable
+                    else DecimalType(p, sc))
         m = _VECTOR_RE.match(up)
         if m:
             elem = "i8" if (m.group(2) or "").upper() == "INT8" else "f32"
