@@ -136,7 +136,7 @@ class Column:
             dtype = dtype.wrap_nullable()
         if isinstance(inner, StringType):
             return Column(dtype, StringData.from_pylist(values), validity)
-        from ..types import DecimalType, VariantType
+        from ..types import DecimalType, GeometryType, VariantType
         if isinstance(inner, DecimalType):
             import decimal
             q = inner.quantum()
@@ -145,6 +145,9 @@ class Column:
                 payload[i] = (decimal.Decimal(0) if v is None
                               else decimal.Decimal(str(v)).quantize(q))
             return Column(dtype, payload, validity)
+        if isinstance(inner, (VariantType, GeometryType)) and isinstance(inner, GeometryType):
+            texts = [None if v is None else str(v) for v in values]
+            return Column(dtype, StringData.from_pylist(texts), validity)
         if isinstance(inner, VariantType):
             import json as _json
             texts = [None if v is None

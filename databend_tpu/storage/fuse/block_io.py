@@ -17,8 +17,8 @@ import pyarrow.parquet as pq
 from ...expression import Column, DataBlock, StringData
 from ...expression.schema import TableSchema
 from ...types import (ArrayType, Boolean, DataType, Date, DecimalType,
-                      NumberType, String, StringType, Timestamp, VariantType,
-                      VectorType)
+                      GeometryType, NumberType, String, StringType, Timestamp,
+                      VariantType, VectorType)
 
 
 def _to_arrow_array(col: Column) -> pa.Array:
@@ -36,7 +36,7 @@ def _to_arrow_array(col: Column) -> pa.Array:
                 np.where(col.validity, np.arange(len(col)), len(col) - 1), type=pa.int64()))
             arr = pa.Array.from_pandas(arr.to_pandas())  # fallback: rare path
         return arr
-    if isinstance(inner, (StringType, VariantType)):
+    if isinstance(inner, (StringType, VariantType, GeometryType)):
         return pa.array(col.data.to_pylist(), type=pa.string(),
                         mask=mask if mask is not None else None)
     if isinstance(inner, DecimalType):
@@ -59,7 +59,7 @@ def _from_arrow_array(arr: pa.ChunkedArray | pa.Array, dtype: DataType) -> Colum
         flat = np.asarray(arr.values.to_numpy(zero_copy_only=False))
         data = flat.reshape(len(arr), inner.dim).astype(inner.numpy_dtype(), copy=False)
         return Column(dtype if validity is None else dtype.wrap_nullable(), data, validity)
-    if isinstance(inner, (StringType, VariantType)):
+    if isinstance(inner, (StringType, VariantType, GeometryType)):
         return Column.from_pylist(arr.to_pylist(), dtype)
     if isinstance(inner, DecimalType):
         import numpy as _np

@@ -79,6 +79,7 @@ class FusePruner:
         if pd.filters is not None:
             blocks = self._bloom_prune(blocks)
             blocks = self._ngram_prune(blocks)
+            blocks = self._spatial_prune(blocks)
         self.stats.blocks_bloom_after = len(blocks)
 
         # inverted index prune (match()/query())
@@ -170,6 +171,28 @@ class FusePruner:
                     self.table.abs_path(b.bloom_index["location"]) + "#" + col_name.lower(),
                     lambda loc=loc, b=b: self.table.load_bloom(b, col_name.lower()))
                 if flt is not None and not flt.contains_hash(h):
+                    keep = False
+                    break
+            if keep:
+                out.append(b)
+        return out
+
+    def _spatial_prune(self, blocks: List[BlockMeta]) -> List[BlockMeta]:
+        """Drop blocks whose geometry bbox misses an st_within_bbox query
+        box (reference spatial_index_pruner.rs)."""
+        boxes = _extract_bbox_predicates(self.pushdown.filters)
+        if not boxes:
+            return blocks
+        out = []
+        for b in blocks:
+            keep = True
+            for col_name, (x1, y1, x2, y2) in boxes:
+                st = b.col_stats.get(col_name)
+                if st is None or not isinstance(st.min, list) \
+                        or not isinstance(st.max, list):
+                    continue
+                (bx1, by1), (bx2, by2) = st.min, st.max
+                if bx1 > x2 or bx2 < x1 or by1 > y2 or by2 < y1:
                     keep = False
                     break
             if keep:
@@ -355,6 +378,35 @@ class FusePruner:
 
 def _num(v):
     return v if isinstance(v, (int, float)) else 0
+
+
+def _extract_bbox_predicates(expr: Optional[ScalarExpr]):
+    """(col, (x1, y1, x2, y2)) from AND-ed st_within_bbox(col, consts)."""
+    out = []
+    if expr is None:
+        return out
+
+    def visit(e: ScalarExpr):
+        if not isinstance(e, Func):
+            return
+        if e.name == "and":
+            for a in e.args:
+                visit(a)
+            return
+        if e.name == "st_within_bbox" and len(e.args) == 5:
+            col = e.args[0]
+            col = col.arg if isinstance(col, CastExpr) else col
+            bounds = []
+            for a in e.args[1:]:
+                a = a.arg if isinstance(a, CastExpr) else a
+                if not isinstance(a, Constant):
+                    return
+                bounds.append(float(a.value))
+            if isinstance(col, BoundColumn):
+                out.append((col.name, tuple(bounds)))
+
+    visit(expr)
+    return out
 
 
 def _extract_like_predicates(expr: Optional[ScalarExpr]):

@@ -90,7 +90,24 @@ def column_stats(col: Column) -> ColumnStats:
         return ColumnStats(bool(data.min()), bool(data.max()), nulls, col.data.nbytes)
     if isinstance(inner, VectorType):
         return ColumnStats(None, None, nulls, col.data.nbytes)
-    from ...types import DecimalType
+    from ...types import DecimalType, GeometryType
+    if isinstance(inner, GeometryType):
+        # bbox stats for spatial pruning (reference spatial_index.rs:77):
+        # min = [xmin, ymin], max = [xmax, ymax] over POINT values
+        from ...expression.functions.geo_fns import parse_point
+        pts = []
+        vals = col.to_pylist()
+        for i, w in enumerate(vals):
+            if valid is not None and not valid[i]:
+                continue
+            p = parse_point(w)
+            if p is not None:
+                pts.append(p)
+        if not pts:
+            return ColumnStats(None, None, nulls, 0)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        return ColumnStats([min(xs), min(ys)], [max(xs), max(ys)], nulls, 0)
     if isinstance(inner, DecimalType):
         vals = ([v for v, ok in zip(col.data.tolist(), valid) if ok]
                 if valid is not None else list(col.data.tolist()))

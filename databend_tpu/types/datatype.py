@@ -194,6 +194,18 @@ class VariantType(DataType):
         return np.dtype(object)
 
 
+class GeometryType(DataType):
+    """Planar geometries as WKT text (reference: geozero-backed Geometry,
+    src/query/expression/src/types/geometry.rs). Subset: POINT fully
+    supported (constructors/accessors/distance); other WKT round-trips."""
+
+    def sql_name(self) -> str:
+        return "GEOMETRY"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(object)
+
+
 @dataclass(frozen=True, eq=False)
 class VectorType(DataType):
     """Fixed-dim vector; element is Float32 or Int8.
@@ -285,6 +297,7 @@ String = StringType()
 Date = DateType()
 Timestamp = TimestampType()
 Variant = VariantType()
+Geometry = GeometryType()
 
 ALL_NUMBER_TYPES = [Int8, Int16, Int32, Int64, UInt8, UInt16, UInt32, UInt64, Float32, Float64]
 
@@ -356,6 +369,7 @@ _TYPE_NAMES = {
     "DATE": Date,
     "TIMESTAMP": Timestamp, "DATETIME": Timestamp,
     "VARIANT": Variant, "JSON": Variant,
+    "GEOMETRY": Geometry,
 }
 
 _VECTOR_RE = re.compile(r"^VECTOR\s*\(\s*(\d+)\s*(?:,\s*(INT8|FLOAT32)\s*)?\)$", re.I)
