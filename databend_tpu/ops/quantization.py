@@ -88,24 +88,37 @@ def approx_dot(q_codes, q_sums, corpus: SQ8Corpus) -> jax.Array:
                        m.alpha, m.offset, m.dim)
 
 
-def topk_l2(q: np.ndarray, corpus: SQ8Corpus, k: int,
-            x_f32: Optional[jax.Array] = None,
-            shortlist_mult: int = 4) -> Tuple[jax.Array, jax.Array]:
-    """Quantized exact-scan top-k: int8 matmul scores + (optional) exact
-    f32 re-rank of a k*shortlist_mult shortlist (the quantized HNSW
-    scoring path of the reference, generalized to full scans)."""
-    qj = jnp.asarray(np.asarray(q, np.float32))
-    q_codes, q_sums = encode_query(q, corpus.meta)
-    dots = approx_dot(q_codes, q_sums, corpus)                # ~ q.x
+@functools.partial(jax.jit, static_argnames=("k", "s", "alpha", "offset",
+                                              "dim", "rerank"))
+def _topk_l2_device(qj, q_codes, q_sums, codes, sums, sq_norms, x_f32,
+                    k: int, s: int, alpha: float, offset: float, dim: int,
+                    rerank: bool):
+    dots = _dot_scores(q_codes, q_sums, codes, sums, alpha, offset, dim)
     qq = jnp.sum(qj * qj, axis=1, keepdims=True)
-    d2 = qq - 2.0 * dots + corpus.sq_norms[None, :]
-    if x_f32 is None:
+    d2 = qq - 2.0 * dots + sq_norms[None, :]
+    if not rerank:
         vals, ids = jax.lax.top_k(-d2, k)
         return -vals, ids
-    s = min(k * shortlist_mult, d2.shape[1])
     _, cand = jax.lax.approx_min_k(d2, s)
     cand_vecs = x_f32[cand]
     diff = cand_vecs - qj[:, None, :]
     exact = jnp.sum(diff * diff, axis=-1)
     vals, pos = jax.lax.top_k(-exact, k)
     return -vals, jnp.take_along_axis(cand, pos, axis=1)
+
+
+def topk_l2(q: np.ndarray, corpus: SQ8Corpus, k: int,
+            x_f32: Optional[jax.Array] = None,
+            shortlist_mult: int = 4) -> Tuple[jax.Array, jax.Array]:
+    """Quantized exact-scan top-k: int8 matmul scores + (optional) exact
+    f32 re-rank of a k*shortlist_mult shortlist (the quantized HNSW
+    scoring path of the reference, generalized to full scans). The whole
+    device program (int8 matmul + selection + gather + re-rank) is one jit."""
+    qj = jnp.asarray(np.asarray(q, np.float32))
+    q_codes, q_sums = encode_query(q, corpus.meta)
+    m = corpus.meta
+    s = min(k * shortlist_mult, corpus.codes.shape[0])
+    return _topk_l2_device(
+        qj, q_codes, q_sums, corpus.codes, corpus.sums, corpus.sq_norms,
+        corpus.codes if x_f32 is None else x_f32,
+        k, s, m.alpha, m.offset, m.dim, x_f32 is not None)

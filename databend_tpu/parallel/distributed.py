@@ -31,6 +31,35 @@ from ..ops.topk import chunked_topk_smallest, topk_smallest
 from .mesh import DP_AXIS, SHARD_AXIS
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_program(mesh, rows_per_shard: int, k: int, metric: str,
+                          chunk_rows: int, bf16: bool):
+    """Build + jit the shard_map program once per (mesh, config) — a fresh
+    closure per call would re-trace/re-compile every invocation."""
+    cd = jnp.bfloat16 if bf16 else jnp.float32
+
+    def local(q_l, x_l):
+        shard_idx = jax.lax.axis_index(SHARD_AXIS)
+        base = (shard_idx * rows_per_shard).astype(jnp.int32)
+        vals, ids = chunked_topk_smallest(
+            q_l, x_l, min(k, rows_per_shard), metric,
+            chunk_rows=min(chunk_rows, rows_per_shard), compute_dtype=cd)
+        ids = ids + base
+        all_v = jax.lax.all_gather(vals, SHARD_AXIS)   # [S, B, k]
+        all_i = jax.lax.all_gather(ids, SHARD_AXIS)
+        b = q_l.shape[0]
+        cat_v = jnp.transpose(all_v, (1, 0, 2)).reshape(b, -1)
+        cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, -1)
+        out_v, pos = jax.lax.top_k(-cat_v, k)
+        return -out_v, jnp.take_along_axis(cat_i, pos, axis=1)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(SHARD_AXIS, None)),
+        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
+        check_vma=False))
+
+
 def sharded_brute_force_topk(mesh, q: jax.Array, x: jax.Array, k: int,
                              metric: str = "l2",
                              chunk_rows: int = 131072,
@@ -49,35 +78,13 @@ def sharded_brute_force_topk(mesh, q: jax.Array, x: jax.Array, k: int,
     n_total = x.shape[0]
     s = mesh.shape[SHARD_AXIS]
     rows_per_shard = n_total // s
-    cd = jnp.bfloat16 if bf16 else jnp.float32
-
-    def local(q_l, x_l):
-        shard_idx = jax.lax.axis_index(SHARD_AXIS)
-        base = (shard_idx * rows_per_shard).astype(jnp.int32)
-        vals, ids = chunked_topk_smallest(
-            q_l, x_l, min(k, rows_per_shard), metric,
-            chunk_rows=min(chunk_rows, rows_per_shard), compute_dtype=cd)
-        ids = ids + base
-        # Merge exchange over ICI: gather every shard's candidates, k-select.
-        all_v = jax.lax.all_gather(vals, SHARD_AXIS)   # [S, B, k]
-        all_i = jax.lax.all_gather(ids, SHARD_AXIS)
-        b = q_l.shape[0]
-        cat_v = jnp.transpose(all_v, (1, 0, 2)).reshape(b, -1)
-        cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, -1)
-        out_v, pos = jax.lax.top_k(-cat_v, k)
-        return -out_v, jnp.take_along_axis(cat_i, pos, axis=1)
-
-    fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(DP_AXIS, None), P(SHARD_AXIS, None)),
-        out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
-        check_vma=False)
+    fn = _sharded_topk_program(mesh, rows_per_shard, k, metric, chunk_rows,
+                               bf16)
     return fn(q, x)
 
 
-def sharded_partial_agg(mesh, x: jax.Array, op: str = "sum") -> jax.Array:
-    """Distributed aggregate over a row-sharded column: per-shard partial +
-    `psum`/`pmax`/`pmin` (the Merge aggregate exchange)."""
+@functools.lru_cache(maxsize=64)
+def _sharded_agg_program(mesh, op: str):
     def local(x_l):
         if op == "sum":
             part = jnp.sum(x_l, axis=0)
@@ -90,8 +97,14 @@ def sharded_partial_agg(mesh, x: jax.Array, op: str = "sum") -> jax.Array:
             return jax.lax.psum(jnp.asarray(x_l.shape[0], jnp.int32), SHARD_AXIS)
         raise ValueError(op)
 
-    return jax.shard_map(local, mesh=mesh, in_specs=(P(SHARD_AXIS),),
-                         out_specs=P(), check_vma=False)(x)
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(P(SHARD_AXIS),),
+                                 out_specs=P(), check_vma=False))
+
+
+def sharded_partial_agg(mesh, x: jax.Array, op: str = "sum") -> jax.Array:
+    """Distributed aggregate over a row-sharded column: per-shard partial +
+    `psum`/`pmax`/`pmin` (the Merge aggregate exchange)."""
+    return _sharded_agg_program(mesh, op)(x)
 
 
 def sharded_kmeans_step(mesh, x: jax.Array, centroids: jax.Array,
@@ -107,8 +120,12 @@ def sharded_kmeans_step(mesh, x: jax.Array, centroids: jax.Array,
     Returns (new_centroids [C,d], counts [C]); empty clusters keep their
     old centroid.
     """
-    c = centroids.shape[0]
+    return _sharded_kmeans_program(mesh, centroids.shape[0], metric)(
+        x, centroids)
 
+
+@functools.lru_cache(maxsize=64)
+def _sharded_kmeans_program(mesh, c: int, metric: str):
     def local(x_l, cent):
         d = pairwise_distance(x_l, cent, metric)          # [n_l, C]
         assign = jnp.argmin(d, axis=1)                    # [n_l]
@@ -122,9 +139,9 @@ def sharded_kmeans_step(mesh, x: jax.Array, centroids: jax.Array,
         new = jnp.where(gcnt[:, None] > 0, gsums / jnp.maximum(gcnt[:, None], 1.0), cent)
         return new, gcnt
 
-    return jax.shard_map(local, mesh=mesh,
-                         in_specs=(P(SHARD_AXIS, None), P()),
-                         out_specs=(P(), P()), check_vma=False)(x, centroids)
+    return jax.jit(jax.shard_map(local, mesh=mesh,
+                                 in_specs=(P(SHARD_AXIS, None), P()),
+                                 out_specs=(P(), P()), check_vma=False))
 
 
 def sharded_search_step(mesh, q: jax.Array, x: jax.Array, centroids: jax.Array,
