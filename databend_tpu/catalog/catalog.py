@@ -154,6 +154,9 @@ class Catalog:
         return val is not None
 
     def drop_table(self, db: str, name: str, if_exists: bool = False) -> Optional[TableInfo]:
+        """Soft delete: the table meta + snapshot pointer move under
+        ``dropped/`` so UNDROP can restore until VACUUM purges them
+        (reference: drop/undrop with retention, interpreter_table_undrop)."""
         key = self._tkey(db, name)
         val, seq = self.meta.get(key)
         if val is None:
@@ -161,8 +164,26 @@ class Catalog:
                 return None
             raise UnknownTable(f"unknown table {db}.{name}")
         info = TableInfo.from_dict(val)
+        snap, _ = self.meta.get(f"snapshot/{info.table_id}")
+        self.meta.upsert(f"dropped/{db.lower()}/{name.lower()}",
+                         {"info": val, "snapshot": snap})
         self.meta.delete(key)
         self.meta.delete(f"snapshot/{info.table_id}")
+        return info
+
+    def undrop_table(self, db: str, name: str) -> TableInfo:
+        dkey = f"dropped/{db.lower()}/{name.lower()}"
+        val, _ = self.meta.get(dkey)
+        if val is None:
+            raise UnknownTable(f"no dropped table {db}.{name} to undrop")
+        if self.table_exists(db, name):
+            raise TableAlreadyExists(
+                f"table {name!r} already exists; rename it before UNDROP")
+        info = TableInfo.from_dict(val["info"])
+        self.meta.upsert(self._tkey(db, name), val["info"], 0)
+        if val.get("snapshot") is not None:
+            self.meta.upsert(f"snapshot/{info.table_id}", val["snapshot"])
+        self.meta.delete(dkey)
         return info
 
     def rename_table(self, db: str, name: str, new_name: str) -> None:

@@ -384,6 +384,18 @@ def _copy_sources(src: str, pattern: Optional[str]) -> List[str]:
     return hits
 
 
+def _stmt_undrop(s: SessionContext, st: A.UndropTable):
+    db = st.database or s.current_database
+    s.catalog.undrop_table(db, st.name)
+    return _ok()
+
+
+def _stmt_merge(s: SessionContext, st: A.MergeInto):
+    from .merge import execute_merge
+    upd, dele, ins = execute_merge(s, st)
+    return _ok(upd + dele + ins)
+
+
 def _stmt_create_task(s: SessionContext, st: A.CreateTask):
     s.tasks.create(st.name, st.schedule_secs, st.sql_text, st.if_not_exists)
     return _ok()
@@ -789,6 +801,8 @@ _STATEMENTS = {
     A.DropStream: _stmt_drop_stream,
     A.CreateView: _stmt_create_view,
     A.DropView: _stmt_drop_view,
+    A.MergeInto: _stmt_merge,
+    A.UndropTable: _stmt_undrop,
     A.CreateTask: _stmt_create_task,
     A.DropTask: _stmt_drop_task,
     A.AlterTask: _stmt_alter_task,

@@ -301,6 +301,33 @@ class FlashbackTable(Statement):
 
 
 @dataclass
+class UndropTable(Statement):
+    name: str
+    database: Optional[str] = None
+
+
+@dataclass
+class MergeClause:
+    matched: bool                      # WHEN [NOT] MATCHED
+    condition: Optional[Expr]          # AND <cond>
+    action: str                        # update | delete | insert
+    # update: [(col, expr)]; insert: (cols or None, [exprs])
+    assignments: List[Tuple[str, Expr]] = field(default_factory=list)
+    insert_columns: Optional[List[str]] = None
+    insert_values: List[Expr] = field(default_factory=list)
+
+
+@dataclass
+class MergeInto(Statement):
+    target: str
+    target_database: Optional[str]
+    target_alias: Optional[str]
+    source: "TableRef"
+    on: Expr
+    clauses: List[MergeClause] = field(default_factory=list)
+
+
+@dataclass
 class CreateTask(Statement):
     name: str
     schedule_secs: int

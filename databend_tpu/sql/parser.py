@@ -153,7 +153,80 @@ class Parser:
             self.next()
             self.expect_keyword("TASK")
             return A.ExecuteTask(self.ident())
+        if self._at_word("MERGE"):
+            return self.parse_merge()
+        if self.at_keyword("UNDROP"):
+            self.next()
+            self.expect_keyword("TABLE")
+            db, name = self.qualified_name()
+            return A.UndropTable(name, db)
         self.error("expected statement")
+
+    def parse_merge(self):
+        """MERGE INTO tgt [AS a] USING src [AS b] ON cond
+        WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE
+        WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (...)"""
+        self.next()  # MERGE
+        self.expect_keyword("INTO")
+        db, name = self.qualified_name()
+        alias = None
+        if self.accept_keyword("AS"):
+            alias = self.ident()
+        elif self.peek().kind == "IDENT" and not self._at_word("USING"):
+            alias = self.ident()
+        if not self._at_word("USING"):
+            self.error("expected USING")
+        self.next()
+        source = self.parse_table_factor()
+        self.expect_keyword("ON")
+        on = self.parse_expr()
+        clauses = []
+        while self._at_word("WHEN"):
+            self.next()
+            matched = True
+            if self.accept_keyword("NOT"):
+                matched = False
+            if not self._at_word("MATCHED"):
+                self.error("expected MATCHED")
+            self.next()
+            cond = None
+            if self.accept_keyword("AND"):
+                cond = self.parse_expr()
+            if not self._at_word("THEN"):
+                self.error("expected THEN")
+            self.next()
+            if self.accept_keyword("UPDATE"):
+                self.expect_keyword("SET")
+                assigns = []
+                while True:
+                    col = self.ident()
+                    self.expect_op("=")
+                    assigns.append((col, self.parse_expr()))
+                    if not self.accept_op(","):
+                        break
+                clauses.append(A.MergeClause(matched, cond, "update", assigns))
+            elif self.accept_keyword("DELETE"):
+                clauses.append(A.MergeClause(matched, cond, "delete"))
+            elif self.accept_keyword("INSERT"):
+                cols = None
+                if self.accept_op("("):
+                    cols = [self.ident()]
+                    while self.accept_op(","):
+                        cols.append(self.ident())
+                    self.expect_op(")")
+                self.expect_keyword("VALUES")
+                self.expect_op("(")
+                vals = [self.parse_expr()]
+                while self.accept_op(","):
+                    vals.append(self.parse_expr())
+                self.expect_op(")")
+                clauses.append(A.MergeClause(matched, cond, "insert", [],
+                                             cols, vals))
+            else:
+                self.error("expected UPDATE/DELETE/INSERT")
+        if not clauses:
+            self.error("MERGE requires at least one WHEN clause")
+        return A.MergeInto(name, db, alias, source, on, clauses)
 
     def parse_copy(self):
         """COPY INTO t FROM 'path' | COPY INTO 'path' FROM t|(query),

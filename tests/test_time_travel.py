@@ -92,3 +92,23 @@ def test_cluster_by_scalar_sorts(tmp_catalog):
     mins = sorted(m.col_stats["v"].min for m in metas)
     maxs = sorted(m.col_stats["v"].max for m in metas)
     assert mins == [1, 5] and maxs == [4, 9]  # non-overlapping ranges
+
+
+def test_undrop_table(tmp_catalog):
+    import pytest
+    from databend_tpu.errors import DatabendError
+    c = tmp_catalog
+    c.sql("CREATE TABLE ud (v BIGINT)")
+    c.sql("INSERT INTO ud VALUES (7), (8)")
+    c.sql("DROP TABLE ud")
+    with pytest.raises(DatabendError):
+        c.sql("SELECT * FROM ud")
+    c.sql("UNDROP TABLE ud")
+    assert sorted(r[0] for r in c.sql("SELECT v FROM ud").rows()) == [7, 8]
+    with pytest.raises(DatabendError):
+        c.sql("UNDROP TABLE ud")  # nothing dropped anymore
+    # name collision: recreate then undrop of the old one must fail
+    c.sql("DROP TABLE ud")
+    c.sql("CREATE TABLE ud (v BIGINT)")
+    with pytest.raises(DatabendError):
+        c.sql("UNDROP TABLE ud")
