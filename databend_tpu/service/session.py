@@ -384,6 +384,32 @@ def _copy_sources(src: str, pattern: Optional[str]) -> List[str]:
     return hits
 
 
+def _stmt_show_create(s: SessionContext, st: A.ShowCreateTable):
+    db = st.database or s.current_database
+    info = s.catalog.get_table(db, st.name)
+    cols = []
+    for f in info.schema.fields:
+        line = f"  {f.name} {f.dtype.sql_name()}"
+        if f.default is not None:
+            line += f" DEFAULT {f.default!r}"
+        cols.append(line)
+    ddl = f"CREATE TABLE {info.name} (\n" + ",\n".join(cols) + "\n)"
+    if info.cluster_by:
+        ddl += f" CLUSTER BY ({', '.join(info.cluster_by)})"
+    opts = {k: v for k, v in info.options.items()}
+    if opts:
+        ddl += " " + " ".join(f"{k.upper()}='{v}'" for k, v in sorted(opts.items()))
+    for idx in info.indexes.values():
+        o = " ".join(f"{k}='{v}'" for k, v in sorted(idx.options.items()))
+        ddl += (f";\nCREATE {idx.index_type} INDEX {idx.name} ON "
+                f"{info.name}({', '.join(idx.columns)})" + (" " + o if o else ""))
+    block = DataBlock(["Table", "Create Table"],
+                      [Column.from_pylist([info.name], String),
+                       Column.from_pylist([ddl], String)], 1)
+    return QueryResult(block, [DataField("Table", String),
+                               DataField("Create Table", String)])
+
+
 def _stmt_undrop(s: SessionContext, st: A.UndropTable):
     db = st.database or s.current_database
     s.catalog.undrop_table(db, st.name)
@@ -803,6 +829,7 @@ _STATEMENTS = {
     A.DropView: _stmt_drop_view,
     A.MergeInto: _stmt_merge,
     A.UndropTable: _stmt_undrop,
+    A.ShowCreateTable: _stmt_show_create,
     A.CreateTask: _stmt_create_task,
     A.DropTask: _stmt_drop_task,
     A.AlterTask: _stmt_alter_task,

@@ -301,6 +301,12 @@ class FlashbackTable(Statement):
 
 
 @dataclass
+class ShowCreateTable(Statement):
+    name: str
+    database: Optional[str] = None
+
+
+@dataclass
 class UndropTable(Statement):
     name: str
     database: Optional[str] = None

@@ -685,6 +685,10 @@ class Parser:
     # ------------------------------------------------------------------- misc
     def parse_show(self):
         self.expect_keyword("SHOW")
+        if self.accept_keyword("CREATE"):
+            self.expect_keyword("TABLE")
+            db, name = self.qualified_name()
+            return A.ShowCreateTable(name, db)
         if self.accept_keyword("TABLES"):
             from_db = None
             if self.accept_keyword("FROM") or self.accept_keyword("IN"):

@@ -51,3 +51,13 @@ def test_system_indexes(tmp_catalog):
     c.sql("CREATE VECTOR INDEX vidx ON sv(emb) distance='cosine'")
     rows = c.sql("SELECT name, type FROM system.indexes WHERE table = 'sv'").rows()
     assert rows == [("vidx", "vector")]
+
+
+def test_show_create_table(tmp_catalog):
+    c = tmp_catalog
+    c.sql("CREATE TABLE sct (id BIGINT, emb VECTOR(4))")
+    c.sql("CREATE VECTOR INDEX scti ON sct(emb) distance='cosine'")
+    ddl = c.sql("SHOW CREATE TABLE sct").rows()[0][1]
+    assert "CREATE TABLE sct" in ddl
+    assert "VECTOR(4)" in ddl
+    assert "CREATE VECTOR INDEX scti" in ddl
