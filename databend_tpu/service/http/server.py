@@ -121,8 +121,29 @@ class QueryServer:
         self._max_finished = max_finished
 
     # ----------------------------------------------------------- handlers
+    def _authenticate(self, request) -> Optional[str]:
+        """Basic auth against the RBAC user store (reference: the HTTP
+        handler's AuthMgr). No header = root (embedded default). Returns
+        an error message, or None when authorized."""
+        import base64
+        hdr = request.headers.get("Authorization")
+        if not hdr:
+            return None
+        if not hdr.startswith("Basic "):
+            return "unsupported authorization scheme"
+        try:
+            user, _, pw = base64.b64decode(hdr[6:]).decode().partition(":")
+            self.ctx.authenticate(user, pw or None)
+            return None
+        except Exception as e:
+            return str(e)
+
     async def handle_query(self, request):
         from aiohttp import web
+        auth_err = self._authenticate(request)
+        if auth_err is not None:
+            return web.json_response(
+                {"error": {"code": 1045, "message": auth_err}}, status=401)
         try:
             payload = await request.json()
         except Exception:

@@ -90,6 +90,12 @@ class SessionContext:
         self.meta = MetaStore(meta_path)
         self.catalog = Catalog(self.meta)
         self.settings = Settings()
+        # meta-persisted global settings survive sessions
+        for key, v, _seq in self.meta.list_prefix("settings/"):
+            try:
+                self.settings.set(key.split("/", 1)[1], v, is_global=True)
+            except Exception:
+                pass  # stale/unknown persisted setting: ignore
         self.current_database = "default"
         self._tables: Dict[int, FuseTable] = {}
         # in-memory query history (system.query_log; reference history_tables)
@@ -793,6 +799,11 @@ def _stmt_describe(s: SessionContext, st: A.DescribeTable):
 
 def _stmt_set(s: SessionContext, st: A.SetSetting):
     s.settings.set(st.name, st.value, st.is_global)
+    if st.is_global:
+        # global scope persists in the meta service (reference
+        # settings_global.rs: meta-backed global settings)
+        s.meta.upsert(f"settings/{st.name.lower()}",
+                      s.settings.get(st.name))
     return _ok()
 
 

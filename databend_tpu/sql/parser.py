@@ -718,7 +718,13 @@ class Parser:
 
     def parse_set(self):
         self.expect_keyword("SET")
-        is_global = bool(self.accept_keyword("GLOBAL"))
+        # GLOBAL is not reserved: only treat it as the scope marker when a
+        # setting name follows (SET global = 1 stays a plain assignment)
+        is_global = (self._at_word("GLOBAL")
+                     and not (self.peek(1).kind == "OP"
+                              and self.peek(1).text == "="))
+        if is_global:
+            self.next()
         name = self.ident()
         self.expect_op("=")
         t = self.next()

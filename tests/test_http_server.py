@@ -84,3 +84,23 @@ def test_pagination(client):
     assert len(p1["data"]) == 10000 and p1["next_uri"]
     st, p2 = _get(c, loop, p1["next_uri"])
     assert len(p2["data"]) == 5000 and "final_uri" in p2
+
+
+def test_http_basic_auth(client):
+    import base64
+    c, loop = client
+    # create a user with a password via root
+    _post(c, loop, "/v1/query", {"sql": "CREATE USER web IDENTIFIED BY 'pw'"})
+    _post(c, loop, "/v1/query", {"sql": "GRANT SELECT ON *.* TO web"})
+
+    async def go(auth):
+        headers = {"Authorization": auth} if auth else {}
+        r = await c.post("/v1/query", json={"sql": "SELECT 1"}, headers=headers)
+        return r.status, await r.json()
+
+    ok = "Basic " + base64.b64encode(b"web:pw").decode()
+    st, body = loop.run_until_complete(go(ok))
+    assert st == 200 and body["state"] == "Succeeded"
+    bad = "Basic " + base64.b64encode(b"web:wrong").decode()
+    st, body = loop.run_until_complete(go(bad))
+    assert st == 401

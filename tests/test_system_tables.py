@@ -61,3 +61,12 @@ def test_show_create_table(tmp_catalog):
     assert "CREATE TABLE sct" in ddl
     assert "VECTOR(4)" in ddl
     assert "CREATE VECTOR INDEX scti" in ddl
+
+
+def test_set_global_persists(tmp_path):
+    from databend_tpu.service.session import SessionContext
+    c = SessionContext(data_root=str(tmp_path))
+    c.sql("SET GLOBAL max_threads = 3")
+    c.meta.close()
+    c2 = SessionContext(data_root=str(tmp_path))
+    assert c2.settings.get("max_threads") == 3
