@@ -389,6 +389,22 @@ def _group_ids(block: DataBlock, key_cols: List[Column], state: dict):
     return gids, state
 
 
+def _stats_are_exact(scan: Scan, col_name: str) -> bool:
+    """Block min/max stats are exact only for numeric/date/timestamp
+    columns: string stats are truncated to 64 chars and decimal stats are
+    serialized strings compared lexicographically (statistics.py), so a
+    min/max answered from them could be a value not in the table."""
+    from ..types.datatype import (BooleanType, DateType, NumberType,
+                                  TimestampType)
+    try:
+        dtype = scan.table.schema.field(col_name).dtype
+    except Exception:
+        return False
+    inner = dtype.remove_nullable()
+    return isinstance(inner, (NumberType, BooleanType, DateType,
+                              TimestampType))
+
+
 def _try_stats_aggregate(plan: AggregatePlan) -> Optional[DataBlock]:
     """Answer global count(*)/min/max straight from block statistics when no
     filter/group-by touches row data (the aggregating-index fast path —
@@ -406,7 +422,8 @@ def _try_stats_aggregate(plan: AggregatePlan) -> Optional[DataBlock]:
         if fn.name == "count" and not arg_exprs:
             continue
         if fn.name in ("min", "max") and len(arg_exprs) == 1 \
-                and isinstance(arg_exprs[0], BoundColumn):
+                and isinstance(arg_exprs[0], BoundColumn) \
+                and _stats_are_exact(child, arg_exprs[0].name):
             continue
         return None
     parts, stats = child.table.read_partitions(pd, child.snapshot_id)
@@ -419,9 +436,13 @@ def _try_stats_aggregate(plan: AggregatePlan) -> Optional[DataBlock]:
             cols.append(Column.from_pylist([total], fn.return_type()))
         else:
             col_name = arg_exprs[0].name
+            # every selected part must carry stats for the column, else
+            # a block without stats could silently hide the true extremum
+            if any(col_name not in p.meta.col_stats for p in parts):
+                return None
             vals = [p.meta.col_stats[col_name].min if fn.name == "min"
                     else p.meta.col_stats[col_name].max
-                    for p in parts if col_name in p.meta.col_stats]
+                    for p in parts]
             vals = [v for v in vals if v is not None]
             agg = None if not vals else (min(vals) if fn.name == "min" else max(vals))
             cols.append(Column.from_pylist(

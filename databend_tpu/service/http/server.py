@@ -121,26 +121,31 @@ class QueryServer:
         self._max_finished = max_finished
 
     # ----------------------------------------------------------- handlers
-    def _authenticate(self, request) -> Optional[str]:
+    def _authenticate(self, request):
         """Basic auth against the RBAC user store (reference: the HTTP
-        handler's AuthMgr). No header = root (embedded default). Returns
-        an error message, or None when authorized."""
+        handler's AuthMgr). Resolved PER REQUEST — the shared context is
+        never mutated, so concurrent requests can't leak identity. No
+        header = root, which only succeeds while root has no password.
+        Returns (UserInfo, None) or (None, error_message)."""
         import base64
         hdr = request.headers.get("Authorization")
         if not hdr:
-            return None
-        if not hdr.startswith("Basic "):
-            return "unsupported authorization scheme"
+            user, pw = "root", None
+        elif not hdr.startswith("Basic "):
+            return None, "unsupported authorization scheme"
+        else:
+            try:
+                user, _, pw = base64.b64decode(hdr[6:]).decode().partition(":")
+            except Exception as e:
+                return None, str(e)
         try:
-            user, _, pw = base64.b64decode(hdr[6:]).decode().partition(":")
-            self.ctx.authenticate(user, pw or None)
-            return None
+            return self.ctx.users.authenticate(user, pw or None), None
         except Exception as e:
-            return str(e)
+            return None, str(e)
 
     async def handle_query(self, request):
         from aiohttp import web
-        auth_err = self._authenticate(request)
+        user, auth_err = self._authenticate(request)
         if auth_err is not None:
             return web.json_response(
                 {"error": {"code": 1045, "message": auth_err}}, status=401)
@@ -160,8 +165,10 @@ class QueryServer:
             self.queries[q.id] = q
             self._gc_locked()
         # one worker thread per query; the engine is thread-safe per-session
-        # for read paths and serializes commits via OCC
-        await asyncio.get_event_loop().run_in_executor(None, q.run, self.ctx)
+        # for read paths and serializes commits via OCC. Each request runs
+        # on a session view bound to ITS authenticated user.
+        await asyncio.get_event_loop().run_in_executor(
+            None, q.run, self.ctx.for_user(user))
         return web.json_response(q.page_response(0))
 
     async def handle_page(self, request):

@@ -115,13 +115,19 @@ def execute_merge(session, st: A.MergeInto):
         te, se = (a, b) if sa == "target" else (b, a)
         t_keys.append(t_ev.run(ExprBinder(tctx).bind(te)).to_pylist())
         s_keys.append(s_ev.run(ExprBinder(sctx).bind(se)).to_pylist())
+    # SQL equality never matches on NULL: rows with NULL in any equi-key
+    # stay unmatched on both sides (Python tuples would treat None == None)
     smap: Dict[tuple, int] = {}
     for j in range(src_block.num_rows):
         key = tuple(k[j] for k in s_keys)
+        if any(v is None for v in key):
+            continue
         smap.setdefault(key, j)
     match_src = np.full(tgt_block.num_rows, -1, np.int64)
     for i in range(tgt_block.num_rows):
         key = tuple(k[i] for k in t_keys)
+        if any(v is None for v in key):
+            continue
         match_src[i] = smap.get(key, -1)
     matched_srcs = set(int(v) for v in match_src.tolist() if v >= 0)
 

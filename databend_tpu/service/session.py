@@ -111,8 +111,24 @@ class SessionContext:
         """Switch the session to an authenticated user (HTTP basic auth)."""
         self.current_user = self.users.authenticate(user, password)
 
+    def for_user(self, user) -> "SessionContext":
+        """Per-request view of this session bound to ``user``.
+
+        Shares the catalog/meta/settings/table cache with the parent, but
+        carries its own ``current_user`` and ``current_database`` so
+        concurrent protocol requests can never leak identity into each
+        other (reference: per-request session in the HTTP handler).
+        """
+        import copy
+        s = copy.copy(self)
+        s.current_user = user
+        return s
+
     def check_privilege(self, priv: str, database: str, table: str = "*"):
-        self.users.check(self.current_user, priv, database, table)
+        # re-resolve from the meta store so grants issued after this
+        # session authenticated take effect immediately
+        u = self.users.get_user(self.current_user.name) or self.current_user
+        self.users.check(u, priv, database, table)
 
     # ------------------------------------------------------------------- api
     def open_table(self, info: TableInfo) -> FuseTable:
@@ -200,12 +216,20 @@ class SessionContext:
         ttl = self.settings.get("query_result_cache_ttl_secs")
         if not ttl:
             return None
+        # never cache non-deterministic queries (reference result cache
+        # skips them too)
+        sql_l = repr(stmt.query).lower()
+        for fn in ("now", "rand", "random", "uuid", "current_timestamp",
+                   "today", "yesterday", "tomorrow"):
+            if fn + "(" in sql_l or f"'{fn}'" in sql_l:
+                return None
         snaps = []
         for d in self.catalog.list_databases():
             for info in self.catalog.list_tables(d.name):
                 loc, seq = self.catalog.get_snapshot_location(info.table_id)
                 snaps.append((info.table_id, loc, seq))
-        return (repr(stmt.query), tuple(sorted(snaps)))
+        # current_database resolves unqualified names; it must be in the key
+        return (repr(stmt.query), self.current_database, tuple(sorted(snaps)))
 
     # ----------------------------------------------------------- dispatching
     def _execute_statement(self, stmt: A.Statement) -> QueryResult:
@@ -360,6 +384,7 @@ def _stmt_drop_table(s: SessionContext, st: A.DropTable):
 
 
 def _stmt_truncate(s: SessionContext, st: A.TruncateTable):
+    s.check_privilege("DELETE", st.database or s.current_database, st.name)
     s.table(st.name, st.database).truncate()
     return _ok()
 
@@ -371,6 +396,7 @@ def _stmt_rename(s: SessionContext, st: A.RenameTable):
 
 
 def _stmt_flashback(s: SessionContext, st: A.FlashbackTable):
+    s.check_privilege("ALTER", st.database or s.current_database, st.name)
     t = s.table(st.name, st.database)
     t.flashback(st.point)
     return _ok()
@@ -518,26 +544,31 @@ def _stmt_drop_function(s: SessionContext, st: A.DropFunction):
 
 
 def _stmt_create_user(s: SessionContext, st: A.CreateUser):
+    s.check_privilege("SUPER", "*")
     s.users.create_user(st.name, st.password, st.if_not_exists)
     return _ok()
 
 
 def _stmt_drop_user(s: SessionContext, st: A.DropUser):
+    s.check_privilege("SUPER", "*")
     s.users.drop_user(st.name, st.if_exists)
     return _ok()
 
 
 def _stmt_create_role(s: SessionContext, st: A.CreateRole):
+    s.check_privilege("SUPER", "*")
     s.users.create_role(st.name, st.if_not_exists)
     return _ok()
 
 
 def _stmt_drop_role(s: SessionContext, st: A.DropRole):
+    s.check_privilege("SUPER", "*")
     s.users.drop_role(st.name, st.if_exists)
     return _ok()
 
 
 def _stmt_grant_role(s: SessionContext, st: A.GrantRole):
+    s.check_privilege("SUPER", "*")
     if st.is_grant:
         s.users.grant_role(st.role, st.user)
     else:
@@ -549,6 +580,7 @@ def _stmt_grant_role(s: SessionContext, st: A.GrantRole):
 
 
 def _stmt_grant_privileges(s: SessionContext, st: A.GrantPrivileges):
+    s.check_privilege("SUPER", "*")
     db = st.database if st.database is not None else (
         "*" if st.table == "*" else s.current_database)
     privs = {p.upper() for p in st.privileges}
@@ -560,6 +592,8 @@ def _stmt_grant_privileges(s: SessionContext, st: A.GrantPrivileges):
 
 
 def _stmt_show_grants(s: SessionContext, st: A.ShowGrants):
+    if st.user and st.user.lower() != s.current_user.name.lower():
+        s.check_privilege("SUPER", "*")
     name = st.user or s.current_user.name
     u = s.users.get_user(name)
     if u is None:
@@ -577,6 +611,7 @@ def _stmt_copy_into_table(s: SessionContext, st: A.CopyIntoTable):
     """COPY INTO t FROM 'path' — bulk load (reference: stage COPY path,
     src/query/storages/stage + formats field decoders)."""
     from ..formats import FileFormatOptions, detect_format, read_file
+    s.check_privilege("INSERT", st.database or s.current_database, st.table)
     t = s.table(st.table, st.database)
     files = _copy_sources(st.src, st.pattern)
     opts = None
@@ -798,6 +833,8 @@ def _stmt_describe(s: SessionContext, st: A.DescribeTable):
 
 
 def _stmt_set(s: SessionContext, st: A.SetSetting):
+    if st.is_global:
+        s.check_privilege("SUPER", "*")
     s.settings.set(st.name, st.value, st.is_global)
     if st.is_global:
         # global scope persists in the meta service (reference

@@ -104,3 +104,36 @@ def test_http_basic_auth(client):
     bad = "Basic " + base64.b64encode(b"web:wrong").decode()
     st, body = loop.run_until_complete(go(bad))
     assert st == 401
+
+
+def test_anonymous_rejected_once_root_has_password(client):
+    """ADVICE r1: auth is per-request; no header != last authenticated user."""
+    c, loop = client
+    import base64
+
+    def post_auth(sql, user=None, pw=""):
+        async def go():
+            headers = {}
+            if user is not None:
+                tok = base64.b64encode(f"{user}:{pw}".encode()).decode()
+                headers["Authorization"] = f"Basic {tok}"
+            r = await c.post("/v1/query", json={"sql": sql}, headers=headers)
+            return r.status, await r.json()
+        return loop.run_until_complete(go())
+
+    st, _ = post_auth("CREATE USER alice IDENTIFIED BY 'secret'")
+    assert st == 200
+    # authenticated request as alice must NOT make later anonymous
+    # requests run as alice nor as a cached identity
+    st, body = post_auth("SELECT 1", user="alice", pw="secret")
+    assert st == 200 and body["state"] == "Succeeded"
+    # anonymous still allowed while root is passwordless...
+    st, body = post_auth("SELECT 2")
+    assert st == 200
+    # ...and alice cannot escalate
+    st, body = post_auth("GRANT ALL ON *.* TO alice", user="alice", pw="secret")
+    assert st == 200 and body["state"] == "Failed"
+    assert "lacks" in body["error"]["message"]
+    # wrong password rejected
+    st, _ = post_auth("SELECT 1", user="alice", pw="nope")
+    assert st == 401

@@ -56,3 +56,18 @@ def test_merge_insert_only(ctx):
         WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)""")
     assert ctx.sql("SELECT count(*) FROM tgt").scalar() == 4
     assert ctx.sql("SELECT v FROM tgt WHERE id = 2").scalar() == 20  # untouched
+
+
+def test_merge_null_keys_never_match(ctx):
+    """ADVICE r1: NULL in an equi-key must leave rows unmatched."""
+    ctx.sql("CREATE TABLE mt_null (k BIGINT NULL, v BIGINT)")
+    ctx.sql("CREATE TABLE ms_null (k BIGINT NULL, v BIGINT)")
+    ctx.sql("INSERT INTO mt_null VALUES (NULL, 1), (2, 2)")
+    ctx.sql("INSERT INTO ms_null VALUES (NULL, 100), (2, 200)")
+    ctx.sql("MERGE INTO mt_null t USING ms_null s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    rows = sorted(ctx.sql("SELECT k, v FROM mt_null").rows(),
+                  key=lambda r: (r[0] is None, r[0]))
+    # NULL target row untouched; k=2 updated; NULL source row inserted
+    assert rows == [(2, 200), (None, 1), (None, 100)]

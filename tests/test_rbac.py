@@ -70,3 +70,56 @@ def test_show_grants_users_roles(tmp_catalog):
     c.sql("DROP USER dave")
     with pytest.raises(DatabendError):
         c.sql("SHOW GRANTS FOR dave")
+
+
+def test_privilege_escalation_blocked(tmp_catalog):
+    """ADVICE r1: unprivileged users must not manage users/roles/grants."""
+    c = tmp_catalog
+    c.sql("CREATE USER mallory IDENTIFIED BY 'pw'")
+    c.authenticate("mallory", "pw")
+    for sql in [
+        "GRANT ALL ON *.* TO mallory",
+        "CREATE USER eve IDENTIFIED BY 'x'",
+        "DROP USER root",
+        "CREATE ROLE sneaky",
+        "DROP ROLE account_admin",
+        "GRANT ROLE account_admin TO mallory",
+        "SET GLOBAL max_threads = 1",
+        "SHOW GRANTS FOR root",
+    ]:
+        with pytest.raises(PermissionDenied):
+            c.sql(sql)
+    c.authenticate("root")
+
+
+def test_dml_ddl_privilege_gates(tmp_catalog):
+    c = tmp_catalog
+    c.sql("CREATE TABLE gated (v BIGINT)")
+    c.sql("INSERT INTO gated VALUES (1)")
+    c.sql("CREATE USER worker IDENTIFIED BY 'pw'")
+    c.sql("GRANT SELECT ON default.gated TO worker")
+    c.authenticate("worker", "pw")
+    with pytest.raises(PermissionDenied):
+        c.sql("TRUNCATE TABLE gated")
+    c.authenticate("root")
+    c.sql("GRANT DELETE ON default.gated TO worker")
+    c.authenticate("worker", "pw")
+    c.sql("TRUNCATE TABLE gated")
+    assert c.sql("SELECT count(*) FROM gated").scalar() == 0
+    c.authenticate("root")
+
+
+def test_for_user_isolated_identity(tmp_catalog):
+    """for_user() views never mutate the parent session's identity."""
+    c = tmp_catalog
+    c.sql("CREATE USER viewer IDENTIFIED BY 'pw'")
+    u = c.users.authenticate("viewer", "pw")
+    view = c.for_user(u)
+    assert view.current_user.name == "viewer"
+    assert c.current_user.name == "root"
+    with pytest.raises(PermissionDenied):
+        view.sql("CREATE USER another IDENTIFIED BY 'x'")
+    # catalog is shared
+    c.sql("CREATE TABLE shared_t (v BIGINT)")
+    c.sql("GRANT SELECT ON default.shared_t TO viewer")
+    assert view.sql("SELECT count(*) FROM shared_t").scalar() == 0

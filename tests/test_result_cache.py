@@ -37,3 +37,31 @@ def test_information_schema(tmp_catalog):
     assert [r[0] for r in cols] == ["a", "b"]
     dbs = c.sql("SELECT count(*) FROM information_schema.schemata").scalar()
     assert dbs >= 1
+
+
+def test_cache_keyed_on_current_database(tmp_catalog):
+    """ADVICE r1: same SQL in a different current database is a miss."""
+    c = tmp_catalog
+    c.sql("SET query_result_cache_ttl_secs = 300")
+    c.sql("CREATE DATABASE db_a")
+    c.sql("CREATE DATABASE db_b")
+    c.sql("USE db_a")
+    c.sql("CREATE TABLE t (v BIGINT)")
+    c.sql("INSERT INTO t VALUES (1)")
+    c.sql("USE db_b")
+    c.sql("CREATE TABLE t (v BIGINT)")
+    c.sql("INSERT INTO t VALUES (2)")
+    c.sql("USE db_a")
+    assert c.sql("SELECT v FROM t").rows() == [(1,)]
+    c.sql("USE db_b")
+    assert c.sql("SELECT v FROM t").rows() == [(2,)]
+
+
+def test_nondeterministic_not_cached(tmp_catalog):
+    c = tmp_catalog
+    c.sql("SET query_result_cache_ttl_secs = 300")
+    import time
+    a = c.sql("SELECT now()").scalar()
+    time.sleep(0.01)
+    b = c.sql("SELECT now()").scalar()
+    assert a != b
