@@ -173,6 +173,27 @@ class Column:
                 offsets[i + 1] = len(flat)
             child = Column.from_pylist(flat, inner.inner)
             return Column(dtype, (offsets, child), validity)
+        from ..types.datatype import DateType, TimestampType
+        if isinstance(inner, (DateType, TimestampType)) and \
+                any(isinstance(v, str) for v in values):
+            import datetime as _dt
+            epoch = _dt.date(1970, 1, 1)
+            parsed = []
+            for v in values:
+                if v is None:
+                    parsed.append(0)
+                elif isinstance(v, str):
+                    if isinstance(inner, DateType):
+                        parsed.append((_dt.date.fromisoformat(v[:10])
+                                       - epoch).days)
+                    else:
+                        ts = _dt.datetime.fromisoformat(v).replace(
+                            tzinfo=_dt.timezone.utc)
+                        parsed.append(int(ts.timestamp() * 1_000_000))
+                else:
+                    parsed.append(v)
+            return Column(dtype, np.asarray(parsed, inner.numpy_dtype()),
+                          validity)
         np_dtype = inner.numpy_dtype()
         filled = [0 if v is None else v for v in values]
         return Column(dtype, np.asarray(filled, dtype=np_dtype), validity)

@@ -137,3 +137,134 @@ def _date_format(a, fmt, arg_types=None, **kw):
             dt = _dt.datetime.fromtimestamp(v / _US, _dt.timezone.utc)
         out.append(dt.strftime(f))
     return StringData.from_pylist(out)
+
+
+# ---- date arithmetic (reference: scalars/datetime.rs add_* family) ---------
+
+def _res_same_as_first(name):
+    def resolve(arg_types):
+        if len(arg_types) != 2:
+            raise SemanticError(f"{name} expects 2 args")
+        return arg_types[0].remove_nullable()
+    return resolve
+
+
+def _add_fixed(a, n, arg_types, unit_us: int):
+    """Add a fixed-duration unit (days/hours/minutes/seconds)."""
+    t = arg_types[0].remove_nullable()
+    n = np.asarray(n, np.int64)
+    if t == Date:
+        if unit_us % (86400 * _US) == 0:
+            return (np.asarray(a, np.int64)
+                    + n * (unit_us // (86400 * _US))).astype(np.int32)
+        # sub-day add on a date promotes through microseconds, then floors
+        us = np.asarray(a, np.int64) * 86400 * _US + n * unit_us
+        return (us // (86400 * _US)).astype(np.int32)
+    return np.asarray(a, np.int64) + n * unit_us
+
+
+def _add_months_impl(a, n, arg_types):
+    t = arg_types[0].remove_nullable()
+    days = (np.asarray(a, np.int64) if t == Date
+            else np.asarray(a, np.int64) // (86400 * _US))
+    rem_us = (np.zeros_like(days) if t == Date
+              else np.asarray(a, np.int64) - days * 86400 * _US)
+    n = np.asarray(n, np.int64)
+    if n.ndim == 0:
+        n = np.full_like(days, int(n))
+    out = np.empty_like(days)
+    epoch = _dt.date(1970, 1, 1)
+    for i in range(len(days)):
+        d = epoch + _dt.timedelta(days=int(days[i]))
+        total = d.year * 12 + (d.month - 1) + int(n[i])
+        y, m = divmod(total, 12)
+        # clamp day-of-month (reference: add_months clamps to month end)
+        for dom in (d.day, 30, 29, 28):
+            try:
+                nd = _dt.date(y, m + 1, dom)
+                break
+            except ValueError:
+                continue
+        out[i] = (nd - epoch).days
+    if t == Date:
+        return out.astype(np.int32)
+    return out * 86400 * _US + rem_us
+
+
+@scalar_function("add_days", _res_same_as_first("add_days"))
+def _add_days(a, n, arg_types=None, **kw):
+    return _add_fixed(a, n, arg_types, 86400 * _US)
+
+
+@scalar_function("subtract_days", _res_same_as_first("subtract_days"))
+def _sub_days(a, n, arg_types=None, **kw):
+    return _add_fixed(a, -np.asarray(n, np.int64), arg_types, 86400 * _US)
+
+
+@scalar_function("add_hours", _res_same_as_first("add_hours"))
+def _add_hours(a, n, arg_types=None, **kw):
+    return _add_fixed(a, n, arg_types, 3600 * _US)
+
+
+@scalar_function("add_minutes", _res_same_as_first("add_minutes"))
+def _add_minutes(a, n, arg_types=None, **kw):
+    return _add_fixed(a, n, arg_types, 60 * _US)
+
+
+@scalar_function("add_seconds", _res_same_as_first("add_seconds"))
+def _add_seconds(a, n, arg_types=None, **kw):
+    return _add_fixed(a, n, arg_types, _US)
+
+
+@scalar_function("add_months", _res_same_as_first("add_months"))
+def _add_months(a, n, arg_types=None, **kw):
+    return _add_months_impl(a, n, arg_types)
+
+
+@scalar_function("subtract_months", _res_same_as_first("subtract_months"))
+def _sub_months(a, n, arg_types=None, **kw):
+    return _add_months_impl(a, -np.asarray(n, np.int64), arg_types)
+
+
+@scalar_function("add_years", _res_same_as_first("add_years"))
+def _add_years(a, n, arg_types=None, **kw):
+    return _add_months_impl(a, 12 * np.asarray(n, np.int64), arg_types)
+
+
+@scalar_function("subtract_years", _res_same_as_first("subtract_years"))
+def _sub_years(a, n, arg_types=None, **kw):
+    return _add_months_impl(a, -12 * np.asarray(n, np.int64), arg_types)
+
+
+@scalar_function("date_diff", _res("date_diff", 2, Int64), aliases=["datediff"])
+def _date_diff(a, b, arg_types=None, **kw):
+    def to_days(x, t):
+        t = t.remove_nullable()
+        if t == Date:
+            return np.asarray(x, np.int64)
+        return np.asarray(x, np.int64) // (86400 * _US)
+    return to_days(a, arg_types[0]) - to_days(b, arg_types[1])
+
+
+@scalar_function("to_hour", _res("to_hour", 1, UInt8), aliases=["hour"])
+def _to_hour(a, arg_types=None, **kw):
+    t = arg_types[0].remove_nullable()
+    us = (np.asarray(a, np.int64) * 86400 * _US if t == Date
+          else np.asarray(a, np.int64))
+    return ((us // (3600 * _US)) % 24).astype(np.uint8)
+
+
+@scalar_function("to_minute", _res("to_minute", 1, UInt8), aliases=["minute"])
+def _to_minute(a, arg_types=None, **kw):
+    t = arg_types[0].remove_nullable()
+    us = (np.asarray(a, np.int64) * 86400 * _US if t == Date
+          else np.asarray(a, np.int64))
+    return ((us // (60 * _US)) % 60).astype(np.uint8)
+
+
+@scalar_function("to_second", _res("to_second", 1, UInt8), aliases=["second"])
+def _to_second(a, arg_types=None, **kw):
+    t = arg_types[0].remove_nullable()
+    us = (np.asarray(a, np.int64) * 86400 * _US if t == Date
+          else np.asarray(a, np.int64))
+    return ((us // _US) % 60).astype(np.uint8)

@@ -53,10 +53,29 @@ class QueryResult:
         return [f.name for f in self.fields]
 
     def rows(self) -> List[tuple]:
-        return self.block.to_rows()
+        cols = [self._render(n, c) for n, c in self.block.items()]
+        return [tuple(c[i] for c in cols) for i in range(self.block.num_rows)]
 
     def to_pydict(self) -> Dict[str, list]:
-        return self.block.to_pydict()
+        return {n: self._render(n, c) for n, c in self.block.items()}
+
+    def _render(self, name: str, col) -> list:
+        """Client-facing value conversion: DATE -> datetime.date,
+        TIMESTAMP -> datetime.datetime (the wire types bendpy exposes)."""
+        import datetime as _dt
+
+        from ..types.datatype import DateType, TimestampType
+        vals = col.to_pylist()
+        inner = col.dtype.remove_nullable()
+        if isinstance(inner, DateType):
+            epoch = _dt.date(1970, 1, 1)
+            return [None if v is None else epoch + _dt.timedelta(days=int(v))
+                    for v in vals]
+        if isinstance(inner, TimestampType):
+            return [None if v is None else
+                    _dt.datetime.fromtimestamp(int(v) / 1e6, _dt.timezone.utc)
+                    .replace(tzinfo=None) for v in vals]
+        return vals
 
     def scalar(self):
         rows = self.rows()
@@ -248,7 +267,8 @@ class SessionContext:
                     METRICS.inc("result_cache_hits")
                     return cached[1]
         if isinstance(stmt, A.QueryStmt):
-            plan = Binder(self).bind_query(stmt.query)
+            from ..sql.optimizer import optimize
+            plan = optimize(Binder(self).bind_query(stmt.query), self)
             block = execute_plan(plan)
             result = QueryResult(block, plan.output_fields())
             key = self._result_cache_key(stmt)
@@ -271,7 +291,8 @@ class SessionContext:
         from ..sql.binder import Binder
         if not isinstance(stmt.inner, A.QueryStmt):
             raise SemanticError("EXPLAIN supports queries only")
-        plan = Binder(self).bind_query(stmt.inner.query)
+        from ..sql.optimizer import optimize
+        plan = optimize(Binder(self).bind_query(stmt.inner.query), self)
         lines = plan.explain().split("\n")
         if stmt.analyze:
             t0 = time.time()
@@ -844,6 +865,15 @@ def _stmt_set(s: SessionContext, st: A.SetSetting):
     return _ok()
 
 
+def _stmt_analyze(s: SessionContext, st: A.AnalyzeTable):
+    """ANALYZE TABLE: compute NDV + equi-height histograms for the CBO
+    (reference: interpreter_table_analyze.rs + src/common/statistics)."""
+    from ..statistics import analyze_table
+    t = s.table(st.name, st.database)
+    stats = analyze_table(s, t)
+    return _ok(stats.row_count)
+
+
 def _stmt_optimize(s: SessionContext, st: A.OptimizeTable):
     t = s.table(st.name, st.database)
     if st.action in ("COMPACT", "ALL"):
@@ -899,5 +929,6 @@ _STATEMENTS = {
     A.DescribeTable: _stmt_describe,
     A.SetSetting: _stmt_set,
     A.OptimizeTable: _stmt_optimize,
+    A.AnalyzeTable: _stmt_analyze,
     A.VacuumTable: _stmt_vacuum,
 }

@@ -49,6 +49,9 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
         SettingDef("sql_dialect", "databend", "SQL dialect"),
         SettingDef("query_result_cache_ttl_secs", 0, "result cache TTL (0=off)"),
         SettingDef("enable_query_profiling", False, "collect per-operator timings"),
+        SettingDef("enable_cbo", True,
+                   "cost-based optimizer: filter pushdown + DP join"
+                   " reordering (reference optimizers/{cascades,hyper_dp})"),
         SettingDef("sort_spill_row_threshold", 8_000_000,
                    "rows above which ORDER BY spills sorted runs to disk "
                    "(reference sort_spill.rs); 0 disables spilling", (0, 1 << 40)),

@@ -553,6 +553,12 @@ class SetSetting(Statement):
 
 
 @dataclass
+class AnalyzeTable(Statement):
+    name: str
+    database: Optional[str] = None
+
+
+@dataclass
 class OptimizeTable(Statement):
     name: str
     database: Optional[str] = None

@@ -126,6 +126,19 @@ class ExprBinder:
         name = _BINOP_FN.get(e.op)
         if name is None:
             raise SemanticError(f"unsupported operator {e.op!r}")
+        # date/timestamp +/- INTERVAL -> add_<unit>s (reference: interval
+        # arithmetic lowered in the type checker)
+        if e.op in ("+", "-"):
+            iv = _as_interval(e.right)
+            if iv is not None:
+                n, unit = iv
+                if e.op == "-":
+                    n = -n
+                return self._bind_interval_add(self.bind(e.left), n, unit)
+            iv = _as_interval(e.left)
+            if iv is not None and e.op == "+":
+                n, unit = iv
+                return self._bind_interval_add(self.bind(e.right), n, unit)
         left = self.bind(e.left)
         right = self.bind(e.right)
         if name in _CMP_FNS:
@@ -146,6 +159,18 @@ class ExprBinder:
         elif tb in (parse_type_name("DATE"), parse_type_name("TIMESTAMP")) and isinstance(ta, StringType):
             a = CastExpr(a, tb, False)
         return a, b
+
+    def _bind_interval_add(self, base: ScalarExpr, n: int, unit: str) -> Func:
+        unit_fns = {"day": ("add_days", 1), "week": ("add_days", 7),
+                    "month": ("add_months", 1), "quarter": ("add_months", 3),
+                    "year": ("add_years", 1), "hour": ("add_hours", 1),
+                    "minute": ("add_minutes", 1), "second": ("add_seconds", 1)}
+        u = unit.lower().rstrip("s")
+        if u not in unit_fns:
+            raise SemanticError(f"unsupported interval unit {unit!r}")
+        fn, scale = unit_fns[u]
+        from ..types import Int64 as _I64
+        return self._func(fn, [base, Constant(n * scale, _I64)])
 
     def _ensure_string(self, x: ScalarExpr) -> ScalarExpr:
         if isinstance(x.dtype.remove_nullable(), StringType):
@@ -228,3 +253,15 @@ class ExprBinder:
         for c in clauses[1:]:
             acc = self._func("or", [acc, c])
         return self._func("not", [acc]) if e.negated else acc
+
+
+def _as_interval(e) -> "Optional[tuple]":
+    """(n, unit) when the AST node is INTERVAL 'n' unit, else None."""
+    if isinstance(e, A.FunctionCall) and e.name.lower() == "interval" \
+            and len(e.args) == 2 and isinstance(e.args[0], A.Literal) \
+            and isinstance(e.args[1], A.Literal):
+        try:
+            return int(str(e.args[0].value)), str(e.args[1].value)
+        except ValueError:
+            return None
+    return None

@@ -1,0 +1,461 @@
+"""Cost-based plan optimizer: filter pushdown + join reordering.
+
+The reference runs a cascades optimizer with a recursive rule list and a
+DP join reorderer (src/query/sql/src/planner/optimizer/optimizers/
+{cascades,recursive,rule,hyper_dp}, entry planner.rs:92). This engine
+matches the *behavior* — predicates land in scan pushdowns, inner-join
+regions are re-ordered by estimated cardinality via dynamic programming —
+with a far smaller rewrite pass suited to the single-tier plan tree:
+
+1. Extract each maximal region of INNER joins + filters into a join graph
+   (relations, equi edges, residual predicates), with every predicate
+   rewritten to region-global column names.
+2. Push single-relation conjuncts into the relation (down to the Scan
+   pushdown, through projections).
+3. Enumerate join orders with DP over subsets (exact for <= 10 relations,
+   greedy chaining beyond), costing by estimated intermediate rows; the
+   build (right) side of every hash join is the smaller input.
+4. Re-project to the region's original output names.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Set, Tuple
+
+from ...expression.expr import (BoundColumn, CaseExpr, CastExpr, Constant,
+                                Func, ScalarExpr)
+from ...types import Boolean
+from ..plans import (AggregatePlan, DistinctPlan, FilterPlan, JoinPlan,
+                     LimitPlan, Plan, ProjectPlan, Scan, SortPlan,
+                     UnionAllPlan, ValuesPlan, WindowPlan)
+from .stats import Estimator
+
+MAX_DP_RELATIONS = 10
+
+
+def optimize(plan: Plan, session) -> Plan:
+    """Entry point: rewrite the bound plan tree (reference planner.rs:92
+    `optimize()` after bind)."""
+    try:
+        if not session.settings.get("enable_cbo"):
+            return plan
+    except Exception:
+        pass
+    return _Optimizer(session).rewrite(plan)
+
+
+# ----------------------------------------------------------- expression utils
+
+def conjuncts(e: Optional[ScalarExpr]) -> List[ScalarExpr]:
+    if e is None:
+        return []
+    if isinstance(e, Func) and e.name == "and":
+        out = []
+        for a in e.args:
+            out.extend(conjuncts(a))
+        return out
+    return [e]
+
+
+def and_all(parts: List[ScalarExpr]) -> Optional[ScalarExpr]:
+    acc = None
+    for p in parts:
+        acc = p if acc is None else Func("and", [acc, p], Boolean)
+    return acc
+
+
+def rename_columns(e: ScalarExpr, ren: Dict[str, str]) -> ScalarExpr:
+    if isinstance(e, BoundColumn):
+        new = ren.get(e.name.lower())
+        return BoundColumn(new, e.dtype, e.table) if new is not None and \
+            new != e.name else e
+    if isinstance(e, Func):
+        return Func(e.name, [rename_columns(a, ren) for a in e.args], e.dtype)
+    if isinstance(e, CastExpr):
+        return CastExpr(rename_columns(e.arg, ren), e.dtype, e.is_try)
+    if isinstance(e, CaseExpr):
+        return CaseExpr([rename_columns(c, ren) for c in e.conditions],
+                        [rename_columns(r, ren) for r in e.results],
+                        rename_columns(e.else_result, ren)
+                        if e.else_result is not None else None, e.dtype)
+    return e
+
+
+def column_names(e: ScalarExpr) -> Set[str]:
+    return {x.name.lower() for x in e.walk() if isinstance(x, BoundColumn)}
+
+
+# ------------------------------------------------------------------ join graph
+
+@dataclass
+class EquiPred:
+    lexpr: ScalarExpr
+    rexpr: ScalarExpr
+    lrels: frozenset
+    rrels: frozenset
+
+    @property
+    def rels(self) -> frozenset:
+        return self.lrels | self.rrels
+
+
+@dataclass
+class FilterPred:
+    expr: ScalarExpr
+    rels: frozenset
+
+
+@dataclass
+class Region:
+    rels: List[Plan] = dc_field(default_factory=list)
+    rel_names: List[Set[str]] = dc_field(default_factory=list)
+    equis: List[EquiPred] = dc_field(default_factory=list)
+    filters: List[FilterPred] = dc_field(default_factory=list)
+    out_fields: list = dc_field(default_factory=list)
+
+
+class _Optimizer:
+    def __init__(self, session):
+        self.session = session
+        self.est = Estimator(session)
+        self._rows_cache: Dict[tuple, float] = {}
+
+    # ------------------------------------------------------------- traversal
+    def rewrite(self, plan: Plan) -> Plan:
+        if self._is_region_root(plan):
+            return self._optimize_region(plan)
+        if isinstance(plan, FilterPlan):
+            child = self.rewrite(plan.child)
+            return self._push_filter(child, plan.expr)
+        # generic: rewrite children in place
+        if isinstance(plan, (ProjectPlan, SortPlan, LimitPlan, DistinctPlan,
+                             WindowPlan, AggregatePlan)):
+            plan.child = self.rewrite(plan.child)
+            return plan
+        if isinstance(plan, UnionAllPlan):
+            plan.inputs = [self.rewrite(c) for c in plan.inputs]
+            return plan
+        if isinstance(plan, JoinPlan):  # non-inner join: sides independently
+            plan.left = self.rewrite(plan.left)
+            plan.right = self.rewrite(plan.right)
+            return plan
+        return plan
+
+    @staticmethod
+    def _is_region_root(plan: Plan) -> bool:
+        node = plan
+        while isinstance(node, FilterPlan):
+            node = node.child
+        return isinstance(node, JoinPlan) and node.kind in ("INNER",
+                                                            "CROSS")
+
+    # ------------------------------------------------------ filter pushdown
+    def _push_filter(self, plan: Plan, expr: ScalarExpr) -> Plan:
+        """Push a predicate as deep as its columns allow."""
+        if isinstance(plan, Scan):
+            base = {f.name.lower() for f in plan.table.schema.fields}
+            if column_names(expr) <= base:
+                pd = plan.pushdown
+                pd.filters = expr if pd.filters is None else \
+                    Func("and", [pd.filters, expr], Boolean)
+                return plan
+            return FilterPlan(plan, expr)
+        if isinstance(plan, ProjectPlan):
+            sub = {n.lower(): e for n, e in plan.items}
+            if column_names(expr) <= set(sub):
+                inlined = _substitute(expr, sub)
+                if inlined is not None:
+                    plan.child = self._push_filter(plan.child, inlined)
+                    return plan
+            return FilterPlan(plan, expr)
+        if isinstance(plan, FilterPlan):
+            plan.child = self._push_filter(plan.child, expr)
+            return plan
+        return FilterPlan(plan, expr)
+
+    # ------------------------------------------------------- region handling
+    def _optimize_region(self, plan: Plan) -> Plan:
+        region = Region(out_fields=plan.output_fields())
+        out_names = [f.name for f in region.out_fields]
+        self._collect(plan, out_names, region)
+        n = len(region.rels)
+        # rewrite leaves first (nested regions under non-inner joins etc.)
+        region.rels = [self.rewrite(r) for r in region.rels]
+        self._finalize_predicates(region)
+
+        # push single-relation filters into their relation
+        remaining: List[FilterPred] = []
+        for f in region.filters:
+            if len(f.rels) == 1:
+                (i,) = tuple(f.rels)
+                region.rels[i] = self._push_filter(region.rels[i], f.expr)
+            else:
+                remaining.append(f)
+        region.filters = remaining
+
+        ordered = self._enumerate(region)
+        # restore original output order / names
+        fields_by_name = {f.name.lower(): f for f in region.out_fields}
+        got = [f.name for f in ordered.output_fields()]
+        if got != [f.name for f in region.out_fields]:
+            ordered = ProjectPlan(ordered, [
+                (f.name, BoundColumn(f.name, f.dtype))
+                for f in region.out_fields])
+        return ordered
+
+    def _collect(self, node: Plan, out_names: List[str], region: Region):
+        own = [f.name for f in node.output_fields()]
+        ren = {o.lower(): n for o, n in zip(own, out_names)}
+        if isinstance(node, FilterPlan):
+            for c in conjuncts(rename_columns(node.expr, ren)):
+                region.filters.append(FilterPred(c, frozenset()))  # rels later
+            self._collect(node.child, out_names, region)
+            return
+        if isinstance(node, JoinPlan) and node.kind in ("INNER", "CROSS"):
+            lf = node.left.output_fields()
+            l_out = out_names[:len(lf)]
+            r_out = out_names[len(lf):]
+            l_own = [f.name for f in lf]
+            r_own = [f.name for f in node.right.output_fields()]
+            lren = {o.lower(): x for o, x in zip(l_own, l_out)}
+            rren = {o.lower(): x for o, x in zip(r_own, r_out)}
+            for lk, rk in zip(node.left_keys, node.right_keys):
+                region.equis.append(EquiPred(
+                    rename_columns(lk, lren), rename_columns(rk, rren),
+                    frozenset(), frozenset()))  # rels later
+            if node.residual is not None:
+                for c in conjuncts(rename_columns(node.residual, ren)):
+                    region.filters.append(FilterPred(c, frozenset()))
+            self._collect(node.left, l_out, region)
+            self._collect(node.right, r_out, region)
+            return
+        # leaf relation — rename its outputs to the region-global names
+        leaf = node
+        if any(o.lower() != x.lower() for o, x in zip(own, out_names)):
+            leaf = ProjectPlan(node, [
+                (x, BoundColumn(o, f.dtype))
+                for o, x, f in zip(own, out_names, node.output_fields())])
+        region.rels.append(leaf)
+        region.rel_names.append({x.lower() for x in out_names})
+        # once all leaves are known, predicates get their rel sets filled by
+        # _finalize_predicates (called lazily from _enumerate)
+
+    def _rels_of(self, region: Region, names: Set[str]) -> frozenset:
+        out = set()
+        for i, owned in enumerate(region.rel_names):
+            if names & owned:
+                out.add(i)
+        return frozenset(out)
+
+    def _finalize_predicates(self, region: Region):
+        equis: List[EquiPred] = []
+        for e in region.equis:
+            lrels = self._rels_of(region, column_names(e.lexpr))
+            rrels = self._rels_of(region, column_names(e.rexpr))
+            if lrels and rrels and not (lrels & rrels):
+                equis.append(EquiPred(e.lexpr, e.rexpr, lrels, rrels))
+            else:  # degenerate key (constant or same-side): generic filter
+                region.filters.append(FilterPred(
+                    Func("eq", [e.lexpr, e.rexpr], Boolean), lrels | rrels))
+        region.equis = equis
+        filters: List[FilterPred] = []
+        for f in region.filters:
+            names = column_names(f.expr)
+            rels = self._rels_of(region, names)
+            # an eq conjunct bridging exactly two sides upgrades to a key
+            if isinstance(f.expr, Func) and f.expr.name == "eq" \
+                    and len(f.expr.args) == 2:
+                a, b = f.expr.args
+                ra = self._rels_of(region, column_names(a))
+                rb = self._rels_of(region, column_names(b))
+                if ra and rb and not (ra & rb):
+                    region.equis.append(EquiPred(a, b, ra, rb))
+                    continue
+            filters.append(FilterPred(f.expr, rels))
+        region.filters = filters
+
+    # -------------------------------------------------------- DP enumeration
+    def _enumerate(self, region: Region) -> Plan:
+        n = len(region.rels)
+        rows = [max(self.est.rows(r), 1.0) for r in region.rels]
+        pred_sel = self._pred_selectivities(region, rows)
+
+        def subset_rows(mask: int) -> float:
+            r = 1.0
+            for i in range(n):
+                if mask >> i & 1:
+                    r *= rows[i]
+            for p, sel in pred_sel:
+                if p & mask == p:
+                    r *= sel
+            return max(r, 1.0)
+
+        if n > MAX_DP_RELATIONS:
+            return self._greedy(region, rows, subset_rows)
+
+        # DP over subsets: best[mask] = (cost, plan, applied_filter_ids)
+        best: Dict[int, Tuple[float, Plan]] = {}
+        for i in range(n):
+            best[1 << i] = (0.0, region.rels[i])
+        full = (1 << n) - 1
+        for mask in sorted(range(1, full + 1), key=lambda m: bin(m).count("1")):
+            if bin(mask).count("1") < 2:
+                continue
+            out_rows = subset_rows(mask)
+            # iterate proper subsets s1 of mask
+            s1 = (mask - 1) & mask
+            while s1:
+                s2 = mask ^ s1
+                if s1 < s2:  # each unordered split once
+                    cand = self._try_join(region, best, s1, s2, out_rows)
+                    if cand is not None and (mask not in best
+                                             or cand[0] < best[mask][0]):
+                        best[mask] = cand
+                s1 = (s1 - 1) & mask
+        return self._attach_filters(region, best[full][1], full)
+
+    def _pred_selectivities(self, region: Region, rows: List[float]):
+        out = []
+        for e in region.equis:
+            mask = 0
+            for i in e.rels:
+                mask |= 1 << i
+            ndv_l = self._side_ndv(region, e.lexpr, e.lrels, rows)
+            ndv_r = self._side_ndv(region, e.rexpr, e.rrels, rows)
+            out.append((mask, 1.0 / max(ndv_l, ndv_r, 1.0)))
+        for f in region.filters:
+            if len(f.rels) >= 2:
+                mask = 0
+                for i in f.rels:
+                    mask |= 1 << i
+                out.append((mask, self.est.selectivity(f.expr, None)))
+        return out
+
+    def _side_ndv(self, region: Region, expr: ScalarExpr,
+                  rels: frozenset, rows: List[float]) -> float:
+        if len(rels) == 1:
+            (i,) = tuple(rels)
+            return self.est.expr_ndv(expr, region.rels[i], rows[i])
+        r = 1.0
+        for i in rels:
+            r *= rows[i]
+        return r
+
+    def _try_join(self, region: Region, best, s1: int, s2: int,
+                  out_rows: float):
+        if s1 not in best or s2 not in best:
+            return None
+        c1, p1 = best[s1]
+        c2, p2 = best[s2]
+        keys = self._keys_between(region, s1, s2)
+        if not keys:
+            # allow cartesian, DP's cost model will avoid it when possible
+            keys = []
+        cost = c1 + c2 + out_rows
+        # keep probe on the larger side: build (right) side smaller
+        r1, r2 = self._plan_rows_cached(p1, s1), self._plan_rows_cached(p2, s2)
+        if r1 >= r2:
+            left, right, lk, rk = p1, p2, [a for a, _ in keys], [b for _, b in keys]
+            ls, rs = s1, s2
+        else:
+            left, right, lk, rk = p2, p1, [b for _, b in keys], [a for a, _ in keys]
+            ls, rs = s2, s1
+        resid = self._residual_for(region, ls, rs)
+        fields = left.output_fields() + right.output_fields()
+        j = JoinPlan("INNER" if keys else "CROSS", left, right, lk, rk,
+                     resid, fields)
+        return (cost, j)
+
+    def _plan_rows_cached(self, plan: Plan, mask: int) -> float:
+        key = (id(plan), mask)
+        v = self._rows_cache.get(key)
+        if v is None:
+            v = self.est.rows(plan)
+            self._rows_cache[key] = v
+        return v
+
+    def _keys_between(self, region: Region, s1: int, s2: int):
+        """Equi keys usable when joining rel-sets s1 (left) and s2 (right):
+        returns [(left_expr, right_expr)] oriented to (s1, s2)."""
+        keys = []
+        for e in region.equis:
+            lm = _mask(e.lrels)
+            rm = _mask(e.rrels)
+            if lm & s1 == lm and rm & s2 == rm:
+                keys.append((e.lexpr, e.rexpr))
+            elif lm & s2 == lm and rm & s1 == rm:
+                keys.append((e.rexpr, e.lexpr))
+        return keys
+
+    def _residual_for(self, region: Region, s1: int, s2: int):
+        """Filters that become evaluable exactly when s1 and s2 join."""
+        s = s1 | s2
+        parts = []
+        for f in region.filters:
+            m = _mask(f.rels)
+            if m and m & s == m and not (m & s1 == m) and not (m & s2 == m):
+                parts.append(f.expr)
+        return and_all(parts)
+
+    def _attach_filters(self, region: Region, plan: Plan, full: int) -> Plan:
+        """Anything not applied inside the tree (rel-free predicates)."""
+        parts = [f.expr for f in region.filters if not f.rels]
+        e = and_all(parts)
+        return FilterPlan(plan, e) if e is not None else plan
+
+    # ---------------------------------------------------------------- greedy
+    def _greedy(self, region: Region, rows, subset_rows) -> Plan:
+        n = len(region.rels)
+        alive = {1 << i: region.rels[i] for i in range(n)}
+        while len(alive) > 1:
+            best_pair = None
+            for s1, s2 in itertools.combinations(alive, 2):
+                joined = subset_rows(s1 | s2)
+                connected = bool(self._keys_between(region, s1, s2))
+                score = (0 if connected else 1, joined)
+                if best_pair is None or score < best_pair[0]:
+                    best_pair = (score, s1, s2)
+            _, s1, s2 = best_pair
+            out_rows = subset_rows(s1 | s2)
+            cand = self._try_join(
+                region, {s1: (0.0, alive[s1]), s2: (0.0, alive[s2])},
+                s1, s2, out_rows)
+            del alive[s1], alive[s2]
+            alive[s1 | s2] = cand[1]
+        (full, plan), = alive.items()
+        return self._attach_filters(region, plan, full)
+
+
+def _mask(rels: frozenset) -> int:
+    m = 0
+    for i in rels:
+        m |= 1 << i
+    return m
+
+
+def _substitute(e: ScalarExpr, sub: Dict[str, ScalarExpr]) -> Optional[ScalarExpr]:
+    """Inline projection items into a predicate (for pushdown through
+    ProjectPlan). Returns None if some referenced name has no mapping."""
+    if isinstance(e, BoundColumn):
+        return sub.get(e.name.lower())
+    if isinstance(e, Constant):
+        return e
+    if isinstance(e, Func):
+        args = [_substitute(a, sub) for a in e.args]
+        if any(a is None for a in args):
+            return None
+        return Func(e.name, args, e.dtype)
+    if isinstance(e, CastExpr):
+        a = _substitute(e.arg, sub)
+        return CastExpr(a, e.dtype, e.is_try) if a is not None else None
+    if isinstance(e, CaseExpr):
+        cs = [_substitute(c, sub) for c in e.conditions]
+        rs = [_substitute(r, sub) for r in e.results]
+        el = _substitute(e.else_result, sub) if e.else_result is not None else None
+        if any(x is None for x in cs + rs) or \
+                (e.else_result is not None and el is None):
+            return None
+        return CaseExpr(cs, rs, el, e.dtype)
+    return None

@@ -138,6 +138,11 @@ class Parser:
             elif self.peek().kind in ("IDENT", "KEYWORD") and self.peek().text.upper() in ("COMPACT", "PURGE"):
                 action = self.next().text.upper()
             return A.OptimizeTable(name, db, action)
+        if self.at_keyword("ANALYZE"):
+            self.next()
+            self.expect_keyword("TABLE")
+            db, name = self.qualified_name()
+            return A.AnalyzeTable(name, db)
         if self.at_keyword("VACUUM"):
             self.next()
             self.expect_keyword("TABLE")
@@ -1110,6 +1115,22 @@ class Parser:
             if t.text in NON_RESERVED:
                 return self.parse_ident_expr()
         if t.kind == "IDENT":
+            if t.text.upper() in ("EXTRACT", "DATE_PART") \
+                    and self.peek(1).text == "(":
+                self.next()
+                self.expect_op("(")
+                unit = self.next().text.lower().strip("'")
+                if not self.accept_keyword("FROM"):
+                    self.expect_op(",")  # date_part('year', e)
+                e = self.parse_expr()
+                self.expect_op(")")
+                fn = {"year": "to_year", "month": "to_month",
+                      "day": "to_day_of_month", "dow": "to_day_of_week",
+                      "hour": "to_hour", "minute": "to_minute",
+                      "second": "to_second"}.get(unit.strip("'"))
+                if fn is None:
+                    self.error(f"unsupported EXTRACT unit {unit!r}")
+                return A.FunctionCall(fn, [e])
             return self.parse_ident_expr()
         self.error("expected expression")
 

@@ -25,11 +25,36 @@ class PruneResult(Enum):
 _NEG = {"eq": "eq", "noteq": "noteq", "lt": "gt", "lte": "gte", "gt": "lt", "gte": "lte"}
 
 
+def _unwrap_cast(e: ScalarExpr) -> ScalarExpr:
+    """Unwrap casts, folding string date/timestamp constants to their
+    numeric (days / microseconds) value so they compare against int
+    zone-map stats."""
+    if not isinstance(e, CastExpr):
+        return e
+    inner = e.arg
+    if isinstance(inner, Constant) and isinstance(inner.value, str):
+        from ....types.datatype import DateType, TimestampType
+        dst = e.dtype.remove_nullable()
+        try:
+            import datetime as _dt
+            if isinstance(dst, DateType):
+                days = (_dt.date.fromisoformat(inner.value[:10])
+                        - _dt.date(1970, 1, 1)).days
+                return Constant(days, dst)
+            if isinstance(dst, TimestampType):
+                ts = _dt.datetime.fromisoformat(inner.value).replace(
+                    tzinfo=_dt.timezone.utc)
+                return Constant(int(ts.timestamp() * 1_000_000), dst)
+        except ValueError:
+            return inner
+    return inner
+
+
 def _col_const(fn: Func):
     """Normalize (col CMP const) / (const CMP col) -> (col, const, cmp)."""
     a, b = fn.args[0], fn.args[1]
-    a = a.arg if isinstance(a, CastExpr) else a
-    b = b.arg if isinstance(b, CastExpr) else b
+    a = _unwrap_cast(a)
+    b = _unwrap_cast(b)
     if isinstance(a, BoundColumn) and isinstance(b, Constant):
         return a, b, fn.name
     if isinstance(a, Constant) and isinstance(b, BoundColumn):
@@ -125,7 +150,10 @@ def _eval_cmp(cmp: str, st: ColumnStats, v) -> PruneResult:
         if isinstance(v, str) != isinstance(mn, str):
             if isinstance(mn, str):
                 return PruneResult.MAYBE
-            v = float(v) if not isinstance(v, (int, float, bool)) else v
+            try:
+                v = float(v) if not isinstance(v, (int, float, bool)) else v
+            except (ValueError, TypeError):
+                return PruneResult.MAYBE
         if cmp == "eq":
             if v < mn or v > mx:
                 return PruneResult.NEVER
