@@ -42,6 +42,21 @@ class StringData:
     def __len__(self) -> int:
         return len(self.offsets) - 1
 
+    def as_object_array(self) -> np.ndarray:
+        """Decoded values as a cached numpy object array (filter/compare
+        kernels hit the same block's strings repeatedly; decode once)."""
+        cache = getattr(self, "_obj_cache", None)
+        if cache is None or len(cache) != len(self):
+            cache = np.array(self.to_pylist(), dtype=object)
+            object.__setattr__(self, "_obj_cache", cache)
+        return cache
+
+    @staticmethod
+    def constant(value: str, n: int) -> "StringData":
+        b = np.frombuffer(value.encode("utf-8"), np.uint8)
+        return StringData(np.arange(n + 1, dtype=np.int64) * len(b),
+                          np.tile(b, n))
+
     @staticmethod
     def from_pylist(values: Sequence[Any]) -> "StringData":
         bufs = []
@@ -67,14 +82,18 @@ class StringData:
         return out
 
     def take(self, indices: np.ndarray) -> "StringData":
+        idx = np.asarray(indices, np.int64)
         lens = self.offsets[1:] - self.offsets[:-1]
-        new_lens = lens[indices]
-        new_offsets = np.zeros(len(indices) + 1, dtype=np.int64)
+        new_lens = lens[idx]
+        new_offsets = np.zeros(len(idx) + 1, dtype=np.int64)
         np.cumsum(new_lens, out=new_offsets[1:])
-        new_data = np.empty(int(new_offsets[-1]), dtype=np.uint8)
-        for j, i in enumerate(indices):
-            new_data[new_offsets[j]: new_offsets[j + 1]] = self.data[self.offsets[i]: self.offsets[i + 1]]
-        return StringData(new_offsets, new_data)
+        total = int(new_offsets[-1])
+        # vectorized gather: for output byte k in row j,
+        # src = row_start[j] + (k - out_start[j])
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            new_offsets[:-1], new_lens)
+        src = np.repeat(self.offsets[idx], new_lens) + within
+        return StringData(new_offsets, self.data[src])
 
     @staticmethod
     def concat(parts: Sequence["StringData"]) -> "StringData":

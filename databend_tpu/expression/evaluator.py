@@ -32,6 +32,12 @@ class Evaluator:
             return self.block.column(expr.name)
         if isinstance(expr, Constant):
             return constant_column(expr.value, expr.dtype, n)
+        # constant folding: a column-free subtree evaluates once on one row
+        # and broadcasts (reference: constant folding in the evaluator /
+        # optimizer), instead of materializing n copies of the constant
+        if n > 1 and _is_column_free(expr):
+            one = Evaluator(DataBlock([], [], 1)).run(expr)
+            return constant_column(one.get(0), one.dtype, n)
         if isinstance(expr, CastExpr):
             return cast_column(self.run(expr.arg), expr.dtype, expr.is_try)
         if isinstance(expr, CaseExpr):
@@ -115,7 +121,7 @@ def constant_column(value, dtype: DataType, n: int) -> Column:
             z = np.zeros((n, inner.dim), inner.numpy_dtype())
         return Column(inner, z, np.zeros(n, np.bool_))
     if isinstance(inner, StringType):
-        return Column(inner, StringData.from_pylist([value] * n))
+        return Column(inner, StringData.constant(str(value), n))
     if isinstance(inner, VectorType):
         row = np.asarray(value, dtype=inner.numpy_dtype())
         if row.shape != (inner.dim,):
@@ -258,3 +264,15 @@ def _to_str(v) -> str:
     if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(_to_str(x) for x in v) + "]"
     return str(v)
+
+
+def _is_column_free(e: ScalarExpr) -> bool:
+    """True when no BoundColumn (and no per-row volatile fn) appears."""
+    from .expr import BoundColumn as _BC, Func as _F
+    for x in e.walk():
+        if isinstance(x, _BC):
+            return False
+        if isinstance(x, _F) and x.name in ("rand", "random", "uuid",
+                                            "gen_random_uuid"):
+            return False
+    return True

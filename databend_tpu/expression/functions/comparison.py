@@ -21,7 +21,7 @@ from .registry import scalar_function
 
 def _comparable(payload):
     if isinstance(payload, StringData):
-        return np.array(payload.to_pylist(), dtype=object)
+        return payload.as_object_array()
     return payload
 
 

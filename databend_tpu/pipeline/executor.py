@@ -374,19 +374,21 @@ def _group_ids(block: DataBlock, key_cols: List[Column], state: dict):
     n = block.num_rows
     if not key_cols:
         return np.zeros(n, np.int64), state
-    key_lists = [c.to_pylist() for c in key_cols]
+    from .keys import composite_group, factorize_column, hashable_row
+    local, rep_idx = composite_group([factorize_column(c) for c in key_cols])
     mapping: Dict[tuple, int] = state.setdefault("mapping", {})
     reprs: List[tuple] = state.setdefault("reprs", [])
-    gids = np.empty(n, np.int64)
-    for i in range(n):
-        key = tuple(kl[i] for kl in key_lists)
+    # the Python loop runs over distinct keys only, not rows
+    local_to_global = np.empty(len(rep_idx), np.int64)
+    for k, ri in enumerate(rep_idx):
+        key = hashable_row(key_cols, ri)
         gid = mapping.get(key)
         if gid is None:
             gid = len(mapping)
             mapping[key] = gid
             reprs.append(key)
-        gids[i] = gid
-    return gids, state
+        local_to_global[k] = gid
+    return local_to_global[local], state
 
 
 def _stats_are_exact(scan: Scan, col_name: str) -> bool:
@@ -499,15 +501,20 @@ def _exec_aggregate(plan: AggregatePlan):
 
 # ------------------------------------------------------------------ distinct
 def _exec_distinct(plan: DistinctPlan):
+    """Vectorized DISTINCT: per-block composite factorization keeps only
+    each block's first occurrence, then a distinct-keys-only dict dedups
+    across blocks (reference: distinct via the group-by hashtable)."""
+    from .keys import composite_group, factorize_column, hashable_row
     seen = set()
     for block in execute_plan_blocks(plan.child):
-        rows = block.to_rows()
+        cols = list(block.columns)
+        local, rep_idx = composite_group([factorize_column(c) for c in cols])
         keep = np.zeros(block.num_rows, np.bool_)
-        for i, r in enumerate(rows):
-            key = tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for ri in rep_idx:
+            key = hashable_row(cols, ri)
             if key not in seen:
                 seen.add(key)
-                keep[i] = True
+                keep[ri] = True
         out = block.filter(keep)
         if out.num_rows:
             yield out
@@ -528,34 +535,27 @@ def _exec_join(plan: JoinPlan):
         yield from _exec_cross_join(plan, right, lfields, rfields, out_names)
         return
 
-    build: Dict[tuple, List[int]] = {}
-    rkey_lists: List[list] = []
+    from .keys import match_indices
+    rkeys: List[Column] = []
     if right is not None and right.num_rows:
         ev = Evaluator(right)
         rkeys = [ev.run(e) for e in plan.right_keys]
-        rkey_lists = [c.to_pylist() for c in rkeys]
-        for i in range(right.num_rows):
-            key = tuple(kl[i] for kl in rkey_lists)
-            if any(k is None for k in key):
-                continue
-            build.setdefault(key, []).append(i)
     right_matched = np.zeros(right.num_rows if right is not None else 0, np.bool_)
 
     for lblock in execute_plan_blocks(plan.left):
         ev = Evaluator(lblock)
         lkeys = [ev.run(e) for e in plan.left_keys]
-        lkey_lists = [c.to_pylist() for c in lkeys]
-        lidx, ridx = [], []
+        if rkeys and lblock.num_rows:
+            lidx, ridx = match_indices(rkeys, lkeys)
+            lidx, ridx = lidx.tolist(), ridx.tolist()
+        else:
+            lidx, ridx = [], []
         unmatched_l = []
-        for i in range(lblock.num_rows):
-            key = tuple(kl[i] for kl in lkey_lists)
-            hits = build.get(key) if not any(k is None for k in key) else None
-            if hits:
-                for r in hits:
-                    lidx.append(i)
-                    ridx.append(r)
-            elif plan.kind in ("LEFT", "FULL"):
-                unmatched_l.append(i)
+        if plan.kind in ("LEFT", "FULL"):
+            matched = np.zeros(lblock.num_rows, np.bool_)
+            if lidx:
+                matched[np.asarray(lidx, np.int64)] = True
+            unmatched_l = np.nonzero(~matched)[0].tolist()
         out = _assemble_join(lblock, right, lidx, ridx, lfields, rfields, out_names)
         if plan.residual is not None and out.num_rows:
             col = Evaluator(out).run(plan.residual)
