@@ -82,13 +82,12 @@ class HnswGraph:
                          z["entry_points"], links, level_ids)
 
     def save(self, path: str) -> int:
+        from ...storage.operator import OPERATOR
         data = self.to_bytes()
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(data)
+        OPERATOR.write_bytes(path, data)
         return len(data)
 
     @staticmethod
     def load(path: str) -> "HnswGraph":
-        with open(path, "rb") as f:
-            return HnswGraph.from_bytes(f.read())
+        from ...storage.operator import OPERATOR
+        return HnswGraph.from_bytes(OPERATOR.read_bytes(path))

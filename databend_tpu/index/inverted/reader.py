@@ -40,7 +40,8 @@ class InvertedBlockReader:
 
     @staticmethod
     def load(path: str) -> "InvertedBlockReader":
-        z = np.load(path)
+        from ...storage.operator import OPERATOR
+        z = np.load(OPERATOR.open_read(path))
         terms = z["terms"].tobytes().decode("utf-8")
         terms = terms.split("\n") if terms else []
         filters = z["filters"].tobytes().decode()

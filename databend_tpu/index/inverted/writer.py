@@ -76,7 +76,6 @@ def build_inverted_index(path: str, columns, options: Dict[str, str]) -> int:
         tokenizer=np.frombuffer(tokenizer.encode(), np.uint8),
         filters=np.frombuffer(",".join(filters).encode(), np.uint8))
     data = buf.getvalue()
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(data)
+    from ...storage.operator import OPERATOR
+    OPERATOR.write_bytes(path, data)
     return len(data)

@@ -98,15 +98,35 @@ def _infer_field(col):
     return col.dtype
 
 
+_SHARED_META: Dict[str, MetaStore] = {}
+
+
+def _shared_meta(data_root: str) -> MetaStore:
+    m = _SHARED_META.get(data_root)
+    if m is None:
+        m = MetaStore(None)
+        _SHARED_META[data_root] = m
+    return m
+
+
 class SessionContext:
     """Embedded engine session: ``SessionContext().sql("SELECT 1")``."""
 
     def __init__(self, data_root: str = ".databend_tpu",
                  meta_path: Optional[str] = None):
-        os.makedirs(data_root, exist_ok=True)
+        from ..storage.operator import OPERATOR
+        OPERATOR.makedirs(data_root)
         self.data_root = data_root
-        meta_path = meta_path if meta_path is not None else os.path.join(data_root, "meta.db")
-        self.meta = MetaStore(meta_path)
+        if meta_path is None and OPERATOR.is_object_store(data_root):
+            # the meta service is separate from object storage in the
+            # reference (raft KV, not S3); sessions over the same
+            # object-store root share one process-wide embedded KV, the
+            # in-process stand-in for the shared meta service
+            self.meta = _shared_meta(data_root)
+        else:
+            if meta_path is None:
+                meta_path = os.path.join(data_root, "meta.db")
+            self.meta = MetaStore(meta_path)
         self.catalog = Catalog(self.meta)
         self.settings = Settings()
         # meta-persisted global settings survive sessions
@@ -398,9 +418,14 @@ def _stmt_drop_table(s: SessionContext, st: A.DropTable):
     db = st.database or s.current_database
     info = s.catalog.drop_table(db, st.name, st.if_exists)
     if info is not None and st.all_:
-        import shutil
+        from ..storage.operator import OPERATOR
         d = os.path.join(s.data_root, "tables", str(info.table_id))
-        shutil.rmtree(d, ignore_errors=True)
+        if OPERATOR.is_object_store(d):
+            for key in OPERATOR.list(d):
+                OPERATOR.delete(key)
+        else:
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
     return _ok()
 
 

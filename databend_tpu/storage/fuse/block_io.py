@@ -86,17 +86,23 @@ def block_to_arrow(block: DataBlock) -> pa.Table:
 
 def write_block(path: str, block: DataBlock) -> int:
     """Write a DataBlock as parquet; returns file size in bytes."""
+    import io
+
+    from ..operator import OPERATOR
     table = block_to_arrow(block)
-    pq.write_table(table, path, compression="zstd")
-    import os
-    return os.path.getsize(path)
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    data = buf.getvalue()
+    OPERATOR.write_bytes(path, data)
+    return len(data)
 
 
 def read_block(path: str, schema: TableSchema,
                projection: Optional[List[str]] = None) -> DataBlock:
     names = projection if projection is not None else schema.field_names()
     names = [schema.field(n).name for n in names]
-    table = pq.read_table(path, columns=names)
+    from ..operator import OPERATOR
+    table = pq.read_table(OPERATOR.open_read(path), columns=names)
     cols = []
     for n in names:
         f = schema.field(n)

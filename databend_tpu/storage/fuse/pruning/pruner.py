@@ -221,7 +221,9 @@ class FusePruner:
                 if n is None:
                     continue
                 if data is None:
-                    data = np.load(self.table.abs_path(b.ngram_index["location"]))
+                    from ...operator import OPERATOR
+                    data = np.load(OPERATOR.open_read(
+                        self.table.abs_path(b.ngram_index["location"])))
                 flt = BloomFilter.from_bytes(data[col_name.lower()].tobytes())
                 if not filter_may_match(flt, pattern, int(n)):
                     keep = False

@@ -122,13 +122,10 @@ class TableSnapshot:
 
 
 def write_json(path: str, payload: dict) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    os.replace(tmp, path)
+    from ..operator import OPERATOR
+    OPERATOR.write_bytes(path, json.dumps(payload).encode("utf-8"))
 
 
 def read_json(path: str) -> dict:
-    with open(path) as f:
-        return json.load(f)
+    from ..operator import OPERATOR
+    return json.loads(OPERATOR.read_bytes(path).decode("utf-8"))

@@ -19,6 +19,7 @@ TPU-serving engine:
 
 from __future__ import annotations
 
+import io
 import os
 import time
 from typing import Dict, Iterable, List, Optional, Tuple
@@ -33,6 +34,7 @@ from ...expression.schema import TableSchema
 from ...types import VectorType
 from ...utils.cache import CacheManager
 from . import block_io
+from ..operator import OPERATOR
 from .snapshot import (BlockMeta, SegmentInfo, TableSnapshot, new_uuid,
                        read_json, write_json)
 from .statistics import block_stats, vector_stats
@@ -48,7 +50,7 @@ class FuseTable:
         self.info = info
         self.catalog = catalog
         self.table_dir = os.path.join(data_root, str(info.table_id))
-        os.makedirs(self.table_dir, exist_ok=True)
+        OPERATOR.makedirs(self.table_dir)
 
     # ------------------------------------------------------------------ paths
     def abs_path(self, rel: str) -> str:
@@ -70,7 +72,7 @@ class FuseTable:
             return self.navigate(snapshot_id)
         if snapshot_id:
             path = self.abs_path(f"_ss/{snapshot_id}.json")
-            if not os.path.exists(path):
+            if not OPERATOR.exists(path):
                 raise StorageOther(f"unknown snapshot {snapshot_id!r}")
             return TableSnapshot.from_dict(read_json(path))
         loc, _ = self.catalog.get_snapshot_location(self.info.table_id)
@@ -200,7 +202,7 @@ class FuseTable:
     def _write_block(self, chunk: DataBlock) -> BlockMeta:
         uid = new_uuid()
         rel = f"_b/{uid}.parquet"
-        os.makedirs(self.abs_path("_b"), exist_ok=True)
+        OPERATOR.makedirs(self.abs_path("_b"))
         size = block_io.write_block(self.abs_path(rel), chunk)
         meta = BlockMeta(rel, chunk.num_rows, size, block_stats(chunk))
         self._build_block_indexes(meta, chunk, uid)
@@ -211,7 +213,7 @@ class FuseTable:
         from ...index.bloom import build_column_bloom
         # bloom filters for eligible columns (reference BloomIndexState)
         bloom_cols = {}
-        os.makedirs(self.abs_path("_i"), exist_ok=True)
+        OPERATOR.makedirs(self.abs_path("_i"))
         for name, col in chunk.items():
             flt = build_column_bloom(col)
             if flt is not None:
@@ -237,9 +239,11 @@ class FuseTable:
                     ngram_cols[cname.lower()] = (flt, n)
         if ngram_cols:
             rel = f"_i/{uid}.ngram.npz"
-            np.savez(self.abs_path(rel), **{
+            _buf = io.BytesIO()
+            np.savez(_buf, **{
                 c: np.frombuffer(f.to_bytes(), np.uint8)
                 for c, (f, _) in ngram_cols.items()})
+            OPERATOR.write_bytes(self.abs_path(rel), _buf.getvalue())
             meta.ngram_index = {"location": rel,
                                 "columns": {c: n for c, (_, n) in ngram_cols.items()}}
 
@@ -253,14 +257,13 @@ class FuseTable:
             payload[f"{name}.num_bits"] = np.int64(flt.num_bits)
         buf = _io.BytesIO()
         np.savez_compressed(buf, **payload)
-        with open(path, "wb") as f:
-            f.write(buf.getvalue())
+        OPERATOR.write_bytes(path, buf.getvalue())
 
     def load_bloom(self, meta: BlockMeta, col: str):
         from ...index.bloom import BloomFilter
         if meta.bloom_index is None or col not in meta.bloom_index.get("columns", {}):
             return None
-        z = np.load(self.abs_path(meta.bloom_index["location"]))
+        z = np.load(OPERATOR.open_read(self.abs_path(meta.bloom_index["location"])))
         if f"{col}.bits" not in z:
             return None
         return BloomFilter(z[f"{col}.bits"], int(z[f"{col}.num_bits"]))
@@ -511,12 +514,10 @@ class FuseTable:
         removed = 0
         for sub in ("_b", "_sg", "_ss", "_i"):
             d = self.abs_path(sub)
-            if not os.path.isdir(d):
-                continue
-            for fn in os.listdir(d):
-                rel = f"{sub}/{fn}"
+            for path in OPERATOR.list(d):
+                rel = f"{sub}/{os.path.basename(path)}"
                 if rel not in live:
-                    os.remove(os.path.join(d, fn))
+                    OPERATOR.delete(path)
                     removed += 1
         return removed
 

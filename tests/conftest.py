@@ -27,8 +27,12 @@ def rng():
     return np.random.default_rng(42)
 
 
-@pytest.fixture
-def tmp_catalog(tmp_path):
-    """A fresh on-disk catalog rooted in a temp dir."""
+@pytest.fixture(params=["fs", "s3"])
+def tmp_catalog(tmp_path, request):
+    """A fresh catalog on BOTH storage backends: local fs and the s3://
+    object-store double (reference: opendal DataOperator — every fuse
+    read/write must work against object storage)."""
     from databend_tpu.service.session import SessionContext
+    if request.param == "s3":
+        return SessionContext(data_root=f"s3://testbucket/{tmp_path.name}")
     return SessionContext(data_root=str(tmp_path))
