@@ -72,3 +72,18 @@ def shard_rows(x: np.ndarray, mesh: Mesh, pad_value: float = 1e18) -> Tuple[jax.
         pad = np.full((rem, x.shape[1]), pad_value, dtype=np.asarray(x).dtype)
         x = np.concatenate([np.asarray(x), pad], axis=0)
     return jax.device_put(x, corpus_sharding(mesh)), n
+
+
+_DEFAULT_MESH = None
+
+
+def get_default_mesh() -> Optional[Mesh]:
+    """Process-wide mesh over all visible devices (None when single-device
+    — distributed paths fall back to the host operators)."""
+    global _DEFAULT_MESH
+    if _DEFAULT_MESH is None:
+        devs = jax.devices()
+        if len(devs) < 2:
+            return None
+        _DEFAULT_MESH = make_mesh(len(devs))
+    return _DEFAULT_MESH

@@ -246,6 +246,11 @@ def _exec_sort(plan: SortPlan):
     blocks = list(execute_plan_blocks(plan.child))
     if not blocks:
         return
+    if plan.distributed and plan.limit is not None and len(plan.items) == 1:
+        out = _try_distributed_topn(plan, blocks)
+        if out is not None:
+            yield out
+            return
     def _spillable():
         # DESC over strings inverts via per-block rank codes, which are not
         # comparable across runs — keep those sorts in memory
@@ -278,6 +283,28 @@ def _exec_sort(plan: SortPlan):
     if plan.limit is not None:
         order = order[: plan.limit]
     yield merged.take(order)
+
+
+def _try_distributed_topn(plan: SortPlan, blocks):
+    """Ordered merge exchange: per-shard top-n + all_gather + final select
+    (reference exchange_sorting.rs). Eligible for a single numeric
+    null-free sort key; returns the result block or None."""
+    from ..parallel.exchange import sharded_topn
+    from ..parallel.mesh import get_default_mesh
+    mesh = get_default_mesh()
+    if mesh is None:
+        return None
+    it = plan.items[0]
+    merged = DataBlock.concat(blocks)
+    col = merged.column(it.name)
+    if not isinstance(col.data, np.ndarray) or col.data.ndim != 1 \
+            or col.data.dtype.kind not in "iuf" or col.validity is not None:
+        return None
+    keys = col.data.astype(np.float32)
+    if col.data.dtype.kind in "iu" and np.abs(col.data).max(initial=0) > (1 << 24):
+        return None  # f32 key would lose ordering precision
+    ids = sharded_topn(mesh, keys, int(plan.limit), asc=it.asc)
+    return merged.take(ids.astype(np.int64))
 
 
 def _exec_sort_spill(plan: SortPlan, blocks):
@@ -487,6 +514,11 @@ def _exec_aggregate(plan: AggregatePlan):
         vals = [r[ki] for r in reprs]
         cols.append(Column.from_pylist(vals, key_types[ki].wrap_nullable()
                                        if any(v is None for v in vals) else key_types[ki]))
+    if plan.distributed:
+        dist = _try_distributed_aggregate(plan, buffered, final_n)
+        if dist is not None:
+            yield DataBlock(names, cols + dist, final_n)
+            return
     for ai, (name, fn, _) in enumerate(plan.aggs):
         st = fn.init_state(final_n)
         for gids, arg_cols in buffered:
@@ -497,6 +529,104 @@ def _exec_aggregate(plan: AggregatePlan):
                 fn.update(st, gids, None, None)
         cols.append(fn.finalize(st, final_n))
     yield DataBlock(names, cols, final_n)
+
+
+def _try_distributed_aggregate(plan: AggregatePlan, buffered, final_n: int):
+    """Grouped merge exchange: per-shard segment aggregation + psum over
+    the mesh (reference Merge exchange for two-phase aggregation). Returns
+    the aggregate output columns, or None when ineligible (no mesh,
+    unsupported function, non-numeric argument). Accumulates at device
+    f32 — the flag is opt-in."""
+    from ..parallel.exchange import sharded_grouped_agg
+    from ..parallel.mesh import get_default_mesh
+    mesh = get_default_mesh()
+    if mesh is None or not buffered:
+        return None
+    # device column plan: each agg contributes 1 op (avg: sum+count)
+    ops: List[str] = []
+    spec = []  # per agg: (kind, op_indices)
+    for name, fn, _ in plan.aggs:
+        if fn.distinct:
+            return None
+        nm = fn.name
+        if nm == "count":
+            spec.append(("count", [len(ops)]))
+            ops.append("count")
+        elif nm in ("sum", "min", "max"):
+            spec.append((nm, [len(ops)]))
+            ops.append(nm)
+        elif nm == "avg":
+            spec.append(("avg", [len(ops), len(ops) + 1]))
+            ops.extend(["sum", "count"])
+        else:
+            return None
+    gid_parts, val_parts = [], []
+    for gids, arg_cols in buffered:
+        vals = np.zeros((len(gids), len(ops)), np.float64)
+        j = 0
+        for ai, (name, fn, _) in enumerate(plan.aggs):
+            arg = arg_cols[ai]
+            nm = fn.name
+            if arg is not None:
+                if not isinstance(arg.data, np.ndarray) or arg.data.ndim != 1 \
+                        or arg.data.dtype.kind not in "iufb":
+                    return None
+            if nm == "count":
+                if arg is not None and arg.validity is not None:
+                    # count(x): only non-null rows; encode by redirecting
+                    # null rows to the padding group for this column —
+                    # instead, count via sum of validity
+                    vals[:, j] = arg.validity.astype(np.float64)
+                    ops[j] = "sum"
+                else:
+                    vals[:, j] = 1.0
+                    ops[j] = "sum"
+                j += 1
+            elif nm in ("sum", "min", "max"):
+                v = arg.data.astype(np.float64)
+                if arg.validity is not None:
+                    fill = 0.0 if nm == "sum" else (
+                        np.inf if nm == "min" else -np.inf)
+                    v = np.where(arg.validity, v, fill)
+                vals[:, j] = v
+                j += 1
+            else:  # avg
+                v = arg.data.astype(np.float64)
+                ok = arg.validity
+                vals[:, j] = v if ok is None else np.where(ok, v, 0.0)
+                vals[:, j + 1] = 1.0 if ok is None else ok.astype(np.float64)
+                ops[j + 1] = "sum"
+                j += 2
+        gid_parts.append(gids)
+        val_parts.append(vals)
+    gids_all = np.concatenate(gid_parts)
+    vals_all = np.concatenate(val_parts)
+    merged = sharded_grouped_agg(mesh, gids_all, vals_all, final_n, ops)
+    out_cols: List[Column] = []
+    for ai, (name, fn, _) in enumerate(plan.aggs):
+        kind, idxs = spec[ai]
+        rt = fn.return_type()
+        if kind == "count":
+            out_cols.append(Column.from_pylist(
+                [int(round(v)) for v in merged[:, idxs[0]]], rt))
+            continue
+        if kind == "avg":
+            sums = merged[:, idxs[0]]
+            cnts = merged[:, idxs[1]]
+            vals = [None if c == 0 else s / c for s, c in zip(sums, cnts)]
+            out_cols.append(Column.from_pylist(vals, rt.wrap_nullable()))
+            continue
+        col = merged[:, idxs[0]]
+        vals = []
+        for v in col:
+            if kind in ("min", "max") and not np.isfinite(v):
+                vals.append(None)
+            elif rt.remove_nullable().is_integer():
+                vals.append(int(round(v)))
+            else:
+                vals.append(float(v))
+        out_cols.append(Column.from_pylist(vals, rt.wrap_nullable()))
+    return out_cols
 
 
 # ------------------------------------------------------------------ distinct
@@ -540,13 +670,18 @@ def _exec_join(plan: JoinPlan):
     if right is not None and right.num_rows:
         ev = Evaluator(right)
         rkeys = [ev.run(e) for e in plan.right_keys]
+    bcast = (_BroadcastJoinContext.build(plan, rkeys)
+             if plan.distributed and rkeys else None)
     right_matched = np.zeros(right.num_rows if right is not None else 0, np.bool_)
 
     for lblock in execute_plan_blocks(plan.left):
         ev = Evaluator(lblock)
         lkeys = [ev.run(e) for e in plan.left_keys]
         if rkeys and lblock.num_rows:
-            lidx, ridx = match_indices(rkeys, lkeys)
+            if bcast is not None:
+                lidx, ridx = bcast.probe(lkeys)
+            else:
+                lidx, ridx = match_indices(rkeys, lkeys)
             lidx, ridx = lidx.tolist(), ridx.tolist()
         else:
             lidx, ridx = [], []
@@ -586,6 +721,71 @@ def _exec_join(plan: JoinPlan):
             out = _assemble_join(None, right, None, rest.tolist(),
                                  lfields, rfields, out_names)
             yield out
+
+
+class _BroadcastJoinContext:
+    """Broadcast (Expansive) exchange join: build-side key codes replicate
+    to every mesh device; each probe block binary-searches on its shard
+    (reference fragmenter.rs:265 BroadcastExchange). Eligible when the
+    build keys are unique — the dimension-table case the reference
+    broadcasts too."""
+
+    def __init__(self, mesh, indexes, sizes, build_comp):
+        self.mesh = mesh
+        self.indexes = indexes    # per key col: pd.Index of uniques
+        self.sizes = sizes
+        self.build_comp = build_comp
+
+    @staticmethod
+    def build(plan, rkeys):
+        from ..parallel.mesh import get_default_mesh
+        mesh = get_default_mesh()
+        if mesh is None:
+            return None
+        import pandas as pd
+        from .keys import key_values
+        indexes, codes, sizes = [], [], []
+        for c in rkeys:
+            vals = key_values(c)
+            cd, uniq = pd.factorize(vals)
+            cd = cd.astype(np.int64)
+            if c.validity is not None:
+                cd = np.where(c.validity, cd, -1)
+            indexes.append(pd.Index(uniq))
+            codes.append(cd)
+            sizes.append(len(uniq) + 1)
+        total = 1
+        for s in sizes:
+            total *= s
+            if total > (1 << 62):
+                return None
+        comp = np.zeros(len(rkeys[0]), np.int64)
+        nullmask = np.zeros(len(rkeys[0]), np.bool_)
+        for cd, s in zip(codes, sizes):
+            comp = comp * s + np.where(cd >= 0, cd, 0)
+            nullmask |= cd < 0
+        comp = np.where(nullmask, -1, comp)
+        valid = comp[comp >= 0]
+        if len(np.unique(valid)) != len(valid):
+            return None  # duplicate build keys: fall back to host merge
+        return _BroadcastJoinContext(mesh, indexes, sizes, comp)
+
+    def probe(self, lkeys):
+        from ..parallel.exchange import broadcast_lookup_join
+        from .keys import key_values
+        comp = np.zeros(len(lkeys[0]), np.int64)
+        nullmask = np.zeros(len(lkeys[0]), np.bool_)
+        for c, idx, s in zip(lkeys, self.indexes, self.sizes):
+            vals = key_values(c)
+            cd = idx.get_indexer(vals).astype(np.int64)
+            if c.validity is not None:
+                cd = np.where(c.validity, cd, -1)
+            nullmask |= cd < 0
+            comp = comp * s + np.where(cd >= 0, cd, 0)
+        comp = np.where(nullmask, -1, comp)
+        out = broadcast_lookup_join(self.mesh, comp, self.build_comp)
+        lidx = np.nonzero(out >= 0)[0]
+        return lidx, out[lidx]
 
 
 def _exec_cross_join(plan, right, lfields, rfields, out_names):

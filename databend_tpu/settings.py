@@ -49,6 +49,10 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
         SettingDef("sql_dialect", "databend", "SQL dialect"),
         SettingDef("query_result_cache_ttl_secs", 0, "result cache TTL (0=off)"),
         SettingDef("enable_query_profiling", False, "collect per-operator timings"),
+        SettingDef("enable_distributed_execution", False,
+                   "run group-by/top-n/broadcast-join through the mesh"
+                   " exchange operators (reference fragmenter.rs Shuffle/"
+                   "Merge/Expansive exchanges as XLA collectives)"),
         SettingDef("enable_cbo", True,
                    "cost-based optimizer: filter pushdown + DP join"
                    " reordering (reference optimizers/{cascades,hyper_dp})"),

@@ -377,7 +377,8 @@ class Binder:
 
         has_agg = bool(aggs) or bool(sel.group_by)
         if has_agg:
-            plan = AggregatePlan(plan, group_keys, aggs)
+            plan = AggregatePlan(plan, group_keys, aggs,
+                                 distributed=self._distributed_on())
             if having_expr is not None:
                 plan = FilterPlan(plan, having_expr)
         elif having_expr is not None:
@@ -403,7 +404,8 @@ class Binder:
             except Exception:
                 pass
             plan = SortPlan(plan, sort_items, _limit_sum(limit, offset),
-                            spill_threshold_rows=spill_rows)
+                            spill_threshold_rows=spill_rows,
+                            distributed=self._distributed_on())
         if extra_items:
             plan = ProjectPlan(plan, [
                 (n, BoundColumn(n, e.dtype)) for n, e in bound_items])
@@ -565,8 +567,16 @@ class Binder:
         elif j.kind != "CROSS":
             raise SemanticError("JOIN requires ON or USING")
 
-        plan = JoinPlan(j.kind, left, right, left_keys, right_keys, residual, out_fields)
+        plan = JoinPlan(j.kind, left, right, left_keys, right_keys, residual,
+                        out_fields, distributed=self._distributed_on())
         return plan, ctx
+
+    def _distributed_on(self) -> bool:
+        try:
+            return bool(self.session.settings.get(
+                "enable_distributed_execution"))
+        except Exception:
+            return False
 
     def _split_join_condition(self, cond: A.Expr, lctx, rctx, joined_ctx,
                               left_keys, right_keys) -> Optional[ScalarExpr]:

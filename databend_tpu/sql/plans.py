@@ -125,6 +125,8 @@ class AggregatePlan(Plan):
     keys: List[Tuple[str, ScalarExpr]]  # group-by keys (name, expr)
     # (output name, agg function instance, arg exprs)
     aggs: List[Tuple[str, AggregateFunction, List[ScalarExpr]]]
+    # run the merge through the mesh exchange (psum of grouped partials)
+    distributed: bool = False
 
     def children(self):
         return [self.child]
@@ -156,6 +158,8 @@ class SortPlan(Plan):
     # rows above which the sort spills sorted runs to disk and k-way
     # merges them (reference sort_spill.rs); None = never spill
     spill_threshold_rows: Optional[int] = None
+    # top-n through the mesh's ordered merge exchange when eligible
+    distributed: bool = False
 
     def children(self):
         return [self.child]
@@ -187,12 +191,15 @@ class LimitPlan(Plan):
 @dataclass
 class JoinPlan(Plan):
     kind: str  # INNER | LEFT | RIGHT | FULL | CROSS
+    # broadcast-exchange probe on the mesh when eligible
+
     left: Plan
     right: Plan
     left_keys: List[ScalarExpr]
     right_keys: List[ScalarExpr]
     residual: Optional[ScalarExpr] = None  # non-equi condition over joined row
     fields: List[DataField] = field(default_factory=list)
+    distributed: bool = False
 
     def children(self):
         return [self.left, self.right]

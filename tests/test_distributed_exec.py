@@ -1,0 +1,104 @@
+"""SQL-level distributed execution on the 8-device virtual CPU mesh.
+
+VERDICT r1 item 4 done-criteria: distributed GROUP BY / top-n / broadcast
+join produce identical results to the host path, and the sqllogic base
+suites stay green with the distributed-plan flag on.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from databend_tpu.expression import Column, DataBlock
+
+SUITES = os.path.join(os.path.dirname(__file__), "suites")
+
+
+@pytest.fixture
+def dctx(tmp_path):
+    from databend_tpu.service.session import SessionContext
+    c = SessionContext(data_root=str(tmp_path))
+    rng = np.random.default_rng(11)
+    n = 50_000
+    c.sql("CREATE TABLE m (k BIGINT, grp BIGINT, v DOUBLE)")
+    c.insert_block("m", DataBlock(
+        ["k", "grp", "v"],
+        [Column.from_numpy(np.arange(n)),
+         Column.from_numpy(rng.integers(0, 40, n)),
+         Column.from_numpy(rng.random(n))]))
+    c.sql("CREATE TABLE dim (grp BIGINT, tag BIGINT)")
+    c.insert_block("dim", DataBlock(
+        ["grp", "tag"],
+        [Column.from_numpy(np.arange(40)),
+         Column.from_numpy(np.arange(40) % 7)]))
+    return c
+
+
+def _both(c, sql):
+    c.sql("SET enable_distributed_execution = 0")
+    host = c.sql(sql).rows()
+    c.sql("SET enable_distributed_execution = 1")
+    dist = c.sql(sql).rows()
+    c.sql("SET enable_distributed_execution = 0")
+    return host, dist
+
+
+def test_distributed_group_by(dctx):
+    host, dist = _both(dctx, "SELECT grp, count(*), sum(v), min(v), max(v),"
+                             " avg(v) FROM m GROUP BY grp ORDER BY grp")
+    assert len(host) == len(dist) == 40
+    for h, d in zip(host, dist):
+        assert h[0] == d[0] and h[1] == d[1]
+        for j in (2, 3, 4, 5):
+            assert d[j] == pytest.approx(h[j], rel=1e-4)
+
+
+def test_distributed_global_agg(dctx):
+    host, dist = _both(dctx, "SELECT count(*), sum(v) FROM m")
+    assert dist[0][0] == host[0][0]
+    assert dist[0][1] == pytest.approx(host[0][1], rel=1e-4)
+
+
+def test_distributed_topn(dctx):
+    host, dist = _both(dctx, "SELECT k, v FROM m ORDER BY v LIMIT 7")
+    assert host == dist
+    host, dist = _both(dctx, "SELECT k, v FROM m ORDER BY v DESC LIMIT 7")
+    assert host == dist
+
+
+def test_distributed_broadcast_join(dctx):
+    q = ("SELECT count(*), sum(tag) FROM m JOIN dim ON m.grp = dim.grp "
+         "WHERE v < 0.5")
+    host, dist = _both(dctx, q)
+    assert dist[0][0] == host[0][0]
+    assert dist[0][1] == host[0][1]
+
+
+def test_distributed_left_join_and_fallback(dctx):
+    # LEFT join goes through the broadcast path's unmatched handling
+    dctx.sql("CREATE TABLE dim2 (grp BIGINT, w BIGINT)")
+    dctx.insert_block("dim2", DataBlock(
+        ["grp", "w"],
+        [Column.from_numpy(np.arange(0, 20)),  # only half the groups
+         Column.from_numpy(np.arange(20) * 10)]))
+    q = ("SELECT count(*), count(w) FROM m LEFT JOIN dim2 "
+         "ON m.grp = dim2.grp")
+    host, dist = _both(dctx, q)
+    assert host == dist
+    # duplicate build keys must fall back to the host hash join
+    dctx.sql("INSERT INTO dim2 VALUES (0, 999)")
+    q2 = "SELECT count(*) FROM m JOIN dim2 ON m.grp = dim2.grp"
+    host, dist = _both(dctx, q2)
+    assert host == dist
+
+
+def test_sqllogic_base_suites_distributed(tmp_path):
+    """The behavioral spec corpus passes with the distributed flag on."""
+    from databend_tpu.service.session import SessionContext
+    from databend_tpu.testing.sqllogic import run_file
+    for path in sorted(glob.glob(os.path.join(SUITES, "base", "*.test"))):
+        c = SessionContext(data_root=str(tmp_path / os.path.basename(path)))
+        c.sql("SET GLOBAL enable_distributed_execution = 1")
+        run_file(c, path)
