@@ -1,0 +1,245 @@
+"""Device BM25: HBM-resident postings + one segmented-sum program.
+
+The reference scores BM25 inside tantivy on the host
+(inverted_index_reader.rs:108-150). The TPU-native path keeps the block's
+whole CSR postings (doc ids, term frequencies, doc lengths) resident in
+HBM — uploaded once per block, like the vector columns — and each query
+ships only tiny per-term scalars (posting start/length, idf, group id).
+One jitted program gathers the query terms' posting slices on device,
+computes per-posting BM25 contributions on the VPU, and ``segment_sum``s
+them into the per-doc score vector, plus a per-group hit count for AND
+semantics. Shapes are bucketed (term count and max posting length to
+powers of two) so repeated queries hit the jit cache.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+@functools.lru_cache(maxsize=None)
+def _bm25_program(t: int, l: int, g: int, n_docs: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(doc_ids_full, tfs_full, doc_len, starts, lens, idf, gid, avgdl):
+        # gather each term's posting slice on device: [T, L]
+        pos = starts[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
+        valid = (jnp.arange(l, dtype=jnp.int32)[None, :] < lens[:, None]) \
+            & (gid[:, None] >= 0)
+        safe_pos = jnp.clip(pos, 0, doc_ids_full.shape[0] - 1)
+        doc_ids = jnp.take(doc_ids_full, safe_pos)
+        tfs = jnp.take(tfs_full, safe_pos)
+        dl = jnp.take(doc_len, doc_ids)
+        denom = tfs + K1 * (1.0 - B + B * dl / avgdl)
+        elem = jnp.where(valid,
+                         idf[:, None] * tfs * (K1 + 1.0)
+                         / jnp.maximum(denom, 1e-9), 0.0)
+        flat_ids = jnp.where(valid, doc_ids, n_docs)            # pad bucket
+        scores = jax.ops.segment_sum(
+            elem.reshape(-1), flat_ids.reshape(-1),
+            num_segments=n_docs + 1)[:n_docs]
+        # per-group distinct-match count (AND semantics)
+        safe_gid = jnp.where(gid >= 0, gid, 0)
+        cid = safe_gid[:, None] * (n_docs + 1) + flat_ids       # [T,L]
+        ghit = jax.ops.segment_sum(
+            valid.reshape(-1).astype(jnp.float32), cid.reshape(-1),
+            num_segments=g * (n_docs + 1)).reshape(g, n_docs + 1)
+        matched = jnp.sum(ghit[:, :n_docs] > 0, axis=0)
+        return scores, matched
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _bm25_topk_program(t: int, l: int, g: int, n_docs: int, k: int):
+    """Scatter-free top-k BM25: XLA scatters serialize on TPU, so instead
+    of segment-summing into a dense [n_docs] vector this sorts the (doc,
+    group, contribution) triples (each doc appears at most once per query
+    term, so runs are <= T long) and reduces runs with a log2(T)-step
+    segmented Hillis-Steele scan — sort + shifts + top_k, all
+    TPU-friendly primitives."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(doc_ids_full, tfs_full, doc_len, starts, lens, idf, gid, avgdl,
+            need):
+        pos = starts[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
+        valid = (jnp.arange(l, dtype=jnp.int32)[None, :] < lens[:, None]) \
+            & (gid[:, None] >= 0)
+        safe_pos = jnp.clip(pos, 0, doc_ids_full.shape[0] - 1)
+        doc_ids = jnp.take(doc_ids_full, safe_pos)
+        tfs = jnp.take(tfs_full, safe_pos)
+        dl = jnp.take(doc_len, doc_ids)
+        denom = tfs + K1 * (1.0 - B + B * dl / avgdl)
+        elem = jnp.where(valid,
+                         idf[:, None] * tfs * (K1 + 1.0)
+                         / jnp.maximum(denom, 1e-9), 0.0)
+        ids = jnp.where(valid, doc_ids, n_docs).reshape(-1)
+        el = elem.reshape(-1)
+        gg = jnp.broadcast_to(gid[:, None], (t, l)).reshape(-1)
+        ids_s, gid_s, el_s = jax.lax.sort([ids, gg, el], num_keys=2)
+        # run-local inclusive sums (runs of equal doc id are contiguous and
+        # at most t long after the sort)
+        total = el_s
+        # distinct-group count per run: (id, gid) boundary flags
+        newg = jnp.concatenate([
+            jnp.ones(1, jnp.float32),
+            ((ids_s[1:] != ids_s[:-1]) | (gid_s[1:] != gid_s[:-1]))
+            .astype(jnp.float32)])
+        cnt = newg
+        shift = 1
+        while shift < t:
+            same = jnp.concatenate([
+                jnp.zeros(shift, jnp.bool_),
+                ids_s[shift:] == ids_s[:-shift]])
+            total = total + jnp.where(
+                same, jnp.concatenate([jnp.zeros(shift, total.dtype),
+                                       total[:-shift]]), 0.0)
+            cnt = cnt + jnp.where(
+                same, jnp.concatenate([jnp.zeros(shift, cnt.dtype),
+                                       cnt[:-shift]]), 0.0)
+            shift <<= 1
+        is_end = jnp.concatenate([ids_s[1:] != ids_s[:-1],
+                                  jnp.ones(1, jnp.bool_)])
+        ok = is_end & (ids_s < n_docs) & (cnt >= need.astype(jnp.float32))
+        masked = jnp.where(ok, total, -jnp.inf)
+        vals, sel = jax.lax.top_k(masked, k)
+        return vals, jnp.take(ids_s, sel)
+
+    return run
+
+
+class DeviceBM25:
+    """Per-block device scorer; postings upload once, queries ship scalars."""
+
+    def __init__(self, reader):
+        import jax.numpy as jnp
+        self.reader = reader
+        self.n_docs = reader.n_docs
+        self.avgdl = float(reader.doc_len.mean()) if reader.n_docs else 1.0
+        self._doc_ids = jnp.asarray(reader.doc_ids.astype(np.int32))
+        self._tfs = jnp.asarray(reader.tfs.astype(np.float32))
+        self._doc_len = jnp.asarray(reader.doc_len.astype(np.float32))
+        # coarse posting-length buckets (x16 steps): queries on rare terms
+        # pay small sorts, and at most 4 programs compile per block
+        max_df = int((reader.offsets[1:] - reader.offsets[:-1]).max(initial=1))
+        self._l_max = max_df
+
+    def score_async(self, term_groups: List[List[int]], operator: str = "OR"):
+        """Dispatch without syncing; returns a thunk resolving to
+        (rows, scores). Lets callers queue many queries and sync once."""
+        r = self.reader
+        terms = [(tid, gi) for gi, group in enumerate(term_groups)
+                 for tid in group if tid >= 0]
+        n_present = len({gi for _, gi in terms})
+        if not terms:
+            empty = (np.zeros(0, np.int64), np.zeros(0, np.float32))
+            return lambda: empty
+        t_b = _bucket(len(terms))
+        g_b = _bucket(len(term_groups), lo=4)
+        max_len = max(int(r.offsets[tid + 1] - r.offsets[tid])
+                      for tid, _ in terms)
+        l_b = 128
+        while l_b < max_len:
+            l_b <<= 4  # coarse x16 buckets
+        l_b = min(l_b, _bucket(self._l_max, lo=128))
+        starts = np.zeros(t_b, np.int32)
+        lens = np.zeros(t_b, np.int32)
+        idf = np.zeros(t_b, np.float32)
+        gid = np.full(t_b, -1, np.int32)
+        for i, (tid, gi) in enumerate(terms):
+            s, e = int(r.offsets[tid]), int(r.offsets[tid + 1])
+            starts[i], lens[i] = s, e - s
+            df = e - s
+            idf[i] = np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            gid[i] = gi
+        run = _bm25_program(t_b, l_b, g_b, self.n_docs)
+        scores_dev, matched_dev = run(
+            self._doc_ids, self._tfs, self._doc_len, starts, lens, idf, gid,
+            np.float32(max(self.avgdl, 1e-9)))
+
+        def resolve():
+            scores = np.asarray(scores_dev)
+            matched = np.asarray(matched_dev)
+            if operator.upper() == "AND":
+                if n_present < len(term_groups):
+                    return (np.zeros(0, np.int64), np.zeros(0, np.float32))
+                hit = matched >= n_present
+            else:
+                hit = matched > 0
+            rows = np.nonzero(hit)[0]
+            return rows, scores[rows].astype(np.float32)
+
+        return resolve
+
+    def score(self, term_groups: List[List[int]], operator: str = "OR"
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """(rows, scores) — same contract as the host bm25_scores."""
+        return self.score_async(term_groups, operator)()
+
+    def top_k(self, term_groups: List[List[int]], k: int,
+              operator: str = "OR") -> Tuple[np.ndarray, np.ndarray]:
+        """Serving path: top-k matching docs by BM25, selected ON DEVICE so
+        only k (row, score) pairs leave HBM (the match() + ORDER BY
+        score() LIMIT k pushdown; the reference's tantivy TopDocs
+        collector, inverted_index_reader.rs:123 order_by_score)."""
+        r = self.reader
+        terms = [(tid, gi) for gi, group in enumerate(term_groups)
+                 for tid in group if tid >= 0]
+        n_present = len({gi for _, gi in terms})
+        if not terms or (operator.upper() == "AND"
+                         and n_present < len(term_groups)):
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        out = self._dispatch_topk(term_groups, k, operator)
+        vals = np.asarray(out[0])
+        rows = np.asarray(out[1])
+        ok = vals > -np.inf
+        return rows[ok].astype(np.int64), vals[ok].astype(np.float32)
+
+    def _dispatch_topk(self, term_groups, k: int, operator: str = "OR"):
+        """Queue the device top-k without syncing; returns the device
+        (vals, rows) pair (callers block_until_ready in bulk)."""
+        r = self.reader
+        terms = [(tid, gi) for gi, group in enumerate(term_groups)
+                 for tid in group if tid >= 0]
+        n_present = len({gi for _, gi in terms})
+        t_b = _bucket(len(terms))
+        g_b = _bucket(len(term_groups), lo=4)
+        max_len = max(int(r.offsets[tid + 1] - r.offsets[tid])
+                      for tid, _ in terms)
+        l_b = 128
+        while l_b < max_len:
+            l_b <<= 4  # coarse x16 buckets
+        l_b = min(l_b, _bucket(self._l_max, lo=128))
+        starts = np.zeros(t_b, np.int32)
+        lens = np.zeros(t_b, np.int32)
+        idf = np.zeros(t_b, np.float32)
+        gid = np.full(t_b, -1, np.int32)
+        for i, (tid, gi) in enumerate(terms):
+            s, e = int(r.offsets[tid]), int(r.offsets[tid + 1])
+            starts[i], lens[i] = s, e - s
+            df = e - s
+            idf[i] = np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            gid[i] = gi
+        need = n_present if operator.upper() == "AND" else 1
+        run = _bm25_topk_program(t_b, l_b, g_b, self.n_docs,
+                                 min(k, self.n_docs))
+        return run(self._doc_ids, self._tfs, self._doc_len, starts, lens,
+                   idf, gid, np.float32(max(self.avgdl, 1e-9)),
+                   np.int32(need))

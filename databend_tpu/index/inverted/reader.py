@@ -3,9 +3,11 @@
 Reference behavior (reference: inverted_index_reader.rs:108-300 +
 type_check/search.rs): ``match(col, 'q', 'fuzziness=1;operator=AND')``
 scores with BM25 (k1=1.2, b=0.75, Lucene idf), ``query('col:a AND b')``
-supports boolean syntax. Scoring is a segmented sparse accumulation over
-the CSR postings (numpy today; the layout is device-ready for a Pallas
-segmented-dot later).
+supports boolean syntax, quoted phrases match on stored positions
+(reference inverted_index_reader.rs:154-239). Scoring is a segmented
+sparse accumulation over the CSR postings — on device (one jitted
+segment-sum program, device.py) for blocks above DEVICE_MIN_DOCS, numpy
+below that.
 """
 
 from __future__ import annotations
@@ -23,6 +25,12 @@ K1 = 1.2
 B = 0.75
 
 
+# blocks at least this large get a cached DeviceBM25 for the top-k
+# serving path (full-score materialization stays on host numpy: shipping
+# a [n_docs] score vector off-device costs more than scoring it)
+DEVICE_MIN_DOCS = 20_000
+
+
 @dataclass
 class InvertedBlockReader:
     terms: List[str]
@@ -33,6 +41,10 @@ class InvertedBlockReader:
     n_docs: int
     tokenizer: str
     filters: List[str]
+    # second-level CSR of within-doc token positions (phrase queries);
+    # None for indexes written before positions were stored
+    pos_offsets: "Optional[np.ndarray]" = None
+    positions: "Optional[np.ndarray]" = None
 
     @property
     def nbytes(self) -> int:
@@ -48,7 +60,9 @@ class InvertedBlockReader:
         return InvertedBlockReader(
             terms, z["offsets"], z["doc_ids"], z["tfs"], z["doc_len"],
             int(z["meta"][0]), z["tokenizer"].tobytes().decode(),
-            [f for f in filters.split(",") if f])
+            [f for f in filters.split(",") if f],
+            z["pos_offsets"] if "pos_offsets" in z else None,
+            z["positions"] if "positions" in z else None)
 
     # ------------------------------------------------------------------ terms
     def term_id(self, term: str) -> int:
@@ -108,6 +122,60 @@ class InvertedBlockReader:
         rows = np.nonzero(hit)[0]
         return rows, scores[rows].astype(np.float32)
 
+    def _device_bm25(self):
+        dev = getattr(self, "_dev_scorer", None)
+        if dev is None:
+            from .device import DeviceBM25
+            dev = DeviceBM25(self)
+            self._dev_scorer = dev
+        return dev
+
+    # ---------------------------------------------------------------- phrase
+    def term_positions(self, tid: int) -> List[np.ndarray]:
+        """Per posting entry of term tid: the within-doc positions."""
+        if self.pos_offsets is None:
+            from ...errors import UnsupportedFeature
+            raise UnsupportedFeature(
+                "phrase queries need positions; REFRESH the inverted index")
+        s, e = int(self.offsets[tid]), int(self.offsets[tid + 1])
+        return [self.positions[int(self.pos_offsets[j]):
+                               int(self.pos_offsets[j + 1])]
+                for j in range(s, e)]
+
+    def phrase_match(self, tokens: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Docs containing the tokens at consecutive positions (reference
+        phrase query, inverted_index_reader.rs:154-239). Scores = BM25 of
+        the constituent terms on matching docs."""
+        tids = [self.term_id(t) for t in tokens]
+        if any(t < 0 for t in tids):
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        # start from the first term's candidate positions per doc
+        docs0, _ = self.postings(tids[0])
+        cand = {int(d): p for d, p in zip(docs0, self.term_positions(tids[0]))}
+        for k, tid in enumerate(tids[1:], start=1):
+            docs_k, _ = self.postings(tid)
+            pos_k = self.term_positions(tid)
+            pk = {int(d): p for d, p in zip(docs_k, pos_k)}
+            nxt = {}
+            for d, starts in cand.items():
+                p = pk.get(d)
+                if p is None:
+                    continue
+                # keep phrase starts whose k-th token sits at start+k
+                keep = starts[np.isin(starts + k, p)]
+                if len(keep):
+                    nxt[d] = keep
+            cand = nxt
+            if not cand:
+                break
+        rows = np.array(sorted(cand), np.int64)
+        if not len(rows):
+            return rows, np.zeros(0, np.float32)
+        all_rows, all_scores = self.bm25_scores([[t] for t in tids], "AND")
+        smap = dict(zip(all_rows.tolist(), all_scores.tolist()))
+        return rows, np.array([smap.get(int(r), 0.0) for r in rows],
+                              np.float32)
+
 
 def _edit_distance_leq(a: str, b: str, k: int) -> bool:
     if a == b:
@@ -133,7 +201,13 @@ def search_block(reader: InvertedBlockReader, info) -> Tuple[list, Optional[list
     """Run a match()/query() search against one block's index.
     Returns (rows, scores)."""
     if info.is_match:
-        tokens = tokenize_text(info.query_text, reader.tokenizer, reader.filters)
+        qt = info.query_text.strip()
+        if len(qt) >= 2 and qt.startswith('"') and qt.endswith('"'):
+            # quoted phrase: positions-based consecutive match
+            tokens = tokenize_text(qt[1:-1], reader.tokenizer, reader.filters)
+            rows, scores = reader.phrase_match(tokens)
+            return rows.tolist(), scores.tolist()
+        tokens = tokenize_text(qt, reader.tokenizer, reader.filters)
         groups = []
         for tok in tokens:
             if info.fuzziness:
@@ -150,7 +224,9 @@ def _eval_query_syntax(reader: InvertedBlockReader, q: str):
     """Minimal tantivy-style boolean query: `a AND b`, `col:a OR b`, NOT.
     Field prefixes are accepted and ignored (per-block postings span all
     indexed columns)."""
-    tokens = q.split()
+    import re as _re
+    # quoted phrases become single tokens evaluated with phrase_match
+    tokens = _re.findall(r'[A-Za-z0-9_]+:"[^"]*"|"[^"]*"|\S+', q)
     # shunting-less left-fold: term [op term]*
     result_rows: Optional[np.ndarray] = None
     result_scores: Optional[np.ndarray] = None
@@ -164,9 +240,15 @@ def _eval_query_syntax(reader: InvertedBlockReader, q: str):
         if up == "NOT" or up == "-":
             negate_next = True
             continue
-        term = raw.split(":", 1)[-1].strip('"').lower()
+        body = raw.split(":", 1)[-1]
+        is_phrase = body.startswith('"') and body.endswith('"') and len(body) >= 2
+        term = body.strip('"').lower()
         toks = tokenize_text(term, reader.tokenizer, reader.filters)
-        rows, scores = reader.bm25_scores([[reader.term_id(t)] for t in toks], "AND")
+        if is_phrase and len(toks) > 1:
+            rows, scores = reader.phrase_match(toks)
+        else:
+            rows, scores = reader.bm25_scores(
+                [[reader.term_id(t)] for t in toks], "AND")
         if negate_next:
             all_rows = np.arange(reader.n_docs)
             mask = np.ones(reader.n_docs, bool)
