@@ -23,23 +23,47 @@ import numpy as np
 
 
 def bench_quantized(N, D, B, K):
+    """Chained device-loop measurement of the SQ-u8 serving program
+    (int8 MXU matmul + fused rank key + exact f32 rerank), methodology
+    identical to bench.py config 1: queries resident on device, each
+    iteration's input data-depends on the previous result, one
+    np.asarray at the end forces the whole chain."""
     import jax
     import jax.numpy as jnp
-    from databend_tpu.ops.quantization import encode, encode_query, topk_l2
+    from databend_tpu.ops import quantization as qz
     rng = np.random.default_rng(7)
     x = rng.standard_normal((N, D), dtype=np.float32)
     q0 = x[rng.integers(0, N, size=B)] + 0.05 * rng.standard_normal((B, D)).astype(np.float32)
-    corpus = encode(x)
+    corpus = qz.encode(x)
+    m = corpus.meta
     x_f32 = jax.device_put(x)
+    qj = jax.device_put(q0)
+    qc0, _ = qz.encode_query(q0, m)
+    np.asarray(corpus.codes[0])
+    S = min(4 * K, N)
 
-    d, i = topk_l2(q0, corpus, K, x_f32=x_f32)
+    @jax.jit
+    def chain_step(qc, qj, codes, rank_corr, xf):
+        d, i = qz._topk_l2_device(qj, qc, codes, rank_corr, xf,
+                                  K, S, m.alpha, m.offset, m.dim, True)
+        # serialize iterations INSIDE the jit (eager feedback ops each cost
+        # a dispatch round-trip); an int multiply-by-zero would be
+        # constant-folded, so fold in the low bit itself — ranking cost is
+        # code-value independent
+        return d, i, qc + (i[0, 0] & 1).astype(jnp.int8)
+
+    args = (qj, corpus.codes, corpus.rank_corr, x_f32)
+    d, i, qc = chain_step(qc0, *args)
     np.asarray(d)
-    iters = 30
+    iters = 100
+    qc = qc0
     t = time.perf_counter()
     for _ in range(iters):
-        d, i = topk_l2(q0, corpus, K, x_f32=x_f32)
+        d, i, qc = chain_step(qc, *args)
     np.asarray(d)
     dt = (time.perf_counter() - t) / iters
+
+    d, i = qz.topk_l2(q0, corpus, K, x_f32=x_f32)  # undrifted, for recall
     ids = np.asarray(i)[:16]
     got = 0
     for j in range(16):

@@ -64,3 +64,6 @@ class PushDownInfo:
     # mode exact-scan row ceiling
     vector_search_mode: str = "auto"
     vector_exact_scan_max_rows: int = 1 << 20
+    # corpora at or below this many rows are scored on the host (numpy):
+    # a device dispatch costs a full RTT, which dwarfs sub-100k-row scans
+    vector_host_scan_max_rows: int = 1 << 16

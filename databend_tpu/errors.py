@@ -60,6 +60,11 @@ IndexError = _err("IndexError", 1124)
 UnknownSetting = _err("UnknownSetting", 2801)
 WrongValueForSetting = _err("WrongValueForSetting", 2803)
 
+# Runtime / resource limits (reference: PanicError 1104 family;
+# AbortedQuery 1043; memory guard in src/common/base/src/runtime/memory/)
+MemoryLimitExceeded = _err("MemoryLimitExceeded", 1108)
+QueueTimeout = _err("QueueTimeout", 2504)
+
 __all__ = [
     "DatabendError",
     "SyntaxException",
@@ -86,4 +91,6 @@ __all__ = [
     "IndexError",
     "UnknownSetting",
     "WrongValueForSetting",
+    "MemoryLimitExceeded",
+    "QueueTimeout",
 ]

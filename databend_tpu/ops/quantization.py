@@ -36,6 +36,12 @@ class SQ8Corpus(NamedTuple):
     codes: jax.Array      # [N, d] int8 (centered)
     sums: jax.Array       # [N] f32: sum of centered codes per row
     sq_norms: jax.Array   # [N] f32: exact |x|^2 of the ORIGINAL vectors
+    # [N] f32: sq_norms - 2*alpha*beta*sums, precomputed so the L2 ranking
+    # key is ONE fused multiply-add over the int8 matmul output:
+    #   rank = -2*alpha^2 * idot + rank_corr   (+ per-query constants that
+    # don't affect per-row selection). Halves the [B, N] elementwise passes
+    # on the scan's critical path.
+    rank_corr: jax.Array
     meta: SQ8Meta
 
 
@@ -57,8 +63,10 @@ def encode(x: np.ndarray, quantile: float = 0.99) -> SQ8Corpus:
     c = (u - 128).astype(np.int8)
     sums = c.astype(np.float32).sum(axis=1)
     sq = (x.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+    beta = alpha * 128.0 + offset
+    rank_corr = sq - 2.0 * alpha * beta * sums
     return SQ8Corpus(jnp.asarray(c), jnp.asarray(sums), jnp.asarray(sq),
-                     SQ8Meta(alpha, offset, d))
+                     jnp.asarray(rank_corr), SQ8Meta(alpha, offset, d))
 
 
 def encode_query(q: np.ndarray, meta: SQ8Meta) -> Tuple[jax.Array, jax.Array]:
@@ -90,16 +98,28 @@ def approx_dot(q_codes, q_sums, corpus: SQ8Corpus) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("k", "s", "alpha", "offset",
                                               "dim", "rerank"))
-def _topk_l2_device(qj, q_codes, q_sums, codes, sums, sq_norms, x_f32,
+def _topk_l2_device(qj, q_codes, codes, rank_corr, x_f32,
                     k: int, s: int, alpha: float, offset: float, dim: int,
                     rerank: bool):
-    dots = _dot_scores(q_codes, q_sums, codes, sums, alpha, offset, dim)
-    qq = jnp.sum(qj * qj, axis=1, keepdims=True)
-    d2 = qq - 2.0 * dots + sq_norms[None, :]
+    # selection phase: int8 x int8 MXU matmul (native s8 convolution,
+    # s32 accumulate) + ONE fused multiply-add as the ranking key.
+    # Per-query constants (|q|^2, the alpha*beta*q_sums term) shift every
+    # row of a query equally, so they are dropped from the selection and
+    # only the exact re-rank produces true distances.
+    idot = jax.lax.dot_general(
+        q_codes, codes, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                     # [B, N]
+    rank = (-2.0 * alpha * alpha) * idot.astype(jnp.float32) \
+        + rank_corr[None, :]
     if not rerank:
-        vals, ids = jax.lax.top_k(-d2, k)
-        return -vals, ids
-    _, cand = jax.lax.approx_min_k(d2, s)
+        vals, ids = jax.lax.top_k(-rank, k)
+        # restore true squared distances for the returned values
+        qq = jnp.sum(qj * qj, axis=1, keepdims=True)
+        beta = alpha * 128.0 + offset
+        qs = jnp.sum(q_codes.astype(jnp.float32), axis=1, keepdims=True)
+        return (-vals + qq - 2.0 * alpha * beta * qs
+                - 2.0 * dim * beta * beta), ids
+    _, cand = jax.lax.approx_min_k(rank, s)
     cand_vecs = x_f32[cand]
     diff = cand_vecs - qj[:, None, :]
     exact = jnp.sum(diff * diff, axis=-1)
@@ -115,10 +135,10 @@ def topk_l2(q: np.ndarray, corpus: SQ8Corpus, k: int,
     scoring path of the reference, generalized to full scans). The whole
     device program (int8 matmul + selection + gather + re-rank) is one jit."""
     qj = jnp.asarray(np.asarray(q, np.float32))
-    q_codes, q_sums = encode_query(q, corpus.meta)
+    q_codes, _ = encode_query(q, corpus.meta)
     m = corpus.meta
     s = min(k * shortlist_mult, corpus.codes.shape[0])
     return _topk_l2_device(
-        qj, q_codes, q_sums, corpus.codes, corpus.sums, corpus.sq_norms,
+        qj, q_codes, corpus.codes, corpus.rank_corr,
         corpus.codes if x_f32 is None else x_f32,
         k, s, m.alpha, m.offset, m.dim, x_f32 is not None)

@@ -82,32 +82,60 @@ def _exec_scan(plan: Scan) -> Iterator[DataBlock]:
     plan.pruning_stats = stats  # stashed for EXPLAIN ANALYZE
     needed = plan.columns if plan.columns is not None else table.schema.field_names()
 
+    # filtered-KNN / DESC / score-only path: every part that needs full
+    # per-row scores gets them from ONE stacked device program instead of
+    # a dispatch per block (reference generate_scores fan-out,
+    # vector_index_pruner.rs:305-398, re-fused for the MXU)
+    if (pd.vector_index is not None
+            and VECTOR_SCORE_COL_NAME in plan.internal_columns):
+        need = [p for p in parts if p.vector_scores is None
+                and p.precomputed_scores is None]
+        if need:
+            all_scores = table.batch_generate_scores(
+                [p.meta for p in need], pd.vector_index,
+                host_max_rows=pd.vector_host_scan_max_rows)
+            for p, sc in zip(need, all_scores):
+                p.precomputed_scores = sc
+
     # block IO prefetch pipeline: host threads keep the next blocks in
     # flight while the current one is processed (the analog of the
     # reference's async pruning/read runtime, fuse_pruner.rs:386 +
-    # GlobalIORuntime) — decode/IO overlaps compute
-    from concurrent.futures import ThreadPoolExecutor
+    # GlobalIORuntime) — decode/IO overlaps compute. The pool is shared
+    # process-wide: creating/joining threads per scan costs ~7 ms/query.
     PREFETCH = 4
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futures = []
-        idx = 0
-        while idx < min(PREFETCH, len(parts)):
+    pool = _io_pool()
+    futures = []
+    idx = 0
+    while idx < min(PREFETCH, len(parts)):
+        futures.append(pool.submit(table.read_block, parts[idx].meta, needed))
+        idx += 1
+    for pi, part in enumerate(parts):
+        block = futures[pi].result()
+        if idx < len(parts):
             futures.append(pool.submit(table.read_block, parts[idx].meta, needed))
             idx += 1
-        for pi, part in enumerate(parts):
-            block = futures[pi].result()
-            if idx < len(parts):
-                futures.append(pool.submit(table.read_block, parts[idx].meta, needed))
-                idx += 1
-            block = _materialize_internal(plan, part, block)
-            if pd.filters is not None:
-                mask_col = Evaluator(block).run(pd.filters)
-                mask = np.asarray(mask_col.data, dtype=np.bool_)
-                if mask_col.validity is not None:
-                    mask = mask & mask_col.validity
-                block = block.filter(mask)
-            if block.num_rows:
-                yield block
+        block = _materialize_internal(plan, part, block)
+        if pd.filters is not None:
+            mask_col = Evaluator(block).run(pd.filters)
+            mask = np.asarray(mask_col.data, dtype=np.bool_)
+            if mask_col.validity is not None:
+                mask = mask & mask_col.validity
+            block = block.filter(mask)
+        if block.num_rows:
+            yield block
+
+
+_IO_POOL = None
+
+
+def _io_pool():
+    """Process-wide block-IO prefetch pool (GlobalIORuntime analog)."""
+    global _IO_POOL
+    if _IO_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _IO_POOL = ThreadPoolExecutor(max_workers=4,
+                                      thread_name_prefix="block-io")
+    return _IO_POOL
 
 
 def _materialize_internal(plan: Scan, part, block: DataBlock) -> DataBlock:
@@ -119,6 +147,8 @@ def _materialize_internal(plan: Scan, part, block: DataBlock) -> DataBlock:
                 vals = np.full(n, FLOAT32_MAX, np.float32)
                 for row, score in part.vector_scores:
                     vals[row] = score
+            elif part.precomputed_scores is not None:
+                vals = part.precomputed_scores
             else:
                 vals = _brute_force_scores(plan.table, part.meta, pd.vector_index, block)
             block = block.with_column(ic, Column(Float32, vals))
@@ -242,8 +272,44 @@ def _invert_order(arr: np.ndarray) -> np.ndarray:
     return -inv.astype(np.int64)
 
 
+def _track_block(block) -> int:
+    """Charge a buffered block to the query MemStat (LimitMemGuard analog)."""
+    from ..utils.memstat import track_block
+    return track_block(block)
+
+
+def _track_cols(cols) -> int:
+    from ..utils.memstat import current_memstat
+    stat = current_memstat()
+    if stat is None:
+        return 0
+    n = 0
+    for c in cols:
+        if c is None:
+            continue
+        data = c.data
+        if isinstance(data, np.ndarray):
+            n += data.nbytes
+        elif hasattr(data, "offsets"):  # StringData
+            n += data.offsets.nbytes + data.data.nbytes
+        else:
+            n += 8 * len(c)
+        if c.validity is not None:
+            n += c.validity.nbytes
+    stat.alloc(n)
+    return n
+
+
+def _free_tracked(nbytes: int) -> None:
+    from ..utils.memstat import free_bytes
+    free_bytes(nbytes)
+
+
 def _exec_sort(plan: SortPlan):
-    blocks = list(execute_plan_blocks(plan.child))
+    blocks = []
+    for b in execute_plan_blocks(plan.child):
+        _track_block(b)
+        blocks.append(b)
     if not blocks:
         return
     if plan.distributed and plan.limit is not None and len(plan.items) == 1:
@@ -398,7 +464,10 @@ def _rows_block(rows, fields) -> DataBlock:
 def _group_ids(block: DataBlock, key_cols: List[Column], state: dict):
     """Assign dense group ids across blocks (streaming hash aggregation —
     the reference's group-by hashtable, src/common/hashtable)."""
-    n = block.num_rows
+    return _group_ids_n(block.num_rows, key_cols, state)
+
+
+def _group_ids_n(n: int, key_cols: List[Column], state: dict):
     if not key_cols:
         return np.zeros(n, np.int64), state
     from .keys import composite_group, factorize_column, hashable_row
@@ -482,31 +551,86 @@ def _try_stats_aggregate(plan: AggregatePlan) -> Optional[DataBlock]:
 def _exec_aggregate(plan: AggregatePlan):
     """Two-phase hash aggregation: assign dense group ids streaming, buffer
     the (small) per-block gid + argument columns, then run each aggregate's
-    vectorized update once states are sized to the final group count."""
+    vectorized update once states are sized to the final group count.
+
+    Above ``spill_threshold_rows`` buffered input rows, grouped aggregation
+    switches to grace hash-partitioning: evaluated key/arg columns are
+    written to disk bucketed by key hash, then each partition is aggregated
+    independently under bounded memory (reference spillers/inner.rs:269)."""
     fast = _try_stats_aggregate(plan)
     if fast is not None:
         yield fast
         return
-    state: dict = {}
-    key_types = [e.dtype for _, e in plan.keys]
-    buffered: List[Tuple[np.ndarray, List[Optional[Column]]]] = []
 
+    if not plan.keys:
+        yield from _exec_global_aggregate(plan)
+        return
+
+    threshold = plan.spill_threshold_rows
+    pending: List[Tuple[List[Column], List[Optional[Column]], int]] = []
+    total = 0
+    tracked = 0
+    spiller: Optional[_AggSpiller] = None
     for block in execute_plan_blocks(plan.child):
         ev = Evaluator(block)
         key_cols = [ev.run(e) for _, e in plan.keys]
-        gids, state = _group_ids(block, key_cols, state)
-        arg_cols: List[Optional[Column]] = []
-        for name, fn, arg_exprs in plan.aggs:
-            arg_cols.append(ev.run(arg_exprs[0]) if arg_exprs else None)
+        arg_cols: List[Optional[Column]] = [
+            ev.run(ae[0]) if ae else None for _, _, ae in plan.aggs]
+        n = block.num_rows
+        if spiller is None and threshold and total + n > threshold:
+            spiller = _AggSpiller(plan)
+            for kc, ac, pn in pending:
+                spiller.add(kc, ac, pn)
+            pending = []
+            _free_tracked(tracked)
+            tracked = 0
+        if spiller is not None:
+            spiller.add(key_cols, arg_cols, n)
+        else:
+            tracked += _track_cols(key_cols) + _track_cols(arg_cols)
+            pending.append((key_cols, arg_cols, n))
+            total += n
+
+    if spiller is not None:
+        yield from _exec_aggregate_spilled(plan, spiller)
+        return
+
+    state: dict = {}
+    buffered: List[Tuple[np.ndarray, List[Optional[Column]]]] = []
+    for key_cols, arg_cols, n in pending:
+        gids, state = _group_ids_n(n, key_cols, state)
         buffered.append((gids, arg_cols))
+    out = _finalize_aggregate(plan, buffered, state, allow_distributed=True)
+    if out is not None:
+        yield out
 
-    if plan.keys:
-        final_n = len(state.get("reprs", []))
-        if final_n == 0:
-            return
-    else:
-        final_n = 1  # global aggregate always yields one row
 
+def _exec_global_aggregate(plan: AggregatePlan):
+    """No GROUP BY: states are O(1), update streaming (never spills)."""
+    states = [fn.init_state(1) for _, fn, _ in plan.aggs]
+    for block in execute_plan_blocks(plan.child):
+        ev = Evaluator(block)
+        gids = np.zeros(block.num_rows, np.int64)
+        for ai, (name, fn, arg_exprs) in enumerate(plan.aggs):
+            arg = ev.run(arg_exprs[0]) if arg_exprs else None
+            if arg is not None:
+                fn.update(states[ai], gids, arg.data, arg.validity)
+            else:
+                fn.update(states[ai], gids, None, None)
+    names = [n for n, _, _ in plan.aggs]
+    cols = [fn.finalize(states[ai], 1)
+            for ai, (_, fn, _) in enumerate(plan.aggs)]
+    yield DataBlock(names, cols, 1)
+
+
+def _finalize_aggregate(plan: AggregatePlan, buffered, state,
+                        allow_distributed: bool = False
+                        ) -> Optional[DataBlock]:
+    """Run the vectorized updates + finalize over buffered (gids, args)."""
+    final_n = len(state.get("reprs", []))
+    if final_n == 0:
+        return None
+    key_types = [e.dtype for _, e in plan.keys]
     names = [n for n, _ in plan.keys] + [n for n, _, _ in plan.aggs]
     cols: List[Column] = []
     reprs = state.get("reprs", [()])
@@ -514,11 +638,10 @@ def _exec_aggregate(plan: AggregatePlan):
         vals = [r[ki] for r in reprs]
         cols.append(Column.from_pylist(vals, key_types[ki].wrap_nullable()
                                        if any(v is None for v in vals) else key_types[ki]))
-    if plan.distributed:
+    if allow_distributed and plan.distributed:
         dist = _try_distributed_aggregate(plan, buffered, final_n)
         if dist is not None:
-            yield DataBlock(names, cols + dist, final_n)
-            return
+            return DataBlock(names, cols + dist, final_n)
     for ai, (name, fn, _) in enumerate(plan.aggs):
         st = fn.init_state(final_n)
         for gids, arg_cols in buffered:
@@ -528,7 +651,96 @@ def _exec_aggregate(plan: AggregatePlan):
             else:  # count(*)
                 fn.update(st, gids, None, None)
         cols.append(fn.finalize(st, final_n))
-    yield DataBlock(names, cols, final_n)
+    return DataBlock(names, cols, final_n)
+
+
+N_SPILL_PARTITIONS = 16
+
+
+def _partition_ids(key_cols: List[Column], n: int) -> np.ndarray:
+    """Content-based partition ids, consistent across blocks (Python hash
+    runs over distinct keys only, not rows)."""
+    from .keys import composite_group, factorize_column, hashable_row
+    local, rep_idx = composite_group([factorize_column(c) for c in key_cols])
+    rep_part = np.empty(len(rep_idx), np.int64)
+    for k, ri in enumerate(rep_idx):
+        rep_part[k] = hash(hashable_row(key_cols, ri)) % N_SPILL_PARTITIONS
+    return rep_part[local]
+
+
+class _AggSpiller:
+    """Hash-partitioned spill of evaluated key/arg columns as parquet runs
+    (the aggregate arm of the reference's Spiller, spillers/inner.rs)."""
+
+    def __init__(self, plan: AggregatePlan):
+        import tempfile
+        self.dir = tempfile.mkdtemp(prefix="dbtpu_aggspill_")
+        self.files: List[List[str]] = [[] for _ in range(N_SPILL_PARTITIONS)]
+        self.seq = 0
+        self.plan = plan
+        self.fields: Optional[List] = None
+        self.arg_present = [bool(ae) for _, _, ae in plan.aggs]
+
+    def add(self, key_cols: List[Column], arg_cols: List[Optional[Column]],
+            n: int) -> None:
+        import os as _os
+
+        from ..expression.schema import DataField
+        from ..storage.fuse import block_io
+        from ..utils.metrics import METRICS
+        names = [f"k{i}" for i in range(len(key_cols))] + [
+            f"a{j}" for j, c in enumerate(arg_cols) if c is not None]
+        cols = key_cols + [c for c in arg_cols if c is not None]
+        if self.fields is None:
+            self.fields = [DataField(nm, c.dtype.wrap_nullable())
+                           for nm, c in zip(names, cols)]
+        slim = DataBlock(names, cols, n)
+        parts = _partition_ids(key_cols, n)
+        for p in np.unique(parts):
+            sub = slim.filter(parts == p)
+            path = _os.path.join(self.dir, f"p{p}_{self.seq}.parquet")
+            block_io.write_block(path, sub)
+            self.files[int(p)].append(path)
+            METRICS.inc("aggregate_spill_rows", sub.num_rows)
+        self.seq += 1
+        METRICS.inc("aggregate_spill_blocks")
+
+    def read_partition(self, p: int):
+        """Yield (key_cols, arg_cols, n) per spilled run of partition p."""
+        from ..expression.schema import TableSchema
+        from ..storage.fuse import block_io
+        schema = TableSchema(list(self.fields))
+        nk = len(self.plan.keys)
+        for path in self.files[p]:
+            b = block_io.read_block(path, schema)
+            key_cols = [b.column(f"k{i}") for i in range(nk)]
+            arg_cols: List[Optional[Column]] = []
+            for j, present in enumerate(self.arg_present):
+                arg_cols.append(b.column(f"a{j}") if present else None)
+            yield key_cols, arg_cols, b.num_rows
+
+    def cleanup(self) -> None:
+        import shutil
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def _exec_aggregate_spilled(plan: AggregatePlan, spiller: _AggSpiller):
+    """Aggregate one hash partition at a time (bounded memory: the largest
+    partition, not the whole input)."""
+    try:
+        for p in range(N_SPILL_PARTITIONS):
+            if not spiller.files[p]:
+                continue
+            state: dict = {}
+            buffered = []
+            for key_cols, arg_cols, n in spiller.read_partition(p):
+                gids, state = _group_ids_n(n, key_cols, state)
+                buffered.append((gids, arg_cols))
+            out = _finalize_aggregate(plan, buffered, state)
+            if out is not None:
+                yield out
+    finally:
+        spiller.cleanup()
 
 
 def _try_distributed_aggregate(plan: AggregatePlan, buffered, final_n: int):
@@ -651,20 +863,121 @@ def _exec_distinct(plan: DistinctPlan):
 
 
 # ---------------------------------------------------------------------- join
+class _PartitionSpill:
+    """Hash-partitioned DataBlock spill (one parquet run per incoming
+    block per partition) — the join arm of the reference's Spiller."""
+
+    def __init__(self, fields, prefix: str):
+        import tempfile
+        self.dir = tempfile.mkdtemp(prefix=prefix)
+        self.files: List[List[str]] = [[] for _ in range(N_SPILL_PARTITIONS)]
+        self.fields = fields
+        self.seq = 0
+
+    def add_block(self, block: DataBlock, part_ids: np.ndarray) -> None:
+        import os as _os
+
+        from ..storage.fuse import block_io
+        from ..utils.metrics import METRICS
+        for p in np.unique(part_ids):
+            sub = block.filter(part_ids == p)
+            path = _os.path.join(self.dir, f"p{p}_{self.seq}.parquet")
+            block_io.write_block(path, sub)
+            self.files[int(p)].append(path)
+            METRICS.inc("join_spill_rows", sub.num_rows)
+        self.seq += 1
+
+    def read(self, p: int) -> List[DataBlock]:
+        from ..expression.schema import TableSchema
+        from ..storage.fuse import block_io
+        schema = TableSchema(list(self.fields))
+        return [block_io.read_block(path, schema) for path in self.files[p]]
+
+    def cleanup(self) -> None:
+        import shutil
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
 def _exec_join(plan: JoinPlan):
     """Hash join: build on the right, probe with left blocks streaming
     (reference: hash join processors in src/query/service/src/pipelines/
-    processors/transforms/hash_join)."""
-    right_blocks = list(execute_plan_blocks(plan.right))
-    right = DataBlock.concat(right_blocks) if right_blocks else None
+    processors/transforms/hash_join). When the build side exceeds
+    ``spill_threshold_rows``, grace hash-partitions BOTH sides to disk and
+    joins partition-by-partition under bounded memory
+    (reference spillers/inner.rs:269)."""
     lfields = plan.left.output_fields()
     rfields = plan.right.output_fields()
     out_names = [f.name for f in plan.fields]
+
+    threshold = plan.spill_threshold_rows
+    right_blocks: List[DataBlock] = []
+    tracked = 0
+    if plan.kind != "CROSS" and plan.right_keys and threshold:
+        rit = execute_plan_blocks(plan.right)
+        total = 0
+        overflow = False
+        for rb in rit:
+            tracked += _track_block(rb)
+            right_blocks.append(rb)
+            total += rb.num_rows
+            if total > threshold:
+                overflow = True
+                break
+        if overflow:
+            _free_tracked(tracked)  # build side goes to disk
+            yield from _exec_grace_join(plan, right_blocks, rit,
+                                        lfields, rfields, out_names)
+            return
+    else:
+        for rb in execute_plan_blocks(plan.right):
+            _track_block(rb)
+            right_blocks.append(rb)
+    right = DataBlock.concat(right_blocks) if right_blocks else None
 
     if plan.kind == "CROSS":
         yield from _exec_cross_join(plan, right, lfields, rfields, out_names)
         return
 
+    yield from _hash_join_stream(plan, right,
+                                 execute_plan_blocks(plan.left),
+                                 lfields, rfields, out_names)
+
+
+def _exec_grace_join(plan: JoinPlan, buffered_right, rit,
+                     lfields, rfields, out_names):
+    """Grace hash join: partition build+probe by key hash, join per
+    partition. Every row lands in exactly one partition, so LEFT/RIGHT/
+    FULL unmatched semantics hold partition-locally."""
+    import itertools
+
+    from ..utils.metrics import METRICS
+    METRICS.inc("join_spill_queries")
+    rspill = _PartitionSpill(rfields, "dbtpu_joinspill_r_")
+    lspill = _PartitionSpill(lfields, "dbtpu_joinspill_l_")
+    try:
+        for rb in itertools.chain(buffered_right, rit):
+            ev = Evaluator(rb)
+            keys = [ev.run(e) for e in plan.right_keys]
+            rspill.add_block(rb, _partition_ids(keys, rb.num_rows))
+        for lb in execute_plan_blocks(plan.left):
+            ev = Evaluator(lb)
+            keys = [ev.run(e) for e in plan.left_keys]
+            lspill.add_block(lb, _partition_ids(keys, lb.num_rows))
+        for p in range(N_SPILL_PARTITIONS):
+            rblocks = rspill.read(p)
+            lblocks = lspill.read(p)
+            if not rblocks and not lblocks:
+                continue
+            right = DataBlock.concat(rblocks) if rblocks else None
+            yield from _hash_join_stream(plan, right, iter(lblocks),
+                                         lfields, rfields, out_names)
+    finally:
+        rspill.cleanup()
+        lspill.cleanup()
+
+
+def _hash_join_stream(plan: JoinPlan, right, left_iter,
+                      lfields, rfields, out_names):
     from .keys import match_indices
     rkeys: List[Column] = []
     if right is not None and right.num_rows:
@@ -674,7 +987,7 @@ def _exec_join(plan: JoinPlan):
              if plan.distributed and rkeys else None)
     right_matched = np.zeros(right.num_rows if right is not None else 0, np.bool_)
 
-    for lblock in execute_plan_blocks(plan.left):
+    for lblock in left_iter:
         ev = Evaluator(lblock)
         lkeys = [ev.run(e) for e in plan.left_keys]
         if rkeys and lblock.num_rows:

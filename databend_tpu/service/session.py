@@ -188,6 +188,13 @@ class SessionContext:
                  "start": start, "duration_ms": 0.0, "result_rows": 0,
                  "error": None}
         m = _EXEC_IMMEDIATE_RE.match(sql)
+        # per-query memory accounting (reference MemStat/LimitMemGuard):
+        # buffering operators charge this stat; exceeding max_memory_usage
+        # fails the query, never the process
+        from ..utils.memstat import MemStat, reset_memstat, set_memstat
+        mem = MemStat(int(self.settings.get("max_memory_usage") or 0),
+                      entry["query_id"])
+        _mem_token = set_memstat(mem)
         try:
             if m is not None:
                 entry["query_kind"] = "Script"
@@ -207,6 +214,8 @@ class SessionContext:
             METRICS.inc("queries_failed")
             raise
         finally:
+            reset_memstat(_mem_token)
+            entry["peak_memory_bytes"] = mem.peak
             entry["duration_ms"] = (time.time() - start) * 1e3
             self.query_log.append(entry)
             if len(self.query_log) > QUERY_LOG_CAPACITY:
@@ -735,8 +744,21 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
         plan = binder.bind_query(st.query)
         block = execute_plan(plan)
         touched_streams = binder.touched_streams
-        if st.columns:
-            block = DataBlock(st.columns, block.columns, block.num_rows)
+        # INSERT .. SELECT maps columns by POSITION (the SELECT's output
+        # names are expressions like "id % 7", never schema names), with
+        # implicit casts to the target column types
+        tgt_cols = st.columns or info.schema.field_names()
+        if block.num_columns() != len(tgt_cols):
+            raise SemanticError(
+                f"INSERT SELECT arity mismatch: query yields "
+                f"{block.num_columns()} columns, target expects {len(tgt_cols)}")
+        out_cols = []
+        for name, col in zip(tgt_cols, block.columns):
+            f = info.schema.field(name)
+            if col.dtype != f.dtype:
+                col = cast_column(col, f.dtype, is_try=False)
+            out_cols.append(col)
+        block = DataBlock(tgt_cols, out_cols, block.num_rows)
     else:
         cols = st.columns or info.schema.field_names()
         if any(len(row) != len(cols) for row in st.values):

@@ -39,6 +39,10 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "auto mode: blocks with fewer rows use the exact MXU scan"
                    " instead of HNSW (the 262k-row reference block cap is"
                    " far below the crossover on TPU)", (0, 1 << 40)),
+        SettingDef("vector_host_scan_max_rows", 1 << 16,
+                   "corpora at or below this many total rows are scored on"
+                   " the host (numpy) — a device dispatch costs a full RTT,"
+                   " which dwarfs small scans", (0, 1 << 40)),
         SettingDef("vector_search_bf16", True,
                    "score candidates in bfloat16 on the MXU (exact rerank keeps recall)"),
         SettingDef("enable_vector_index", True, "use HNSW indexes for KNN queries"),
@@ -59,6 +63,14 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
         SettingDef("sort_spill_row_threshold", 8_000_000,
                    "rows above which ORDER BY spills sorted runs to disk "
                    "(reference sort_spill.rs); 0 disables spilling", (0, 1 << 40)),
+        SettingDef("aggregate_spill_row_threshold", 8_000_000,
+                   "buffered input rows above which GROUP BY hash-partitions"
+                   " its input to disk and aggregates partition-by-partition"
+                   " (reference spillers/inner.rs:269); 0 disables", (0, 1 << 40)),
+        SettingDef("join_spill_row_threshold", 8_000_000,
+                   "build-side rows above which a hash join grace-partitions"
+                   " both sides to disk and joins per partition"
+                   " (reference spillers/inner.rs:269); 0 disables", (0, 1 << 40)),
     ]
 }
 

@@ -378,7 +378,9 @@ class Binder:
         has_agg = bool(aggs) or bool(sel.group_by)
         if has_agg:
             plan = AggregatePlan(plan, group_keys, aggs,
-                                 distributed=self._distributed_on())
+                                 distributed=self._distributed_on(),
+                                 spill_threshold_rows=self._spill_rows(
+                                     "aggregate_spill_row_threshold"))
             if having_expr is not None:
                 plan = FilterPlan(plan, having_expr)
         elif having_expr is not None:
@@ -568,7 +570,9 @@ class Binder:
             raise SemanticError("JOIN requires ON or USING")
 
         plan = JoinPlan(j.kind, left, right, left_keys, right_keys, residual,
-                        out_fields, distributed=self._distributed_on())
+                        out_fields, distributed=self._distributed_on(),
+                        spill_threshold_rows=self._spill_rows(
+                            "join_spill_row_threshold"))
         return plan, ctx
 
     def _distributed_on(self) -> bool:
@@ -577,6 +581,12 @@ class Binder:
                 "enable_distributed_execution"))
         except Exception:
             return False
+
+    def _spill_rows(self, setting: str) -> Optional[int]:
+        try:
+            return int(self.session.settings.get(setting)) or None
+        except Exception:
+            return None
 
     def _split_join_condition(self, cond: A.Expr, lctx, rctx, joined_ctx,
                               left_keys, right_keys) -> Optional[ScalarExpr]:
@@ -665,6 +675,8 @@ class Binder:
                 self.session.settings.get("vector_search_mode"))
             pd.vector_exact_scan_max_rows = int(
                 self.session.settings.get("vector_exact_scan_max_rows"))
+            pd.vector_host_scan_max_rows = int(
+                self.session.settings.get("vector_host_scan_max_rows"))
         except Exception:
             pass
         if state.vector_rewrite is not None:

@@ -127,6 +127,9 @@ class AggregatePlan(Plan):
     aggs: List[Tuple[str, AggregateFunction, List[ScalarExpr]]]
     # run the merge through the mesh exchange (psum of grouped partials)
     distributed: bool = False
+    # buffered input rows above which the aggregation switches to
+    # hash-partitioned spill (reference spillers/inner.rs:269); None = never
+    spill_threshold_rows: Optional[int] = None
 
     def children(self):
         return [self.child]
@@ -200,6 +203,9 @@ class JoinPlan(Plan):
     residual: Optional[ScalarExpr] = None  # non-equi condition over joined row
     fields: List[DataField] = field(default_factory=list)
     distributed: bool = False
+    # build-side rows above which the join grace-partitions both sides to
+    # disk and joins partition-by-partition; None = never spill
+    spill_threshold_rows: Optional[int] = None
 
     def children(self):
         return [self.left, self.right]

@@ -34,6 +34,9 @@ class PrunedBlock:
     # inverted index: matched rows (and BM25 scores when requested)
     matched_rows: Optional[List[int]] = None
     matched_scores: Optional[List[float]] = None
+    # filtered-KNN path: full per-row score vector, computed for all
+    # surviving blocks in ONE stacked device program (set by the executor)
+    precomputed_scores: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -293,8 +296,11 @@ class FusePruner:
         # exact MXU scan beats graph traversal below ~1M rows/block
         # (measured: 100k-row HNSW search 97 QPS @ recall 0.69 vs exact
         # scan 263k QPS @ recall ~0.99 on v5e), so auto mode prefers it.
+        # Exact-scan blocks are STACKED into one device program per query
+        # (one dispatch, not one per block); HNSW blocks search per-graph.
         mode = self.pushdown.vector_search_mode
         results = []  # (block_idx, row, score)
+        exact_idx: List[int] = []
         for bi, pb in enumerate(blocks):
             use_exact = (mode == "exact"
                          or (mode == "auto" and pb.meta.row_count
@@ -303,12 +309,17 @@ class FusePruner:
             if not use_exact:
                 hit = self.table.search_vector_index(pb.meta, info, q, limit)
             if hit is None:
-                # exact strategy or no graph on this block: MXU scan
-                hit = self.table.brute_force_block_scores(pb.meta, info, q, limit)
+                exact_idx.append(bi)
+                continue
             dists, rows = hit  # [1, k] each
             for r, s in zip(rows[0].tolist(), dists[0].tolist()):
                 if r >= 0:
                     results.append((bi, r, s))
+        if exact_idx:
+            hits = self.table.batch_exact_topk(
+                [blocks[i].meta for i in exact_idx], info, q, limit,
+                host_max_rows=self.pushdown.vector_host_scan_max_rows)
+            results.extend((exact_idx[lb], r, s) for lb, r, s in hits)
 
         # (c) global merge: keep only blocks contributing to global top-k
         results.sort(key=lambda t: t[2])

@@ -587,22 +587,111 @@ class FuseTable:
                                  q: np.ndarray, limit: int):
         """Exact scan fallback for blocks without an index
         (reference HNSWIndex::generate_scores, hnsw.rs:120)."""
-        import jax.numpy as jnp
-        from ...ops.distance import pairwise_distance
-        from ...ops.topk import topk_smallest
         metric = info.func_name.replace("_distance", "")
-        x_dev = self.device_vectors(meta, info.column, normalized=False)
-        qd = jnp.asarray(q)
-        d = pairwise_distance(qd, x_dev, "l2" if metric == "l2" else metric)
+        x_dev = self.device_vectors(meta, info.column,
+                                    normalized=(metric == "cosine"))
         k = min(limit, x_dev.shape[0])
-        vals, ids = topk_smallest(d, k)
-        if metric == "l2":
-            # the norm-expansion form cancels catastrophically for tiny
-            # distances; re-score the winners diff-based (exact)
-            cand = x_dev[ids]                                 # [B, k, d]
-            diff = cand - qd[:, None, :]
-            vals = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+        vals, ids = _exact_topk_program(np.asarray(q, np.float32), x_dev,
+                                        k, metric)
         return np.asarray(vals), np.asarray(ids)
+
+    def stacked_device_vectors(self, metas: List[BlockMeta], col_name: str,
+                               normalized: bool):
+        """All listed blocks' vector columns as ONE HBM-resident `[total, d]`
+        device array (+ row offsets). Replaces per-block device dispatch with
+        a single program over the stacked corpus — the TPU-native form of the
+        reference's per-block async pruning fan-out (fuse_pruner.rs:386)."""
+        import jax.numpy as jnp
+        cm = CacheManager.instance().vector_columns
+        locs = tuple(self.abs_path(m.location) for m in metas)
+        key = ("stacked", locs, col_name.lower(), normalized)
+
+        def load():
+            parts = [self.device_vectors(m, col_name, normalized)
+                     for m in metas]
+            offsets = np.zeros(len(parts) + 1, np.int64)
+            for i, p in enumerate(parts):
+                offsets[i + 1] = offsets[i] + p.shape[0]
+            return (parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=0)), offsets
+
+        return cm.get_or_load(key, load)
+
+    def batch_exact_topk(self, metas: List[BlockMeta], info: VectorIndexInfo,
+                         q: np.ndarray, limit: int, host_max_rows: int = 0):
+        """One stacked exact MXU scan over many blocks -> global top-k as
+        [(block_idx, row_in_block, score)] (replaces the per-block loop +
+        host merge; one device dispatch per query regardless of block count).
+        Corpora <= ``host_max_rows`` are scored on the host instead — one
+        device dispatch costs a full RTT, which dwarfs small scans."""
+        metric = info.func_name.replace("_distance", "")
+        total = sum(m.row_count for m in metas)
+        if total <= host_max_rows:
+            per_block = self._host_block_scores(metas, info, q)
+            flat = np.concatenate(per_block)
+            k = min(limit, flat.shape[0])
+            top = np.argpartition(flat, k - 1)[:k]
+            top = top[np.argsort(flat[top], kind="stable")]
+            offsets = np.cumsum([0] + [len(s) for s in per_block])
+            return [(int(np.searchsorted(offsets, g, side="right") - 1),
+                     int(g - offsets[np.searchsorted(offsets, g, side="right") - 1]),
+                     float(flat[g])) for g in top.tolist()]
+        x_dev, offsets = self.stacked_device_vectors(
+            metas, info.column, normalized=(metric == "cosine"))
+        k = min(limit, int(x_dev.shape[0]))
+        vals, ids = _exact_topk_program(np.asarray(q, np.float32), x_dev,
+                                        k, metric)
+        vals = np.asarray(vals)[0]
+        ids = np.asarray(ids)[0]
+        out = []
+        for gid, s in zip(ids.tolist(), vals.tolist()):
+            bi = int(np.searchsorted(offsets, gid, side="right") - 1)
+            out.append((bi, gid - int(offsets[bi]), float(s)))
+        return out
+
+    def batch_generate_scores(self, metas: List[BlockMeta],
+                              info: VectorIndexInfo,
+                              host_max_rows: int = 0) -> List[np.ndarray]:
+        """Exact scores for EVERY row of every listed block in one device
+        program (the filtered-KNN / DESC / score-only path; reference
+        generate_scores, vector_index_pruner.rs:305-398). Returns one f32
+        array per block. Small corpora run on the host (see batch_exact_topk)."""
+        metric = info.func_name.replace("_distance", "")
+        q = np.asarray(info.query_values, np.float32)[None, :]
+        total = sum(m.row_count for m in metas)
+        if total <= host_max_rows:
+            return self._host_block_scores(metas, info, q)
+        x_dev, offsets = self.stacked_device_vectors(
+            metas, info.column, normalized=(metric == "cosine"))
+        scores = np.asarray(_stacked_scores_program(q, x_dev, metric))[0]
+        return [scores[offsets[i]:offsets[i + 1]] for i in range(len(metas))]
+
+    def _host_block_scores(self, metas: List[BlockMeta],
+                           info: VectorIndexInfo,
+                           q: np.ndarray) -> List[np.ndarray]:
+        """numpy exact scoring per block (the small-corpus serving path)."""
+        metric = info.func_name.replace("_distance", "")
+        q32 = np.asarray(q, np.float32)[0]
+        cm = CacheManager.instance().vector_columns
+        out = []
+        for m in metas:
+            key = ("host", self.abs_path(m.location), info.column.lower())
+            x = cm.get_or_load(key, lambda m=m: np.ascontiguousarray(
+                self.read_block(m, [info.column]).column(info.column).numpy(),
+                dtype=np.float32))
+            if metric == "cosine":
+                nx = np.linalg.norm(x, axis=1)
+                nq = np.linalg.norm(q32)
+                denom = np.maximum(nx * nq, 1e-30)
+                out.append((1.0 - (x @ q32) / denom).astype(np.float32))
+            elif metric == "l2":
+                d = x - q32[None, :]
+                out.append(np.sqrt(np.einsum("nd,nd->n", d, d)).astype(np.float32))
+            elif metric == "l1":
+                out.append(np.abs(x - q32[None, :]).sum(axis=1).astype(np.float32))
+            else:  # ip
+                out.append((-(x @ q32)).astype(np.float32))
+        return out
 
     def search_inverted(self, meta: BlockMeta, info):
         """Per-block full-text search -> (rows, scores) or None if no index."""
@@ -620,6 +709,59 @@ class FuseTable:
 def _load_inverted(path: str):
     from ...index.inverted.reader import InvertedBlockReader
     return InvertedBlockReader.load(path)
+
+
+def _jit_vector_programs():
+    """Jitted whole-program kernels for the exact vector paths (scores +
+    k-select + l2 re-score fused into ONE dispatch — over a remote tunnel
+    each extra dispatch is a full RTT)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ...ops.distance import pairwise_distance
+
+    @functools.partial(jax.jit, static_argnames=("k", "metric"))
+    def exact_topk(q, x, k: int, metric: str):
+        d = pairwise_distance(q, x, "l2" if metric == "l2" else metric,
+                              x_normalized=(metric == "cosine"))
+        nv, ids = jax.lax.top_k(-d, k)
+        vals = -nv
+        if metric == "l2":
+            # the norm-expansion form cancels catastrophically for tiny
+            # distances; re-score the winners diff-based (exact)
+            cand = x[ids]                                     # [B, k, d]
+            diff = cand - q[:, None, :]
+            vals = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+        return vals, ids
+
+    @functools.partial(jax.jit, static_argnames=("metric",))
+    def stacked_scores(q, x, metric: str):
+        return pairwise_distance(q, x, "l2" if metric == "l2" else metric,
+                                 x_normalized=(metric == "cosine"))
+
+    return exact_topk, stacked_scores
+
+
+def _exact_topk_program(q, x, k, metric):
+    global _EXACT_TOPK, _STACKED_SCORES
+    if _EXACT_TOPK is None:
+        _EXACT_TOPK, _STACKED_SCORES = _jit_vector_programs()
+    import jax.numpy as jnp
+    return _EXACT_TOPK(jnp.asarray(q), x, k, metric)
+
+
+def _stacked_scores_program(q, x, metric):
+    global _EXACT_TOPK, _STACKED_SCORES
+    if _STACKED_SCORES is None:
+        _EXACT_TOPK, _STACKED_SCORES = _jit_vector_programs()
+    import jax.numpy as jnp
+    return _STACKED_SCORES(jnp.asarray(q), x, metric)
+
+
+_EXACT_TOPK = None
+_STACKED_SCORES = None
 
 
 def _merge_column(old: Column, new: Column, mask) -> Column:
