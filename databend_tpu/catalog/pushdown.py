@@ -67,3 +67,5 @@ class PushDownInfo:
     # corpora at or below this many rows are scored on the host (numpy):
     # a device dispatch costs a full RTT, which dwarfs sub-100k-row scans
     vector_host_scan_max_rows: int = 1 << 16
+    # allow the TopN block pruner (setting enable_top_n)
+    enable_topn: bool = True

@@ -64,6 +64,7 @@ WrongValueForSetting = _err("WrongValueForSetting", 2803)
 # AbortedQuery 1043; memory guard in src/common/base/src/runtime/memory/)
 MemoryLimitExceeded = _err("MemoryLimitExceeded", 1108)
 QueueTimeout = _err("QueueTimeout", 2504)
+AbortedQuery = _err("AbortedQuery", 1043)
 
 __all__ = [
     "DatabendError",
@@ -93,4 +94,5 @@ __all__ = [
     "WrongValueForSetting",
     "MemoryLimitExceeded",
     "QueueTimeout",
+    "AbortedQuery",
 ]

@@ -421,7 +421,428 @@ class ArrayAggAgg(AggregateFunction):
         return Column.from_pylist(state[0], self.return_type())
 
 
+class _MomentsAgg(AggregateFunction):
+    """Central-moment aggregates from raw power sums (reference:
+    aggregates/aggregate_kurtosis.rs, aggregate_skewness.rs)."""
+
+    def return_type(self):
+        return Float64
+
+    def init_state(self, num_groups):
+        return [np.zeros(num_groups, np.float64) for _ in range(4)] + \
+            [np.zeros(num_groups, np.int64)]
+
+    def update(self, state, group_ids, payload, validity):
+        gids, p = self._mask(group_ids, np.asarray(payload, np.float64), validity)
+        acc = p.copy()
+        for i in range(4):
+            state[i] += np.bincount(gids, weights=acc, minlength=len(state[i]))
+            acc *= p
+        np.add.at(state[4], gids, 1)
+
+    def merge(self, s1, s2):
+        return [a + b for a, b in zip(s1, s2)]
+
+    def _moments(self, state):
+        s1, s2, s3, s4, n = state
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = s1 / n
+            m2 = s2 / n - m ** 2
+            m3 = s3 / n - 3 * m * s2 / n + 2 * m ** 3
+            m4 = (s4 / n - 4 * m * s3 / n + 6 * m ** 2 * s2 / n - 3 * m ** 4)
+        return m2, m3, m4, n
+
+
+class SkewnessAgg(_MomentsAgg):
+    name = "skewness"
+
+    def finalize(self, state, num_groups):
+        m2, m3, m4, n = self._moments(state)
+        valid = (n >= 2) & (m2 > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = m3 / np.power(np.maximum(m2, 1e-300), 1.5)
+        return Column(Float64.wrap_nullable(), np.where(valid, out, 0.0),
+                      None if valid.all() else valid)
+
+
+class KurtosisAgg(_MomentsAgg):
+    name = "kurtosis"
+
+    def finalize(self, state, num_groups):
+        m2, m3, m4, n = self._moments(state)
+        valid = (n >= 2) & (m2 > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = m4 / np.maximum(m2 * m2, 1e-300) - 3.0
+        return Column(Float64.wrap_nullable(), np.where(valid, out, 0.0),
+                      None if valid.all() else valid)
+
+
+class _CovarAgg(AggregateFunction):
+    """covar_pop/covar_samp/corr over two numeric columns (reference:
+    aggregates/aggregate_covariance.rs)."""
+
+    multi_arg = True
+    _sample = False
+    _corr = False
+
+    def return_type(self):
+        return Float64
+
+    def init_state(self, num_groups):
+        # sums: x, y, xy, xx, yy, n
+        return [np.zeros(num_groups, np.float64) for _ in range(5)] + \
+            [np.zeros(num_groups, np.int64)]
+
+    def update_multi(self, state, group_ids, cols):
+        x = np.asarray(cols[0].data, np.float64)
+        y = np.asarray(cols[1].data, np.float64)
+        ok = np.ones(len(x), np.bool_)
+        if cols[0].validity is not None:
+            ok &= cols[0].validity
+        if cols[1].validity is not None:
+            ok &= cols[1].validity
+        gids = group_ids[ok]
+        x, y = x[ok], y[ok]
+        g = len(state[0])
+        state[0] += np.bincount(gids, weights=x, minlength=g)
+        state[1] += np.bincount(gids, weights=y, minlength=g)
+        state[2] += np.bincount(gids, weights=x * y, minlength=g)
+        state[3] += np.bincount(gids, weights=x * x, minlength=g)
+        state[4] += np.bincount(gids, weights=y * y, minlength=g)
+        np.add.at(state[5], gids, 1)
+
+    def merge(self, s1, s2):
+        return [a + b for a, b in zip(s1, s2)]
+
+    def finalize(self, state, num_groups):
+        sx, sy, sxy, sxx, syy, n = state
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = sxy / n - (sx / n) * (sy / n)
+            if self._corr:
+                vx = sxx / n - (sx / n) ** 2
+                vy = syy / n - (sy / n) ** 2
+                out = cov / np.sqrt(np.maximum(vx * vy, 1e-300))
+                valid = (n >= 1) & (vx > 0) & (vy > 0)
+            elif self._sample:
+                out = cov * n / np.maximum(n - 1, 1)
+                valid = n >= 2
+            else:
+                out = cov
+                valid = n >= 1
+        return Column(Float64.wrap_nullable(), np.where(valid, out, 0.0),
+                      None if valid.all() else valid)
+
+
+class CovarPopAgg(_CovarAgg):
+    name = "covar_pop"
+
+
+class CovarSampAgg(_CovarAgg):
+    name = "covar_samp"
+    _sample = True
+
+
+class CorrAgg(_CovarAgg):
+    name = "corr"
+    _corr = True
+
+
+class _ArgMinMaxAgg(AggregateFunction):
+    """arg_min(value, key) / arg_max(value, key): the value of the row
+    where key is extremal (reference: aggregates/aggregate_arg_min_max.rs)."""
+
+    multi_arg = True
+    _max = False
+
+    def return_type(self):
+        return self.arg_types[0].remove_nullable()
+
+    def init_state(self, num_groups):
+        # best key per group + chosen value per group
+        fill = -np.inf if self._max else np.inf
+        return [np.full(num_groups, fill, np.float64), [None] * num_groups]
+
+    def update_multi(self, state, group_ids, cols):
+        vals = cols[0].to_pylist()
+        keys = np.asarray(cols[1].data, np.float64)
+        ok = np.ones(len(keys), np.bool_)
+        if cols[0].validity is not None:
+            ok &= cols[0].validity
+        if cols[1].validity is not None:
+            ok &= cols[1].validity
+        best, chosen = state
+        # per-group vectorized extremum of this batch, then compare-swap
+        for i in np.nonzero(ok)[0].tolist():
+            g = group_ids[i]
+            k = keys[i]
+            if (k > best[g]) if self._max else (k < best[g]):
+                best[g] = k
+                chosen[g] = vals[i]
+
+    def merge(self, s1, s2):
+        best = s1[0].copy()
+        chosen = list(s1[1])
+        take = (s2[0] > s1[0]) if self._max else (s2[0] < s1[0])
+        for g in np.nonzero(take)[0].tolist():
+            best[g] = s2[0][g]
+            chosen[g] = s2[1][g]
+        return [best, chosen]
+
+    def finalize(self, state, num_groups):
+        return Column.from_pylist(state[1],
+                                  self.return_type().wrap_nullable())
+
+
+class ArgMinAgg(_ArgMinMaxAgg):
+    name = "arg_min"
+
+
+class ArgMaxAgg(_ArgMinMaxAgg):
+    name = "arg_max"
+    _max = True
+
+
+class _IfCombinator(AggregateFunction):
+    """*_if combinators: sum_if(x, cond) etc. (reference: the IF
+    combinator in aggregates/aggregator_common.rs)."""
+
+    multi_arg = True
+    _inner_cls: Optional[Type[AggregateFunction]] = None
+
+    def __init__(self, arg_types, distinct=False):
+        super().__init__(arg_types, distinct)
+        self._inner = self._inner_cls(arg_types[:1] if arg_types else [],
+                                      distinct)
+
+    def return_type(self):
+        return self._inner.return_type()
+
+    def init_state(self, num_groups):
+        return self._inner.init_state(num_groups)
+
+    def update_multi(self, state, group_ids, cols):
+        cond_col = cols[-1]
+        cond = np.asarray(cond_col.data, np.bool_)
+        if cond_col.validity is not None:
+            cond = cond & cond_col.validity
+        gids = group_ids[cond]
+        if len(cols) == 1 or cols[0] is cond_col:
+            self._inner.update(state, gids, None, None)
+            return
+        val = cols[0]
+        data = val.data[cond] if isinstance(val.data, np.ndarray) \
+            else val.take(np.nonzero(cond)[0]).data
+        validity = None if val.validity is None else val.validity[cond]
+        self._inner.update(state, gids, data, validity)
+
+    def merge(self, s1, s2):
+        return self._inner.merge(s1, s2)
+
+    def finalize(self, state, num_groups):
+        return self._inner.finalize(state, num_groups)
+
+
+class CountIfAgg(_IfCombinator):
+    name = "count_if"
+    _inner_cls = CountAgg
+
+
+class SumIfAgg(_IfCombinator):
+    name = "sum_if"
+    _inner_cls = SumAgg
+
+
+class AvgIfAgg(_IfCombinator):
+    name = "avg_if"
+    _inner_cls = AvgAgg
+
+
+class MinIfAgg(_IfCombinator):
+    name = "min_if"
+    _inner_cls = MinAgg
+
+
+class MaxIfAgg(_IfCombinator):
+    name = "max_if"
+    _inner_cls = MaxAgg
+
+
+class BoolAndAgg(AggregateFunction):
+    name = "bool_and"
+    _or = False
+
+    def return_type(self):
+        return Boolean
+
+    def init_state(self, num_groups):
+        return [np.full(num_groups, not self._or, np.bool_),
+                np.zeros(num_groups, np.bool_)]  # (acc, seen)
+
+    def update(self, state, group_ids, payload, validity):
+        gids, p = self._mask(group_ids, np.asarray(payload, np.bool_), validity)
+        acc, seen = state
+        if self._or:
+            np.logical_or.at(acc, gids, p)
+        else:
+            np.logical_and.at(acc, gids, p)
+        seen[gids] = True
+
+    def merge(self, s1, s2):
+        op = np.logical_or if self._or else np.logical_and
+        return [op(s1[0], s2[0]), s1[1] | s2[1]]
+
+    def finalize(self, state, num_groups):
+        acc, seen = state
+        return Column(Boolean.wrap_nullable(), acc,
+                      None if seen.all() else seen)
+
+
+class BoolOrAgg(BoolAndAgg):
+    name = "bool_or"
+    _or = True
+
+
+class _GroupBitAgg(AggregateFunction):
+    _op = "or"
+
+    def return_type(self):
+        return UInt64
+
+    def init_state(self, num_groups):
+        init = {"and": np.uint64(2**64 - 1), "or": np.uint64(0),
+                "xor": np.uint64(0)}[self._op]
+        return np.full(num_groups, init, np.uint64)
+
+    def update(self, state, group_ids, payload, validity):
+        gids, p = self._mask(group_ids,
+                             np.asarray(payload).astype(np.uint64), validity)
+        ufunc = {"and": np.bitwise_and, "or": np.bitwise_or,
+                 "xor": np.bitwise_xor}[self._op]
+        ufunc.at(state, gids, p)
+
+    def merge(self, s1, s2):
+        ufunc = {"and": np.bitwise_and, "or": np.bitwise_or,
+                 "xor": np.bitwise_xor}[self._op]
+        return ufunc(s1, s2)
+
+    def finalize(self, state, num_groups):
+        return Column.from_numpy(state, UInt64)
+
+
+class GroupBitAndAgg(_GroupBitAgg):
+    name = "group_bit_and"
+    _op = "and"
+
+
+class GroupBitOrAgg(_GroupBitAgg):
+    name = "group_bit_or"
+    _op = "or"
+
+
+class GroupBitXorAgg(_GroupBitAgg):
+    name = "group_bit_xor"
+    _op = "xor"
+
+
+class HistogramAgg(AggregateFunction):
+    """histogram(x): equi-height buckets as a JSON string (reference:
+    aggregates/aggregate_histogram.rs — returns bucket list)."""
+
+    name = "histogram"
+    _buckets = 8
+
+    def return_type(self):
+        return String
+
+    def init_state(self, num_groups):
+        return [[[] for _ in range(num_groups)]]
+
+    def update(self, state, group_ids, payload, validity):
+        vals = np.asarray(payload, np.float64)
+        for i, g in enumerate(group_ids.tolist()):
+            if validity is not None and not validity[i]:
+                continue
+            state[0][g].append(vals[i])
+
+    def merge(self, s1, s2):
+        return [[a + b for a, b in zip(s1[0], s2[0])]]
+
+    def finalize(self, state, num_groups):
+        import json as _json
+        out = []
+        for buf in state[0]:
+            if not buf:
+                out.append(None)
+                continue
+            arr = np.sort(np.asarray(buf))
+            nb = min(self._buckets, len(arr))
+            edges = np.quantile(arr, np.linspace(0, 1, nb + 1))
+            buckets = []
+            for b in range(nb):
+                lo, hi = float(edges[b]), float(edges[b + 1])
+                cnt = int(np.count_nonzero((arr >= lo) & (
+                    arr <= hi if b == nb - 1 else arr < hi)))
+                buckets.append({"lower": lo, "upper": hi, "count": cnt})
+            out.append(_json.dumps(buckets))
+        return Column.from_pylist(out, String.wrap_nullable())
+
+
+class RetentionAgg(AggregateFunction):
+    """retention(cond1, cond2, ...): per group, [c1, c1&c2, c1&c3, ...]
+    (reference: aggregates/aggregate_retention.rs)."""
+
+    multi_arg = True
+
+    name = "retention"
+
+    def return_type(self):
+        from ...types import ArrayType, UInt8
+        return ArrayType(UInt8)
+
+    def init_state(self, num_groups):
+        return [np.zeros((num_groups, max(len(self.arg_types), 1)), np.bool_)]
+
+    def update_multi(self, state, group_ids, cols):
+        acc = state[0]
+        for j, c in enumerate(cols):
+            v = np.asarray(c.data, np.bool_)
+            if c.validity is not None:
+                v = v & c.validity
+            np.logical_or.at(acc[:, j], group_ids[v], True)
+
+    def merge(self, s1, s2):
+        return [s1[0] | s2[0]]
+
+    def finalize(self, state, num_groups):
+        acc = state[0]
+        first = acc[:, :1]
+        rows = (acc & first).astype(np.uint8)
+        rows[:, 0] = acc[:, 0].astype(np.uint8)
+        return Column.from_pylist([r.tolist() for r in rows],
+                                  self.return_type())
+
+
 AGGREGATE_FUNCTIONS: Dict[str, Type[AggregateFunction]] = {
+    "skewness": SkewnessAgg,
+    "kurtosis": KurtosisAgg,
+    "covar_pop": CovarPopAgg,
+    "covar_samp": CovarSampAgg,
+    "corr": CorrAgg,
+    "arg_min": ArgMinAgg,
+    "arg_max": ArgMaxAgg,
+    "count_if": CountIfAgg,
+    "sum_if": SumIfAgg,
+    "avg_if": AvgIfAgg,
+    "min_if": MinIfAgg,
+    "max_if": MaxIfAgg,
+    "bool_and": BoolAndAgg,
+    "every": BoolAndAgg,
+    "bool_or": BoolOrAgg,
+    "group_bit_and": GroupBitAndAgg,
+    "group_bit_or": GroupBitOrAgg,
+    "group_bit_xor": GroupBitXorAgg,
+    "histogram": HistogramAgg,
+    "retention": RetentionAgg,
     "median": MedianAgg,
     "quantile": MedianAgg,
     "quantile_25": Quantile25Agg,

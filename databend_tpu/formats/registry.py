@@ -31,7 +31,9 @@ class FileFormatOptions:
     record_delimiter: str = "\n"
     skip_header: int = 0
     quote: str = '"'
-    compression: str = "NONE"          # NONE | GZIP
+    compression: str = "NONE"  # NONE | GZIP | ZSTD | BZ2 | XZ | AUTO
+    # (reference src/common/compress: zstd/lz4/brotli/xz — zstd/bz2/xz map
+    # to the codecs available here; lz4/brotli/snappy raise a clear error)
     null_display: str = "\\N"
 
     @staticmethod
@@ -67,11 +69,41 @@ def detect_format(path: str) -> str:
             "json": "NDJSON", "parquet": "PARQUET", "pq": "PARQUET"}.get(ext, "CSV")
 
 
+_COMPRESSION_EXT = {".gz": "GZIP", ".gzip": "GZIP", ".zst": "ZSTD",
+                    ".zstd": "ZSTD", ".bz2": "BZ2", ".xz": "XZ"}
+
+
+def _compression_of(path: str, opts: FileFormatOptions) -> str:
+    c = opts.compression.upper()
+    if c in ("NONE", "AUTO"):
+        ext = os.path.splitext(path)[1].lower()
+        detected = _COMPRESSION_EXT.get(ext, "NONE")
+        return detected
+    if c in ("LZ4", "BROTLI", "SNAPPY", "DEFLATE", "RAW_DEFLATE"):
+        raise BadArguments(
+            f"compression {c} is not available in this build; use"
+            " GZIP/ZSTD/BZ2/XZ")
+    return c
+
+
 def _open_text(path: str, opts: FileFormatOptions, mode: str = "rt"):
-    if opts.compression == "GZIP" or path.endswith(".gz"):
+    enc = None if "b" in mode else "utf-8"
+    c = _compression_of(path, opts)
+    if c == "GZIP":
         import gzip
-        return gzip.open(path, mode, encoding=None if "b" in mode else "utf-8")
-    return open(path, mode, encoding=None if "b" in mode else "utf-8")
+        return gzip.open(path, mode, encoding=enc)
+    if c == "ZSTD":
+        import zstandard
+        return zstandard.open(path, mode, encoding=enc)
+    if c == "BZ2":
+        import bz2
+        return bz2.open(path, mode, encoding=enc)
+    if c == "XZ":
+        import lzma
+        return lzma.open(path, mode, encoding=enc)
+    if c != "NONE":
+        raise BadArguments(f"unknown compression {c!r}")
+    return open(path, mode, encoding=enc)
 
 
 def _parse_cell(text: Optional[str], dtype, opts: FileFormatOptions):
@@ -116,7 +148,7 @@ def _rows_to_block(rows: List[List], schema: TableSchema,
 def _csv_rows_native(path: str, opts: FileFormatOptions):
     """Tokenize with the C++ scanner (native/csv_scan.cpp); None = fall back."""
     from .. import native
-    if (opts.compression != "NONE" or path.endswith(".gz")
+    if (_compression_of(path, opts) != "NONE"
             or len(opts.field_delimiter) != 1 or len(opts.quote) != 1):
         return None
     if not native.available():

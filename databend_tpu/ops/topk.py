@@ -54,15 +54,22 @@ def chunked_topk_smallest(q: jax.Array, x: jax.Array, k: int, metric: str,
                           chunk_rows: int = 131072,
                           compute_dtype=jnp.float32,
                           x_sq_norms: Optional[jax.Array] = None,
-                          base_id: int = 0) -> Tuple[jax.Array, jax.Array]:
+                          base_id: int = 0,
+                          n_valid: Optional[jax.Array] = None
+                          ) -> Tuple[jax.Array, jax.Array]:
     """Fused scan+score+k-select over a large corpus.
 
     Streams ``x [N, d]`` in chunks of ``chunk_rows``; each step scores one
     chunk on the MXU and folds it into the running `[B, k]` winner set with
     one `top_k` over `[B, k + chunk]`. Peak memory is the chunk, not the
     whole `[B, N]` distance matrix. N must be padded to a multiple of
-    ``chunk_rows`` by the caller **with rows at distance +inf** (use
-    ``pad_corpus``).
+    ``chunk_rows`` by the caller.
+
+    ``n_valid``: rows with global id >= n_valid are padding and get +inf
+    distance BEFORE selection. Index-based masking is the only metric-safe
+    way to exclude pads — no pad VALUE works for every metric (a large
+    positive pad row has dot(q, pad) = +huge, i.e. ip distance -huge, which
+    would WIN the top-k).
 
     Returns (distances [B, k], global ids [B, k]) where ids are
     ``base_id + row_index``.
@@ -72,17 +79,21 @@ def chunked_topk_smallest(q: jax.Array, x: jax.Array, k: int, metric: str,
     if n <= chunk_rows:
         dists = pairwise_distance(q, x, metric, compute_dtype, x_sq_norms)
         ids = jnp.arange(n, dtype=jnp.int32) + base_id
+        if n_valid is not None:
+            dists = jnp.where(ids[None, :] < n_valid, dists, INF)
         return topk_smallest(dists, min(k, n), ids=ids)
     if n % chunk_rows != 0:
         # main scan over full chunks + one direct pass over the tail, merged
         full = (n // chunk_rows) * chunk_rows
         v1, i1 = chunked_topk_smallest(
             q, x[:full], k, metric, chunk_rows, compute_dtype,
-            None if x_sq_norms is None else x_sq_norms[:full], base_id)
+            None if x_sq_norms is None else x_sq_norms[:full], base_id,
+            n_valid)
         tail_k = min(k, n - full)
         v2, i2 = chunked_topk_smallest(
             q, x[full:], tail_k, metric, chunk_rows, compute_dtype,
-            None if x_sq_norms is None else x_sq_norms[full:], base_id + full)
+            None if x_sq_norms is None else x_sq_norms[full:], base_id + full,
+            n_valid)
         return merge_topk(jnp.concatenate([v1, v2], axis=1),
                           jnp.concatenate([i1, i2], axis=1), k)
     num_chunks = n // chunk_rows
@@ -103,6 +114,8 @@ def chunked_topk_smallest(q: jax.Array, x: jax.Array, k: int, metric: str,
             ci, xi = inp
             dists = pairwise_distance(q, xi, metric, compute_dtype)
         ids = ci * chunk_rows + jnp.arange(chunk_rows, dtype=jnp.int32) + base_id
+        if n_valid is not None:
+            dists = jnp.where(ids[None, :] < n_valid, dists, INF)
         cat_v = jnp.concatenate([best_v, dists], axis=1)
         cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids, (b, chunk_rows))], axis=1)
         new_v, pos = jax.lax.top_k(-cat_v, k)

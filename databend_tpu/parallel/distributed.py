@@ -38,13 +38,15 @@ def _sharded_topk_program(mesh, rows_per_shard: int, k: int, metric: str,
     closure per call would re-trace/re-compile every invocation."""
     cd = jnp.bfloat16 if bf16 else jnp.float32
 
-    def local(q_l, x_l):
+    def local(q_l, x_l, n_valid):
         shard_idx = jax.lax.axis_index(SHARD_AXIS)
         base = (shard_idx * rows_per_shard).astype(jnp.int32)
+        # pad rows (global id >= n_valid) are masked to +inf BEFORE the
+        # local selection — no pad value is +inf-safe for every metric
         vals, ids = chunked_topk_smallest(
             q_l, x_l, min(k, rows_per_shard), metric,
-            chunk_rows=min(chunk_rows, rows_per_shard), compute_dtype=cd)
-        ids = ids + base
+            chunk_rows=min(chunk_rows, rows_per_shard), compute_dtype=cd,
+            base_id=base, n_valid=n_valid)
         all_v = jax.lax.all_gather(vals, SHARD_AXIS)   # [S, B, k]
         all_i = jax.lax.all_gather(ids, SHARD_AXIS)
         b = q_l.shape[0]
@@ -55,7 +57,7 @@ def _sharded_topk_program(mesh, rows_per_shard: int, k: int, metric: str,
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(DP_AXIS, None), P(SHARD_AXIS, None)),
+        in_specs=(P(DP_AXIS, None), P(SHARD_AXIS, None), P()),
         out_specs=(P(DP_AXIS, None), P(DP_AXIS, None)),
         check_vma=False))
 
@@ -63,7 +65,9 @@ def _sharded_topk_program(mesh, rows_per_shard: int, k: int, metric: str,
 def sharded_brute_force_topk(mesh, q: jax.Array, x: jax.Array, k: int,
                              metric: str = "l2",
                              chunk_rows: int = 131072,
-                             bf16: bool = False) -> Tuple[jax.Array, jax.Array]:
+                             bf16: bool = False,
+                             n_valid: Optional[int] = None
+                             ) -> Tuple[jax.Array, jax.Array]:
     """Exact distributed top-k: `[B,d]` queries x row-sharded `[N,d]` corpus.
 
     Each shard scores its rows on its own MXU and selects a local `[B,k]`
@@ -80,7 +84,8 @@ def sharded_brute_force_topk(mesh, q: jax.Array, x: jax.Array, k: int,
     rows_per_shard = n_total // s
     fn = _sharded_topk_program(mesh, rows_per_shard, k, metric, chunk_rows,
                                bf16)
-    return fn(q, x)
+    nv = jnp.int32(n_total if n_valid is None else n_valid)
+    return fn(q, x, nv)
 
 
 @functools.lru_cache(maxsize=64)

@@ -37,6 +37,29 @@ def execute_plan_blocks(plan: Plan) -> Iterator[DataBlock]:
     return _profiled(plan, fn(plan))
 
 
+import contextvars as _cv
+import time as _time
+
+_DEADLINE: _cv.ContextVar = _cv.ContextVar("dbtpu_deadline", default=None)
+
+
+def set_deadline(monotonic_deadline, token=None):
+    """Install/clear the query's execution deadline
+    (max_execute_time_in_seconds; checked between pipeline blocks)."""
+    if token is not None:
+        _DEADLINE.reset(token)
+        return None
+    return _DEADLINE.set(monotonic_deadline)
+
+
+def _check_deadline():
+    dl = _DEADLINE.get()
+    if dl is not None and _time.monotonic() > dl:
+        from ..errors import AbortedQuery
+        raise AbortedQuery(
+            "query exceeded max_execute_time_in_seconds and was aborted")
+
+
 def _profiled(plan: Plan, it: Iterator[DataBlock]) -> Iterator[DataBlock]:
     """Per-operator wall-clock + row counters (reference PlanProfile,
     src/query/pipeline/src/core/profile.rs:93; surfaced by EXPLAIN
@@ -46,6 +69,7 @@ def _profiled(plan: Plan, it: Iterator[DataBlock]) -> Iterator[DataBlock]:
     prof = plan.__dict__.setdefault("_profile", {"rows": 0, "blocks": 0,
                                                  "ms": 0.0})
     while True:
+        _check_deadline()
         t0 = _t.perf_counter()
         try:
             block = next(it)
@@ -508,6 +532,8 @@ def _try_stats_aggregate(plan: AggregatePlan) -> Optional[DataBlock]:
     filter/group-by touches row data (the aggregating-index fast path —
     reference: TableIndexType::Aggregating + per-block ColumnStats)."""
     child = plan.child
+    if not plan.stats_fast_path:
+        return None
     if type(child) is not Scan or plan.keys or child.internal_columns:
         return None
     pd = child.pushdown
@@ -574,8 +600,9 @@ def _exec_aggregate(plan: AggregatePlan):
     for block in execute_plan_blocks(plan.child):
         ev = Evaluator(block)
         key_cols = [ev.run(e) for _, e in plan.keys]
-        arg_cols: List[Optional[Column]] = [
-            ev.run(ae[0]) if ae else None for _, _, ae in plan.aggs]
+        arg_cols: List[Optional[List[Column]]] = [
+            [ev.run(e) for e in ae] if ae else None
+            for _, _, ae in plan.aggs]
         n = block.num_rows
         if spiller is None and threshold and total + n > threshold:
             spiller = _AggSpiller(plan)
@@ -587,7 +614,8 @@ def _exec_aggregate(plan: AggregatePlan):
         if spiller is not None:
             spiller.add(key_cols, arg_cols, n)
         else:
-            tracked += _track_cols(key_cols) + _track_cols(arg_cols)
+            flat_args = [c for ac in arg_cols if ac is not None for c in ac]
+            tracked += _track_cols(key_cols) + _track_cols(flat_args)
             pending.append((key_cols, arg_cols, n))
             total += n
 
@@ -612,15 +640,24 @@ def _exec_global_aggregate(plan: AggregatePlan):
         ev = Evaluator(block)
         gids = np.zeros(block.num_rows, np.int64)
         for ai, (name, fn, arg_exprs) in enumerate(plan.aggs):
-            arg = ev.run(arg_exprs[0]) if arg_exprs else None
-            if arg is not None:
-                fn.update(states[ai], gids, arg.data, arg.validity)
-            else:
-                fn.update(states[ai], gids, None, None)
+            arg = [ev.run(e) for e in arg_exprs] if arg_exprs else None
+            _agg_update(fn, states[ai], gids, arg)
     names = [n for n, _, _ in plan.aggs]
     cols = [fn.finalize(states[ai], 1)
             for ai, (_, fn, _) in enumerate(plan.aggs)]
     yield DataBlock(names, cols, 1)
+
+
+def _agg_update(fn, state, gids, arg_cols: Optional[List[Column]]):
+    """Dispatch one buffered update: None = count(*); single column keeps
+    the (data, validity) fast path; multi-column aggregates (arg_min,
+    covar, *_if, retention) get the Column list."""
+    if arg_cols is None:
+        fn.update(state, gids, None, None)
+    elif len(arg_cols) == 1 and not getattr(fn, "multi_arg", False):
+        fn.update(state, gids, arg_cols[0].data, arg_cols[0].validity)
+    else:
+        fn.update_multi(state, gids, arg_cols)
 
 
 def _finalize_aggregate(plan: AggregatePlan, buffered, state,
@@ -645,11 +682,7 @@ def _finalize_aggregate(plan: AggregatePlan, buffered, state,
     for ai, (name, fn, _) in enumerate(plan.aggs):
         st = fn.init_state(final_n)
         for gids, arg_cols in buffered:
-            arg = arg_cols[ai]
-            if arg is not None:
-                fn.update(st, gids, arg.data, arg.validity)
-            else:  # count(*)
-                fn.update(st, gids, None, None)
+            _agg_update(fn, st, gids, arg_cols[ai])
         cols.append(fn.finalize(st, final_n))
     return DataBlock(names, cols, final_n)
 
@@ -679,18 +712,23 @@ class _AggSpiller:
         self.seq = 0
         self.plan = plan
         self.fields: Optional[List] = None
-        self.arg_present = [bool(ae) for _, _, ae in plan.aggs]
+        self.arg_counts = [len(ae) for _, _, ae in plan.aggs]
 
-    def add(self, key_cols: List[Column], arg_cols: List[Optional[Column]],
-            n: int) -> None:
+    def add(self, key_cols: List[Column],
+            arg_cols: List[Optional[List[Column]]], n: int) -> None:
         import os as _os
 
         from ..expression.schema import DataField
         from ..storage.fuse import block_io
         from ..utils.metrics import METRICS
-        names = [f"k{i}" for i in range(len(key_cols))] + [
-            f"a{j}" for j, c in enumerate(arg_cols) if c is not None]
-        cols = key_cols + [c for c in arg_cols if c is not None]
+        names = [f"k{i}" for i in range(len(key_cols))]
+        cols = list(key_cols)
+        for j, ac in enumerate(arg_cols):
+            if ac is None:
+                continue
+            for t, c in enumerate(ac):
+                names.append(f"a{j}_{t}")
+                cols.append(c)
         if self.fields is None:
             self.fields = [DataField(nm, c.dtype.wrap_nullable())
                            for nm, c in zip(names, cols)]
@@ -714,9 +752,10 @@ class _AggSpiller:
         for path in self.files[p]:
             b = block_io.read_block(path, schema)
             key_cols = [b.column(f"k{i}") for i in range(nk)]
-            arg_cols: List[Optional[Column]] = []
-            for j, present in enumerate(self.arg_present):
-                arg_cols.append(b.column(f"a{j}") if present else None)
+            arg_cols: List[Optional[List[Column]]] = []
+            for j, cnt in enumerate(self.arg_counts):
+                arg_cols.append([b.column(f"a{j}_{t}") for t in range(cnt)]
+                                if cnt else None)
             yield key_cols, arg_cols, b.num_rows
 
     def cleanup(self) -> None:
@@ -777,7 +816,10 @@ def _try_distributed_aggregate(plan: AggregatePlan, buffered, final_n: int):
         vals = np.zeros((len(gids), len(ops)), np.float64)
         j = 0
         for ai, (name, fn, _) in enumerate(plan.aggs):
-            arg = arg_cols[ai]
+            ac = arg_cols[ai]
+            if ac is not None and len(ac) != 1:
+                return None  # multi-arg aggregates stay on the host path
+            arg = ac[0] if ac else None
             nm = fn.name
             if arg is not None:
                 if not isinstance(arg.data, np.ndarray) or arg.data.ndim != 1 \

@@ -176,7 +176,8 @@ def _compute_item(ev: Evaluator, item: WindowItem, n: int) -> Column:
         sorted_out = Column.from_pylist([vals[i] for i in at], item.dtype)
     elif name in ("sum", "avg", "min", "max", "count"):
         sorted_out = _window_aggregate(ev, item, perm, n, starts, part_start,
-                                       part_count, peer_end)
+                                       part_count, peer_end,
+                                       order_cols, peer_start)
     else:
         raise SemanticError(f"unsupported window function {name}()")
 
@@ -198,9 +199,15 @@ def _const_int_arg(item: WindowItem, i: int, fname: str, default=None) -> int:
 
 
 def _window_aggregate(ev, item: WindowItem, perm, n, starts, part_start,
-                      part_count, peer_end) -> Column:
+                      part_count, peer_end, order_cols=None,
+                      peer_start=None) -> Column:
     name = item.func
     if item.frame is not None:
+        if item.frame_kind == "range":
+            lo, hi = _range_frame_bounds(item, perm, n, starts, part_start,
+                                         part_count, order_cols,
+                                         peer_start, peer_end)
+            return _frame_reduce(ev, item, perm, n, lo, hi)
         return _rows_frame_aggregate(ev, item, perm, n, part_start, part_count)
     cumulative = bool(item.order_by)
 
@@ -269,6 +276,117 @@ def _window_aggregate(ev, item: WindowItem, perm, n, starts, part_start,
     out = np.where(validity, out, 0.0)
     return Column.from_numpy(out, item.dtype,
                              validity if not validity.all() else None)
+
+
+def _range_frame_bounds(item: WindowItem, perm, n, starts, part_start,
+                        part_count, order_cols, peer_start, peer_end):
+    """RANGE BETWEEN a AND b: per-row window = rows whose single ORDER BY
+    key lies in [key_i + a, key_i + b] within the partition (reference:
+    RANGE frames with offsets). Offsets are key-value deltas; rows with a
+    NULL ORDER BY key frame over their peer group (NULLs are peers)."""
+    if len(item.order_by) != 1:
+        raise SemanticError(
+            "RANGE frame with offsets requires exactly one ORDER BY key")
+    col, asc, _ = order_cols[0]
+    if isinstance(col.data, StringData) or not (
+            isinstance(col.data, np.ndarray) and col.data.dtype.kind in "iufbmM"):
+        raise SemanticError("RANGE frame offsets need a numeric/date ORDER BY key")
+    a, b = item.frame
+    sorted_col = col.take(perm)
+    keys = np.asarray(sorted_col.data, np.float64)
+    if not asc:
+        # negated keys ascend; PRECEDING still means "toward the frame
+        # start", so the offsets keep their signs on the negated axis
+        keys = -keys
+    valid = (np.ones(n, np.bool_) if sorted_col.validity is None
+             else np.asarray(sorted_col.validity))
+    lo = np.empty(n, np.int64)
+    hi = np.empty(n, np.int64)
+    counts = np.diff(np.append(starts, n))
+    for s, c in zip(starts.tolist(), counts.tolist()):
+        seg = keys[s:s + c]
+        segv = valid[s:s + c]
+        nv = int(segv.sum())  # non-null rows sort before/after nulls as one run
+        # locate the contiguous non-null run inside the partition
+        nn_idx = np.flatnonzero(segv)
+        if nv:
+            nn0, nn1 = nn_idx[0], nn_idx[-1] + 1
+            segk = seg[nn0:nn1]
+            lo_seg = (np.full(nv, 0) if a is None
+                      else np.searchsorted(segk, segk + a, side="left"))
+            hi_seg = (np.full(nv, nv - 1) if b is None
+                      else np.searchsorted(segk, segk + b, side="right") - 1)
+            lo[s + nn0:s + nn1] = s + nn0 + lo_seg
+            hi[s + nn0:s + nn1] = s + nn0 + hi_seg
+    # NULL-key rows: frame = their peer group
+    nulls = ~valid
+    if nulls.any():
+        lo[nulls] = peer_start[nulls]
+        hi[nulls] = peer_end[nulls]
+    return lo, hi
+
+
+def _frame_reduce(ev, item: WindowItem, perm, n, lo, hi) -> Column:
+    """Aggregate over per-row [lo, hi] windows (sorted domain): prefix sums
+    for sum/avg/count, a sparse-table RMQ for min/max (O(n log n), fully
+    vectorized — variable-width windows have no shift trick)."""
+    name = item.func
+    empty = lo > hi
+    if name == "count" and not item.args:
+        return Column.from_numpy(np.where(empty, 0, hi - lo + 1).astype(np.int64))
+    src = ev.run(item.args[0]).take(perm)
+    if isinstance(src.data, StringData):
+        raise SemanticError(f"window {name}() over strings is not supported")
+    data = np.asarray(src.data, dtype=np.float64)
+    valid = src.validity if src.validity is not None else np.ones(n, np.bool_)
+    filled = np.where(valid, data, 0.0)
+    vcnt = valid.astype(np.int64)
+    lo_c = np.clip(lo, 0, n - 1)
+    hi_c = np.clip(hi, 0, n - 1)
+    cc = np.concatenate([[0], np.cumsum(vcnt)])
+    c = np.where(empty, 0, cc[hi_c + 1] - cc[lo_c])
+
+    if name in ("sum", "avg", "count"):
+        cs = np.concatenate([[0.0], np.cumsum(filled)])
+        s = np.where(empty, 0.0, cs[hi_c + 1] - cs[lo_c])
+        if name == "count":
+            return Column.from_numpy(c.astype(np.int64))
+        out = s if name == "sum" else np.divide(s, np.maximum(c, 1))
+        validity = c > 0
+        return Column.from_numpy(out, item.dtype,
+                                 validity if not validity.all() else None)
+
+    op = np.minimum if name == "min" else np.maximum
+    neutral = np.inf if name == "min" else -np.inf
+    work = np.where(valid, data, neutral)
+    out = _rmq(work, lo_c, hi_c, op, neutral)
+    validity = c > 0
+    out = np.where(validity & ~empty, out, 0.0)
+    return Column.from_numpy(out, item.dtype,
+                             validity if not validity.all() else None)
+
+
+def _rmq(work, lo, hi, op, neutral):
+    """Sparse-table range reduce: answer[i] = op over work[lo[i]..hi[i]]."""
+    n = len(work)
+    levels = [work]
+    j = 1
+    while (1 << j) <= n:
+        prev = levels[-1]
+        half = 1 << (j - 1)
+        cur = op(prev[:n - half], prev[half:])
+        levels.append(np.concatenate([cur, np.full(half, neutral)]))
+        j += 1
+    width = np.maximum(hi - lo + 1, 1)
+    lg = np.frexp(width.astype(np.float64))[1] - 1  # floor(log2(width))
+    out = np.full(n, neutral)
+    for j, tbl in enumerate(levels):
+        sel = lg == j
+        if sel.any():
+            span = 1 << j
+            out[sel] = op(tbl[lo[sel]], tbl[np.maximum(hi[sel] - span + 1,
+                                                       lo[sel])])
+    return out
 
 
 def _rows_frame_aggregate(ev, item: WindowItem, perm, n, part_start,

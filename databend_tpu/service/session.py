@@ -205,7 +205,20 @@ class SessionContext:
                 return result
             stmt = parse_sql(sql)
             entry["query_kind"] = type(stmt).__name__.replace("Stmt", "")
-            result = self._execute_statement(stmt)
+            timeout = int(self.settings.get("max_execute_time_in_seconds") or 0)
+            from ..pipeline.executor import set_deadline
+            _dl_token = set_deadline(
+                time.monotonic() + timeout if timeout else None)
+            try:
+                result = self._execute_statement(stmt)
+            finally:
+                set_deadline(None, _dl_token)
+            max_rows = int(self.settings.get("max_result_rows") or 0)
+            if max_rows and isinstance(stmt, A.QueryStmt) \
+                    and result.block.num_rows > max_rows:
+                result = QueryResult(result.block.slice(0, max_rows),
+                                     result.fields, result.affected_rows,
+                                     result.profile)
             entry["result_rows"] = len(result)
             METRICS.inc("queries_total")
             return result
@@ -484,7 +497,7 @@ def _stmt_show_create(s: SessionContext, st: A.ShowCreateTable):
     if info.cluster_by:
         ddl += f" CLUSTER BY ({', '.join(info.cluster_by)})"
     opts = {k: v for k, v in info.options.items()}
-    if opts:
+    if opts and not s.settings.get("hide_options_in_show_create_table"):
         ddl += " " + " ".join(f"{k.upper()}='{v}'" for k, v in sorted(opts.items()))
     for idx in info.indexes.values():
         o = " ".join(f"{k}='{v}'" for k, v in sorted(idx.options.items()))
@@ -926,12 +939,13 @@ def _stmt_optimize(s: SessionContext, st: A.OptimizeTable):
     if st.action in ("COMPACT", "ALL"):
         t.compact()
     if st.action in ("PURGE", "ALL"):
-        t.vacuum()
+        t.vacuum(float(s.settings.get("data_retention_time_in_days") or 0))
     return _ok()
 
 
 def _stmt_vacuum(s: SessionContext, st: A.VacuumTable):
-    removed = s.table(st.name, st.database).vacuum()
+    removed = s.table(st.name, st.database).vacuum(
+        float(s.settings.get("data_retention_time_in_days") or 0))
     return _ok(removed)
 
 

@@ -151,6 +151,166 @@ def _sys_build_options(s):
                            str(jax.device_count())])])
 
 
+def _sys_users(s):
+    rows = [(u.name, "%",
+             "no_password" if not u.password_sha256 else "sha256_password",
+             ",".join(sorted(u.roles)))
+            for u in s.users.list_users()]
+    cols = list(zip(*rows)) if rows else [[] for _ in range(4)]
+    return _block([
+        ("name", String, list(cols[0])), ("hostname", String, list(cols[1])),
+        ("auth_type", String, list(cols[2])),
+        ("default_role", String, list(cols[3]))])
+
+
+def _sys_roles(s):
+    rows = [(r.name, len(r.grants)) for r in s.users.list_roles()]
+    cols = list(zip(*rows)) if rows else [[] for _ in range(2)]
+    return _block([("name", String, list(cols[0])),
+                   ("inherited_roles", Int64, list(cols[1]))])
+
+
+def _sys_catalogs(s):
+    return _block([("name", String, ["default"])])
+
+
+def _sys_engines(s):
+    return _block([
+        ("engine", String, ["FUSE", "VIEW", "SYSTEM", "STREAM"]),
+        ("comment", String, [
+            "snapshot storage over object store, TPU-served vector/text search",
+            "named query", "live engine state", "CDC change tracking"])])
+
+
+def _sys_clusters(s):
+    """Mesh topology as the cluster node list (reference clusters_table:
+    query nodes; here: JAX devices = the data-plane 'nodes')."""
+    import jax
+    rows = [(f"device-{i}", d.platform, str(d), i)
+            for i, d in enumerate(jax.devices())]
+    cols = list(zip(*rows)) if rows else [[] for _ in range(4)]
+    return _block([
+        ("name", String, list(cols[0])), ("host", String, list(cols[1])),
+        ("description", String, list(cols[2])),
+        ("port", Int64, list(cols[3]))])
+
+
+def _sys_processes(s):
+    entry = s.query_log[-1] if getattr(s, "query_log", None) else None
+    rows = ([(entry["query_id"], s.current_user.name, entry["query_text"],
+              entry["query_kind"])] if entry else [])
+    cols = list(zip(*rows)) if rows else [[] for _ in range(4)]
+    return _block([
+        ("id", String, list(cols[0])), ("user", String, list(cols[1])),
+        ("extra_info", String, list(cols[2])),
+        ("command", String, list(cols[3]))])
+
+
+def _sys_streams(s):
+    rows = [(name.split("/")[-1], meta.get("database", ""),
+             meta.get("table", ""), meta.get("watermark_snapshot"))
+            for name, meta in s.streams.list()]
+    cols = list(zip(*rows)) if rows else [[] for _ in range(4)]
+    return _block([
+        ("name", String, list(cols[0])), ("database", String, list(cols[1])),
+        ("table_name", String, list(cols[2])),
+        ("snapshot_location", String, list(cols[3]))])
+
+
+def _sys_tasks(s):
+    rows = [(t.get("name", ""), t.get("state", ""), t.get("schedule") or "",
+             t.get("sql", t.get("definition", "")))
+            for t in s.tasks.list()]
+    cols = list(zip(*rows)) if rows else [[] for _ in range(4)]
+    return _block([
+        ("name", String, list(cols[0])), ("state", String, list(cols[1])),
+        ("schedule", String, list(cols[2])),
+        ("definition", String, list(cols[3]))])
+
+
+def _sys_views(s):
+    rows = []
+    for key, v, _ in s.meta.list_prefix("views/"):
+        _, db, name = key.split("/", 2)
+        rows.append((db, name, v.get("sql", "") if isinstance(v, dict) else str(v)))
+    cols = list(zip(*rows)) if rows else [[] for _ in range(3)]
+    return _block([
+        ("database", String, list(cols[0])), ("name", String, list(cols[1])),
+        ("definition", String, list(cols[2]))])
+
+
+def _sys_table_functions(s):
+    return _block([("name", String, sorted(
+        ["numbers", "fuse_snapshot", "fuse_segment", "fuse_block"]))])
+
+
+def _sys_query_cache(s):
+    rows = [(repr(k[0])[:128], ts) for k, (ts, _) in
+            getattr(s, "_result_cache", {}).items()]
+    cols = list(zip(*rows)) if rows else [[] for _ in range(2)]
+    return _block([("sql", String, list(cols[0])),
+                   ("cached_at", Float64, list(cols[1]))])
+
+
+def _sys_statistics(s):
+    """ANALYZE-produced table statistics (reference statistics_table.rs)."""
+    rows = []
+    from ..statistics import load_table_stats
+    for d in s.catalog.list_databases():
+        for info in s.catalog.list_tables(d.name):
+            try:
+                ts = load_table_stats(s, info.table_id)
+            except Exception:
+                ts = None
+            if ts is None:
+                continue
+            for col, cs in sorted(getattr(ts, "columns", {}).items()):
+                rows.append((d.name, info.name, col,
+                             float(getattr(cs, "ndv", 0.0)),
+                             int(getattr(cs, "null_count", 0)),
+                             len(getattr(cs, "counts", []) or [])))
+    cols = list(zip(*rows)) if rows else [[] for _ in range(6)]
+    return _block([
+        ("database", String, list(cols[0])), ("table", String, list(cols[1])),
+        ("column", String, list(cols[2])), ("ndv", Float64, list(cols[3])),
+        ("null_count", Int64, list(cols[4])),
+        ("histogram_buckets", Int64, list(cols[5]))])
+
+
+def _sys_locks(s):
+    return _block([("table_id", Int64, []), ("status", String, []),
+                   ("user", String, [])])
+
+
+def _sys_temp_files(s):
+    import glob
+    import os
+    import tempfile
+    rows = []
+    for pat in ("dbtpu_spill_*", "dbtpu_aggspill_*", "dbtpu_joinspill_*"):
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            for f in glob.glob(os.path.join(d, "*")):
+                rows.append((f, os.path.getsize(f)))
+    cols = list(zip(*rows)) if rows else [[] for _ in range(2)]
+    return _block([("file_name", String, list(cols[0])),
+                   ("file_content_length", Int64, list(cols[1]))])
+
+
+def _sys_configs(s):
+    cfg = getattr(s, "config", None)
+    rows = []
+    if cfg is not None:
+        for k, v in sorted(vars(cfg).items()):
+            rows.append((k, str(v)))
+    cols = list(zip(*rows)) if rows else [[] for _ in range(2)]
+    return _block([("name", String, list(cols[0])),
+                   ("value", String, list(cols[1]))])
+
+
+def _sys_contributors(s):
+    return _block([("name", String, ["databend_tpu developers"])])
+
+
 SYSTEM_TABLES: Dict[str, Callable] = {
     "one": _sys_one,
     "databases": _sys_databases,
@@ -163,6 +323,22 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "indexes": _sys_indexes,
     "caches": _sys_caches,
     "build_options": _sys_build_options,
+    "users": _sys_users,
+    "roles": _sys_roles,
+    "catalogs": _sys_catalogs,
+    "engines": _sys_engines,
+    "clusters": _sys_clusters,
+    "processes": _sys_processes,
+    "streams": _sys_streams,
+    "tasks": _sys_tasks,
+    "views": _sys_views,
+    "table_functions": _sys_table_functions,
+    "query_cache": _sys_query_cache,
+    "statistics": _sys_statistics,
+    "locks": _sys_locks,
+    "temp_files": _sys_temp_files,
+    "configs": _sys_configs,
+    "contributors": _sys_contributors,
 }
 
 

@@ -60,7 +60,12 @@ def _fuse_snapshot(session, args) -> Plan:
         rows.append((snap.snapshot_id, snap.prev_snapshot, len(snap.segments),
                      snap.block_count, snap.row_count, snap.index_size,
                      float(snap.timestamp)))
-        snap = table.read_snapshot(snap.prev_snapshot) if snap.prev_snapshot else None
+        if not snap.prev_snapshot:
+            break
+        try:
+            snap = table.read_snapshot(snap.prev_snapshot)
+        except Exception:
+            snap = None  # history vacuumed past the retention window
     names = ["snapshot_id", "previous_snapshot_id", "segment_count",
              "block_count", "row_count", "vector_index_size", "timestamp"]
     types = [String, String, Int64, Int64, Int64, Int64, Float64]

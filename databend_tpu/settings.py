@@ -71,6 +71,133 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "build-side rows above which a hash join grace-partitions"
                    " both sides to disk and joins per partition"
                    " (reference spillers/inner.rs:269); 0 disables", (0, 1 << 40)),
+        # ---- consulted by the engine (wired) --------------------------------
+        SettingDef("max_result_rows", 0,
+                   "truncate query results to this many rows (0=unlimited)",
+                   (0, 1 << 40)),
+        SettingDef("max_execute_time_in_seconds", 0,
+                   "abort a query running longer than this (0=unlimited);"
+                   " checked between pipeline blocks", (0, 1 << 31)),
+        SettingDef("hide_options_in_show_create_table", True,
+                   "omit engine/storage options from SHOW CREATE TABLE"),
+        SettingDef("disable_join_reorder", False,
+                   "keep joins in the written FROM order (skip the CBO's DP"
+                   " join reordering)"),
+        SettingDef("enable_dphyp", True,
+                   "use the DP join reorderer when the CBO is on"
+                   " (reference optimizers/hyper_dp)"),
+        SettingDef("enable_top_n", True,
+                   "allow the TopN block pruner for ORDER BY .. LIMIT"),
+        SettingDef("data_retention_time_in_days", 1,
+                   "VACUUM keeps snapshots newer than this", (0, 90)),
+        SettingDef("max_running_queries", 0,
+                   "admission control: queries executing concurrently per"
+                   " server (0=unlimited; reference queue_mgr.rs)", (0, 1024)),
+        SettingDef("enable_aggregating_index_scan", True,
+                   "answer eligible aggregates from the aggregating index"),
+        # ---- accepted for client compatibility (reference defaults;"
+        # advisory until the matching subsystem consults them) --------------
+        SettingDef("max_block_bytes", 50 * 1024 * 1024,
+                   "max bytes per processed block", (1, 1 << 40)),
+        SettingDef("week_start", 1, "first day of week: 0=Sunday 1=Monday",
+                   (0, 1)),
+        SettingDef("date_format_style", "mysql",
+                   "TO_DATE/TO_TIMESTAMP format style: mysql | oracle"),
+        SettingDef("parquet_max_block_size", 8192,
+                   "max rows per parquet-read block", (1, 1 << 24)),
+        SettingDef("max_storage_io_requests", 48,
+                   "concurrent storage IO requests", (1, 1024)),
+        SettingDef("storage_read_buffer_size", 1 << 20,
+                   "read buffer bytes for storage IO", (1 << 10, 1 << 30)),
+        SettingDef("input_read_buffer_size", 4 * 1024 * 1024,
+                   "read buffer bytes for COPY input", (1 << 10, 1 << 30)),
+        SettingDef("purge_duplicated_files_in_copy", False,
+                   "purge duplicated files during COPY"),
+        SettingDef("unquoted_ident_case_sensitive", False,
+                   "treat unquoted identifiers as case-sensitive"),
+        SettingDef("quoted_ident_case_sensitive", True,
+                   "treat quoted identifiers as case-sensitive"),
+        SettingDef("collation", "utf8", "string collation: utf8 | binary"),
+        SettingDef("max_inlist_to_or", 1024,
+                   "IN lists up to this length expand to ORs", (1, 1 << 20)),
+        SettingDef("enable_cse_optimizer", True,
+                   "common-subexpression elimination in the optimizer"),
+        SettingDef("force_eager_aggregate", False,
+                   "push aggregation below joins when possible"),
+        SettingDef("max_push_down_limit", 10000,
+                   "largest LIMIT pushed into scans", (0, 1 << 31)),
+        SettingDef("prefer_broadcast_join", True,
+                   "prefer broadcast over shuffle for small build sides"),
+        SettingDef("enforce_broadcast_join", False,
+                   "always use broadcast join in distributed plans"),
+        SettingDef("enforce_shuffle_join", False,
+                   "always use shuffle join in distributed plans"),
+        SettingDef("nested_loop_join_threshold", 256,
+                   "build-side rows below which nested-loop join is allowed",
+                   (0, 1 << 31)),
+        SettingDef("enable_bloom_runtime_filter", True,
+                   "build bloom runtime filters from join build sides"),
+        SettingDef("enable_join_runtime_filter", True,
+                   "runtime min/max filters from join build sides"),
+        SettingDef("storage_fetch_part_num", 2,
+                   "partitions fetched per storage read batch", (1, 64)),
+        SettingDef("load_file_metadata_expire_hours", 24,
+                   "COPY file-dedup metadata retention", (0, 1 << 16)),
+        SettingDef("enable_planner_cache", True,
+                   "cache bound plans keyed on SQL + schema versions"),
+        SettingDef("enable_query_result_cache", False,
+                   "serve identical queries from the result cache"
+                   " (query_result_cache_ttl_secs sets freshness)"),
+        SettingDef("query_result_cache_max_bytes", 1048576,
+                   "per-result cache size ceiling", (0, 1 << 40)),
+        SettingDef("query_result_cache_allow_inconsistent", False,
+                   "serve cached results even if the table changed"),
+        SettingDef("aggregate_spilling_memory_ratio", 0,
+                   "percent of memory at which aggregation spills (0=use"
+                   " aggregate_spill_row_threshold)", (0, 100)),
+        SettingDef("join_spilling_memory_ratio", 60,
+                   "percent of memory at which joins spill", (0, 100)),
+        SettingDef("sort_spilling_memory_ratio", 60,
+                   "percent of memory at which sorts spill", (0, 100)),
+        SettingDef("window_partition_spilling_memory_ratio", 60,
+                   "percent of memory at which window partitions spill",
+                   (0, 100)),
+        SettingDef("window_num_partitions", 256,
+                   "hash partitions for window spilling", (1, 1 << 16)),
+        SettingDef("lazy_read_threshold", 1000,
+                   "LIMIT under which non-filter columns are read lazily",
+                   (0, 1 << 31)),
+        SettingDef("parquet_fast_read_bytes", 16 * 1024 * 1024,
+                   "parquet files under this size are read whole",
+                   (0, 1 << 40)),
+        SettingDef("enable_table_lock", True, "table locks for DML"),
+        SettingDef("table_lock_expire_secs", 30,
+                   "table lock lease seconds", (1, 1 << 16)),
+        SettingDef("acquire_lock_timeout", 30,
+                   "seconds to wait for a table lock", (1, 1 << 16)),
+        SettingDef("deduplicate_label", "",
+                   "idempotency label for INSERT/COPY"),
+        SettingDef("enable_distributed_copy_into", True,
+                   "distribute COPY across the mesh when available"),
+        SettingDef("enable_distributed_merge_into", True,
+                   "distribute MERGE INTO when available"),
+        SettingDef("enable_distributed_compact", True,
+                   "distribute table compaction when available"),
+        SettingDef("enable_analyze_histogram", True,
+                   "ANALYZE builds equi-height histograms"),
+        SettingDef("analyze_histogram_buckets", 100,
+                   "buckets per ANALYZE histogram", (1, 1 << 16)),
+        SettingDef("max_cte_recursive_depth", 1000,
+                   "recursion ceiling for RECURSIVE CTEs", (1, 1 << 20)),
+        SettingDef("enable_materialized_cte", True,
+                   "materialize WITH subqueries referenced more than once"),
+        SettingDef("group_by_shuffle_mode", "before_merge",
+                   "distributed GROUP BY shuffle stage: before_partial |"
+                   " before_merge"),
+        SettingDef("query_tag", "", "free-form tag recorded in query_log"),
+        SettingDef("statement_queued_timeout_in_seconds", 60,
+                   "seconds a query may wait in the admission queue",
+                   (0, 1 << 16)),
     ]
 }
 

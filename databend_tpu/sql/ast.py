@@ -69,9 +69,11 @@ class FunctionCall(Expr):
 class WindowSpec:
     partition_by: List[Expr] = field(default_factory=list)
     order_by: List["OrderByExpr"] = field(default_factory=list)
-    # ROWS frame: (start, end) where each bound is None (unbounded) or an
-    # int row offset (negative = preceding, 0 = current row)
+    # frame: (start, end) where each bound is None (unbounded) or an
+    # offset (negative = preceding, 0 = current row): row count for ROWS,
+    # ORDER BY key delta for RANGE
     frame: Optional[Tuple[Optional[int], Optional[int]]] = None
+    frame_kind: str = "rows"  # rows | range
 
 
 @dataclass

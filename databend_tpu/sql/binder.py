@@ -284,7 +284,7 @@ class Binder:
                    + "|part:" + ",".join(_ast_repr(p) for p in w.partition_by)
                    + "|ord:" + ",".join(f"{_ast_repr(ob.expr)}:{ob.asc}:{ob.nulls_first}"
                                         for ob in w.order_by)
-                   + f"|frame:{w.frame}")
+                   + f"|frame:{w.frame}:{w.frame_kind}")
             for i, existing in enumerate(window_asts):
                 if existing == key:
                     return BoundColumn(windows[i].out_name, windows[i].dtype)
@@ -302,7 +302,7 @@ class Binder:
             dtype = _window_return_type(name, arg_exprs)
             out = f"__win_{len(windows)}"
             windows.append(WindowItem(out, name, arg_exprs, part, order, dtype,
-                                      frame=w.frame))
+                                      frame=w.frame, frame_kind=w.frame_kind))
             window_asts.append(key)
             return BoundColumn(out, dtype)
 
@@ -380,7 +380,9 @@ class Binder:
             plan = AggregatePlan(plan, group_keys, aggs,
                                  distributed=self._distributed_on(),
                                  spill_threshold_rows=self._spill_rows(
-                                     "aggregate_spill_row_threshold"))
+                                     "aggregate_spill_row_threshold"),
+                                 stats_fast_path=self._setting_bool(
+                                     "enable_aggregating_index_scan", True))
             if having_expr is not None:
                 plan = FilterPlan(plan, having_expr)
         elif having_expr is not None:
@@ -588,6 +590,12 @@ class Binder:
         except Exception:
             return None
 
+    def _setting_bool(self, setting: str, default: bool) -> bool:
+        try:
+            return bool(self.session.settings.get(setting))
+        except Exception:
+            return default
+
     def _split_join_condition(self, cond: A.Expr, lctx, rctx, joined_ctx,
                               left_keys, right_keys) -> Optional[ScalarExpr]:
         """Pull equi-conjuncts into hash keys; the rest becomes residual."""
@@ -677,6 +685,7 @@ class Binder:
                 self.session.settings.get("vector_exact_scan_max_rows"))
             pd.vector_host_scan_max_rows = int(
                 self.session.settings.get("vector_host_scan_max_rows"))
+            pd.enable_topn = bool(self.session.settings.get("enable_top_n"))
         except Exception:
             pass
         if state.vector_rewrite is not None:

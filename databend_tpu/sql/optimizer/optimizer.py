@@ -292,7 +292,13 @@ class _Optimizer:
                     r *= sel
             return max(r, 1.0)
 
-        if n > MAX_DP_RELATIONS:
+        try:
+            if self.session.settings.get("disable_join_reorder"):
+                return self._written_order(region, subset_rows)
+            dphyp = bool(self.session.settings.get("enable_dphyp"))
+        except Exception:
+            dphyp = True
+        if n > MAX_DP_RELATIONS or not dphyp:
             return self._greedy(region, rows, subset_rows)
 
         # DP over subsets: best[mask] = (cost, plan, applied_filter_ids)
@@ -365,8 +371,35 @@ class _Optimizer:
         resid = self._residual_for(region, ls, rs)
         fields = left.output_fields() + right.output_fields()
         j = JoinPlan("INNER" if keys else "CROSS", left, right, lk, rk,
-                     resid, fields)
+                     resid, fields,
+                     spill_threshold_rows=self._join_spill_rows())
         return (cost, j)
+
+    def _join_spill_rows(self):
+        try:
+            return int(self.session.settings.get(
+                "join_spill_row_threshold")) or None
+        except Exception:
+            return None
+
+    def _written_order(self, region: Region, subset_rows) -> Plan:
+        """disable_join_reorder: left-deep chain in the written FROM order,
+        sides kept as written (reference setting of the same name)."""
+        n = len(region.rels)
+        mask = 1
+        plan = region.rels[0]
+        for i in range(1, n):
+            s2 = 1 << i
+            keys = self._keys_between(region, mask, s2)
+            lk = [a for a, _ in keys]
+            rk = [b for _, b in keys]
+            resid = self._residual_for(region, mask, s2)
+            fields = plan.output_fields() + region.rels[i].output_fields()
+            plan = JoinPlan("INNER" if keys else "CROSS", plan,
+                            region.rels[i], lk, rk, resid, fields,
+                            spill_threshold_rows=self._join_spill_rows())
+            mask |= s2
+        return self._attach_filters(region, plan, mask)
 
     def _plan_rows_cached(self, plan: Plan, mask: int) -> float:
         key = (id(plan), mask)

@@ -1188,23 +1188,25 @@ class Parser:
             spec.order_by.append(self.parse_order_by_expr())
             while self.accept_op(","):
                 spec.order_by.append(self.parse_order_by_expr())
-        if self._at_word("ROWS"):
-            self.next()
+        if self._at_word("ROWS", "RANGE"):
+            spec.frame_kind = self.next().text.lower()
+            numeric = spec.frame_kind == "range"
             if self._at_word("BETWEEN"):
                 self.next()
-                start = self._parse_frame_bound()
+                start = self._parse_frame_bound(numeric)
                 self.expect_keyword("AND")
-                end = self._parse_frame_bound()
+                end = self._parse_frame_bound(numeric)
             else:
-                start = self._parse_frame_bound()
+                start = self._parse_frame_bound(numeric)
                 end = 0  # single-bound form: ... AND CURRENT ROW
             spec.frame = (start, end)
         self.expect_op(")")
         return spec
 
-    def _parse_frame_bound(self):
+    def _parse_frame_bound(self, numeric: bool = False):
         """UNBOUNDED PRECEDING|FOLLOWING | CURRENT ROW | n PRECEDING|FOLLOWING
-        -> None (unbounded) or signed row offset."""
+        -> None (unbounded) or signed offset (row count for ROWS, ORDER BY
+        key delta for RANGE)."""
         if self._at_word("UNBOUNDED"):
             self.next()
             if not self._at_word("PRECEDING", "FOLLOWING"):
@@ -1217,7 +1219,8 @@ class Parser:
                 self.error("expected ROW")
             self.next()
             return 0
-        n = int(self.next().text)
+        tok = self.next().text
+        n = float(tok) if numeric else int(tok)
         if self._at_word("PRECEDING"):
             self.next()
             return -n

@@ -130,6 +130,9 @@ class AggregatePlan(Plan):
     # buffered input rows above which the aggregation switches to
     # hash-partitioned spill (reference spillers/inner.rs:269); None = never
     spill_threshold_rows: Optional[int] = None
+    # answer eligible aggregates from block statistics / the aggregating
+    # index (setting enable_aggregating_index_scan)
+    stats_fast_path: bool = True
 
     def children(self):
         return [self.child]
@@ -225,8 +228,10 @@ class WindowItem:
     partition_by: List[ScalarExpr]
     order_by: List[Tuple[ScalarExpr, bool, Optional[bool]]]  # (expr, asc, nulls_first)
     dtype: DataType = None
-    # ROWS frame (start, end): None bound = unbounded, int = row offset
+    # frame (start, end): None bound = unbounded; offset is a row count
+    # for ROWS frames, an ORDER BY key delta for RANGE frames
     frame: Optional[Tuple[Optional[int], Optional[int]]] = None
+    frame_kind: str = "rows"  # rows | range
 
 
 @dataclass

@@ -96,8 +96,9 @@ class FusePruner:
                 and pd.vector_index is None and pd.inverted_index is None):
             pruned = self._limit_prune(pruned, pd.limit)
 
-        # TopN prune for plain ORDER BY col LIMIT n
+        # TopN prune for plain ORDER BY col LIMIT n (setting enable_top_n)
         if (pd.limit is not None and len(pd.order_by) == 1
+                and pd.enable_topn
                 and pd.vector_index is None and pd.filters is None
                 and pd.inverted_index is None):
             pruned = self._topn_prune(pruned, pd.order_by[0], pd.limit)
@@ -287,7 +288,9 @@ class FusePruner:
         has_graphs = any(info.index_name in pb.meta.vector_indexes
                          and pb.meta.vector_indexes[info.index_name].get("graphs")
                          for pb in blocks)
-        if (self.pushdown.enable_distributed and not has_graphs and blocks):
+        total_rows = sum(pb.meta.row_count for pb in blocks)
+        if (self.pushdown.enable_distributed and not has_graphs and blocks
+                and total_rows > self.pushdown.vector_host_scan_max_rows):
             dist = self._vector_prune_distributed(blocks, info, q, limit)
             if dist is not None:
                 return dist
@@ -364,7 +367,8 @@ class FusePruner:
             q_dev = jax.device_put(np.asarray(qq, np.float32), query_sharding(mesh))
             k = min(limit, n_valid)
             dists, ids = sharded_brute_force_topk(mesh, q_dev, x_dev, k,
-                                                  metric_used)
+                                                  metric_used,
+                                                  n_valid=n_valid)
         except Exception:
             return None
         dists = np.asarray(dists)[0]

@@ -43,6 +43,10 @@ DEFAULT_ROW_PER_BLOCK = 262144  # reference caps vector-cluster batches here
 DEFAULT_HNSW_M = 16             # reference vector_index_writer.rs:54
 DEFAULT_EF_CONSTRUCT = 100      # reference vector_index_writer.rs:55
 COMMIT_RETRIES = 10
+# blocks at or below this row count serve faster from the exact MXU scan
+# than from a graph (measured crossover, benchmarks/RESULTS.md), so
+# graphs='auto' skips the HNSW build for them
+GRAPH_BUILD_MIN_ROWS = 1 << 20
 
 
 class FuseTable:
@@ -270,6 +274,16 @@ class FuseTable:
 
     def _build_vector_index(self, meta: BlockMeta, chunk: DataBlock, uid: str,
                             idx: TableIndexDef):
+        """Per-block vector index at write (reference VectorIndexBuilder).
+
+        TPU-first divergence: centroid/radius STATS are always built (they
+        drive the IVF-style block routing prune), but HNSW GRAPHS are only
+        built when they can win at serving time — the exact MXU scan beats
+        graph traversal for every block below the measured crossover
+        (~1M rows: 245k+ QPS exact vs 97 QPS graph at 100k rows on v5e,
+        benchmarks/RESULTS.md), so building graphs for such blocks is pure
+        write amplification. Index option graphs='always'|'auto'|'never'
+        (default auto = only blocks above the crossover)."""
         from ...index.hnsw import build_hnsw
         col_name = idx.columns[0]
         col = chunk.column(col_name)
@@ -281,12 +295,21 @@ class FuseTable:
         efc = int(idx.options.get("ef_construct", DEFAULT_EF_CONSTRUCT))
         entry = {"stats": vector_stats(vectors, metrics).to_dict(),
                  "graphs": {}, "column": col_name}
-        size = 0
-        for metric in metrics:
-            g = build_hnsw(vectors, m=m, ef_construct=efc, metric=metric)
-            rel = f"_i/{uid}.{idx.name}.{metric}.hnsw"
-            size += g.save(self.abs_path(rel))
-            entry["graphs"][metric] = rel
+        graphs_mode = str(idx.options.get("graphs", "auto")).lower()
+        want_graphs = (graphs_mode == "always"
+                       or (graphs_mode == "auto"
+                           and chunk.num_rows > GRAPH_BUILD_MIN_ROWS))
+        # the centroid/radius stats ARE index payload (they live in the
+        # block meta); count them so fuse_block.vector_index_size reflects
+        # the real index footprint even in stats-only mode
+        import json as _json
+        size = len(_json.dumps(entry["stats"]))
+        if want_graphs:
+            for metric in metrics:
+                g = build_hnsw(vectors, m=m, ef_construct=efc, metric=metric)
+                rel = f"_i/{uid}.{idx.name}.{metric}.hnsw"
+                size += g.save(self.abs_path(rel))
+                entry["graphs"][metric] = rel
         entry["size"] = size
         meta.vector_indexes[idx.name] = entry
 
@@ -492,13 +515,28 @@ class FuseTable:
         self._commit_replace([loc])
         return len(new_metas)
 
-    def vacuum(self) -> int:
-        """Delete files unreferenced by the CURRENT snapshot chain head
-        (reference: operations/{gc,vacuum}.rs). Drops time-travel history.
-        Returns files removed."""
-        snap = self.read_snapshot()
+    def vacuum(self, retention_days: float = 0.0) -> int:
+        """Delete files unreferenced by retained snapshots (reference:
+        operations/{gc,vacuum}.rs). The head snapshot is always retained;
+        ``retention_days`` > 0 additionally keeps time-travel history newer
+        than the cutoff (setting data_retention_time_in_days). Returns
+        files removed."""
+        cutoff = (time.time() - retention_days * 86400.0
+                  if retention_days > 0 else None)
         live = set()
-        if snap is not None:
+        snap = self.read_snapshot()
+        keep_snaps = []
+        while snap is not None:
+            keep_snaps.append(snap)
+            if cutoff is None or snap.timestamp < cutoff \
+                    or snap.prev_snapshot is None:
+                break
+            try:
+                snap = TableSnapshot.from_dict(
+                    read_json(self.abs_path(f"_ss/{snap.prev_snapshot}.json")))
+            except Exception:
+                break
+        for snap in keep_snaps:
             live.add(f"_ss/{snap.snapshot_id}.json")
             for seg_loc in snap.segments:
                 live.add(seg_loc)

@@ -40,6 +40,28 @@ def test_copy_tsv_and_gzip(ctx, tmp_path):
     assert ctx.sql("SELECT name FROM cp WHERE id = 7").scalar() == "zeta"
 
 
+@pytest.mark.parametrize("codec,ext", [("ZSTD", "zst"), ("BZ2", "bz2"),
+                                       ("XZ", "xz")])
+def test_copy_compressed_roundtrip(ctx, tmp_path, codec, ext):
+    """zstd/bz2/xz COPY compression (reference src/common/compress)."""
+    out = tmp_path / f"out.csv.{ext}"
+    ctx.sql("INSERT INTO cp VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5)")
+    ctx.sql(f"COPY INTO '{out}' FROM cp"
+            f" FILE_FORMAT = (TYPE = CSV COMPRESSION = {codec})")
+    assert out.exists() and out.stat().st_size > 0
+    ctx.sql("CREATE TABLE cp2 (id BIGINT, name VARCHAR, score DOUBLE)")
+    # extension-based AUTO detection on load
+    ctx.sql(f"COPY INTO cp2 FROM '{out}' FILE_FORMAT = (TYPE = CSV)")
+    rows = ctx.sql("SELECT id, name, score FROM cp2 ORDER BY id").rows()
+    assert rows == [(1, "alpha", 1.5), (2, "beta", 2.5)]
+
+
+def test_copy_unavailable_codec_errors(ctx, tmp_path):
+    with pytest.raises(DatabendError, match="not available"):
+        ctx.sql(f"COPY INTO '{tmp_path}/x.csv' FROM cp"
+                " FILE_FORMAT = (TYPE = CSV COMPRESSION = LZ4)")
+
+
 def test_copy_ndjson(ctx, tmp_path):
     src = tmp_path / "in.ndjson"
     src.write_text(json.dumps({"id": 10, "name": "nd", "score": 9.0}) + "\n"

@@ -36,6 +36,8 @@ def test_distributed_exact_scan_matches_single(tmp_catalog, rng, monkeypatch):
 
     monkeypatch.setattr(prmod.FusePruner, "_vector_prune_distributed", spy)
 
+    # small corpora route to the host scan by default; force the mesh path
+    c.sql("SET vector_host_scan_max_rows = 0")
     rows = c.sql(f"SELECT id FROM dv ORDER BY l2_distance(emb, {qlit}) LIMIT 5").rows()
     assert calls["n"] == 1
     assert rows[0][0] == 7

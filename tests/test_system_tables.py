@@ -53,6 +53,23 @@ def test_system_indexes(tmp_catalog):
     assert rows == [("vidx", "vector")]
 
 
+def test_system_tables_tranche2(tmp_catalog):
+    """Round-2 widening: >=20 system tables, each selectable."""
+    c = tmp_catalog
+    from databend_tpu.service.system_tables import SYSTEM_TABLES
+    assert len(SYSTEM_TABLES) >= 20
+    c.sql("CREATE TABLE st2 (v BIGINT)")
+    c.sql("INSERT INTO st2 VALUES (1)")
+    c.sql("ANALYZE TABLE st2")
+    for name in SYSTEM_TABLES:
+        c.sql(f"SELECT * FROM system.{name}")  # must not raise
+    assert c.sql("SELECT count(*) FROM system.users").scalar() >= 1
+    assert c.sql("SELECT count(*) FROM system.engines").scalar() == 4
+    row = c.sql("SELECT ndv, histogram_buckets FROM system.statistics"
+                " WHERE table = 'st2' AND column = 'v'").rows()
+    assert row and row[0][0] >= 1.0
+
+
 def test_show_create_table(tmp_catalog):
     c = tmp_catalog
     c.sql("CREATE TABLE sct (id BIGINT, emb VECTOR(4))")
