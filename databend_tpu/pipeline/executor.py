@@ -574,6 +574,161 @@ def _try_stats_aggregate(plan: AggregatePlan) -> Optional[DataBlock]:
     return DataBlock(names, cols, 1)
 
 
+_AGG_INDEX_FNS = ("count", "sum", "min", "max", "avg")
+
+
+def _agg_index_shape(plan: AggregatePlan):
+    """(key column names, agg spec) when every key is a plain column and
+    every aggregate is count/sum/min/max/avg over a plain column (or
+    count(*)); (None, None) otherwise. Shared by CREATE AGGREGATING INDEX
+    validation and the scan-time matcher."""
+    keys = []
+    for name, e in plan.keys:
+        if not isinstance(e, BoundColumn):
+            return None, None
+        keys.append(e.name.lower())
+    spec = []
+    for name, fn, arg_exprs in plan.aggs:
+        if fn.distinct or fn.name not in _AGG_INDEX_FNS:
+            return None, None
+        if not arg_exprs:
+            if fn.name != "count":
+                return None, None
+            spec.append({"fn": "count", "col": None})
+            continue
+        if len(arg_exprs) != 1 or not isinstance(arg_exprs[0], BoundColumn):
+            return None, None
+        col = arg_exprs[0].name.lower()
+        if fn.name != "count":
+            dt = arg_exprs[0].dtype.remove_nullable()
+            if not (dt.is_numeric() if hasattr(dt, "is_numeric") else False):
+                return None, None
+        spec.append({"fn": fn.name, "col": col})
+    return keys, spec
+
+
+def _try_agg_index(plan: AggregatePlan) -> Optional[DataBlock]:
+    """Answer a grouped aggregate from a matching AGGREGATING INDEX's
+    per-block materialized partials (reference agg_index pushdown,
+    catalog/src/plan/pushdown.rs:167-207): read the sidecars, merge the
+    mergeable states, finalize. Falls back when any selected block lacks
+    the sidecar."""
+    import json as _json
+    child = plan.child
+    if not plan.stats_fast_path or not plan.keys:
+        return None
+    if type(child) is not Scan or child.internal_columns:
+        return None
+    pd = child.pushdown
+    if pd.filters is not None or pd.vector_index is not None \
+            or pd.inverted_index is not None or pd.limit is not None:
+        return None
+    keys, spec = _agg_index_shape(plan)
+    if keys is None:
+        return None
+    match = None
+    for idx in child.table.info.indexes.values():
+        if idx.index_type != "AGGREGATING":
+            continue
+        if set(c.lower() for c in idx.columns) != set(keys):
+            continue
+        iset = _json.loads(idx.options.get("aggs", "[]"))
+        pos = []
+        ok = True
+        for a in spec:
+            try:
+                pos.append(iset.index(a))
+            except ValueError:
+                ok = False
+                break
+        if ok:
+            match = (idx, pos)
+            break
+    if match is None:
+        return None
+    idx, agg_pos = match
+    parts, stats = child.table.read_partitions(pd, child.snapshot_id)
+    child.pruning_stats = stats
+    sidecars = []
+    for p in parts:
+        entry = p.meta.agg_indexes.get(idx.name)
+        if entry is None:
+            return None  # stale block: fall back to the full aggregation
+        sidecars.append(child.table.read_agg_index_block(p.meta, idx, entry))
+    if not sidecars:
+        return None
+    from ..utils.metrics import METRICS
+    METRICS.inc("agg_index_scans")
+
+    # merge partials: group across sidecars on the index key order
+    idx_keys = [c.lower() for c in idx.columns]
+    key_cols_all = []
+    for kname in idx_keys:
+        key_cols_all.append(Column.concat([b.column(kname) for b in sidecars])
+                            if len(sidecars) > 1 else sidecars[0].column(kname))
+    n = len(key_cols_all[0]) if key_cols_all else 0
+    gids, state = _group_ids_n(n, key_cols_all, {})
+    final_n = len(state.get("reprs", []))
+    if final_n == 0:
+        return None
+
+    # representative row per group for the key output columns
+    rep = np.empty(final_n, np.int64)
+    rep[gids[::-1]] = np.arange(n - 1, -1, -1, dtype=np.int64)
+
+    names = [nm for nm, _ in plan.keys] + [nm for nm, _, _ in plan.aggs]
+    cols: List[Column] = []
+    for kname, kexpr in plan.keys:
+        src = key_cols_all[idx_keys.index(kexpr.name.lower())]
+        cols.append(src.take(rep))
+
+    iset = _json.loads(idx.options.get("aggs", "[]"))
+    for (out_name, fn, _), si in zip(plan.aggs, agg_pos):
+        a = iset[si]
+        val_name, cnt_name = f"a{si}", f"a{si}_cnt"
+        vals = np.concatenate([np.asarray(b.column(val_name).data, np.float64)
+                               for b in sidecars])
+        if a["fn"] == "count":
+            merged = np.bincount(gids, weights=vals, minlength=final_n)
+            cols.append(Column.from_pylist([int(v) for v in merged],
+                                           fn.return_type()))
+            continue
+        cnts = np.concatenate([np.asarray(b.column(cnt_name).data, np.float64)
+                               for b in sidecars])
+        validity = np.concatenate(
+            [b.column(val_name).validity
+             if b.column(val_name).validity is not None
+             else np.ones(b.num_rows, np.bool_) for b in sidecars])
+        gc = np.bincount(gids, weights=cnts, minlength=final_n)
+        if a["fn"] in ("sum", "avg"):
+            merged = np.bincount(gids, weights=np.where(validity, vals, 0.0),
+                                 minlength=final_n)
+            if a["fn"] == "avg":
+                out = [None if c == 0 else s / c for s, c in zip(merged, gc)]
+                cols.append(Column.from_pylist(out,
+                                               fn.return_type().wrap_nullable()))
+            else:
+                rt = fn.return_type()
+                out = [None if c == 0 else
+                       (int(round(s)) if rt.remove_nullable().is_integer()
+                        else float(s)) for s, c in zip(merged, gc)]
+                cols.append(Column.from_pylist(out, rt.wrap_nullable()))
+            continue
+        # min / max
+        neutral = np.inf if a["fn"] == "min" else -np.inf
+        acc = np.full(final_n, neutral)
+        op = np.minimum if a["fn"] == "min" else np.maximum
+        sel = validity
+        op.at(acc, gids[sel], vals[sel])
+        out = [None if c == 0 else v for v, c in zip(acc.tolist(), gc)]
+        rt = fn.return_type()
+        out = [None if v is None else
+               (int(round(v)) if rt.remove_nullable().is_integer() else v)
+               for v in out]
+        cols.append(Column.from_pylist(out, rt.wrap_nullable()))
+    return DataBlock(names, cols, final_n)
+
+
 def _exec_aggregate(plan: AggregatePlan):
     """Two-phase hash aggregation: assign dense group ids streaming, buffer
     the (small) per-block gid + argument columns, then run each aggregate's
@@ -590,6 +745,11 @@ def _exec_aggregate(plan: AggregatePlan):
 
     if not plan.keys:
         yield from _exec_global_aggregate(plan)
+        return
+
+    from_index = _try_agg_index(plan)
+    if from_index is not None:
+        yield from_index
         return
 
     threshold = plan.spill_threshold_rows

@@ -724,6 +724,45 @@ def _stmt_create_index(s: SessionContext, st: A.CreateIndex):
     return _ok()
 
 
+def _stmt_create_agg_index(s: SessionContext, st: A.CreateAggregatingIndex):
+    """CREATE AGGREGATING INDEX idx AS SELECT .. GROUP BY .. — materialize
+    per-block aggregate partials (reference TableIndexType::Aggregating;
+    interpreter_index_create.rs). The definition must be a single-table
+    grouped aggregate over plain columns with count/sum/min/max/avg."""
+    import json as _json
+
+    from ..pipeline.executor import _agg_index_shape
+    from ..sql.binder import Binder
+    from ..sql.plans import AggregatePlan, ProjectPlan, Scan
+    plan = Binder(s).bind_query(st.query)
+    node = plan
+    while isinstance(node, ProjectPlan):
+        node = node.child
+    if not isinstance(node, AggregatePlan) or not node.keys:
+        raise SemanticError(
+            "AGGREGATING INDEX requires a GROUP BY aggregate query")
+    scan = node.child
+    while isinstance(scan, ProjectPlan):
+        scan = scan.child
+    if not isinstance(scan, Scan) or scan.pushdown.filters is not None:
+        raise SemanticError(
+            "AGGREGATING INDEX supports a single unfiltered table scan")
+    keys, spec = _agg_index_shape(node)
+    if keys is None:
+        raise SemanticError(
+            "AGGREGATING INDEX keys must be plain columns and aggregates"
+            " one of count/sum/min/max/avg over a plain numeric column")
+    info = scan.table.info
+    idx = TableIndexDef(st.name, "AGGREGATING", keys,
+                        {"definition": st.definition,
+                         "aggs": _json.dumps(spec)}, st.sync)
+    info = s.catalog.create_index(info.database, info.name, idx,
+                                  st.if_not_exists)
+    if st.sync:
+        s.open_table(info).refresh_indexes(st.name)
+    return _ok()
+
+
 def _stmt_drop_index(s: SessionContext, st: A.DropIndex):
     s.catalog.drop_index(s.current_database, st.table, st.name, st.if_exists)
     return _ok()
@@ -981,6 +1020,7 @@ _STATEMENTS = {
     A.GrantPrivileges: _stmt_grant_privileges,
     A.ShowGrants: _stmt_show_grants,
     A.CreateIndex: _stmt_create_index,
+    A.CreateAggregatingIndex: _stmt_create_agg_index,
     A.DropIndex: _stmt_drop_index,
     A.RefreshIndex: _stmt_refresh_index,
     A.Insert: _stmt_insert,

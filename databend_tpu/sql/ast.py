@@ -495,6 +495,18 @@ class CreateIndex(Statement):
 
 
 @dataclass
+class CreateAggregatingIndex(Statement):
+    """CREATE AGGREGATING INDEX idx AS SELECT .. GROUP BY ..
+    (reference TableIndexType::Aggregating + agg_index pushdown)."""
+
+    name: str
+    query: Query
+    definition: str  # the AS SELECT text, for SHOW/system.indexes
+    if_not_exists: bool = False
+    sync: bool = True
+
+
+@dataclass
 class DropIndex(Statement):
     index_type: str
     name: str

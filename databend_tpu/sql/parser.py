@@ -305,6 +305,9 @@ class Parser:
                 if self.peek(1).kind == "KEYWORD" and self.peek(1).text == "INDEX":
                     self.next()
                     return self.parse_create_index(itype)
+        if self._at_word("AGGREGATING") and self.peek(1).text.upper() == "INDEX":
+            self.next()
+            return self.parse_create_aggregating_index()
         if self.at_keyword("INDEX"):
             return self.parse_create_index("AGGREGATING")
         if self._at_word("USER"):
@@ -509,6 +512,24 @@ class Parser:
                 break
         return A.CreateIndex(itype, name, table, db, cols, options, ine, sync)
 
+    def parse_create_aggregating_index(self):
+        """CREATE AGGREGATING INDEX idx [SYNC|ASYNC] AS SELECT ...
+        (reference TableIndexType::Aggregating)."""
+        self.expect_keyword("INDEX")
+        ine = self._if_not_exists()
+        name = self.ident()
+        sync = True
+        if self.accept_keyword("ASYNC"):
+            sync = False
+        else:
+            self.accept_keyword("SYNC")
+        self.expect_keyword("AS")
+        start = self.peek().pos
+        query = self.parse_query()
+        end = self.peek().pos if self.peek().kind != "EOF" else len(self.sql)
+        return A.CreateAggregatingIndex(name, query,
+                                        self.sql[start:end].strip(), ine, sync)
+
     # ------------------------------------------------------------------- drop
     def parse_drop(self):
         self.expect_keyword("DROP")
@@ -520,8 +541,9 @@ class Parser:
             db, name = self.qualified_name()
             all_ = bool(self.accept_keyword("ALL"))
             return A.DropTable(name, db, ie, all_)
-        for itype in ("VECTOR", "INVERTED", "NGRAM"):
-            if self.accept_keyword(itype):
+        for itype in ("VECTOR", "INVERTED", "NGRAM", "AGGREGATING"):
+            if self._at_word(itype) and self.peek(1).text.upper() == "INDEX":
+                self.next()
                 self.expect_keyword("INDEX")
                 ie = self._if_exists()
                 name = self.ident()
@@ -597,8 +619,8 @@ class Parser:
 
     def parse_refresh(self):
         self.expect_keyword("REFRESH")
-        for itype in ("VECTOR", "INVERTED", "NGRAM"):
-            if self.accept_keyword(itype):
+        for itype in ("VECTOR", "INVERTED", "NGRAM", "AGGREGATING"):
+            if self._at_word(itype) and self.next():
                 self.expect_keyword("INDEX")
                 name = self.ident()
                 table = None

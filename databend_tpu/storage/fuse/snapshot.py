@@ -35,6 +35,10 @@ class BlockMeta:
     bloom_index: Optional[dict] = None
     ngram_index: Optional[dict] = None
     cluster_id: Optional[int] = None
+    # aggregating index name -> {"location": ..., "size": int}
+    # (reference TableIndexType::Aggregating; per-block materialized
+    # aggregate partials)
+    agg_indexes: Dict[str, dict] = field(default_factory=dict)
 
     def to_dict(self):
         return {
@@ -47,6 +51,7 @@ class BlockMeta:
             "bloom_index": self.bloom_index,
             "ngram_index": self.ngram_index,
             "cluster_id": self.cluster_id,
+            "agg_indexes": self.agg_indexes,
         }
 
     @staticmethod
@@ -55,7 +60,8 @@ class BlockMeta:
             d["location"], d["row_count"], d["block_size"],
             {k: ColumnStats.from_dict(v) for k, v in d.get("col_stats", {}).items()},
             d.get("vector_indexes", {}), d.get("inverted_indexes", {}),
-            d.get("bloom_index"), d.get("ngram_index"), d.get("cluster_id"))
+            d.get("bloom_index"), d.get("ngram_index"), d.get("cluster_id"),
+            d.get("agg_indexes", {}))
 
     def vector_stats_for(self, index_name: str) -> Optional[VectorStats]:
         vi = self.vector_indexes.get(index_name)

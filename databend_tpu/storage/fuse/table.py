@@ -232,6 +232,10 @@ class FuseTable:
         # inverted indexes
         for idx in self.info.inverted_indexes():
             self._build_inverted_index(meta, chunk, uid, idx)
+        # aggregating indexes (materialized per-block aggregate partials)
+        for idx in self.info.indexes.values():
+            if idx.index_type == "AGGREGATING" and "aggs" in idx.options:
+                self._build_agg_index(meta, chunk, uid, idx)
         # ngram (LIKE) filters
         ngram_cols = {}
         for idx in self.info.ngram_indexes():
@@ -312,6 +316,84 @@ class FuseTable:
                 entry["graphs"][metric] = rel
         entry["size"] = size
         meta.vector_indexes[idx.name] = entry
+
+    def _build_agg_index(self, meta: BlockMeta, chunk: DataBlock, uid: str,
+                         idx: TableIndexDef):
+        """Materialize this block's aggregate partials (reference
+        TableIndexType::Aggregating): one parquet sidecar with the group
+        keys plus mergeable per-aggregate state columns — count: the count;
+        sum/avg: (sum, non-null count); min/max: (extremum, non-null
+        count). Merging partials across blocks is associative, so the
+        scan-time path (executor._try_agg_index) combines them exactly."""
+        import json as _json
+
+        from ...expression.schema import DataField
+        from ...pipeline.keys import composite_group, factorize_column
+        spec = _json.loads(idx.options.get("aggs", "[]"))
+        key_cols = [chunk.column(c) for c in idx.columns]
+        n = chunk.num_rows
+        local, rep_idx = composite_group(
+            [factorize_column(c) for c in key_cols])
+        g = len(rep_idx)
+        names = list(idx.columns)
+        cols = [c.take(rep_idx) for c in key_cols]
+        for i, a in enumerate(spec):
+            fn, colname = a["fn"], a["col"]
+            if fn == "count":
+                if colname is None:
+                    cnt = np.bincount(local, minlength=g)
+                else:
+                    c = chunk.column(colname)
+                    sel = (local if c.validity is None
+                           else local[c.validity])
+                    cnt = np.bincount(sel, minlength=g)
+                names.append(f"a{i}")
+                cols.append(Column.from_numpy(cnt.astype(np.int64)))
+                continue
+            c = chunk.column(colname)
+            data = np.asarray(c.data, np.float64)
+            valid = (np.ones(n, np.bool_) if c.validity is None
+                     else np.asarray(c.validity))
+            gsel = local[valid]
+            vsel = data[valid]
+            cnts = np.bincount(gsel, minlength=g)
+            if fn in ("sum", "avg"):
+                vals = np.bincount(gsel, weights=vsel, minlength=g)
+            else:
+                neutral = np.inf if fn == "min" else -np.inf
+                vals = np.full(g, neutral)
+                (np.minimum if fn == "min" else np.maximum).at(
+                    vals, gsel, vsel)
+            validity = cnts > 0
+            names.append(f"a{i}")
+            cols.append(Column(self._f64_nullable(), np.where(validity, vals, 0.0),
+                               None if validity.all() else validity))
+            names.append(f"a{i}_cnt")
+            cols.append(Column.from_numpy(cnts.astype(np.int64)))
+        sidecar = DataBlock(names, cols, g)
+        rel = f"_i/{uid}.{idx.name}.agg"
+        size = block_io.write_block(self.abs_path(rel), sidecar)
+        meta.agg_indexes[idx.name] = {
+            "location": rel, "size": size,
+            "schema": [(nm, c.dtype.sql_name()) for nm, c in
+                       zip(names, cols)]}
+
+    @staticmethod
+    def _f64_nullable():
+        from ...types import Float64
+        return Float64.wrap_nullable()
+
+    def read_agg_index_block(self, meta: BlockMeta, idx: TableIndexDef,
+                             entry: dict) -> DataBlock:
+        """Cached read of one block's aggregating-index sidecar."""
+        from ...expression.schema import DataField, TableSchema
+        from ...types import parse_type_name
+        cache = CacheManager.instance().blocks
+        path = self.abs_path(entry["location"])
+        schema = TableSchema([DataField(nm, parse_type_name(t))
+                              for nm, t in entry["schema"]])
+        return cache.get_or_load(path,
+                                 lambda: block_io.read_block(path, schema))
 
     def _build_inverted_index(self, meta: BlockMeta, chunk: DataBlock, uid: str,
                               idx: TableIndexDef):
@@ -468,7 +550,9 @@ class FuseTable:
                 missing = [i for i in wanted
                            if (i.index_type == "VECTOR" and i.name not in bm.vector_indexes)
                            or (i.index_type in ("INVERTED", "NGRAM")
-                               and i.name not in bm.inverted_indexes)]
+                               and i.name not in bm.inverted_indexes)
+                           or (i.index_type == "AGGREGATING"
+                               and i.name not in bm.agg_indexes)]
                 if not missing:
                     continue
                 block = block_io.read_block(self.abs_path(bm.location), self.schema)
@@ -476,6 +560,8 @@ class FuseTable:
                 for idx in missing:
                     if idx.index_type == "VECTOR":
                         self._build_vector_index(bm, block, uid, idx)
+                    elif idx.index_type == "AGGREGATING":
+                        self._build_agg_index(bm, block, uid, idx)
                     else:
                         self._build_inverted_index(bm, block, uid, idx)
                 touched += 1
@@ -548,6 +634,8 @@ class FuseTable:
                     for v in b.vector_indexes.values():
                         live.update(v.get("graphs", {}).values())
                     for v in b.inverted_indexes.values():
+                        live.add(v["location"])
+                    for v in b.agg_indexes.values():
                         live.add(v["location"])
         removed = 0
         for sub in ("_b", "_sg", "_ss", "_i"):
