@@ -112,3 +112,51 @@ def cluster_sort_order(vectors: np.ndarray, k: int = MAX_CLUSTERS,
         order[pos:pos + len(perm)] = perm
         pos += len(perm)
     return order
+
+
+def cluster_layout(vectors: np.ndarray, k: int = MAX_CLUSTERS,
+                   iters: int = 10):
+    """(row permutation, cluster run lengths) for cluster-ALIGNED block
+    splitting: rows sort by (cluster, distance-to-centroid) with clusters
+    ordered along their centroids' first principal axis, so adjacent
+    clusters are spatially close and blocks packing several whole clusters
+    keep tight centroid/radius stats (the routing prune's food —
+    reference vector_stat_score_domain). Batched at MAX_BATCH_ROWS like
+    the reference TransformVectorCluster."""
+    n = vectors.shape[0]
+    order = np.empty(n, dtype=np.int64)
+    runs = []
+    pos = 0
+    for start in range(0, n, MAX_BATCH_ROWS):
+        end = min(start + MAX_BATCH_ROWS, n)
+        batch = np.ascontiguousarray(vectors[start:end], np.float32)
+        km = KMeans(min(k, max(1, len(batch))), iters)
+        cent, assign, own = km.compute(batch)
+        kk = cent.shape[0]
+        # order clusters by a nearest-neighbor centroid walk so adjacent
+        # clusters are mutually CLOSE in the full space (a 1-D projection
+        # scatters high-dim modes); packed blocks then union only nearby
+        # cells and keep small radii
+        if kk > 1:
+            d2 = ((cent[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.inf)
+            visited = np.zeros(kk, np.bool_)
+            walk = [0]
+            visited[0] = True
+            for _ in range(kk - 1):
+                row = d2[walk[-1]].copy()
+                row[visited] = np.inf
+                nxt = int(np.argmin(row))
+                walk.append(nxt)
+                visited[nxt] = True
+            rank = np.empty(kk, np.int64)
+            rank[np.asarray(walk)] = np.arange(kk)
+            cluster_key = rank[assign]
+        else:
+            cluster_key = assign
+        perm = np.lexsort((own, cluster_key)) + start
+        order[pos:pos + len(perm)] = perm
+        pos += len(perm)
+        counts = np.bincount(cluster_key, minlength=kk)
+        runs.extend(int(c) for c in counts if c > 0)
+    return order, runs

@@ -27,18 +27,32 @@ from ..session import SessionContext
 
 class FlightSQLServer(fl.FlightServerBase):
     def __init__(self, data_root: str = ".databend_tpu",
-                 location: str = "grpc://127.0.0.1:0"):
+                 location: str = "grpc://127.0.0.1:0",
+                 max_running_queries: int = 0):
         super().__init__(location)
         self.ctx = SessionContext(data_root=data_root)
-        self._lock = threading.Lock()
+        # admission control instead of a global query lock: reads run
+        # concurrently on per-request session views (identity/db isolated);
+        # commits serialize via snapshot OCC (reference QueriesQueueManager)
+        from ...utils.memstat import QueryQueue
+        if not max_running_queries:
+            try:
+                max_running_queries = int(
+                    self.ctx.settings.get("max_running_queries") or 0)
+            except Exception:
+                max_running_queries = 0
+        self._queue = QueryQueue(max_running_queries)
 
     def _run(self, sql: str) -> pa.Table:
         from ...storage.fuse.block_io import block_to_arrow
-        with self._lock:  # one engine session; queries serialize
-            try:
-                res = self.ctx.sql(sql)
-            except DatabendError as e:
-                raise fl.FlightServerError(str(e))
+        self._queue.acquire()
+        try:
+            session = self.ctx.for_user(self.ctx.current_user)
+            res = session.sql(sql)
+        except DatabendError as e:
+            raise fl.FlightServerError(str(e))
+        finally:
+            self._queue.release()
         return block_to_arrow(res.block)
 
     # -------------------------------------------------------------- flight

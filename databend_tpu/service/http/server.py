@@ -114,11 +114,30 @@ class QueryServer:
     """aiohttp application hosting the query protocol over one engine."""
 
     def __init__(self, data_root: str = ".databend_tpu",
-                 max_finished: int = 256):
+                 max_finished: int = 256, address: str = ""):
         self.ctx = SessionContext(data_root=data_root)
         self.queries: Dict[str, HttpQuery] = {}
         self._lock = threading.Lock()
         self._max_finished = max_finished
+        # admission control (reference QueriesQueueManager, queue_mgr.rs):
+        # bounds concurrent executions; waiters time out with a queue error
+        from ...utils.memstat import QueryQueue
+        try:
+            limit = int(self.ctx.settings.get("max_running_queries") or 0)
+            timeout = float(self.ctx.settings.get(
+                "statement_queued_timeout_in_seconds") or 60)
+        except Exception:
+            limit, timeout = 0, 60.0
+        self._queue = QueryQueue(limit, timeout)
+        # register this server process in the cluster registry
+        # (reference ClusterDiscovery::register_to_metastore)
+        from ...meta.cluster import ClusterDiscovery
+        self.discovery = ClusterDiscovery(self.ctx.meta)
+        self.node = self.discovery.local_node(address=address)
+        try:
+            self.discovery.register(self.node)
+        except Exception:
+            pass
 
     # ----------------------------------------------------------- handlers
     def _authenticate(self, request):
@@ -166,9 +185,23 @@ class QueryServer:
             self._gc_locked()
         # one worker thread per query; the engine is thread-safe per-session
         # for read paths and serializes commits via OCC. Each request runs
-        # on a session view bound to ITS authenticated user.
-        await asyncio.get_event_loop().run_in_executor(
-            None, q.run, self.ctx.for_user(user))
+        # on a session view bound to ITS authenticated user, gated by the
+        # admission queue.
+        session = self.ctx.for_user(user)
+
+        def run_admitted():
+            try:
+                self._queue.acquire()
+            except Exception as e:
+                q.state = "Failed"
+                q.error = {"code": 2504, "message": str(e)}
+                return
+            try:
+                q.run(session)
+            finally:
+                self._queue.release()
+
+        await asyncio.get_event_loop().run_in_executor(None, run_admitted)
         return web.json_response(q.page_response(0))
 
     async def handle_page(self, request):

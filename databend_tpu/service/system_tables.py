@@ -183,11 +183,19 @@ def _sys_engines(s):
 
 
 def _sys_clusters(s):
-    """Mesh topology as the cluster node list (reference clusters_table:
-    query nodes; here: JAX devices = the data-plane 'nodes')."""
+    """Registered server processes (reference clusters_table: query nodes
+    from ClusterDiscovery) plus the device mesh as the data-plane rows."""
     import jax
-    rows = [(f"device-{i}", d.platform, str(d), i)
-            for i, d in enumerate(jax.devices())]
+    rows = []
+    try:
+        from ..meta.cluster import ClusterDiscovery
+        for n in ClusterDiscovery(s.meta).list_nodes():
+            rows.append((n.node_id, n.address, f"server v{n.version} "
+                         f"({n.device_count} devices)", 0))
+    except Exception:
+        pass
+    rows += [(f"device-{i}", d.platform, str(d), i)
+             for i, d in enumerate(jax.devices())]
     cols = list(zip(*rows)) if rows else [[] for _ in range(4)]
     return _block([
         ("name", String, list(cols[0])), ("host", String, list(cols[1])),

@@ -49,6 +49,67 @@ COMMIT_RETRIES = 10
 GRAPH_BUILD_MIN_ROWS = 1 << 20
 
 
+# block sizes are multiples of this so the per-block device programs
+# compile once per (size, k) instead of once per arbitrary row count
+SPAN_QUANTUM = 4096
+
+
+def _block_spans(n_rows: int, rpb: int, cluster_runs=None):
+    """Block boundaries for append: plain rpb slices, or — when cluster
+    run lengths are known — cuts at cluster boundaries ROUNDED UP to the
+    SPAN_QUANTUM grid (clusters larger than rpb split at rpb). Blocks then
+    hold one-or-few spatially adjacent clusters plus at most QUANTUM-1
+    rows of the next (nearest-centroid) cluster, keeping centroid/radius
+    domains tight for the routing prune (vector_index_pruner.rs:544-617)
+    while block shapes stay XLA-cache-friendly."""
+    if n_rows <= 0:
+        return
+    if not cluster_runs:
+        for start in range(0, n_rows, rpb):
+            yield start, min(start + rpb, n_rows)
+        return
+    q = min(SPAN_QUANTUM, rpb)
+    ends = []
+    for _, end in _aligned_spans(n_rows, rpb, cluster_runs):
+        # shift each cut forward to the quantum grid (leaks < q rows of
+        # the NEXT, nearest-centroid cluster into the block)
+        ends.append(min(((end + q - 1) // q) * q, n_rows))
+    start = 0
+    for end in ends:
+        if end <= start:
+            continue
+        yield start, end
+        start = end
+    if start < n_rows:
+        for s in range(start, n_rows, rpb):
+            yield s, min(s + rpb, n_rows)
+
+
+def _aligned_spans(n_rows: int, rpb: int, cluster_runs):
+    """Exact cluster-aligned spans: whole clusters pack up to rpb;
+    oversized clusters split at rpb."""
+    start = 0   # current block's first row
+    pos = 0     # rows consumed
+    for run in cluster_runs:
+        if pos > start and (pos - start) + run > rpb:
+            yield start, pos
+            start = pos
+        if run > rpb:
+            if pos > start:
+                yield start, pos
+            for s in range(pos, pos + run, rpb):
+                yield s, min(s + rpb, pos + run)
+            pos += run
+            start = pos
+        else:
+            pos += run
+    if pos > start:
+        yield start, pos
+    if pos < n_rows:  # safety: rows beyond the recorded runs
+        for s in range(pos, n_rows, rpb):
+            yield s, min(s + rpb, n_rows)
+
+
 class FuseTable:
     def __init__(self, info: TableInfo, catalog: Catalog, data_root: str):
         self.info = info
@@ -137,11 +198,11 @@ class FuseTable:
         """Write a DataBlock (splitting into row_per_block chunks), build
         per-block indexes, commit a new snapshot (OCC with retry)."""
         block = self._normalize_block(block)
-        block = self._cluster_sort(block)
+        block, cluster_runs = self._cluster_sort(block)
         rpb = self.row_per_block()
         metas: List[BlockMeta] = []
-        for start in range(0, max(block.num_rows, 1), rpb):
-            chunk = block.slice(start, min(start + rpb, block.num_rows))
+        for start, end in _block_spans(block.num_rows, rpb, cluster_runs):
+            chunk = block.slice(start, end)
             if chunk.num_rows == 0:
                 continue
             metas.append(self._write_block(chunk))
@@ -168,27 +229,29 @@ class FuseTable:
                                             block.num_rows))
         return DataBlock(names, cols, block.num_rows)
 
-    def _cluster_sort(self, block: DataBlock) -> DataBlock:
+    def _cluster_sort(self, block: DataBlock):
         """CLUSTER BY handling at write (reference TransformVectorCluster,
         transform_vector_cluster.rs:29-141): vector keys -> k-means sort by
-        (cluster_id, distance-to-centroid); scalar keys -> plain lexsort.
-        Tightens per-block stats so range/vector-stats pruning bites."""
+        (cluster_id, distance-to-centroid) returning cluster run lengths so
+        ``append`` splits blocks at CLUSTER boundaries (blocks then carry
+        tight centroid/radius stats and the routing prune bites); scalar
+        keys -> plain lexsort. Returns (block, cluster_runs-or-None)."""
         import numpy as np
         from ...types import VectorType
         if not self.info.cluster_by or block.num_rows <= 1:
-            return block
+            return block, None
         key = self.info.cluster_by[0]
         if not block.has_column(key):
-            return block
+            return block, None
         col = block.column(key)
         if isinstance(col.dtype.remove_nullable(), VectorType):
-            from ...index.kmeans import MAX_CLUSTERS, cluster_sort_order
-            # one cluster per output block so blocks ~= clusters and the
-            # centroid/radius stats prune tightly (capped like the reference)
-            k = min(MAX_CLUSTERS,
-                    max(1, -(-block.num_rows // self.row_per_block())))
-            order = cluster_sort_order(np.asarray(col.data, dtype=np.float32), k=k)
-            return block.take(order)
+            from ...index.kmeans import MAX_CLUSTERS, cluster_layout
+            # reference operating point: 64 clusters per <=262,144-row
+            # batch (transform_vector_cluster.rs); aligned packing below
+            # merges whole adjacent clusters into rpb-sized blocks
+            order, runs = cluster_layout(
+                np.asarray(col.data, dtype=np.float32), k=MAX_CLUSTERS)
+            return block.take(order), runs
         # scalar cluster keys: lexsort (minor->major)
         keys = []
         for k in reversed(self.info.cluster_by):
@@ -200,8 +263,8 @@ class FuseTable:
                    if isinstance(c.data, StringData) else np.asarray(c.data))
             keys.append(arr)
         if not keys:
-            return block
-        return block.take(np.lexsort(keys))
+            return block, None
+        return block.take(np.lexsort(keys)), None
 
     def _write_block(self, chunk: DataBlock) -> BlockMeta:
         uid = new_uuid()
@@ -724,9 +787,10 @@ class FuseTable:
     def stacked_device_vectors(self, metas: List[BlockMeta], col_name: str,
                                normalized: bool):
         """All listed blocks' vector columns as ONE HBM-resident `[total, d]`
-        device array (+ row offsets). Replaces per-block device dispatch with
-        a single program over the stacked corpus — the TPU-native form of the
-        reference's per-block async pruning fan-out (fuse_pruner.rs:386)."""
+        device array (+ row offsets), cached per block SET. Used only for
+        stable sets (the whole table); per-query pruned subsets go through
+        the per-block async path instead — a fresh concat per distinct
+        subset would recompile and thrash HBM."""
         import jax.numpy as jnp
         cm = CacheManager.instance().vector_columns
         locs = tuple(self.abs_path(m.location) for m in metas)
@@ -762,18 +826,37 @@ class FuseTable:
             return [(int(np.searchsorted(offsets, g, side="right") - 1),
                      int(g - offsets[np.searchsorted(offsets, g, side="right") - 1]),
                      float(flat[g])) for g in top.tolist()]
-        x_dev, offsets = self.stacked_device_vectors(
-            metas, info.column, normalized=(metric == "cosine"))
-        k = min(limit, int(x_dev.shape[0]))
-        vals, ids = _exact_topk_program(np.asarray(q, np.float32), x_dev,
-                                        k, metric)
-        vals = np.asarray(vals)[0]
-        ids = np.asarray(ids)[0]
+        qj = np.asarray(q, np.float32)
+        if self._is_full_block_set(metas, total):
+            # stable set: one program over the cached stacked corpus
+            x_dev, offsets = self.stacked_device_vectors(
+                metas, info.column, normalized=(metric == "cosine"))
+            k = min(limit, int(x_dev.shape[0]))
+            vals, ids = _exact_topk_program(qj, x_dev, k, metric)
+            vals = np.asarray(vals)[0]
+            ids = np.asarray(ids)[0]
+            out = []
+            for gid, s in zip(ids.tolist(), vals.tolist()):
+                bi = int(np.searchsorted(offsets, gid, side="right") - 1)
+                out.append((bi, gid - int(offsets[bi]), float(s)))
+            return out
+        # pruned subset: per-block programs (compiled once per quantized
+        # block shape), dispatched ASYNC and synced once — a fresh stacked
+        # concat per distinct subset would recompile + thrash HBM
+        pend = []
+        for bi, m in enumerate(metas):
+            x_dev = self.device_vectors(m, info.column,
+                                        normalized=(metric == "cosine"))
+            k = min(limit, int(x_dev.shape[0]))
+            vals, ids = _exact_topk_program(qj, x_dev, k, metric)
+            pend.append((bi, vals, ids))
         out = []
-        for gid, s in zip(ids.tolist(), vals.tolist()):
-            bi = int(np.searchsorted(offsets, gid, side="right") - 1)
-            out.append((bi, gid - int(offsets[bi]), float(s)))
-        return out
+        for bi, vals, ids in pend:  # np.asarray syncs; queue already full
+            for r, s in zip(np.asarray(ids)[0].tolist(),
+                            np.asarray(vals)[0].tolist()):
+                out.append((bi, int(r), float(s)))
+        out.sort(key=lambda t: t[2])
+        return out[:limit]
 
     def batch_generate_scores(self, metas: List[BlockMeta],
                               info: VectorIndexInfo,
@@ -787,10 +870,29 @@ class FuseTable:
         total = sum(m.row_count for m in metas)
         if total <= host_max_rows:
             return self._host_block_scores(metas, info, q)
-        x_dev, offsets = self.stacked_device_vectors(
-            metas, info.column, normalized=(metric == "cosine"))
-        scores = np.asarray(_stacked_scores_program(q, x_dev, metric))[0]
-        return [scores[offsets[i]:offsets[i + 1]] for i in range(len(metas))]
+        if self._is_full_block_set(metas, total):
+            x_dev, offsets = self.stacked_device_vectors(
+                metas, info.column, normalized=(metric == "cosine"))
+            scores = np.asarray(_stacked_scores_program(q, x_dev, metric))[0]
+            return [scores[offsets[i]:offsets[i + 1]]
+                    for i in range(len(metas))]
+        # pruned subset: per-block programs, async dispatch + one sync
+        pend = []
+        for m in metas:
+            x_dev = self.device_vectors(m, info.column,
+                                        normalized=(metric == "cosine"))
+            pend.append(_stacked_scores_program(q, x_dev, metric))
+        return [np.asarray(p)[0] for p in pend]
+
+    def _is_full_block_set(self, metas: List[BlockMeta], total: int) -> bool:
+        """True when metas covers the head snapshot's whole corpus (the
+        stacked-corpus cache is then stable across queries)."""
+        try:
+            snap = self.read_snapshot()
+            return snap is not None and total == snap.row_count \
+                and len(metas) == snap.block_count
+        except Exception:
+            return False
 
     def _host_block_scores(self, metas: List[BlockMeta],
                            info: VectorIndexInfo,
