@@ -66,7 +66,8 @@ class FileFormatOptions:
 def detect_format(path: str) -> str:
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     return {"csv": "CSV", "tsv": "TSV", "ndjson": "NDJSON", "jsonl": "NDJSON",
-            "json": "NDJSON", "parquet": "PARQUET", "pq": "PARQUET"}.get(ext, "CSV")
+            "json": "NDJSON", "parquet": "PARQUET", "pq": "PARQUET",
+            "orc": "ORC", "avro": "AVRO"}.get(ext, "CSV")
 
 
 _COMPRESSION_EXT = {".gz": "GZIP", ".gzip": "GZIP", ".zst": "ZSTD",
@@ -208,6 +209,38 @@ def _read_parquet(path: str, schema: TableSchema, opts: FileFormatOptions) -> Da
     return read_block(path, schema)
 
 
+def _read_orc(path: str, schema: TableSchema, opts: FileFormatOptions) -> DataBlock:
+    """ORC via pyarrow (reference: src/query/storages/orc + formats)."""
+    import pyarrow.orc as paorc
+
+    from ..storage.fuse.block_io import _from_arrow_array
+    table = paorc.ORCFile(path).read()
+    lower = {c.lower(): c for c in table.column_names}
+    cols, names = [], []
+    for f in schema.fields:
+        names.append(f.name)
+        src = lower.get(f.name.lower())
+        if src is None:
+            from ..expression.evaluator import constant_column
+            cols.append(constant_column(None, f.dtype.wrap_nullable(),
+                                        table.num_rows))
+        else:
+            cols.append(_from_arrow_array(table.column(src), f.dtype))
+    return DataBlock(names, cols, table.num_rows)
+
+
+def _read_avro(path: str, schema: TableSchema, opts: FileFormatOptions) -> DataBlock:
+    """Avro OCF via the built-in decoder (no avro lib in this image;
+    reference: src/query/formats avro support)."""
+    from .avro import read_avro_records
+    records = read_avro_records(path)
+    rows = []
+    for o in records:
+        o2 = {k.lower(): v for k, v in o.items()}
+        rows.append([o2.get(f.name.lower()) for f in schema.fields])
+    return _rows_to_block(rows, schema, opts)
+
+
 def read_file(path: str, schema: TableSchema,
               opts: Optional[FileFormatOptions] = None) -> DataBlock:
     if opts is None:
@@ -219,6 +252,10 @@ def read_file(path: str, schema: TableSchema,
         return _read_ndjson(path, schema, opts)
     if t == "PARQUET":
         return _read_parquet(path, schema, opts)
+    if t == "ORC":
+        return _read_orc(path, schema, opts)
+    if t == "AVRO":
+        return _read_avro(path, schema, opts)
     raise BadArguments(f"unsupported file format {t!r}")
 
 
@@ -259,5 +296,11 @@ def write_file(path: str, block: DataBlock,
     if t == "PARQUET":
         from ..storage.fuse.block_io import write_block
         write_block(path, block)
+        return block.num_rows
+    if t == "ORC":
+        import pyarrow.orc as paorc
+
+        from ..storage.fuse.block_io import block_to_arrow
+        paorc.write_table(block_to_arrow(block), path)
         return block.num_rows
     raise BadArguments(f"unsupported file format {t!r}")

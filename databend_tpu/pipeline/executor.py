@@ -556,6 +556,8 @@ def _try_stats_aggregate(plan: AggregatePlan) -> Optional[DataBlock]:
     for name, fn, arg_exprs in plan.aggs:
         names.append(name)
         if fn.name == "count":
+            if any(p.meta.row_count < 0 for p in parts):
+                return None  # external files: counts unknown until read
             total = sum(p.meta.row_count for p in parts)
             cols.append(Column.from_pylist([total], fn.return_type()))
         else:

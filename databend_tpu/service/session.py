@@ -173,7 +173,13 @@ class SessionContext:
     def open_table(self, info: TableInfo) -> FuseTable:
         t = self._tables.get(info.table_id)
         if t is None or t.info.to_dict() != info.to_dict():
-            t = FuseTable(info, self.catalog, os.path.join(self.data_root, "tables"))
+            from ..storage.external import EXTERNAL_ENGINES, ExternalTable
+            if info.engine.upper() in EXTERNAL_ENGINES:
+                t = ExternalTable(info, self.catalog,
+                                  os.path.join(self.data_root, "tables"))
+            else:
+                t = FuseTable(info, self.catalog,
+                              os.path.join(self.data_root, "tables"))
             self._tables[info.table_id] = t
         return t
 

@@ -1,0 +1,224 @@
+"""External table engines: files that live OUTSIDE fuse snapshots.
+
+Reference analogs: src/query/storages/{parquet,hive,delta,orc} — tables
+whose data is a directory of files in an open format, read in place with
+no snapshot/commit machinery. Supported engines:
+
+  * PARQUET / ORC / CSV / TSV / NDJSON / AVRO — ``LOCATION='path'`` is a
+    file or directory (recursive); one file = one scan block.
+  * HIVE — directory tree with ``key=value`` partition directories;
+    partition columns materialize from the path (reference
+    storages/hive); ``format='parquet'`` option picks the file format.
+  * DELTA — Delta Lake table: the live file set comes from replaying
+    ``_delta_log/*.json`` add/remove actions (reference storages/delta;
+    parquet checkpoints are not consumed — tables with only JSON commits,
+    which includes every freshly-written table, read correctly).
+
+The declared column list is the schema (the reference infers it from the
+table metadata; declaring it keeps the binder's type checking exact).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+from ..catalog.pushdown import PushDownInfo
+from ..errors import BadArguments, StorageOther
+from ..expression import DataBlock
+from ..expression.schema import TableSchema
+from ..utils.cache import CacheManager
+
+_FILE_ENGINES = ("PARQUET", "ORC", "CSV", "TSV", "NDJSON", "AVRO")
+EXTERNAL_ENGINES = _FILE_ENGINES + ("HIVE", "DELTA")
+
+
+class ExternalBlockMeta:
+    """One file of the external table (quacks like fuse BlockMeta where
+    the scan path looks: location, row_count, col_stats, index dicts)."""
+
+    def __init__(self, path: str, row_count: int = -1,
+                 partition_values: Optional[dict] = None):
+        self.location = path
+        self.row_count = row_count  # -1 = unknown until read
+        self.col_stats: dict = {}
+        self.vector_indexes: dict = {}
+        self.inverted_indexes: dict = {}
+        self.agg_indexes: dict = {}
+        self.bloom_index = None
+        self.ngram_index = None
+        self.partition_values = partition_values or {}
+
+
+class ExternalTable:
+    """Read-only table over external files (Table trait analog)."""
+
+    def __init__(self, info, catalog=None, data_root: str = ""):
+        self.info = info
+        self.engine = info.engine.upper()
+        loc = info.options.get("location")
+        if not loc:
+            raise BadArguments(
+                f"external table {info.name!r} needs LOCATION='path'")
+        self.location = loc
+        self.fmt = str(info.options.get(
+            "format", self.engine if self.engine in _FILE_ENGINES
+            else "PARQUET")).upper()
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def schema(self) -> TableSchema:
+        return self.info.schema
+
+    def read_snapshot(self, snapshot_id=None):
+        return None
+
+    def append(self, block, overwrite: bool = False):
+        from ..errors import UnsupportedFeature
+        raise UnsupportedFeature(
+            f"table {self.info.name!r} (engine {self.engine}) is external"
+            " and read-only")
+
+    # ----------------------------------------------------------------- files
+    def _data_files(self) -> List[ExternalBlockMeta]:
+        if self.engine == "DELTA":
+            return self._delta_files()
+        exts = {"PARQUET": (".parquet", ".pq"), "ORC": (".orc",),
+                "CSV": (".csv",), "TSV": (".tsv",),
+                "NDJSON": (".ndjson", ".jsonl", ".json"),
+                "AVRO": (".avro",)}[self.fmt]
+        out = []
+        if os.path.isfile(self.location):
+            return [ExternalBlockMeta(self.location)]
+        for root, _, files in os.walk(self.location):
+            parts = _hive_partition_values(
+                os.path.relpath(root, self.location)) \
+                if self.engine == "HIVE" else {}
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue
+                if not f.lower().endswith(exts):
+                    continue
+                out.append(ExternalBlockMeta(os.path.join(root, f),
+                                             partition_values=parts))
+        return out
+
+    def _delta_files(self) -> List[ExternalBlockMeta]:
+        log_dir = os.path.join(self.location, "_delta_log")
+        if not os.path.isdir(log_dir):
+            raise StorageOther(f"{self.location}: no _delta_log directory")
+        live: dict = {}
+        for name in sorted(os.listdir(log_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(log_dir, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        a = action["add"]
+                        live[a["path"]] = ExternalBlockMeta(
+                            os.path.join(self.location, a["path"]),
+                            partition_values=a.get("partitionValues", {}))
+                    elif "remove" in action:
+                        live.pop(action["remove"]["path"], None)
+        return [live[k] for k in sorted(live)]
+
+    # ----------------------------------------------------------------- reads
+    def read_partitions(self, pushdown: Optional[PushDownInfo] = None,
+                        snapshot_id=None):
+        from .fuse.pruning.pruner import PrunedBlock, PruningStats
+        metas = self._data_files()
+        stats = PruningStats()
+        stats.blocks_before = len(metas)
+        # partition pruning: equality predicates on partition columns
+        pd = pushdown or PushDownInfo()
+        if pd.filters is not None:
+            eq = _equality_conjuncts(pd.filters)
+            kept = []
+            for m in metas:
+                ok = True
+                for col, val in eq:
+                    pv = m.partition_values.get(col)
+                    if pv is not None and str(pv) != str(val):
+                        ok = False
+                        break
+                if ok:
+                    kept.append(m)
+            metas = kept
+        stats.blocks_after = len(metas)
+        return [PrunedBlock(m) for m in metas], stats
+
+    def read_block(self, meta: ExternalBlockMeta,
+                   projection: Optional[List[str]] = None) -> DataBlock:
+        from ..formats.registry import FileFormatOptions, read_file
+        cache = CacheManager.instance().blocks
+        key = ("ext", meta.location)
+        part_cols = set(k.lower() for k in meta.partition_values)
+        file_fields = [f for f in self.schema.fields
+                       if f.name.lower() not in part_cols]
+
+        def load():
+            blk = read_file(meta.location, TableSchema(list(file_fields)),
+                            FileFormatOptions(type=self.fmt))
+            # materialize partition columns from the path (HIVE/DELTA)
+            for f in self.schema.fields:
+                pv = meta.partition_values.get(f.name) \
+                    or meta.partition_values.get(f.name.lower())
+                if f.name.lower() in part_cols:
+                    from ..expression import Column
+                    from ..expression.evaluator import cast_column
+                    col = Column.from_pylist([pv] * blk.num_rows,
+                                             _string_type())
+                    if f.dtype.remove_nullable() != _string_type():
+                        col = cast_column(col, f.dtype, False)
+                    blk = blk.with_column(f.name, col)
+            meta.row_count = blk.num_rows
+            return blk.project([f.name for f in self.schema.fields])
+
+        blk = cache.get_or_load(key, load)
+        meta.row_count = blk.num_rows
+        if projection is not None:
+            return blk.project([self.schema.field(n).name
+                                for n in projection])
+        return blk
+
+
+def _string_type():
+    from ..types import String
+    return String
+
+
+def _hive_partition_values(rel: str) -> dict:
+    out = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+def _equality_conjuncts(expr) -> List[Tuple[str, object]]:
+    """(column, literal) pairs from AND-ed `col = const` predicates."""
+    from ..expression.expr import BoundColumn, Constant, Func
+    out = []
+
+    def visit(e):
+        if not isinstance(e, Func):
+            return
+        if e.name == "and":
+            for a in e.args:
+                visit(a)
+            return
+        if e.name == "eq" and len(e.args) == 2:
+            a, b = e.args
+            if isinstance(a, BoundColumn) and isinstance(b, Constant):
+                out.append((a.name.lower(), b.value))
+            elif isinstance(b, BoundColumn) and isinstance(a, Constant):
+                out.append((b.name.lower(), a.value))
+
+    visit(expr)
+    return out

@@ -93,6 +93,36 @@ def test_copy_parquet_and_pattern(ctx, tmp_path):
     assert r.affected_rows == 2
 
 
+def test_copy_orc_roundtrip(ctx, tmp_path):
+    """ORC load + unload via pyarrow (reference src/query/storages/orc)."""
+    ctx.sql("INSERT INTO cp VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5)")
+    out = tmp_path / "out.orc"
+    ctx.sql(f"COPY INTO '{out}' FROM cp FILE_FORMAT = (TYPE = ORC)")
+    ctx.sql("CREATE TABLE cpo (id BIGINT, name VARCHAR, score DOUBLE)")
+    ctx.sql(f"COPY INTO cpo FROM '{out}' FILE_FORMAT = (TYPE = ORC)")
+    assert ctx.sql("SELECT id, name, score FROM cpo ORDER BY id").rows() == \
+        [(1, "alpha", 1.5), (2, "beta", 2.5)]
+
+
+def test_copy_avro_load(ctx, tmp_path):
+    """Avro OCF load via the built-in decoder (no avro lib in the image)."""
+    from databend_tpu.formats.avro import read_avro_records, write_avro_records
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"}]}
+    src = tmp_path / "in.avro"
+    write_avro_records(str(src), schema, [
+        {"id": 1, "name": "alpha", "score": 1.5},
+        {"id": 2, "name": None, "score": 2.5}])
+    # decoder round-trip sanity
+    recs = list(read_avro_records(str(src)))
+    assert recs[0]["id"] == 1 and recs[1]["name"] is None
+    ctx.sql(f"COPY INTO cp FROM '{src}' FILE_FORMAT = (TYPE = AVRO)")
+    rows = ctx.sql("SELECT id, name, score FROM cp ORDER BY id").rows()
+    assert rows == [(1, "alpha", 1.5), (2, None, 2.5)]
+
+
 def test_copy_vector_column(tmp_catalog, tmp_path):
     c = tmp_catalog
     c.sql("CREATE TABLE cv (id BIGINT, emb VECTOR(3))")
