@@ -198,7 +198,8 @@ def _brute_force_scores(table, meta, info, block: DataBlock) -> np.ndarray:
     x = table.device_vectors(meta, info.column, normalized=False)
     q = jnp.asarray(np.asarray(info.query_values, np.float32)[None, :])
     d = pairwise_distance(q, x, metric)
-    return np.asarray(d[0], np.float32)
+    # device arrays pad to the quantum grid; keep only real rows
+    return np.asarray(d[0], np.float32)[:block.num_rows]
 
 
 # -------------------------------------------------------------------- basics

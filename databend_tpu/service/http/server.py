@@ -252,6 +252,35 @@ class QueryServer:
             for qid in done[:excess]:
                 del self.queries[qid]
 
+    # ------------------------------------------------------------- admin
+    # (reference: the AdminService HTTP API, src/meta/admin +
+    # entry.rs:217 — operational introspection, no SQL round trip)
+    async def handle_admin_settings(self, request):
+        from aiohttp import web
+        return web.json_response(
+            {name: str(val) for name, val, _, _ in self.ctx.settings.all()})
+
+    async def handle_admin_cluster(self, request):
+        from aiohttp import web
+        nodes = [n.to_dict() for n in self.discovery.list_nodes()]
+        return web.json_response({"nodes": nodes,
+                                  "self": self.node.node_id})
+
+    async def handle_admin_processes(self, request):
+        from aiohttp import web
+        out = [{"id": q.id, "state": q.state, "sql": q.sql[:512]}
+               for q in list(self.queries.values())]
+        return web.json_response({"processes": out})
+
+    async def handle_admin_tables(self, request):
+        from aiohttp import web
+        out = []
+        for d in self.ctx.catalog.list_databases():
+            for info in self.ctx.catalog.list_tables(d.name):
+                out.append({"database": d.name, "name": info.name,
+                            "engine": info.engine})
+        return web.json_response({"tables": out})
+
     # --------------------------------------------------------------- app
     def make_app(self):
         from aiohttp import web
@@ -264,6 +293,10 @@ class QueryServer:
         app.router.add_post("/v1/query/{qid}/kill", self.handle_kill)
         app.router.add_get("/v1/health", self.handle_health)
         app.router.add_get("/v1/metrics", self.handle_metrics)
+        app.router.add_get("/v1/admin/settings", self.handle_admin_settings)
+        app.router.add_get("/v1/admin/cluster", self.handle_admin_cluster)
+        app.router.add_get("/v1/admin/processes", self.handle_admin_processes)
+        app.router.add_get("/v1/admin/tables", self.handle_admin_tables)
         return app
 
     def run(self, host: str = "127.0.0.1", port: int = 8124):  # pragma: no cover

@@ -209,16 +209,23 @@ class SessionContext:
                 entry["result_rows"] = len(result)
                 METRICS.inc("queries_total")
                 return result
-            stmt = parse_sql(sql)
-            entry["query_kind"] = type(stmt).__name__.replace("Stmt", "")
-            timeout = int(self.settings.get("max_execute_time_in_seconds") or 0)
-            from ..pipeline.executor import set_deadline
-            _dl_token = set_deadline(
-                time.monotonic() + timeout if timeout else None)
+            from ..utils.tracing import reset_query_id, set_query_id, span
+            _qid_token = set_query_id(entry["query_id"])
             try:
-                result = self._execute_statement(stmt)
+                with span("parse"):
+                    stmt = parse_sql(sql)
+                entry["query_kind"] = type(stmt).__name__.replace("Stmt", "")
+                timeout = int(self.settings.get(
+                    "max_execute_time_in_seconds") or 0)
+                from ..pipeline.executor import set_deadline
+                _dl_token = set_deadline(
+                    time.monotonic() + timeout if timeout else None)
+                try:
+                    result = self._execute_statement(stmt)
+                finally:
+                    set_deadline(None, _dl_token)
             finally:
-                set_deadline(None, _dl_token)
+                reset_query_id(_qid_token)
             max_rows = int(self.settings.get("max_result_rows") or 0)
             if max_rows and isinstance(stmt, A.QueryStmt) \
                     and result.block.num_rows > max_rows:
@@ -316,8 +323,13 @@ class SessionContext:
                     return cached[1]
         if isinstance(stmt, A.QueryStmt):
             from ..sql.optimizer import optimize
-            plan = optimize(Binder(self).bind_query(stmt.query), self)
-            block = execute_plan(plan)
+            from ..utils.tracing import span
+            with span("bind"):
+                plan = Binder(self).bind_query(stmt.query)
+            with span("optimize"):
+                plan = optimize(plan, self)
+            with span("execute"):
+                block = execute_plan(plan)
             result = QueryResult(block, plan.output_fields())
             key = self._result_cache_key(stmt)
             if key is not None:

@@ -319,6 +319,19 @@ def _sys_contributors(s):
     return _block([("name", String, ["databend_tpu developers"])])
 
 
+def _sys_trace_spans(s):
+    """Recent query spans (reference: fastrace spans surfaced via
+    system_history; here an in-process recorder, utils/tracing.py)."""
+    from ..utils.tracing import RECORDER
+    spans = RECORDER.snapshot()
+    return _block([
+        ("query_id", String, [sp.query_id for sp in spans]),
+        ("name", String, [sp.name for sp in spans]),
+        ("path", String, [sp.path() for sp in spans]),
+        ("duration_ms", Float64, [sp.duration_ms for sp in spans]),
+        ("error", String, [sp.attrs.get("error") for sp in spans])])
+
+
 SYSTEM_TABLES: Dict[str, Callable] = {
     "one": _sys_one,
     "databases": _sys_databases,
@@ -347,6 +360,7 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "temp_files": _sys_temp_files,
     "configs": _sys_configs,
     "contributors": _sys_contributors,
+    "trace_spans": _sys_trace_spans,
 }
 
 

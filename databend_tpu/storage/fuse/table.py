@@ -56,33 +56,19 @@ SPAN_QUANTUM = 4096
 
 def _block_spans(n_rows: int, rpb: int, cluster_runs=None):
     """Block boundaries for append: plain rpb slices, or — when cluster
-    run lengths are known — cuts at cluster boundaries ROUNDED UP to the
-    SPAN_QUANTUM grid (clusters larger than rpb split at rpb). Blocks then
-    hold one-or-few spatially adjacent clusters plus at most QUANTUM-1
-    rows of the next (nearest-centroid) cluster, keeping centroid/radius
-    domains tight for the routing prune (vector_index_pruner.rs:544-617)
-    while block shapes stay XLA-cache-friendly."""
+    run lengths are known — EXACT cuts at cluster boundaries (clusters
+    larger than rpb split at rpb). Pure blocks keep tight centroid/radius
+    domains for the routing prune (vector_index_pruner.rs:544-617)."""
     if n_rows <= 0:
         return
     if not cluster_runs:
         for start in range(0, n_rows, rpb):
             yield start, min(start + rpb, n_rows)
         return
-    q = min(SPAN_QUANTUM, rpb)
-    ends = []
-    for _, end in _aligned_spans(n_rows, rpb, cluster_runs):
-        # shift each cut forward to the quantum grid (leaks < q rows of
-        # the NEXT, nearest-centroid cluster into the block)
-        ends.append(min(((end + q - 1) // q) * q, n_rows))
-    start = 0
-    for end in ends:
-        if end <= start:
-            continue
-        yield start, end
-        start = end
-    if start < n_rows:
-        for s in range(start, n_rows, rpb):
-            yield s, min(s + rpb, n_rows)
+    # exact cluster alignment on disk; the DEVICE arrays pad to the
+    # SPAN_QUANTUM grid at load (device_vectors) with index-masked
+    # scoring, so ragged block sizes never multiply compile counts
+    yield from _aligned_spans(n_rows, rpb, cluster_runs)
 
 
 def _aligned_spans(n_rows: int, rpb: int, cluster_runs):
@@ -734,15 +720,26 @@ class FuseTable:
 
     # -------------------------------------------------------- vector serving
     def device_vectors(self, meta: BlockMeta, col_name: str, normalized: bool):
-        """Block's vector column as an HBM-resident device array (cached)."""
+        """Block's vector column as an HBM-resident device array (cached).
+
+        Rows pad with zeros to the SPAN_QUANTUM grid so cluster-aligned
+        (ragged) blocks share compiled program shapes; consumers mask
+        padding by index (meta.row_count is the valid count)."""
         import jax.numpy as jnp
         from ...ops.distance import normalize
         cm = CacheManager.instance().vector_columns
         key = (self.abs_path(meta.location), col_name.lower(), normalized)
+
         def load():
             col = self.read_block(meta, [col_name]).column(col_name)
-            arr = jnp.asarray(col.numpy())
-            return normalize(arr) if normalized else arr
+            arr = np.asarray(col.numpy(), np.float32)
+            rem = (-arr.shape[0]) % SPAN_QUANTUM
+            if rem and arr.shape[0] > SPAN_QUANTUM // 4:
+                arr = np.concatenate(
+                    [arr, np.zeros((rem, arr.shape[1]), np.float32)], axis=0)
+            dev = jnp.asarray(arr)
+            return normalize(dev) if normalized else dev
+
         return cm.get_or_load(key, load)
 
     def load_vector_graph(self, meta: BlockMeta, index_name: str, metric: str):
@@ -779,9 +776,9 @@ class FuseTable:
         metric = info.func_name.replace("_distance", "")
         x_dev = self.device_vectors(meta, info.column,
                                     normalized=(metric == "cosine"))
-        k = min(limit, x_dev.shape[0])
+        k = min(limit, meta.row_count)
         vals, ids = _exact_topk_program(np.asarray(q, np.float32), x_dev,
-                                        k, metric)
+                                        k, metric, n_valid=meta.row_count)
         return np.asarray(vals), np.asarray(ids)
 
     def stacked_device_vectors(self, metas: List[BlockMeta], col_name: str,
@@ -797,13 +794,18 @@ class FuseTable:
         key = ("stacked", locs, col_name.lower(), normalized)
 
         def load():
-            parts = [self.device_vectors(m, col_name, normalized)
-                     for m in metas]
-            offsets = np.zeros(len(parts) + 1, np.int64)
-            for i, p in enumerate(parts):
-                offsets[i + 1] = offsets[i] + p.shape[0]
-            return (parts[0] if len(parts) == 1
-                    else jnp.concatenate(parts, axis=0)), offsets
+            from ...ops.distance import normalize
+            # host assembly (NOT device_vectors: those pad to the quantum
+            # grid, which would interleave dead rows mid-corpus)
+            arrs = [np.asarray(self.read_block(m, [col_name])
+                               .column(col_name).numpy(), np.float32)
+                    for m in metas]
+            offsets = np.zeros(len(arrs) + 1, np.int64)
+            for i, a in enumerate(arrs):
+                offsets[i + 1] = offsets[i] + a.shape[0]
+            dev = jnp.asarray(np.concatenate(arrs, axis=0)
+                              if len(arrs) > 1 else arrs[0])
+            return (normalize(dev) if normalized else dev), offsets
 
         return cm.get_or_load(key, load)
 
@@ -847,8 +849,9 @@ class FuseTable:
         for bi, m in enumerate(metas):
             x_dev = self.device_vectors(m, info.column,
                                         normalized=(metric == "cosine"))
-            k = min(limit, int(x_dev.shape[0]))
-            vals, ids = _exact_topk_program(qj, x_dev, k, metric)
+            k = min(limit, m.row_count)
+            vals, ids = _exact_topk_program(qj, x_dev, k, metric,
+                                            n_valid=m.row_count)
             pend.append((bi, vals, ids))
         out = []
         for bi, vals, ids in pend:  # np.asarray syncs; queue already full
@@ -876,13 +879,14 @@ class FuseTable:
             scores = np.asarray(_stacked_scores_program(q, x_dev, metric))[0]
             return [scores[offsets[i]:offsets[i + 1]]
                     for i in range(len(metas))]
-        # pruned subset: per-block programs, async dispatch + one sync
+        # pruned subset: per-block programs, async dispatch + one sync;
+        # slice off the quantum padding rows
         pend = []
         for m in metas:
             x_dev = self.device_vectors(m, info.column,
                                         normalized=(metric == "cosine"))
-            pend.append(_stacked_scores_program(q, x_dev, metric))
-        return [np.asarray(p)[0] for p in pend]
+            pend.append((m.row_count, _stacked_scores_program(q, x_dev, metric)))
+        return [np.asarray(p)[0][:rows] for rows, p in pend]
 
     def _is_full_block_set(self, metas: List[BlockMeta], total: int) -> bool:
         """True when metas covers the head snapshot's whole corpus (the
@@ -951,9 +955,13 @@ def _jit_vector_programs():
     from ...ops.distance import pairwise_distance
 
     @functools.partial(jax.jit, static_argnames=("k", "metric"))
-    def exact_topk(q, x, k: int, metric: str):
+    def exact_topk(q, x, k: int, metric: str, n_valid):
         d = pairwise_distance(q, x, "l2" if metric == "l2" else metric,
                               x_normalized=(metric == "cosine"))
+        # rows past n_valid are block padding (device arrays pad to the
+        # SPAN_QUANTUM grid): masked by INDEX — no pad value is safe for
+        # every metric
+        d = jnp.where(jnp.arange(x.shape[0])[None, :] < n_valid, d, jnp.inf)
         nv, ids = jax.lax.top_k(-d, k)
         vals = -nv
         if metric == "l2":
@@ -972,12 +980,13 @@ def _jit_vector_programs():
     return exact_topk, stacked_scores
 
 
-def _exact_topk_program(q, x, k, metric):
+def _exact_topk_program(q, x, k, metric, n_valid=None):
     global _EXACT_TOPK, _STACKED_SCORES
     if _EXACT_TOPK is None:
         _EXACT_TOPK, _STACKED_SCORES = _jit_vector_programs()
     import jax.numpy as jnp
-    return _EXACT_TOPK(jnp.asarray(q), x, k, metric)
+    nv = jnp.int32(x.shape[0] if n_valid is None else n_valid)
+    return _EXACT_TOPK(jnp.asarray(q), x, k, metric, nv)
 
 
 def _stacked_scores_program(q, x, metric):
