@@ -50,12 +50,14 @@ def build(c, name, x, clustered, rpb):
 def measure(c, name, x, queries, k=10):
     qlats = []
     ids_all = []
-    for qi, q in enumerate(queries):
+    sqls = []
+    for q in queries:
         qlit = "[" + ",".join(f"{v:.6f}" for v in q) + "]"
-        sql = (f"SELECT id FROM {name} ORDER BY l2_distance(emb, {qlit})"
-               f" LIMIT {k}")
-        if qi == 0:
-            c.sql(sql)  # warm compile
+        sqls.append(f"SELECT id FROM {name} ORDER BY l2_distance(emb, {qlit})"
+                    f" LIMIT {k}")
+    for sql in sqls:  # warm pass: compile every touched block shape
+        c.sql(sql)
+    for sql in sqls:
         t0 = time.perf_counter()
         r = c.sql(sql).rows()
         qlats.append(time.perf_counter() - t0)
