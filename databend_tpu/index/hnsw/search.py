@@ -179,7 +179,8 @@ def hnsw_search(graph: HnswGraph, x_dev, q: np.ndarray, k: int,
     steps = max_steps or (2 * ef + 16)
     dists, ids = _search_level0(x_dev, jnp.asarray(graph.links[0]), qd,
                                 entry_ids, ef, min(k, ef), metric, steps)
-    return np.asarray(dists), np.asarray(ids)
+    import jax
+    return jax.device_get((dists, ids))  # one fetch: each get costs a full RTT
 
 
 def postprocess_scores(dists: np.ndarray, metric: str) -> np.ndarray:

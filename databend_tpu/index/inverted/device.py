@@ -175,8 +175,8 @@ class DeviceBM25:
             np.float32(max(self.avgdl, 1e-9)))
 
         def resolve():
-            scores = np.asarray(scores_dev)
-            matched = np.asarray(matched_dev)
+            import jax
+            scores, matched = jax.device_get((scores_dev, matched_dev))
             if operator.upper() == "AND":
                 if n_present < len(term_groups):
                     return (np.zeros(0, np.int64), np.zeros(0, np.float32))
@@ -207,8 +207,8 @@ class DeviceBM25:
                          and n_present < len(term_groups)):
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         out = self._dispatch_topk(term_groups, k, operator)
-        vals = np.asarray(out[0])
-        rows = np.asarray(out[1])
+        import jax
+        vals, rows = jax.device_get((out[0], out[1]))  # one fetch, one RTT
         ok = vals > -np.inf
         return rows[ok].astype(np.int64), vals[ok].astype(np.float32)
 

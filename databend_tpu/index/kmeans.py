@@ -90,8 +90,8 @@ class KMeans:
         init = x[_lcg_indices(n, k)]
         cent, assign, own = _lloyd(jnp.asarray(x), jnp.asarray(init),
                                    iters=self.iters)
-        return (np.asarray(cent), np.asarray(assign, dtype=np.int64),
-                np.asarray(own))
+        cent, assign, own = jax.device_get((cent, assign, own))  # one RTT
+        return cent, assign.astype(np.int64), own
 
 
 def cluster_sort_order(vectors: np.ndarray, k: int = MAX_CLUSTERS,

@@ -1132,7 +1132,8 @@ class Parser:
                 return A.FunctionCall("interval", [A.Literal(v), A.Literal(unit)])
             # keywords that double as function names: if(...), left(...), replace(...)
             if (self.peek(1).kind == "OP" and self.peek(1).text == "("
-                    and t.text in ("IF", "LEFT", "RIGHT", "REPLACE", "DATABASE", "VALUES")):
+                    and t.text in ("IF", "LEFT", "RIGHT", "REPLACE", "DATABASE",
+                                   "VALUES", "INSERT", "LIKE", "ILIKE")):
                 return self.parse_ident_expr_from(self.next().text)
             if t.text in NON_RESERVED:
                 return self.parse_ident_expr()

@@ -779,7 +779,10 @@ class FuseTable:
         k = min(limit, meta.row_count)
         vals, ids = _exact_topk_program(np.asarray(q, np.float32), x_dev,
                                         k, metric, n_valid=meta.row_count)
-        return np.asarray(vals), np.asarray(ids)
+        # ONE device_get: each separate fetch pays a full tunnel round trip
+        # (~27 ms fixed, measured), so never sync arrays one by one
+        import jax
+        return jax.device_get((vals, ids))
 
     def stacked_device_vectors(self, metas: List[BlockMeta], col_name: str,
                                normalized: bool):
@@ -835,8 +838,10 @@ class FuseTable:
                 metas, info.column, normalized=(metric == "cosine"))
             k = min(limit, int(x_dev.shape[0]))
             vals, ids = _exact_topk_program(qj, x_dev, k, metric)
-            vals = np.asarray(vals)[0]
-            ids = np.asarray(ids)[0]
+            import jax
+            vals, ids = jax.device_get((vals, ids))  # one fetch, one RTT
+            vals = vals[0]
+            ids = ids[0]
             out = []
             for gid, s in zip(ids.tolist(), vals.tolist()):
                 bi = int(np.searchsorted(offsets, gid, side="right") - 1)
@@ -853,10 +858,11 @@ class FuseTable:
             vals, ids = _exact_topk_program(qj, x_dev, k, metric,
                                             n_valid=m.row_count)
             pend.append((bi, vals, ids))
+        import jax
+        fetched = jax.device_get([(vals, ids) for _, vals, ids in pend])
         out = []
-        for bi, vals, ids in pend:  # np.asarray syncs; queue already full
-            for r, s in zip(np.asarray(ids)[0].tolist(),
-                            np.asarray(vals)[0].tolist()):
+        for (bi, _, _), (vals, ids) in zip(pend, fetched):
+            for r, s in zip(ids[0].tolist(), vals[0].tolist()):
                 out.append((bi, int(r), float(s)))
         out.sort(key=lambda t: t[2])
         return out[:limit]
@@ -886,7 +892,9 @@ class FuseTable:
             x_dev = self.device_vectors(m, info.column,
                                         normalized=(metric == "cosine"))
             pend.append((m.row_count, _stacked_scores_program(q, x_dev, metric)))
-        return [np.asarray(p)[0][:rows] for rows, p in pend]
+        import jax
+        fetched = jax.device_get([p for _, p in pend])
+        return [p[0][:rows] for (rows, _), p in zip(pend, fetched)]
 
     def _is_full_block_set(self, metas: List[BlockMeta], total: int) -> bool:
         """True when metas covers the head snapshot's whole corpus (the
