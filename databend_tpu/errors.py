@@ -56,6 +56,16 @@ UnresolvableConflict = _err("UnresolvableConflict", 4001)
 VectorError = _err("VectorError", 1123)
 IndexError = _err("IndexError", 1124)
 
+# Stages / sequences / policies (reference: UnknownStage 2501,
+# UnknownSequence 3101, UnknownMaskingPolicy/RowAccessPolicy 2604/2612,
+# LicenseKeyInvalid 1402, UnknownDictionary 3114)
+UnknownStage = _err("UnknownStage", 2501)
+UnknownSequence = _err("UnknownSequence", 3101)
+SequenceError = _err("SequenceError", 3102)
+UnknownPolicy = _err("UnknownPolicy", 2604)
+UnknownDictionary = _err("UnknownDictionary", 3114)
+LicenseKeyInvalid = _err("LicenseKeyInvalid", 1402)
+
 # Session / settings
 UnknownSetting = _err("UnknownSetting", 2801)
 WrongValueForSetting = _err("WrongValueForSetting", 2803)
@@ -90,6 +100,12 @@ __all__ = [
     "UnresolvableConflict",
     "VectorError",
     "IndexError",
+    "UnknownStage",
+    "UnknownSequence",
+    "SequenceError",
+    "UnknownPolicy",
+    "UnknownDictionary",
+    "LicenseKeyInvalid",
     "UnknownSetting",
     "WrongValueForSetting",
     "MemoryLimitExceeded",

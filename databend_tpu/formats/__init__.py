@@ -6,7 +6,8 @@ type coercion reuses the expression layer's cast kernels so COPY follows
 the same conversion rules as INSERT.
 """
 
-from .registry import (detect_format, read_file, write_file,
+from .registry import (detect_format, infer_schema, read_file, write_file,
                        FileFormatOptions)
 
-__all__ = ["detect_format", "read_file", "write_file", "FileFormatOptions"]
+__all__ = ["detect_format", "infer_schema", "read_file", "write_file",
+           "FileFormatOptions"]

@@ -241,6 +241,85 @@ def _read_avro(path: str, schema: TableSchema, opts: FileFormatOptions) -> DataB
     return _rows_to_block(rows, schema, opts)
 
 
+def _infer_value_type(vals):
+    """Pick the narrowest of Int64/Float64/Boolean/String/Variant covering
+    the sampled python values (None-tolerant)."""
+    from ..types import Float64, Int64, Variant
+    got = {type(v) for v in vals if v is not None}
+    if not got:
+        return String.wrap_nullable()
+    if got <= {bool}:
+        t = Boolean
+    elif got <= {int, bool}:
+        t = Int64
+    elif got <= {int, float, bool}:
+        t = Float64
+    elif got <= {str}:
+        t = String
+    else:
+        t = Variant
+    return t.wrap_nullable() if any(v is None for v in vals) else t
+
+
+def infer_schema(path: str, opts: Optional[FileFormatOptions] = None,
+                 sample_rows: int = 256) -> TableSchema:
+    """Schema inference for schemaless reads (SELECT FROM @stage).
+
+    Reference behavior (src/query/storages/stage): parquet exposes its own
+    schema; NDJSON/Avro infer names+types from records; CSV/TSV expose
+    positional ``$1..$n`` string columns.
+    """
+    from ..expression.schema import DataField
+    if opts is None:
+        opts = FileFormatOptions(type=detect_format(path))
+    t = opts.type.upper()
+    if t in ("CSV", "TSV"):
+        rows = _csv_rows_native(path, opts)
+        if rows is None:
+            with _open_text(path, opts) as f:
+                reader = csv.reader(f, delimiter=opts.field_delimiter,
+                                    quotechar=opts.quote)
+                rows = []
+                for r in reader:
+                    rows.append(r)
+                    if len(rows) >= sample_rows:
+                        break
+        width = max((len(r) for r in rows[opts.skip_header:]), default=0)
+        return TableSchema([DataField(f"${i+1}", String.wrap_nullable())
+                            for i in range(width)])
+    if t in ("NDJSON", "AVRO"):
+        if t == "NDJSON":
+            objs = []
+            with _open_text(path, opts) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        objs.append(json.loads(line))
+                    if len(objs) >= sample_rows:
+                        break
+        else:
+            from .avro import read_avro_records
+            objs = read_avro_records(path)[:sample_rows]
+        names: List[str] = []
+        for o in objs:
+            for k in o:
+                if k not in names:
+                    names.append(k)
+        return TableSchema([
+            DataField(n, _infer_value_type([o.get(n) for o in objs]))
+            for n in names])
+    if t in ("PARQUET", "ORC"):
+        from ..storage.fuse.block_io import arrow_schema_to_fields
+        if t == "PARQUET":
+            import pyarrow.parquet as pq
+            arrow = pq.read_schema(path)
+        else:
+            import pyarrow.orc as paorc
+            arrow = paorc.ORCFile(path).schema
+        return TableSchema(arrow_schema_to_fields(arrow))
+    raise BadArguments(f"cannot infer schema for format {t!r}")
+
+
 def read_file(path: str, schema: TableSchema,
               opts: Optional[FileFormatOptions] = None) -> DataBlock:
     if opts is None:

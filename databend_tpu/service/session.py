@@ -266,6 +266,13 @@ class SessionContext:
         return self._tasks
 
     @property
+    def stages(self):
+        if getattr(self, "_stages", None) is None:
+            from ..storage.stage import StageManager
+            self._stages = StageManager(self.meta, self.data_root)
+        return self._stages
+
+    @property
     def streams(self):
         if getattr(self, "_streams", None) is None:
             from ..storage.stream import StreamManager
@@ -694,22 +701,49 @@ def _stmt_show_grants(s: SessionContext, st: A.ShowGrants):
 
 
 def _stmt_copy_into_table(s: SessionContext, st: A.CopyIntoTable):
-    """COPY INTO t FROM 'path' — bulk load (reference: stage COPY path,
-    src/query/storages/stage + formats field decoders)."""
+    """COPY INTO t FROM 'path'|@stage — bulk load (reference: stage COPY
+    path, src/query/storages/stage + formats field decoders). Stage loads
+    track already-copied files per table (reference copied-files dedup in
+    the COPY interpreter); FORCE=TRUE reloads them."""
     from ..formats import FileFormatOptions, detect_format, read_file
     s.check_privilege("INSERT", st.database or s.current_database, st.table)
     t = s.table(st.table, st.database)
-    files = _copy_sources(st.src, st.pattern)
     opts = None
     if st.file_format:
         opts = FileFormatOptions.from_dict(st.file_format)
     loaded = 0
-    for path in files:
-        o = opts or FileFormatOptions(type=detect_format(path))
-        block = read_file(path, t.schema, o)
-        if block.num_rows:
-            t.append(block)
-            loaded += block.num_rows
+    if st.src.startswith("@"):
+        info, _rel = s.stages.resolve(st.src)
+        if not st.file_format and info.file_format:
+            opts = FileFormatOptions.from_dict(info.file_format)
+        sources = s.stages.source_files(st.src, st.pattern, st.files)
+        key = f"copied_files/{t.info.table_id}"
+        got, _seq = s.meta.get(key)
+        copied = dict(got) if got is not None else {}
+        scratch = os.path.join(s.data_root, "scratch")
+        for name, skey in sources:
+            from ..storage.operator import OPERATOR
+            size = OPERATOR.size(skey)
+            mark = f"{info.name}:{name}"
+            if not st.force and copied.get(mark) == size:
+                continue
+            local = s.stages.materialize(info, skey, scratch)
+            o = opts or FileFormatOptions(type=detect_format(name))
+            block = read_file(local, t.schema, o)
+            if block.num_rows:
+                t.append(block)
+                loaded += block.num_rows
+            copied[mark] = size
+            if local != skey:
+                os.unlink(local)
+        s.meta.upsert(key, copied)
+    else:
+        for path in _copy_sources(st.src, st.pattern):
+            o = opts or FileFormatOptions(type=detect_format(path))
+            block = read_file(path, t.schema, o)
+            if block.num_rows:
+                t.append(block)
+                loaded += block.num_rows
     res = _ok(loaded)
     METRICS.inc("copy_rows_loaded", loaded)
     return res
@@ -727,10 +761,85 @@ def _stmt_copy_into_location(s: SessionContext, st: A.CopyIntoLocation):
         from ..catalog.pushdown import PushDownInfo
         from ..sql.plans import Scan
         block = execute_plan(Scan(t, PushDownInfo()))
-    opts = (FileFormatOptions.from_dict(st.file_format) if st.file_format
-            else FileFormatOptions(type=detect_format(st.dst)))
-    n = write_file(st.dst, block, opts)
+    dst = st.dst
+    fmt = dict(st.file_format)
+    if dst.startswith("@"):
+        info, rel = s.stages.resolve(dst)
+        if not fmt and info.file_format:
+            fmt = dict(info.file_format)
+        if not rel or rel.endswith("/"):
+            rel = (rel or "") + "data_0.csv"
+        from ..storage.stage import _join
+        dst = _join(info.url, rel)
+        from ..storage.operator import OPERATOR
+        if not OPERATOR.is_object_store(dst):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+        opts = (FileFormatOptions.from_dict(fmt) if fmt
+                else FileFormatOptions(type=detect_format(dst)))
+        if OPERATOR.is_object_store(dst):
+            # encode locally, upload through the operator
+            import tempfile
+            with tempfile.TemporaryDirectory() as td:
+                local = os.path.join(td, os.path.basename(dst))
+                n = write_file(local, block, opts)
+                with open(local, "rb") as f:
+                    OPERATOR.write_bytes(dst, f.read())
+            return _ok(n)
+        return _ok(write_file(dst, block, opts))
+    opts = (FileFormatOptions.from_dict(fmt) if fmt
+            else FileFormatOptions(type=detect_format(dst)))
+    n = write_file(dst, block, opts)
     return _ok(n)
+
+
+def _stmt_create_stage(s: SessionContext, st: A.CreateStage):
+    s.check_privilege("SUPER", "*")
+    s.stages.create(st.name, st.url, st.file_format, st.comment,
+                    st.if_not_exists, st.or_replace)
+    return _ok()
+
+
+def _stmt_drop_stage(s: SessionContext, st: A.DropStage):
+    s.check_privilege("SUPER", "*")
+    s.stages.drop(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_desc_stage(s: SessionContext, st: A.DescStage):
+    info = s.stages.get(st.name)
+    names = ["name", "stage_type", "url", "file_format", "comment"]
+    import json as _json
+    vals = [info.name, info.stage_type, info.url,
+            _json.dumps(info.file_format), info.comment]
+    return QueryResult(
+        DataBlock(names, [Column.from_pylist([v], String) for v in vals], 1),
+        [DataField(n, String) for n in names])
+
+
+def _stmt_list_stage(s: SessionContext, st: A.ListStage):
+    files = s.stages.list_files(st.ref, st.pattern)
+    names = ["name", "size"]
+    from ..types import UInt64
+    return QueryResult(
+        DataBlock(names, [Column.from_pylist([f[0] for f in files], String),
+                          Column.from_pylist([f[1] for f in files], UInt64)],
+                  len(files)),
+        [DataField("name", String), DataField("size", UInt64)])
+
+
+def _stmt_remove_stage(s: SessionContext, st: A.RemoveStage):
+    s.check_privilege("SUPER", "*")
+    return _ok(s.stages.remove(st.ref, st.pattern))
+
+
+def _stmt_presign(s: SessionContext, st: A.PresignStage):
+    p = s.stages.presign(st.ref, st.method, st.expire_secs)
+    import json as _json
+    names = ["method", "headers", "url"]
+    vals = [p["method"], _json.dumps(p["headers"]), p["url"]]
+    return QueryResult(
+        DataBlock(names, [Column.from_pylist([v], String) for v in vals], 1),
+        [DataField(n, String) for n in names])
 
 
 def _stmt_create_index(s: SessionContext, st: A.CreateIndex):
@@ -945,6 +1054,13 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         return QueryResult(DataBlock(
             names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
             [DataField(n, String) for n in names])
+    if st.what == "STAGES":
+        rows = [(i.name, i.stage_type, i.url, i.comment)
+                for i in s.stages.list() if match(i.name)]
+        names = ["name", "stage_type", "url", "comment"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(4)]),
+            [DataField(n, String) for n in names])
     if st.what == "INDEXES":
         rows = []
         for t in s.catalog.list_tables(s.current_database):
@@ -1050,4 +1166,10 @@ _STATEMENTS = {
     A.OptimizeTable: _stmt_optimize,
     A.AnalyzeTable: _stmt_analyze,
     A.VacuumTable: _stmt_vacuum,
+    A.CreateStage: _stmt_create_stage,
+    A.DropStage: _stmt_drop_stage,
+    A.DescStage: _stmt_desc_stage,
+    A.ListStage: _stmt_list_stage,
+    A.RemoveStage: _stmt_remove_stage,
+    A.PresignStage: _stmt_presign,
 }

@@ -332,6 +332,18 @@ def _sys_trace_spans(s):
         ("error", String, [sp.attrs.get("error") for sp in spans])])
 
 
+def _sys_stages(s):
+    """Reference: src/query/storages/system/src/stages_table.rs."""
+    infos = s.stages.list()
+    return _block([
+        ("name", String, [i.name for i in infos]),
+        ("stage_type", String, [i.stage_type for i in infos]),
+        ("url", String, [i.url for i in infos]),
+        ("number_of_files", Int64,
+         [len(s.stages.list_files("@" + i.name)) for i in infos]),
+        ("comment", String, [i.comment for i in infos])])
+
+
 SYSTEM_TABLES: Dict[str, Callable] = {
     "one": _sys_one,
     "databases": _sys_databases,
@@ -361,6 +373,7 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "configs": _sys_configs,
     "contributors": _sys_contributors,
     "trace_spans": _sys_trace_spans,
+    "stages": _sys_stages,
 }
 
 

@@ -462,12 +462,14 @@ class ShowGrants(Statement):
 
 @dataclass
 class CopyIntoTable(Statement):
-    """COPY INTO t FROM 'path' FILE_FORMAT=(...) PATTERN='...'"""
+    """COPY INTO t FROM 'path'|@stage FILE_FORMAT=(...) PATTERN='...'"""
     table: str
     database: Optional[str]
-    src: str
+    src: str  # filesystem path/glob, or a '@stage[/path]' reference
     file_format: Dict[str, str] = field(default_factory=dict)
     pattern: Optional[str] = None
+    files: Optional[List[str]] = None  # FILES=('a.csv', ...)
+    force: bool = False  # FORCE=TRUE reloads already-copied stage files
 
 
 @dataclass
@@ -583,3 +585,55 @@ class OptimizeTable(Statement):
 class VacuumTable(Statement):
     name: str
     database: Optional[str] = None
+
+
+# ------------------------------------------------------------------- stages
+@dataclass
+class CreateStage(Statement):
+    """CREATE STAGE s [URL='...'] [FILE_FORMAT=(...)] [COMMENT='...']"""
+    name: str
+    url: Optional[str] = None
+    file_format: Dict[str, str] = field(default_factory=dict)
+    comment: str = ""
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropStage(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class DescStage(Statement):
+    name: str
+
+
+@dataclass
+class ListStage(Statement):
+    """LIST @stage[/path] [PATTERN = '...']"""
+    ref: str
+    pattern: Optional[str] = None
+
+
+@dataclass
+class RemoveStage(Statement):
+    ref: str
+    pattern: Optional[str] = None
+
+
+@dataclass
+class PresignStage(Statement):
+    """PRESIGN [DOWNLOAD|UPLOAD] @stage/file [EXPIRE = n]"""
+    ref: str
+    method: str = "DOWNLOAD"
+    expire_secs: int = 3600
+
+
+@dataclass
+class StageRef(TableRef):
+    """SELECT ... FROM @stage[/path] [(file_format => 'csv', ...)]"""
+    ref: str
+    options: Dict[str, str] = field(default_factory=dict)
+    alias: Optional[str] = None

@@ -515,6 +515,18 @@ class Binder:
             return sub, ctx
         if isinstance(ref, A.TableFunctionRef):
             return self._bind_table_function(ref, state)
+        if isinstance(ref, A.StageRef):
+            import os as _os
+            block, fields = self.session.stages.scan_block(
+                ref.ref, ref.options,
+                _os.path.join(self.session.data_root, "scratch"))
+            ctx = BindContext()
+            alias = ref.alias or ref.ref.lstrip("@").split("/")[0]
+            for f in fields:
+                ctx.add(f.name, f.dtype, alias)
+            state.scan = None
+            state.table_info = None
+            return ValuesPlan(block, list(fields)), ctx
         if isinstance(ref, A.Join):
             return self._bind_join(ref, ctes, state)
         raise SemanticError(f"unsupported table reference {type(ref).__name__}")

@@ -121,6 +121,8 @@ class Parser:
             return self.parse_show()
         if self.at_keyword("DESCRIBE") or self.at_keyword("DESC"):
             self.next()
+            if self.accept_keyword("STAGE"):
+                return A.DescStage(self.ident())
             self.accept_keyword("TABLE")
             db, name = self.qualified_name()
             return A.DescribeTable(name, db)
@@ -165,6 +167,38 @@ class Parser:
             self.expect_keyword("TABLE")
             db, name = self.qualified_name()
             return A.UndropTable(name, db)
+        if self._at_word("LIST") and self.peek(1).kind == "ATREF":
+            self.next()
+            ref = self.next().text
+            pattern = None
+            if self._at_word("PATTERN"):
+                self.next()
+                self.expect_op("=")
+                pattern = self.next().text
+            return A.ListStage(ref, pattern)
+        if self._at_word("REMOVE") and self.peek(1).kind == "ATREF":
+            self.next()
+            ref = self.next().text
+            pattern = None
+            if self._at_word("PATTERN"):
+                self.next()
+                self.expect_op("=")
+                pattern = self.next().text
+            return A.RemoveStage(ref, pattern)
+        if self._at_word("PRESIGN"):
+            self.next()
+            method = "DOWNLOAD"
+            if self._at_word("DOWNLOAD", "UPLOAD"):
+                method = self.next().text.upper()
+            if self.peek().kind != "ATREF":
+                self.error("PRESIGN expects @stage/file")
+            ref = self.next().text
+            expire = 3600
+            if self._at_word("EXPIRE"):
+                self.next()
+                self.expect_op("=")
+                expire = int(self.next().text)
+            return A.PresignStage(ref, method, expire)
         self.error("expected statement")
 
     def parse_merge(self):
@@ -238,7 +272,7 @@ class Parser:
         with FILE_FORMAT = (TYPE=CSV ...) and PATTERN = '...' options."""
         self.expect_keyword("COPY")
         self.expect_keyword("INTO")
-        if self.peek().kind == "STRING":
+        if self.peek().kind in ("STRING", "ATREF"):
             dst = self.next().text
             self.expect_keyword("FROM")
             table = db = query = None
@@ -252,15 +286,17 @@ class Parser:
             return A.CopyIntoLocation(dst, table, db, query, fmt)
         db, name = self.qualified_name()
         self.expect_keyword("FROM")
-        if self.peek().kind != "STRING":
-            self.error("COPY INTO <table> FROM expects a file path string")
+        if self.peek().kind not in ("STRING", "ATREF"):
+            self.error("COPY INTO <table> FROM expects a path or @stage")
         src = self.next().text
-        fmt, pattern = self._parse_copy_options()
-        return A.CopyIntoTable(name, db, src, fmt, pattern)
+        fmt, pattern, files, force = self._parse_copy_options()
+        return A.CopyIntoTable(name, db, src, fmt, pattern, files, force)
 
     def _parse_copy_options(self):
         fmt: dict = {}
         pattern = None
+        files = None
+        force = False
         while self.peek().kind in ("IDENT", "KEYWORD"):
             kw = self.peek().text.upper()
             if kw == "FILE_FORMAT":
@@ -277,9 +313,22 @@ class Parser:
                 self.next()
                 self.expect_op("=")
                 pattern = self.next().text
+            elif kw == "FILES":
+                self.next()
+                self.expect_op("=")
+                self.expect_op("(")
+                files = []
+                while not self.at_op(")"):
+                    files.append(self.next().text)
+                    self.accept_op(",")
+                self.expect_op(")")
+            elif kw == "FORCE":
+                self.next()
+                self.expect_op("=")
+                force = self.next().text.upper() == "TRUE"
             else:
                 break
-        return fmt, pattern
+        return fmt, pattern, files, force
 
     def parse(self) -> A.Statement:
         stmt = self.parse_statement()
@@ -324,6 +373,36 @@ class Parser:
             self.next()
             ine = self._if_not_exists()
             return A.CreateRole(self._user_name(), ine)
+        if self.at_keyword("STAGE"):
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            url = None
+            fmt: dict = {}
+            comment = ""
+            while self.peek().kind in ("IDENT", "KEYWORD"):
+                kw = self.peek().text.upper()
+                if kw == "URL":
+                    self.next()
+                    self.expect_op("=")
+                    url = self.next().text
+                elif kw == "FILE_FORMAT":
+                    self.next()
+                    self.expect_op("=")
+                    self.expect_op("(")
+                    while not self.at_op(")"):
+                        k = self.next().text
+                        self.expect_op("=")
+                        fmt[k.lower()] = self.next().text
+                        self.accept_op(",")
+                    self.expect_op(")")
+                elif kw == "COMMENT":
+                    self.next()
+                    self.expect_op("=")
+                    comment = self.next().text
+                else:
+                    break
+            return A.CreateStage(name, url, fmt, comment, ine, replace)
         if self.at_keyword("STREAM"):
             self.next()
             ine = self._if_not_exists()
@@ -554,6 +633,10 @@ class Parser:
         if self.accept_keyword("INDEX"):
             ie = self._if_exists()
             return A.DropIndex("AGGREGATING", self.ident(), None, ie)
+        if self.at_keyword("STAGE"):
+            self.next()
+            ie = self._if_exists()
+            return A.DropStage(self.ident(), ie)
         if self._at_word("USER"):
             self.next()
             ie = self._if_exists()
@@ -924,6 +1007,20 @@ class Parser:
         return left
 
     def parse_table_factor(self) -> A.TableRef:
+        if self.peek().kind == "ATREF":
+            ref = self.next().text
+            options: dict = {}
+            # @stage (file_format => 'csv', pattern => '*.csv')
+            if self.at_op("(") and self.peek(1).kind in ("IDENT", "KEYWORD") \
+                    and self.peek(2).kind == "OP" and self.peek(2).text == "=>":
+                self.next()
+                while not self.at_op(")"):
+                    k = self.next().text.lower()
+                    self.expect_op("=>")
+                    options[k] = self.next().text
+                    self.accept_op(",")
+                self.expect_op(")")
+            return A.StageRef(ref, options, self._table_alias())
         if self.accept_op("("):
             q = self.parse_query()
             self.expect_op(")")
@@ -1137,6 +1234,10 @@ class Parser:
                 return self.parse_ident_expr_from(self.next().text)
             if t.text in NON_RESERVED:
                 return self.parse_ident_expr()
+        if t.kind == "PARAM" and t.text.startswith("$"):
+            # $1, $2 ... positional columns of schemaless stage reads
+            self.next()
+            return A.ColumnRef(t.text)
         if t.kind == "IDENT":
             if t.text.upper() in ("EXTRACT", "DATE_PART") \
                     and self.peek(1).text == "(":

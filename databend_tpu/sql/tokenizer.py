@@ -25,6 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>'(?:[^'\\]|\\.|'')*')
   | (?P<QUOTED_IDENT>"(?:[^"]|"")*"|`(?:[^`])*`)
   | (?P<PARAM>\$\d+|\?)
+  | (?P<ATREF>@~(?:/[A-Za-z0-9_./*?-]*)?|@%?[A-Za-z_][A-Za-z0-9_]*(?:/[A-Za-z0-9_./*?-]*)?)
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_$]*)
   | (?P<OP><=>|<>|!=|>=|<=|==|\|\||->>|->|=>|::|:=|[-+*/%(),.;=<>\[\]{}:@^~&|!])
     """,
@@ -61,7 +62,7 @@ NON_RESERVED = {
 
 @dataclass
 class Token:
-    kind: str  # KEYWORD | IDENT | INT | FLOAT | STRING | OP | PARAM | EOF
+    kind: str  # KEYWORD | IDENT | INT | FLOAT | STRING | OP | PARAM | ATREF | EOF
     text: str  # normalized text (keywords upper-cased, strings unquoted)
     pos: int   # byte offset in source
 

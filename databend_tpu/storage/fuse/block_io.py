@@ -78,6 +78,44 @@ def _from_arrow_array(arr: pa.ChunkedArray | pa.Array, dtype: DataType) -> Colum
     return Column(dtype, np.ascontiguousarray(data, dtype=inner.numpy_dtype()), validity)
 
 
+def arrow_schema_to_fields(schema: pa.Schema) -> List:
+    """Map an arrow schema to DataFields (parquet/ORC schema inference)."""
+    from ...expression.schema import DataField
+    from ...types import (Float32, Float64, Int8, Int16, Int32, Int64, UInt8,
+                          UInt16, UInt32, UInt64, Variant)
+    out = []
+    for f in schema:
+        t = f.type
+        if pa.types.is_fixed_size_list(t) and pa.types.is_float32(t.value_type):
+            dt = VectorType(t.list_size)
+        elif pa.types.is_boolean(t):
+            dt = Boolean
+        elif pa.types.is_integer(t):
+            dt = {"int8": Int8, "int16": Int16, "int32": Int32,
+                  "int64": Int64, "uint8": UInt8, "uint16": UInt16,
+                  "uint32": UInt32, "uint64": UInt64}[str(t)]
+        elif pa.types.is_float32(t):
+            dt = Float32
+        elif pa.types.is_floating(t):
+            dt = Float64
+        elif pa.types.is_decimal(t):
+            dt = DecimalType(t.precision, t.scale)
+        elif pa.types.is_date(t):
+            dt = Date
+        elif pa.types.is_timestamp(t):
+            dt = Timestamp
+        elif pa.types.is_string(t) or pa.types.is_large_string(t) \
+                or pa.types.is_binary(t):
+            dt = String
+        elif pa.types.is_list(t) or pa.types.is_struct(t) or pa.types.is_map(t):
+            dt = Variant
+        else:
+            dt = String
+        out.append(DataField(f.name, dt.wrap_nullable() if f.nullable
+                             and not dt.is_nullable() else dt))
+    return out
+
+
 def block_to_arrow(block: DataBlock) -> pa.Table:
     """DataBlock -> arrow Table (Flight/IPC interchange)."""
     arrays = [_to_arrow_array(c) for c in block.columns]
