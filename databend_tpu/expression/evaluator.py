@@ -32,6 +32,11 @@ class Evaluator:
             return self.block.column(expr.name)
         if isinstance(expr, Constant):
             return constant_column(expr.value, expr.dtype, n)
+        from .expr import SequenceNext
+        if isinstance(expr, SequenceNext):  # volatile: before const folding
+            vals = expr.allocator(n)
+            return Column(expr.dtype.remove_nullable(),
+                          vals.astype(expr.dtype.remove_nullable().numpy_dtype()))
         # constant folding: a column-free subtree evaluates once on one row
         # and broadcasts (reference: constant folding in the evaluator /
         # optimizer), instead of materializing n copies of the constant

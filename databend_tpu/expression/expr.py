@@ -62,6 +62,23 @@ class Func(ScalarExpr):
 
 
 @dataclass
+class SequenceNext(ScalarExpr):
+    """nextval(seq): allocates num_rows consecutive sequence values.
+
+    ``allocator`` is bound by the planner to the session's SequenceManager
+    (reference: async nextval lowered in the binder). Volatile: never
+    constant-folded.
+    """
+
+    seq_name: str
+    allocator: Any  # callable (n:int) -> np.int64 array
+    dtype: DataType = None
+
+    def display(self) -> str:
+        return f"nextval({self.seq_name})"
+
+
+@dataclass
 class CastExpr(ScalarExpr):
     arg: ScalarExpr
     dtype: DataType

@@ -183,7 +183,41 @@ class SessionContext:
             self._tables[info.table_id] = t
         return t
 
+    def temp_table(self, db: str, name: str) -> Optional[FuseTable]:
+        """Session-scoped temp table, or None (reference: temp tables live
+        in the session, shadow the shared catalog, vanish with the session)."""
+        opened = getattr(self, "_temp_open", None)
+        if not opened:
+            return None
+        return opened.get((db.lower(), name.lower()))
+
+    def create_temp_table(self, info: TableInfo) -> FuseTable:
+        if getattr(self, "_temp_open", None) is None:
+            # isolated in-memory catalog: temp snapshots never touch the
+            # shared meta service (reference: session-held TableInfo)
+            self._temp_catalog = Catalog(MetaStore(None))
+            self._temp_open: Dict[tuple, FuseTable] = {}
+        info = self._temp_catalog.create_table(info, if_not_exists=False)
+        import uuid
+        t = FuseTable(info, self._temp_catalog,
+                      os.path.join(self.data_root, "temp_tables",
+                                   uuid.uuid4().hex[:12]))
+        self._temp_open[(info.database.lower(), info.name.lower())] = t
+        return t
+
+    def drop_temp_table(self, db: str, name: str) -> bool:
+        t = self.temp_table(db, name)
+        if t is None:
+            return False
+        del self._temp_open[(db.lower(), name.lower())]
+        import shutil
+        shutil.rmtree(t.table_dir, ignore_errors=True)
+        return True
+
     def table(self, name: str, database: Optional[str] = None) -> FuseTable:
+        t = self.temp_table(database or self.current_database, name)
+        if t is not None:
+            return t
         info = self.catalog.get_table(database or self.current_database, name)
         return self.open_table(info)
 
@@ -273,6 +307,13 @@ class SessionContext:
         return self._stages
 
     @property
+    def sequences(self):
+        if getattr(self, "_sequences", None) is None:
+            from .sequences import SequenceManager
+            self._sequences = SequenceManager(self.meta)
+        return self._sequences
+
+    @property
     def streams(self):
         if getattr(self, "_streams", None) is None:
             from ..storage.stream import StreamManager
@@ -314,6 +355,14 @@ class SessionContext:
 
     # ----------------------------------------------------------- dispatching
     def _execute_statement(self, stmt: A.Statement) -> QueryResult:
+        from ..utils.current import reset_session, set_session
+        token = set_session(self)
+        try:
+            return self._execute_statement_inner(stmt)
+        finally:
+            reset_session(token)
+
+    def _execute_statement_inner(self, stmt: A.Statement) -> QueryResult:
         from ..pipeline.executor import execute_plan
         from ..sql.binder import Binder
         if self.udfs and not isinstance(stmt, (A.CreateFunction, A.DropFunction)):
@@ -448,6 +497,20 @@ def _stmt_create_table(s: SessionContext, st: A.CreateTable):
         fields = [DataField(f.name, f.dtype) for f in plan.output_fields()]
     info = TableInfo(0, db, st.name, TableSchema(fields), st.engine,
                      dict(st.options), cluster_by)
+    if st.temporary:
+        if s.temp_table(db, st.name) is not None:
+            if st.if_not_exists:
+                return _ok()
+            from ..errors import TableAlreadyExists
+            raise TableAlreadyExists(f"temp table {st.name!r} already exists")
+        t = s.create_temp_table(info)
+        if st.as_query is not None:
+            from ..pipeline.executor import execute_plan
+            from ..sql.binder import Binder
+            block = execute_plan(Binder(s).bind_query(st.as_query))
+            if block.num_rows:
+                t.append(block)
+        return _ok()
     info = s.catalog.create_table(info, st.if_not_exists)
     if st.as_query is not None:
         from ..pipeline.executor import execute_plan
@@ -460,9 +523,10 @@ def _stmt_create_table(s: SessionContext, st: A.CreateTable):
 
 
 def _stmt_drop_table(s: SessionContext, st: A.DropTable):
-    s.check_privilege("DROP", st.database or s.current_database, st.name)
-
     db = st.database or s.current_database
+    if s.drop_temp_table(db, st.name):  # session-private: no RBAC gate
+        return _ok()
+    s.check_privilege("DROP", st.database or s.current_database, st.name)
     info = s.catalog.drop_table(db, st.name, st.if_exists)
     if info is not None and st.all_:
         from ..storage.operator import OPERATOR
@@ -792,6 +856,29 @@ def _stmt_copy_into_location(s: SessionContext, st: A.CopyIntoLocation):
     return _ok(n)
 
 
+def _stmt_create_sequence(s: SessionContext, st: A.CreateSequence):
+    s.check_privilege("SUPER", "*")
+    s.sequences.create(st.name, st.start, st.step, st.comment,
+                       st.if_not_exists, st.or_replace)
+    return _ok()
+
+
+def _stmt_drop_sequence(s: SessionContext, st: A.DropSequence):
+    s.check_privilege("SUPER", "*")
+    s.sequences.drop(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_desc_sequence(s: SessionContext, st: A.DescSequence):
+    info = s.sequences.get(st.name)
+    names = ["name", "start", "interval", "current", "comment"]
+    vals = [info.name, str(info.start), str(info.step), str(info.current),
+            info.comment]
+    return QueryResult(
+        DataBlock(names, [Column.from_pylist([v], String) for v in vals], 1),
+        [DataField(n, String) for n in names])
+
+
 def _stmt_create_stage(s: SessionContext, st: A.CreateStage):
     s.check_privilege("SUPER", "*")
     s.stages.create(st.name, st.url, st.file_format, st.comment,
@@ -910,11 +997,14 @@ def _stmt_refresh_index(s: SessionContext, st: A.RefreshIndex):
 
 
 def _stmt_insert(s: SessionContext, st: A.Insert):
-    s.check_privilege("INSERT", st.database or s.current_database, st.table)
-
     db = st.database or s.current_database
-    info = s.catalog.get_table(db, st.table)
-    table = s.open_table(info)
+    table = s.temp_table(db, st.table)
+    if table is None:  # temp tables are session-private: no RBAC gate
+        s.check_privilege("INSERT", db, st.table)
+        info = s.catalog.get_table(db, st.table)
+        table = s.open_table(info)
+    else:
+        info = table.info
     touched_streams = []
     if st.query is not None:
         from ..pipeline.executor import execute_plan
@@ -1054,6 +1144,13 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         return QueryResult(DataBlock(
             names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
             [DataField(n, String) for n in names])
+    if st.what == "SEQUENCES":
+        rows = [(i.name, str(i.start), str(i.step), str(i.current), i.comment)
+                for i in s.sequences.list() if match(i.name)]
+        names = ["name", "start", "interval", "current", "comment"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(5)]),
+            [DataField(n, String) for n in names])
     if st.what == "STAGES":
         rows = [(i.name, i.stage_type, i.url, i.comment)
                 for i in s.stages.list() if match(i.name)]
@@ -1076,7 +1173,8 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
 
 def _stmt_describe(s: SessionContext, st: A.DescribeTable):
     db = st.database or s.current_database
-    info = s.catalog.get_table(db, st.name)
+    temp = s.temp_table(db, st.name)
+    info = temp.info if temp is not None else s.catalog.get_table(db, st.name)
     names = ["field", "type", "null", "default"]
     rows = [(f.name, f.dtype.remove_nullable().sql_name(),
              "YES" if f.dtype.is_nullable() else "NO",
@@ -1166,6 +1264,9 @@ _STATEMENTS = {
     A.OptimizeTable: _stmt_optimize,
     A.AnalyzeTable: _stmt_analyze,
     A.VacuumTable: _stmt_vacuum,
+    A.CreateSequence: _stmt_create_sequence,
+    A.DropSequence: _stmt_drop_sequence,
+    A.DescSequence: _stmt_desc_sequence,
     A.CreateStage: _stmt_create_stage,
     A.DropStage: _stmt_drop_stage,
     A.DescStage: _stmt_desc_stage,

@@ -344,6 +344,28 @@ def _sys_stages(s):
         ("comment", String, [i.comment for i in infos])])
 
 
+def _sys_sequences(s):
+    infos = s.sequences.list()
+    return _block([
+        ("name", String, [i.name for i in infos]),
+        ("start", Int64, [i.start for i in infos]),
+        ("interval", Int64, [i.step for i in infos]),
+        ("current", Int64, [i.current for i in infos]),
+        ("comment", String, [i.comment for i in infos])])
+
+
+def _sys_temp_tables(s):
+    """Reference: src/query/storages/system temp_tables_table.rs."""
+    opened = getattr(s, "_temp_open", None) or {}
+    keys = sorted(opened)
+    return _block([
+        ("database", String, [k[0] for k in keys]),
+        ("name", String, [k[1] for k in keys]),
+        ("num_rows", Int64,
+         [(opened[k].read_snapshot().row_count
+           if opened[k].read_snapshot() else 0) for k in keys])])
+
+
 SYSTEM_TABLES: Dict[str, Callable] = {
     "one": _sys_one,
     "databases": _sys_databases,
@@ -374,6 +396,8 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "contributors": _sys_contributors,
     "trace_spans": _sys_trace_spans,
     "stages": _sys_stages,
+    "sequences": _sys_sequences,
+    "temp_tables": _sys_temp_tables,
 }
 
 

@@ -271,6 +271,7 @@ class CreateTable(Statement):
     engine: str = "FUSE"
     as_query: Optional[Query] = None
     options: Dict[str, str] = field(default_factory=dict)
+    temporary: bool = False  # CREATE TEMP TABLE: session-scoped
 
 
 @dataclass
@@ -585,6 +586,29 @@ class OptimizeTable(Statement):
 class VacuumTable(Statement):
     name: str
     database: Optional[str] = None
+
+
+# ---------------------------------------------------------------- sequences
+@dataclass
+class CreateSequence(Statement):
+    """CREATE SEQUENCE s [START = n] [INCREMENT = n] [COMMENT = '...']"""
+    name: str
+    start: int = 1
+    step: int = 1
+    comment: str = ""
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropSequence(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class DescSequence(Statement):
+    name: str
 
 
 # ------------------------------------------------------------------- stages

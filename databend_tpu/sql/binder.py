@@ -443,6 +443,22 @@ class Binder:
                 db = "system"
                 ref = A.TableName(alias_map.get(ref.name.lower(), ref.name),
                                   "system", ref.alias, ref.at_snapshot)
+            # session temp tables shadow the shared catalog
+            temp = self.session.temp_table(db, ref.name) \
+                if hasattr(self.session, "temp_table") else None
+            if temp is not None:
+                scan = Scan(temp, PushDownInfo(), snapshot_id=ref.at_snapshot)
+                ctx = BindContext()
+                alias = ref.alias or ref.name
+                for f in temp.info.schema.fields:
+                    ctx.add(f.name, f.dtype, alias)
+                if state.scan is None and state.table_info is None:
+                    state.scan = scan
+                    state.table_info = temp.info
+                else:
+                    state.scan = None
+                    state.table_info = None
+                return scan, ctx
             if db.lower() == "system":
                 from ..service.system_tables import system_table_plan
                 plan = system_table_plan(self.session, ref.name)

@@ -187,6 +187,8 @@ class ExprBinder:
             if self.aggregate_handler is None:
                 raise SemanticError(f"aggregate function {name}() not allowed here")
             return self.aggregate_handler(e)
+        if name == "nextval":
+            return self._bind_nextval(e)
         if name == "array":
             args = [self.bind(a) for a in e.args]
             if all(isinstance(a, Constant) for a in args):
@@ -200,6 +202,29 @@ class ExprBinder:
         if name in ("cosine_distance", "l1_distance", "l2_distance", "inner_product"):
             args = self._coerce_vector_args(args, name)
         return self._func(name, args)
+
+    def _bind_nextval(self, e: A.FunctionCall) -> ScalarExpr:
+        """nextval(seq) — lowered against the current session's sequence
+        manager (reference: async nextval in the type checker)."""
+        from ..expression.expr import SequenceNext
+        from ..types import UInt64
+        from ..utils.current import current_session
+        s = current_session()
+        if s is None:
+            raise SemanticError("nextval() requires a session context")
+        if len(e.args) != 1:
+            raise SemanticError("nextval expects one sequence name")
+        a = e.args[0]
+        if isinstance(a, A.ColumnRef) and a.table is None:
+            seq = a.name
+        elif isinstance(a, A.Literal) and isinstance(a.value, str):
+            seq = a.value
+        else:
+            raise SemanticError("nextval expects a sequence name")
+        mgr = s.sequences
+        mgr.get(seq)  # existence check at bind time
+        return SequenceNext(seq, lambda n, _m=mgr, _s=seq: _m.next_block(_s, n),
+                            UInt64)
 
     def _coerce_vector_args(self, args: List[ScalarExpr], name: str) -> List[ScalarExpr]:
         if len(args) != 2:

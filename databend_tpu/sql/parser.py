@@ -123,6 +123,9 @@ class Parser:
             self.next()
             if self.accept_keyword("STAGE"):
                 return A.DescStage(self.ident())
+            if self._at_word("SEQUENCE"):
+                self.next()
+                return A.DescSequence(self.ident())
             self.accept_keyword("TABLE")
             db, name = self.qualified_name()
             return A.DescribeTable(name, db)
@@ -349,6 +352,15 @@ class Parser:
             return A.CreateDatabase(self.ident(), ine or replace)
         if self.at_keyword("TABLE"):
             return self.parse_create_table(replace)
+        if self._at_word("TEMP", "TEMPORARY") \
+                and self.peek(1).text.upper() == "TABLE":
+            self.next()
+            return self.parse_create_table(replace, temporary=True)
+        if self._at_word("TRANSIENT") and self.peek(1).text.upper() == "TABLE":
+            self.next()  # no-history tables: stored as a table option
+            st = self.parse_create_table(replace)
+            st.options["transient"] = "true"
+            return st
         for itype in ("VECTOR", "INVERTED", "NGRAM"):
             if self.at_keyword(itype):
                 if self.peek(1).kind == "KEYWORD" and self.peek(1).text == "INDEX":
@@ -373,6 +385,28 @@ class Parser:
             self.next()
             ine = self._if_not_exists()
             return A.CreateRole(self._user_name(), ine)
+        if self._at_word("SEQUENCE"):
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            start, step, comment = 1, 1, ""
+            while self.peek().kind in ("IDENT", "KEYWORD"):
+                kw = self.peek().text.upper()
+                if kw == "START":
+                    self.next()
+                    self.accept_keyword("WITH") or self.accept_op("=")
+                    start = int(self.next().text)
+                elif kw in ("INCREMENT", "STEP"):
+                    self.next()
+                    self.accept_keyword("BY") or self.accept_op("=")
+                    step = int(self.next().text)
+                elif kw == "COMMENT":
+                    self.next()
+                    self.expect_op("=")
+                    comment = self.next().text
+                else:
+                    break
+            return A.CreateSequence(name, start, step, comment, ine, replace)
         if self.at_keyword("STAGE"):
             self.next()
             ine = self._if_not_exists()
@@ -481,7 +515,8 @@ class Parser:
             return True
         return False
 
-    def parse_create_table(self, replace: bool = False):
+    def parse_create_table(self, replace: bool = False,
+                           temporary: bool = False):
         self.expect_keyword("TABLE")
         ine = self._if_not_exists()
         db, name = self.qualified_name()
@@ -520,7 +555,7 @@ class Parser:
             else:
                 break
         return A.CreateTable(name, db, columns, ine or replace, cluster_by, engine,
-                             as_query, options)
+                             as_query, options, temporary)
 
     def parse_column_def(self) -> A.ColumnDef:
         name = self.ident()
@@ -633,6 +668,10 @@ class Parser:
         if self.accept_keyword("INDEX"):
             ie = self._if_exists()
             return A.DropIndex("AGGREGATING", self.ident(), None, ie)
+        if self._at_word("SEQUENCE"):
+            self.next()
+            ie = self._if_exists()
+            return A.DropSequence(self.ident(), ie)
         if self.at_keyword("STAGE"):
             self.next()
             ie = self._if_exists()
