@@ -35,19 +35,26 @@ class DataField:
     dtype: DataType
     default: Optional[object] = None
     column_id: int = 0
+    # RENAME COLUMN history: old on-disk names, oldest first. Blocks written
+    # before a rename are resolved through these at read time (the
+    # name-based analog of the reference's column-id resolution).
+    prior_names: List[str] = field(default_factory=list)
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "name": self.name,
             "type": self.dtype.sql_name(),
             "default": self.default,
             "column_id": self.column_id,
         }
+        if self.prior_names:
+            d["prior_names"] = list(self.prior_names)
+        return d
 
     @staticmethod
     def from_dict(d: dict) -> "DataField":
         return DataField(d["name"], parse_type_name(d["type"]), d.get("default"),
-                         d.get("column_id", 0))
+                         d.get("column_id", 0), list(d.get("prior_names") or []))
 
 
 @dataclass

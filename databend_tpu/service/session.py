@@ -174,7 +174,11 @@ class SessionContext:
         t = self._tables.get(info.table_id)
         if t is None or t.info.to_dict() != info.to_dict():
             from ..storage.external import EXTERNAL_ENGINES, ExternalTable
-            if info.engine.upper() in EXTERNAL_ENGINES:
+            if info.engine.upper() == "ATTACH":
+                from ..storage.fuse.table import AttachedTable
+                t = AttachedTable(info, self.catalog,
+                                  os.path.join(self.data_root, "tables"))
+            elif info.engine.upper() in EXTERNAL_ENGINES:
                 t = ExternalTable(info, self.catalog,
                                   os.path.join(self.data_root, "tables"))
             else:
@@ -312,6 +316,13 @@ class SessionContext:
             from .sequences import SequenceManager
             self._sequences = SequenceManager(self.meta)
         return self._sequences
+
+    @property
+    def policies(self):
+        if getattr(self, "_policies", None) is None:
+            from .policies import PolicyManager
+            self._policies = PolicyManager(self.meta)
+        return self._policies
 
     @property
     def streams(self):
@@ -856,6 +867,177 @@ def _stmt_copy_into_location(s: SessionContext, st: A.CopyIntoLocation):
     return _ok(n)
 
 
+def _stmt_add_column(s: SessionContext, st: A.AddColumn):
+    """ALTER TABLE ADD COLUMN — existing blocks backfill the default/NULL
+    at read (reference: schema evolution via column ids + defaults)."""
+    s.check_privilege("ALTER", st.database or s.current_database, st.table)
+    db = st.database or s.current_database
+    info = s.catalog.get_table(db, st.table)
+    c = st.column
+    if info.schema.has_field(c.name):
+        if st.if_not_exists:
+            return _ok()
+        raise SemanticError(f"column {c.name!r} already exists")
+    dtype = parse_type_name(c.type_name)
+    if c.nullable and not dtype.is_nullable():
+        dtype = dtype.wrap_nullable()
+    default = c.default.value if isinstance(c.default, A.Literal) else None
+    f = DataField(c.name, dtype, default)
+    f.column_id = info.schema.next_column_id
+    info.schema.fields.append(f)
+    info.schema.next_column_id += 1
+    s.catalog.update_table(info)
+    s._tables.pop(info.table_id, None)
+    return _ok()
+
+
+def _stmt_drop_column(s: SessionContext, st: A.DropColumn):
+    s.check_privilege("ALTER", st.database or s.current_database, st.table)
+    db = st.database or s.current_database
+    info = s.catalog.get_table(db, st.table)
+    if not info.schema.has_field(st.column):
+        if st.if_exists:
+            return _ok()
+        from ..errors import UnknownColumn
+        raise UnknownColumn(f"unknown column {st.column!r}")
+    if len(info.schema.fields) == 1:
+        raise SemanticError("cannot drop the last column")
+    idx = info.schema.index_of(st.column)
+    dropped = info.schema.fields.pop(idx)
+    # detach any masking policy bound to the dropped column
+    info.options.pop(f"mask:{dropped.name.lower()}", None)
+    s.catalog.update_table(info)
+    s._tables.pop(info.table_id, None)
+    return _ok()
+
+
+def _stmt_rename_column(s: SessionContext, st: A.RenameColumn):
+    s.check_privilege("ALTER", st.database or s.current_database, st.table)
+    db = st.database or s.current_database
+    info = s.catalog.get_table(db, st.table)
+    if info.schema.has_field(st.new):
+        raise SemanticError(f"column {st.new!r} already exists")
+    f = info.schema.field(st.old)
+    f.prior_names.append(f.name)  # old blocks resolve through this
+    mask = info.options.pop(f"mask:{f.name.lower()}", None)
+    f.name = st.new
+    if mask is not None:
+        info.options[f"mask:{st.new.lower()}"] = mask
+    s.catalog.update_table(info)
+    s._tables.pop(info.table_id, None)
+    return _ok()
+
+
+def _stmt_create_masking_policy(s: SessionContext, st: A.CreateMaskingPolicy):
+    from ..license import check_feature
+    check_feature(s, "data_mask")
+    s.check_privilege("SUPER", "*")
+    from .policies import MaskingPolicy
+    s.policies.create_masking(
+        MaskingPolicy(st.name, st.arg_name, st.arg_type, st.ret_type,
+                      st.body_sql, st.comment),
+        st.if_not_exists, st.or_replace)
+    return _ok()
+
+
+def _stmt_drop_masking_policy(s: SessionContext, st: A.DropMaskingPolicy):
+    s.check_privilege("SUPER", "*")
+    s.policies.drop_masking(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_desc_masking_policy(s: SessionContext, st: A.DescMaskingPolicy):
+    p = s.policies.get_masking(st.name)
+    names = ["name", "signature", "return_type", "body", "comment"]
+    vals = [p.name, f"({p.arg_name} {p.arg_type})", p.ret_type, p.body,
+            p.comment]
+    return QueryResult(
+        DataBlock(names, [Column.from_pylist([v], String) for v in vals], 1),
+        [DataField(n, String) for n in names])
+
+
+def _stmt_create_row_access_policy(s: SessionContext,
+                                   st: A.CreateRowAccessPolicy):
+    from ..license import check_feature
+    check_feature(s, "row_access_policy")
+    s.check_privilege("SUPER", "*")
+    from .policies import RowAccessPolicy
+    s.policies.create_row_access(
+        RowAccessPolicy(st.name, list(st.args), st.body_sql, st.comment),
+        st.if_not_exists, st.or_replace)
+    return _ok()
+
+
+def _stmt_drop_row_access_policy(s: SessionContext, st: A.DropRowAccessPolicy):
+    s.check_privilege("SUPER", "*")
+    s.policies.drop_row_access(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_set_column_masking_policy(s: SessionContext,
+                                    st: A.SetColumnMaskingPolicy):
+    s.check_privilege("ALTER", st.database or s.current_database, st.table)
+    db = st.database or s.current_database
+    info = s.catalog.get_table(db, st.table)
+    f = info.schema.field(st.column)  # validates the column exists
+    key = f"mask:{f.name.lower()}"
+    if st.policy is None:
+        info.options.pop(key, None)
+    else:
+        from ..license import check_feature
+        check_feature(s, "data_mask")
+        s.policies.get_masking(st.policy)  # validates the policy exists
+        info.options[key] = st.policy
+    s.catalog.update_table(info)
+    s._tables.pop(info.table_id, None)
+    return _ok()
+
+
+def _stmt_set_table_row_access_policy(s: SessionContext,
+                                      st: A.SetTableRowAccessPolicy):
+    s.check_privilege("ALTER", st.database or s.current_database, st.table)
+    db = st.database or s.current_database
+    info = s.catalog.get_table(db, st.table)
+    if st.drop:
+        info.options.pop("row_access", None)
+    else:
+        from ..license import check_feature
+        check_feature(s, "row_access_policy")
+        policy = s.policies.get_row_access(st.policy)
+        if len(st.columns) != len(policy.args):
+            raise SemanticError(
+                f"row access policy {st.policy!r} expects "
+                f"{len(policy.args)} columns")
+        for c in st.columns:
+            info.schema.field(c)  # validates
+        info.options["row_access"] = f"{st.policy}:{','.join(st.columns)}"
+    s.catalog.update_table(info)
+    s._tables.pop(info.table_id, None)
+    return _ok()
+
+
+def _stmt_attach_table(s: SessionContext, st: A.AttachTable):
+    """ATTACH TABLE name 'location' — a read-only table over another
+    table's storage directory (reference EE attach_table)."""
+    from ..license import check_feature
+    check_feature(s, "attach_table")
+    s.check_privilege("CREATE", st.database or s.current_database)
+    from ..storage.fuse.table import AttachedTable
+    db = st.database or s.current_database
+    head = AttachedTable.head_snapshot_of(st.location)
+    if head is None:
+        raise BadArguments(f"no table snapshots found at {st.location!r}")
+    if not head.schema:
+        raise BadArguments(
+            "source table predates schema-carrying snapshots; OPTIMIZE or "
+            "re-append to it first")
+    schema = TableSchema.from_dict(head.schema)
+    info = TableInfo(0, db, st.name, schema, "ATTACH",
+                     {"attach_location": st.location}, [])
+    s.catalog.create_table(info, if_not_exists=False)
+    return _ok()
+
+
 def _stmt_create_sequence(s: SessionContext, st: A.CreateSequence):
     s.check_privilege("SUPER", "*")
     s.sequences.create(st.name, st.start, st.step, st.comment,
@@ -1215,6 +1397,8 @@ def _stmt_optimize(s: SessionContext, st: A.OptimizeTable):
 
 
 def _stmt_vacuum(s: SessionContext, st: A.VacuumTable):
+    from ..license import check_feature
+    check_feature(s, "vacuum")  # EE-gated in the reference
     removed = s.table(st.name, st.database).vacuum(
         float(s.settings.get("data_retention_time_in_days") or 0))
     return _ok(removed)
@@ -1264,6 +1448,17 @@ _STATEMENTS = {
     A.OptimizeTable: _stmt_optimize,
     A.AnalyzeTable: _stmt_analyze,
     A.VacuumTable: _stmt_vacuum,
+    A.AddColumn: _stmt_add_column,
+    A.DropColumn: _stmt_drop_column,
+    A.RenameColumn: _stmt_rename_column,
+    A.CreateMaskingPolicy: _stmt_create_masking_policy,
+    A.DropMaskingPolicy: _stmt_drop_masking_policy,
+    A.DescMaskingPolicy: _stmt_desc_masking_policy,
+    A.CreateRowAccessPolicy: _stmt_create_row_access_policy,
+    A.DropRowAccessPolicy: _stmt_drop_row_access_policy,
+    A.SetColumnMaskingPolicy: _stmt_set_column_masking_policy,
+    A.SetTableRowAccessPolicy: _stmt_set_table_row_access_policy,
+    A.AttachTable: _stmt_attach_table,
     A.CreateSequence: _stmt_create_sequence,
     A.DropSequence: _stmt_drop_sequence,
     A.DescSequence: _stmt_desc_sequence,

@@ -198,6 +198,10 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
         SettingDef("statement_queued_timeout_in_seconds", 60,
                    "seconds a query may wait in the admission queue",
                    (0, 1 << 16)),
+        SettingDef("enterprise_license", "builtin-dev",
+                   "license key gating EE features (reference license.rs);"
+                   " 'builtin-dev' = all features (dev build), '' = none,"
+                   " or a comma-separated feature allowlist"),
     ]
 }
 

@@ -588,6 +588,101 @@ class VacuumTable(Statement):
     database: Optional[str] = None
 
 
+# -------------------------------------------------------------- alter table
+@dataclass
+class AddColumn(Statement):
+    table: str
+    database: Optional[str]
+    column: "ColumnDef"
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropColumn(Statement):
+    table: str
+    database: Optional[str]
+    column: str
+    if_exists: bool = False
+
+
+@dataclass
+class RenameColumn(Statement):
+    table: str
+    database: Optional[str]
+    old: str
+    new: str
+
+
+# ------------------------------------------------------- policies (EE)
+@dataclass
+class CreateMaskingPolicy(Statement):
+    """CREATE MASKING POLICY p AS (val T) RETURNS T -> <expr>"""
+    name: str
+    arg_name: str
+    arg_type: str
+    ret_type: str
+    body_sql: str
+    comment: str = ""
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropMaskingPolicy(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class DescMaskingPolicy(Statement):
+    name: str
+
+
+@dataclass
+class CreateRowAccessPolicy(Statement):
+    """CREATE ROW ACCESS POLICY p AS (c1 T1, ...) RETURNS BOOLEAN -> <expr>"""
+    name: str
+    args: List[tuple] = field(default_factory=list)  # [(name, type_sql)]
+    body_sql: str = ""
+    comment: str = ""
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropRowAccessPolicy(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class SetColumnMaskingPolicy(Statement):
+    """ALTER TABLE t MODIFY COLUMN c SET MASKING POLICY p | UNSET ..."""
+    table: str
+    database: Optional[str]
+    column: str
+    policy: Optional[str]  # None = UNSET
+
+
+@dataclass
+class SetTableRowAccessPolicy(Statement):
+    """ALTER TABLE t ADD ROW ACCESS POLICY p ON (c1,...) | DROP ... p"""
+    table: str
+    database: Optional[str]
+    policy: Optional[str]
+    columns: List[str] = field(default_factory=list)
+    drop: bool = False
+
+
+@dataclass
+class AttachTable(Statement):
+    """ATTACH TABLE [db.]name 'location' — read-only view of another
+    table's storage (reference EE attach table)."""
+    name: str
+    database: Optional[str]
+    location: str
+
+
 # ---------------------------------------------------------------- sequences
 @dataclass
 class CreateSequence(Statement):

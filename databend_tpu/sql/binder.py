@@ -514,6 +514,11 @@ class Binder:
             alias = ref.alias or ref.name
             for f in info.schema.fields:
                 ctx.add(f.name, f.dtype, alias)
+            policied = self._apply_policies(info, scan, ctx)
+            if policied is not None:
+                state.scan = None
+                state.table_info = None
+                return policied, ctx
             if state.scan is None and state.table_info is None:
                 state.scan = scan
                 state.table_info = info
@@ -546,6 +551,54 @@ class Binder:
         if isinstance(ref, A.Join):
             return self._bind_join(ref, ctes, state)
         raise SemanticError(f"unsupported table reference {type(ref).__name__}")
+
+    def _apply_policies(self, info, scan, ctx):
+        """Row access policy filter + masking-policy projections wrapped
+        around the scan at bind time (reference: EE data_mask /
+        row_access_policy applied in the binder so masked values never
+        reach later operators). Returns None when the table has none."""
+        mask_cols = {k[5:]: v for k, v in info.options.items()
+                     if k.startswith("mask:")}
+        row_access = info.options.get("row_access")
+        if not mask_cols and not row_access:
+            return None
+        pm = self.session.policies
+        plan = scan
+        if row_access:
+            from ..license import check_feature
+            check_feature(self.session, "row_access_policy")
+            from ..service.policies import parse_policy_expr
+            pname, _, cols_s = row_access.partition(":")
+            policy = pm.get_row_access(pname)
+            cols = cols_s.split(",") if cols_s else []
+            if len(cols) != len(policy.args):
+                raise SemanticError(
+                    f"row access policy {pname!r} arity mismatch")
+            pctx = BindContext()
+            for (arg_name, _t), col in zip(policy.args, cols):
+                f = info.schema.field(col)
+                pctx.add(arg_name, f.dtype, None, f.name)
+            cond = ExprBinder(pctx).bind(parse_policy_expr(policy.body))
+            plan = FilterPlan(plan, cond)
+        if mask_cols:
+            from ..license import check_feature
+            check_feature(self.session, "data_mask")
+            from ..service.policies import parse_policy_expr
+            items = []
+            for f in info.schema.fields:
+                pname = mask_cols.get(f.name.lower()) or mask_cols.get(f.name)
+                if pname is None:
+                    items.append((f.name, BoundColumn(f.name, f.dtype)))
+                    continue
+                policy = pm.get_masking(pname)
+                pctx = BindContext()
+                pctx.add(policy.arg_name, f.dtype, None, f.name)
+                e = ExprBinder(pctx).bind(parse_policy_expr(policy.body))
+                if e.dtype.remove_nullable() != f.dtype.remove_nullable():
+                    e = CastExpr(e, f.dtype, False)
+                items.append((f.name, e))
+            plan = ProjectPlan(plan, items)
+        return plan
 
     def _bind_table_function(self, ref: A.TableFunctionRef, state: ScanState):
         from ..service.table_functions import bind_table_function

@@ -189,6 +189,9 @@ class ExprBinder:
             return self.aggregate_handler(e)
         if name == "nextval":
             return self._bind_nextval(e)
+        if name in ("current_user", "current_role", "current_database",
+                    "database", "version", "connection_id") and not e.args:
+            return self._bind_session_constant(name)
         if name == "array":
             args = [self.bind(a) for a in e.args]
             if all(isinstance(a, Constant) for a in args):
@@ -202,6 +205,31 @@ class ExprBinder:
         if name in ("cosine_distance", "l1_distance", "l2_distance", "inner_product"):
             args = self._coerce_vector_args(args, name)
         return self._func(name, args)
+
+    def _bind_session_constant(self, name: str) -> ScalarExpr:
+        """current_user()/current_role()/database()/version() — session
+        state folded to constants at bind time (reference: type checker
+        resolves these against the session)."""
+        from ..types import String
+        from ..utils.current import current_session
+        s = current_session()
+        if s is None:
+            raise SemanticError(f"{name}() requires a session context")
+        if name == "current_user":
+            v = getattr(s.current_user, "name", "root")
+        elif name == "current_role":
+            roles = getattr(s.current_user, "roles", None) or []
+            v = roles[0] if roles else (
+                "account_admin" if getattr(s.current_user, "name", "") == "root"
+                else "public")
+        elif name in ("current_database", "database"):
+            v = s.current_database
+        elif name == "connection_id":
+            v = str(id(s))
+        else:
+            from ..version import __version__
+            v = f"databend_tpu v{__version__}"
+        return Constant(v, String)
 
     def _bind_nextval(self, e: A.FunctionCall) -> ScalarExpr:
         """nextval(seq) — lowered against the current session's sequence

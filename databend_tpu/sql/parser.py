@@ -126,6 +126,10 @@ class Parser:
             if self._at_word("SEQUENCE"):
                 self.next()
                 return A.DescSequence(self.ident())
+            if self._at_word("MASKING") and self.peek(1).text.upper() == "POLICY":
+                self.next()
+                self.next()
+                return A.DescMaskingPolicy(self.ident())
             self.accept_keyword("TABLE")
             db, name = self.qualified_name()
             return A.DescribeTable(name, db)
@@ -188,6 +192,13 @@ class Parser:
                 self.expect_op("=")
                 pattern = self.next().text
             return A.RemoveStage(ref, pattern)
+        if self._at_word("ATTACH"):
+            self.next()
+            self.expect_keyword("TABLE")
+            db, name = self.qualified_name()
+            if self.peek().kind != "STRING":
+                self.error("ATTACH TABLE expects a location string")
+            return A.AttachTable(name, db, self.next().text)
         if self._at_word("PRESIGN"):
             self.next()
             method = "DOWNLOAD"
@@ -385,6 +396,60 @@ class Parser:
             self.next()
             ine = self._if_not_exists()
             return A.CreateRole(self._user_name(), ine)
+        if self._at_word("MASKING") and self.peek(1).text.upper() == "POLICY":
+            self.next()
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            self.expect_keyword("AS")
+            self.expect_op("(")
+            arg = self.ident()
+            arg_t = self.parse_type_name()
+            self.expect_op(")")
+            if not self._at_word("RETURNS"):
+                self.error("expected RETURNS <type>")
+            self.next()
+            ret_t = self.parse_type_name()
+            self.expect_op("->")
+            start = self.peek().pos
+            self.parse_expr()  # validate the body parses
+            end = self.peek().pos if self.peek().kind != "EOF" else len(self.sql)
+            body = self.sql[start:end].strip().rstrip(";")
+            comment = ""
+            if self.accept_keyword("COMMENT"):
+                self.expect_op("=")
+                comment = self.next().text
+            return A.CreateMaskingPolicy(name, arg, arg_t, ret_t, body,
+                                         comment, ine, replace)
+        if self._at_word("ROW") and self.peek(1).text.upper() == "ACCESS":
+            self.next()
+            self.next()
+            if not self._at_word("POLICY"):
+                self.error("expected ROW ACCESS POLICY")
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            self.expect_keyword("AS")
+            self.expect_op("(")
+            args = [(self.ident(), self.parse_type_name())]
+            while self.accept_op(","):
+                args.append((self.ident(), self.parse_type_name()))
+            self.expect_op(")")
+            if not self._at_word("RETURNS"):
+                self.error("expected RETURNS BOOLEAN")
+            self.next()
+            self.parse_type_name()
+            self.expect_op("->")
+            start = self.peek().pos
+            self.parse_expr()
+            end = self.peek().pos if self.peek().kind != "EOF" else len(self.sql)
+            body = self.sql[start:end].strip().rstrip(";")
+            comment = ""
+            if self.accept_keyword("COMMENT"):
+                self.expect_op("=")
+                comment = self.next().text
+            return A.CreateRowAccessPolicy(name, args, body, comment, ine,
+                                           replace)
         if self._at_word("SEQUENCE"):
             self.next()
             ine = self._if_not_exists()
@@ -668,6 +733,19 @@ class Parser:
         if self.accept_keyword("INDEX"):
             ie = self._if_exists()
             return A.DropIndex("AGGREGATING", self.ident(), None, ie)
+        if self._at_word("MASKING") and self.peek(1).text.upper() == "POLICY":
+            self.next()
+            self.next()
+            ie = self._if_exists()
+            return A.DropMaskingPolicy(self.ident(), ie)
+        if self._at_word("ROW") and self.peek(1).text.upper() == "ACCESS":
+            self.next()
+            self.next()
+            if not self._at_word("POLICY"):
+                self.error("expected ROW ACCESS POLICY")
+            self.next()
+            ie = self._if_exists()
+            return A.DropRowAccessPolicy(self.ident(), ie)
         if self._at_word("SEQUENCE"):
             self.next()
             ie = self._if_exists()
@@ -762,11 +840,67 @@ class Parser:
         self.expect_keyword("TABLE")
         db, name = self.qualified_name()
         if self.accept_keyword("RENAME"):
+            if self.accept_keyword("COLUMN"):
+                old = self.ident()
+                self.expect_keyword("TO")
+                return A.RenameColumn(name, db, old, self.ident())
             self.expect_keyword("TO")
             return A.RenameTable(name, self.ident(), db)
         if self.accept_keyword("FLASHBACK"):
             self.expect_keyword("TO")
             return A.FlashbackTable(name, self.parse_travel_point(), db)
+        if self.accept_keyword("ADD"):
+            if self._at_word("ROW"):
+                self.next()
+                if not self._at_word("ACCESS"):
+                    self.error("expected ROW ACCESS POLICY")
+                self.next()
+                if not self._at_word("POLICY"):
+                    self.error("expected ROW ACCESS POLICY")
+                self.next()
+                policy = self.ident()
+                self.expect_keyword("ON")
+                self.expect_op("(")
+                cols = [self.ident()]
+                while self.accept_op(","):
+                    cols.append(self.ident())
+                self.expect_op(")")
+                return A.SetTableRowAccessPolicy(name, db, policy, cols)
+            self.accept_keyword("COLUMN")
+            ine = self._if_not_exists()
+            return A.AddColumn(name, db, self.parse_column_def(), ine)
+        if self.accept_keyword("DROP"):
+            if self._at_word("ROW"):
+                self.next()
+                if not (self._at_word("ACCESS")
+                        and self.peek(1).text.upper() == "POLICY"):
+                    self.error("expected ROW ACCESS POLICY")
+                self.next()
+                self.next()
+                policy = self.ident()
+                return A.SetTableRowAccessPolicy(name, db, policy, [], drop=True)
+            self.accept_keyword("COLUMN")
+            ie = self._if_exists()
+            return A.DropColumn(name, db, self.ident(), ie)
+        if self.accept_keyword("MODIFY"):
+            self.expect_keyword("COLUMN")
+            col = self.ident()
+            if self.accept_keyword("SET"):
+                if not (self._at_word("MASKING")
+                        and self.peek(1).text.upper() == "POLICY"):
+                    self.error("expected SET MASKING POLICY")
+                self.next()
+                self.next()
+                return A.SetColumnMaskingPolicy(name, db, col, self.ident())
+            if self._at_word("UNSET"):
+                self.next()
+                if not (self._at_word("MASKING")
+                        and self.peek(1).text.upper() == "POLICY"):
+                    self.error("expected UNSET MASKING POLICY")
+                self.next()
+                self.next()
+                return A.SetColumnMaskingPolicy(name, db, col, None)
+            self.error("unsupported MODIFY COLUMN action")
         self.error("unsupported ALTER TABLE action")
 
     # -------------------------------------------------------------------- dml

@@ -137,15 +137,38 @@ def write_block(path: str, block: DataBlock) -> int:
 
 def read_block(path: str, schema: TableSchema,
                projection: Optional[List[str]] = None) -> DataBlock:
+    """Schema-evolution-aware block read: columns renamed after the block
+    was written resolve through DataField.prior_names; columns added after
+    fill with the field default / NULL (reference: column-id resolution +
+    default backfill in the fuse reader)."""
     names = projection if projection is not None else schema.field_names()
     names = [schema.field(n).name for n in names]
     from ..operator import OPERATOR
-    table = pq.read_table(OPERATOR.open_read(path), columns=names)
+    handle = OPERATOR.open_read(path)
+    file_cols = set(pq.read_schema(handle).names)
+    resolved = {}  # field name -> on-disk name (or None: backfill)
+    for n in names:
+        f = schema.field(n)
+        disk = n if n in file_cols else next(
+            (p for p in reversed(f.prior_names) if p in file_cols), None)
+        resolved[n] = disk
+    want = sorted({d for d in resolved.values() if d is not None})
+    table = pq.read_table(handle, columns=want) if want else None
+    n_rows = table.num_rows if table is not None else read_block_rows(path)
     cols = []
     for n in names:
         f = schema.field(n)
-        cols.append(_from_arrow_array(table.column(n), f.dtype))
-    return DataBlock(names, cols)
+        disk = resolved[n]
+        if disk is not None:
+            cols.append(_from_arrow_array(table.column(disk), f.dtype))
+        else:
+            from ...expression.evaluator import constant_column
+            if f.default is not None:
+                cols.append(constant_column(f.default, f.dtype, n_rows))
+            else:
+                cols.append(constant_column(None, f.dtype.wrap_nullable(),
+                                            n_rows))
+    return DataBlock(names, cols, n_rows)
 
 
 def read_block_rows(path: str) -> int:

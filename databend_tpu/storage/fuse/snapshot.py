@@ -108,9 +108,12 @@ class TableSnapshot:
     index_size: int = 0
     prev_snapshot: Optional[str] = None
     timestamp: float = 0.0
+    # schema at commit time (reference: TableSnapshot carries the schema)
+    # — makes table dirs self-describing so ATTACH TABLE can open them
+    schema: Optional[dict] = None
 
     def to_dict(self):
-        return {
+        d = {
             "snapshot_id": self.snapshot_id,
             "segments": self.segments,
             "row_count": self.row_count,
@@ -119,12 +122,16 @@ class TableSnapshot:
             "prev_snapshot": self.prev_snapshot,
             "timestamp": self.timestamp,
         }
+        if self.schema is not None:
+            d["schema"] = self.schema
+        return d
 
     @staticmethod
     def from_dict(d):
         return TableSnapshot(d["snapshot_id"], d["segments"], d.get("row_count", 0),
                              d.get("block_count", 0), d.get("index_size", 0),
-                             d.get("prev_snapshot"), d.get("timestamp", 0.0))
+                             d.get("prev_snapshot"), d.get("timestamp", 0.0),
+                             d.get("schema"))
 
 
 def write_json(path: str, payload: dict) -> None:

@@ -28,7 +28,8 @@ import numpy as np
 
 from ...catalog.catalog import Catalog, TableIndexDef, TableInfo
 from ...catalog.pushdown import PushDownInfo, VectorIndexInfo
-from ...errors import StorageOther, TableVersionMismatched, VectorError
+from ...errors import (StorageOther, TableVersionMismatched,
+                       UnsupportedFeature, VectorError)
 from ...expression import Column, DataBlock
 from ...expression.schema import TableSchema
 from ...types import VectorType
@@ -490,7 +491,7 @@ class FuseTable:
                 index_size += sum(v.get("size", 0) for v in b.inverted_indexes.values())
         return TableSnapshot(new_uuid(), segments, row_count, block_count,
                              index_size, prev.snapshot_id if prev else None,
-                             time.time())
+                             time.time(), schema=self.info.schema.to_dict())
 
     def truncate(self) -> TableSnapshot:
         return self._commit([], overwrite=True)
@@ -711,7 +712,10 @@ class FuseTable:
     def read_block(self, meta: BlockMeta,
                    projection: Optional[List[str]] = None) -> DataBlock:
         cache = CacheManager.instance().blocks
-        key = self.abs_path(meta.location)
+        # schema fingerprint in the key: ALTER TABLE ADD/DROP/RENAME COLUMN
+        # must never serve blocks decoded under the old schema
+        key = (self.abs_path(meta.location) + "#"
+               + ",".join(f.name for f in self.schema.fields))
         blk = cache.get_or_load(key, lambda: block_io.read_block(
             self.abs_path(meta.location), self.schema))
         if projection is not None:
@@ -1007,6 +1011,52 @@ def _stacked_scores_program(q, x, metric):
 
 _EXACT_TOPK = None
 _STACKED_SCORES = None
+
+
+class AttachedTable(FuseTable):
+    """Read-only table over another table's storage directory.
+
+    Reference: EE ATTACH TABLE (src/query/ee/src/attach_table) — the
+    attached side reads the source's snapshots live (updates on the source
+    become visible) and rejects every mutation. The head snapshot is the
+    newest ``_ss/*.json`` by commit timestamp: the dir itself is the truth,
+    no shared catalog pointer is required.
+    """
+
+    def __init__(self, info, catalog, data_root: str):
+        self.info = info
+        self.catalog = catalog
+        self.table_dir = info.options["attach_location"]
+
+    @staticmethod
+    def head_snapshot_of(location: str) -> Optional[TableSnapshot]:
+        ss_dir = os.path.join(location, "_ss")
+        if OPERATOR.is_object_store(location):
+            names = [k for k in OPERATOR.list(ss_dir) if k.endswith(".json")]
+        else:
+            if not os.path.isdir(ss_dir):
+                return None
+            names = [os.path.join(ss_dir, n) for n in os.listdir(ss_dir)
+                     if n.endswith(".json")]
+        head = None
+        for path in names:
+            snap = TableSnapshot.from_dict(read_json(path))
+            if head is None or snap.timestamp > head.timestamp:
+                head = snap
+        return head
+
+    def read_snapshot(self, snapshot_id=None) -> Optional[TableSnapshot]:
+        if isinstance(snapshot_id, tuple):
+            return self.navigate(snapshot_id)
+        if snapshot_id:
+            return super().read_snapshot(snapshot_id)
+        return self.head_snapshot_of(self.table_dir)
+
+    def _read_only(self, *_a, **_k):
+        raise UnsupportedFeature("attached tables are read-only")
+
+    append = truncate = delete_rows = update_rows = _read_only
+    flashback = compact = vacuum = _read_only
 
 
 def _merge_column(old: Column, new: Column, mask) -> Column:
