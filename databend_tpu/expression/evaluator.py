@@ -32,11 +32,16 @@ class Evaluator:
             return self.block.column(expr.name)
         if isinstance(expr, Constant):
             return constant_column(expr.value, expr.dtype, n)
-        from .expr import SequenceNext
+        from .expr import DictGet, SequenceNext
         if isinstance(expr, SequenceNext):  # volatile: before const folding
             vals = expr.allocator(n)
             return Column(expr.dtype.remove_nullable(),
                           vals.astype(expr.dtype.remove_nullable().numpy_dtype()))
+        if isinstance(expr, DictGet):
+            key_col = self.run(expr.key)
+            keys = key_col.to_pylist()
+            vals = [expr.mapping.get(k) for k in keys]
+            return Column.from_pylist(vals, expr.dtype)
         # constant folding: a column-free subtree evaluates once on one row
         # and broadcasts (reference: constant folding in the evaluator /
         # optimizer), instead of materializing n copies of the constant

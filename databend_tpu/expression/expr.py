@@ -79,6 +79,25 @@ class SequenceNext(ScalarExpr):
 
 
 @dataclass
+class DictGet(ScalarExpr):
+    """dict_get(dict, 'attr', key): per-row mapping lookup. The mapping is
+    materialized at bind time from the dictionary source (host-side
+    reference data; never enters device programs)."""
+
+    dict_name: str
+    attr: str
+    key: "ScalarExpr" = None
+    mapping: Any = None  # {key_value: attr_value}
+    dtype: DataType = None
+
+    def children(self):
+        return [self.key]
+
+    def display(self) -> str:
+        return f"dict_get({self.dict_name}, '{self.attr}', {self.key.display()})"
+
+
+@dataclass
 class CastExpr(ScalarExpr):
     arg: ScalarExpr
     dtype: DataType

@@ -325,6 +325,13 @@ class SessionContext:
         return self._policies
 
     @property
+    def dictionaries(self):
+        if getattr(self, "_dictionaries", None) is None:
+            from .dictionaries import DictionaryManager
+            self._dictionaries = DictionaryManager(self)
+        return self._dictionaries
+
+    @property
     def streams(self):
         if getattr(self, "_streams", None) is None:
             from ..storage.stream import StreamManager
@@ -494,12 +501,20 @@ def _stmt_create_table(s: SessionContext, st: A.CreateTable):
     s.check_privilege("CREATE", st.database or s.current_database)
 
     fields = []
+    computed_opts = {}
     for c in st.columns:
         dtype = parse_type_name(c.type_name)
         if c.nullable and not dtype.is_nullable():
             dtype = dtype.wrap_nullable()
         default = c.default.value if isinstance(c.default, A.Literal) else None
         fields.append(DataField(c.name, dtype, default))
+        if c.computed is not None:
+            expr_sql, kind = c.computed
+            computed_opts[f"computed:{c.name.lower()}"] = f"{kind}:{expr_sql}"
+    if computed_opts:
+        from ..license import check_feature
+        check_feature(s, "computed_column")
+        st.options.update(computed_opts)
     db = st.database or s.current_database
     cluster_by = [c.name for c in st.cluster_by if isinstance(c, A.ColumnRef)]
     if st.as_query is not None and not fields:
@@ -1038,6 +1053,32 @@ def _stmt_attach_table(s: SessionContext, st: A.AttachTable):
     return _ok()
 
 
+def _stmt_create_dictionary(s: SessionContext, st: A.CreateDictionary):
+    s.check_privilege("SUPER", "*")
+    from .dictionaries import DictionaryInfo
+    cols = [(c.name, c.type_name) for c in st.columns]
+    s.dictionaries.create(
+        DictionaryInfo(st.name, cols, st.primary_key, st.source_kind or "TABLE",
+                       dict(st.source_opts), st.comment),
+        st.if_not_exists, st.or_replace)
+    return _ok()
+
+
+def _stmt_drop_dictionary(s: SessionContext, st: A.DropDictionary):
+    s.check_privilege("SUPER", "*")
+    s.dictionaries.drop(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_show_create_dictionary(s: SessionContext, st: A.ShowCreateDictionary):
+    info = s.dictionaries.get(st.name)
+    names = ["Dictionary", "Create Dictionary"]
+    return QueryResult(
+        DataBlock(names, [Column.from_pylist([info.name], String),
+                          Column.from_pylist([info.ddl()], String)], 1),
+        [DataField(n, String) for n in names])
+
+
 def _stmt_create_sequence(s: SessionContext, st: A.CreateSequence):
     s.check_privilege("SUPER", "*")
     s.sequences.create(st.name, st.start, st.step, st.comment,
@@ -1178,6 +1219,41 @@ def _stmt_refresh_index(s: SessionContext, st: A.RefreshIndex):
     return _ok(touched)
 
 
+def _computed_defs(info) -> Dict[str, tuple]:
+    """{lower column name: (expr_sql, 'STORED'|'VIRTUAL')} from options."""
+    out = {}
+    for k, v in info.options.items():
+        if k.startswith("computed:"):
+            kind, _, expr = v.partition(":")
+            out[k[len("computed:"):]] = (expr, kind)
+    return out
+
+
+def _fill_stored_computed(info, block: DataBlock, computed) -> DataBlock:
+    """Evaluate STORED computed columns over the assembled insert block
+    (reference: computed-column fill in the append pipeline)."""
+    from ..service.policies import parse_policy_expr
+    from ..sql.expr_binder import BindContext, ExprBinder
+    names = list(block.names)
+    cols = list(block.columns)
+    ctx = BindContext()
+    for n in names:
+        f = info.schema.field(n)
+        ctx.add(f.name, block.column(n).dtype, None, f.name)
+    ev = Evaluator(block)
+    for cname, (expr_sql, kind) in computed.items():
+        if kind != "STORED":
+            continue
+        f = info.schema.field(cname)
+        e = ExprBinder(ctx).bind(parse_policy_expr(expr_sql))
+        col = ev.run(e)
+        if col.dtype.remove_nullable() != f.dtype.remove_nullable():
+            col = cast_column(col, f.dtype, False)
+        names.append(f.name)
+        cols.append(col)
+    return DataBlock(names, cols, block.num_rows)
+
+
 def _stmt_insert(s: SessionContext, st: A.Insert):
     db = st.database or s.current_database
     table = s.temp_table(db, st.table)
@@ -1187,6 +1263,12 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
         table = s.open_table(info)
     else:
         info = table.info
+    computed = _computed_defs(info)
+    for c in (st.columns or []):
+        if c.lower() in computed:
+            raise SemanticError(f"cannot INSERT into computed column {c!r}")
+    plain_fields = [n for n in info.schema.field_names()
+                    if n.lower() not in computed]
     touched_streams = []
     if st.query is not None:
         from ..pipeline.executor import execute_plan
@@ -1198,7 +1280,7 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
         # INSERT .. SELECT maps columns by POSITION (the SELECT's output
         # names are expressions like "id % 7", never schema names), with
         # implicit casts to the target column types
-        tgt_cols = st.columns or info.schema.field_names()
+        tgt_cols = st.columns or plain_fields
         if block.num_columns() != len(tgt_cols):
             raise SemanticError(
                 f"INSERT SELECT arity mismatch: query yields "
@@ -1211,7 +1293,7 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
             out_cols.append(col)
         block = DataBlock(tgt_cols, out_cols, block.num_rows)
     else:
-        cols = st.columns or info.schema.field_names()
+        cols = st.columns or plain_fields
         if any(len(row) != len(cols) for row in st.values):
             raise SemanticError("INSERT VALUES row arity mismatch")
         data: Dict[str, list] = {c: [] for c in cols}
@@ -1225,6 +1307,8 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
             target = f.dtype
             columns.append(Column.from_pylist(data[c], _insert_literal_type(data[c], target)))
         block = DataBlock(cols, columns, len(st.values))
+    if computed:
+        block = _fill_stored_computed(info, block, computed)
     table.append(block, overwrite=st.overwrite)
     # transactional stream consumption: a successful DML that read a
     # stream advances its watermark (reference storages/stream semantics)
@@ -1325,6 +1409,13 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         names = ["name", "table", "watermark"]
         return QueryResult(DataBlock(
             names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
+            [DataField(n, String) for n in names])
+    if st.what == "DICTIONARIES":
+        rows = [(i.name, i.primary_key, i.source_kind, i.comment)
+                for i in s.dictionaries.list() if match(i.name)]
+        names = ["name", "key_names", "source", "comment"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(4)]),
             [DataField(n, String) for n in names])
     if st.what == "SEQUENCES":
         rows = [(i.name, str(i.start), str(i.step), str(i.current), i.comment)
@@ -1459,6 +1550,9 @@ _STATEMENTS = {
     A.SetColumnMaskingPolicy: _stmt_set_column_masking_policy,
     A.SetTableRowAccessPolicy: _stmt_set_table_row_access_policy,
     A.AttachTable: _stmt_attach_table,
+    A.CreateDictionary: _stmt_create_dictionary,
+    A.DropDictionary: _stmt_drop_dictionary,
+    A.ShowCreateDictionary: _stmt_show_create_dictionary,
     A.CreateSequence: _stmt_create_sequence,
     A.DropSequence: _stmt_drop_sequence,
     A.DescSequence: _stmt_desc_sequence,

@@ -354,6 +354,36 @@ def _sys_sequences(s):
         ("comment", String, [i.comment for i in infos])])
 
 
+def _sys_masking_policies(s):
+    infos = s.policies.list_masking()
+    return _block([
+        ("name", String, [p.name for p in infos]),
+        ("signature", String, [f"({p.arg_name} {p.arg_type})" for p in infos]),
+        ("body", String, [p.body for p in infos]),
+        ("comment", String, [p.comment for p in infos])])
+
+
+def _sys_row_access_policies(s):
+    infos = s.policies.list_row_access()
+    return _block([
+        ("name", String, [p.name for p in infos]),
+        ("signature", String,
+         ["(" + ", ".join(f"{n} {t}" for n, t in p.args) + ")" for p in infos]),
+        ("body", String, [p.body for p in infos]),
+        ("comment", String, [p.comment for p in infos])])
+
+
+def _sys_dictionaries(s):
+    infos = s.dictionaries.list()
+    return _block([
+        ("name", String, [i.name for i in infos]),
+        ("key_names", String, [i.primary_key for i in infos]),
+        ("attribute_names", String,
+         [",".join(n for n, _ in i.columns) for i in infos]),
+        ("source", String, [i.source_kind for i in infos]),
+        ("comment", String, [i.comment for i in infos])])
+
+
 def _sys_temp_tables(s):
     """Reference: src/query/storages/system temp_tables_table.rs."""
     opened = getattr(s, "_temp_open", None) or {}
@@ -398,6 +428,9 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "stages": _sys_stages,
     "sequences": _sys_sequences,
     "temp_tables": _sys_temp_tables,
+    "dictionaries": _sys_dictionaries,
+    "masking_policies": _sys_masking_policies,
+    "row_access_policies": _sys_row_access_policies,
 }
 
 

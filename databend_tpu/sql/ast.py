@@ -242,6 +242,8 @@ class ColumnDef:
     nullable: bool = True
     default: Optional[Expr] = None
     comment: Optional[str] = None
+    # computed columns: (expression SQL, "STORED" | "VIRTUAL")
+    computed: Optional[tuple] = None
 
 
 @dataclass
@@ -681,6 +683,31 @@ class AttachTable(Statement):
     name: str
     database: Optional[str]
     location: str
+
+
+# -------------------------------------------------------------- dictionaries
+@dataclass
+class CreateDictionary(Statement):
+    """CREATE DICTIONARY d (cols) PRIMARY KEY k SOURCE(kind(opts))"""
+    name: str
+    columns: List["ColumnDef"] = field(default_factory=list)
+    primary_key: str = ""
+    source_kind: str = ""  # TABLE | MYSQL | REDIS
+    source_opts: Dict[str, str] = field(default_factory=dict)
+    comment: str = ""
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropDictionary(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class ShowCreateDictionary(Statement):
+    name: str
 
 
 # ---------------------------------------------------------------- sequences

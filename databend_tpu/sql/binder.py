@@ -560,7 +560,13 @@ class Binder:
         mask_cols = {k[5:]: v for k, v in info.options.items()
                      if k.startswith("mask:")}
         row_access = info.options.get("row_access")
-        if not mask_cols and not row_access:
+        virtual_cols = {}
+        for k, v in info.options.items():
+            if k.startswith("computed:"):
+                kind, _, expr = v.partition(":")
+                if kind == "VIRTUAL":
+                    virtual_cols[k[len("computed:"):]] = expr
+        if not mask_cols and not row_access and not virtual_cols:
             return None
         pm = self.session.policies
         plan = scan
@@ -580,12 +586,26 @@ class Binder:
                 pctx.add(arg_name, f.dtype, None, f.name)
             cond = ExprBinder(pctx).bind(parse_policy_expr(policy.body))
             plan = FilterPlan(plan, cond)
-        if mask_cols:
-            from ..license import check_feature
-            check_feature(self.session, "data_mask")
+        if mask_cols or virtual_cols:
             from ..service.policies import parse_policy_expr
+            if mask_cols:
+                from ..license import check_feature
+                check_feature(self.session, "data_mask")
+            base_ctx = BindContext()
+            for f in info.schema.fields:
+                base_ctx.add(f.name, f.dtype, None, f.name)
             items = []
             for f in info.schema.fields:
+                vexpr = (virtual_cols.get(f.name.lower())
+                         or virtual_cols.get(f.name))
+                if vexpr is not None:
+                    # VIRTUAL computed column: evaluated at scan time over
+                    # the stored columns (reference computed_column EE)
+                    e = ExprBinder(base_ctx).bind(parse_policy_expr(vexpr))
+                    if e.dtype.remove_nullable() != f.dtype.remove_nullable():
+                        e = CastExpr(e, f.dtype, False)
+                    items.append((f.name, e))
+                    continue
                 pname = mask_cols.get(f.name.lower()) or mask_cols.get(f.name)
                 if pname is None:
                     items.append((f.name, BoundColumn(f.name, f.dtype)))

@@ -189,6 +189,8 @@ class ExprBinder:
             return self.aggregate_handler(e)
         if name == "nextval":
             return self._bind_nextval(e)
+        if name == "dict_get":
+            return self._bind_dict_get(e)
         if name in ("current_user", "current_role", "current_database",
                     "database", "version", "connection_id") and not e.args:
             return self._bind_session_constant(name)
@@ -230,6 +232,33 @@ class ExprBinder:
             from ..version import __version__
             v = f"databend_tpu v{__version__}"
         return Constant(v, String)
+
+    def _bind_dict_get(self, e: A.FunctionCall) -> ScalarExpr:
+        """dict_get(dict_name, 'attr', key) — reference: dictionary lookup
+        lowered as an async function in the binder."""
+        from ..expression.expr import DictGet
+        from ..types import parse_type_name
+        from ..utils.current import current_session
+        s = current_session()
+        if s is None:
+            raise SemanticError("dict_get() requires a session context")
+        if len(e.args) != 3:
+            raise SemanticError("dict_get expects (dict, 'attr', key)")
+        d_ast, attr_ast, key_ast = e.args
+        if isinstance(d_ast, A.ColumnRef) and d_ast.table is None:
+            dname = d_ast.name
+        elif isinstance(d_ast, A.Literal) and isinstance(d_ast.value, str):
+            dname = d_ast.value
+        else:
+            raise SemanticError("dict_get expects a dictionary name")
+        if not (isinstance(attr_ast, A.Literal) and isinstance(attr_ast.value, str)):
+            raise SemanticError("dict_get attribute must be a string literal")
+        attr = attr_ast.value
+        info = s.dictionaries.get(dname)
+        mapping = s.dictionaries.load_mapping(dname, attr)
+        a_type = next(t for n, t in info.columns if n.lower() == attr.lower())
+        dtype = parse_type_name(a_type).wrap_nullable()
+        return DictGet(dname, attr, self.bind(key_ast), mapping, dtype)
 
     def _bind_nextval(self, e: A.FunctionCall) -> ScalarExpr:
         """nextval(seq) — lowered against the current session's sequence

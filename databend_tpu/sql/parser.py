@@ -450,6 +450,41 @@ class Parser:
                 comment = self.next().text
             return A.CreateRowAccessPolicy(name, args, body, comment, ine,
                                            replace)
+        if self._at_word("DICTIONARY"):
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            cols = []
+            if self.accept_op("("):
+                while True:
+                    cols.append(self.parse_column_def())
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+            pk = ""
+            if self.accept_keyword("PRIMARY"):
+                self.expect_keyword("KEY")
+                pk = self.ident()
+            kind = ""
+            opts: dict = {}
+            if self._at_word("SOURCE"):
+                self.next()
+                self.expect_op("(")
+                kind = self.ident().upper()
+                self.expect_op("(")
+                while not self.at_op(")"):
+                    k = self.next().text
+                    self.expect_op("=")
+                    opts[k.lower()] = self.next().text
+                    self.accept_op(",")
+                self.expect_op(")")
+                self.expect_op(")")
+            comment = ""
+            if self.accept_keyword("COMMENT"):
+                self.accept_op("=")
+                comment = self.next().text
+            return A.CreateDictionary(name, cols, pk, kind, opts, comment,
+                                      ine, replace)
         if self._at_word("SEQUENCE"):
             self.next()
             ine = self._if_not_exists()
@@ -628,6 +663,7 @@ class Parser:
         nullable = True
         default = None
         comment = None
+        computed = None
         while True:
             if self.accept_keyword("NOT"):
                 self.expect_keyword("NULL")
@@ -638,9 +674,22 @@ class Parser:
                 default = self.parse_expr()
             elif self.accept_keyword("COMMENT"):
                 comment = self.next().text
+            elif self.at_keyword("AS") and self.peek(1).text == "(":
+                # computed column: c TYPE AS (expr) STORED|VIRTUAL
+                self.next()
+                self.expect_op("(")
+                start = self.peek().pos
+                self.parse_expr()  # validate
+                end = self.peek().pos
+                self.expect_op(")")
+                kind = "VIRTUAL"
+                if self._at_word("STORED", "VIRTUAL"):
+                    kind = self.next().text.upper()
+                computed = (self.sql[start:end].strip(), kind)
             else:
                 break
-        return A.ColumnDef(name, type_name, nullable, default, comment)
+        return A.ColumnDef(name, type_name, nullable, default, comment,
+                           computed)
 
     def parse_type_name(self) -> str:
         parts = [self.next().text]
@@ -746,6 +795,10 @@ class Parser:
             self.next()
             ie = self._if_exists()
             return A.DropRowAccessPolicy(self.ident(), ie)
+        if self._at_word("DICTIONARY"):
+            self.next()
+            ie = self._if_exists()
+            return A.DropDictionary(self.ident(), ie)
         if self._at_word("SEQUENCE"):
             self.next()
             ie = self._if_exists()
@@ -969,6 +1022,9 @@ class Parser:
     def parse_show(self):
         self.expect_keyword("SHOW")
         if self.accept_keyword("CREATE"):
+            if self._at_word("DICTIONARY"):
+                self.next()
+                return A.ShowCreateDictionary(self.ident())
             self.expect_keyword("TABLE")
             db, name = self.qualified_name()
             return A.ShowCreateTable(name, db)
