@@ -158,7 +158,8 @@ class QueryServer:
             except Exception as e:
                 return None, str(e)
         try:
-            return self.ctx.users.authenticate(user, pw or None), None
+            return self.ctx.users.authenticate(user, pw or None,
+                                               client_ip=request.remote), None
         except Exception as e:
             return None, str(e)
 

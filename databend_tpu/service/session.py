@@ -1053,6 +1053,63 @@ def _stmt_attach_table(s: SessionContext, st: A.AttachTable):
     return _ok()
 
 
+def _stmt_create_network_policy(s: SessionContext, st: A.CreateNetworkPolicy):
+    s.check_privilege("SUPER", "*")
+    s.users.create_network_policy(st.name, st.allowed, st.blocked, st.comment,
+                                  st.if_not_exists, st.or_replace)
+    return _ok()
+
+
+def _stmt_drop_network_policy(s: SessionContext, st: A.DropNetworkPolicy):
+    s.check_privilege("SUPER", "*")
+    s.users.drop_network_policy(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_desc_network_policy(s: SessionContext, st: A.DescNetworkPolicy):
+    p = s.users.get_network_policy(st.name)
+    names = ["name", "allowed_ip_list", "blocked_ip_list", "comment"]
+    vals = [p["name"], ",".join(p["allowed"]), ",".join(p["blocked"]),
+            p.get("comment", "")]
+    return QueryResult(
+        DataBlock(names, [Column.from_pylist([v], String) for v in vals], 1),
+        [DataField(n, String) for n in names])
+
+
+def _stmt_create_password_policy(s: SessionContext, st: A.CreatePasswordPolicy):
+    s.check_privilege("SUPER", "*")
+    s.users.create_password_policy(st.name, st.options, st.comment,
+                                   st.if_not_exists, st.or_replace)
+    return _ok()
+
+
+def _stmt_drop_password_policy(s: SessionContext, st: A.DropPasswordPolicy):
+    s.check_privilege("SUPER", "*")
+    s.users.drop_password_policy(st.name, st.if_exists)
+    return _ok()
+
+
+def _stmt_desc_password_policy(s: SessionContext, st: A.DescPasswordPolicy):
+    p = s.users.get_password_policy(st.name)
+    names = ["name", "min_length", "max_length", "min_upper_case_chars",
+             "min_lower_case_chars", "min_numeric_chars",
+             "min_special_chars", "comment"]
+    vals = [str(p.get(n, "")) for n in names]
+    return QueryResult(
+        DataBlock(names, [Column.from_pylist([v], String) for v in vals], 1),
+        [DataField(n, String) for n in names])
+
+
+def _stmt_alter_user(s: SessionContext, st: A.AlterUser):
+    # users may change their own password; policy changes need SUPER
+    if st.network_policy is not ... or st.password_policy is not ... \
+            or st.name.lower() != s.current_user.name.lower():
+        s.check_privilege("SUPER", "*")
+    s.users.alter_user(st.name, st.password, st.network_policy,
+                       st.password_policy)
+    return _ok()
+
+
 def _stmt_create_dictionary(s: SessionContext, st: A.CreateDictionary):
     s.check_privilege("SUPER", "*")
     from .dictionaries import DictionaryInfo
@@ -1410,6 +1467,36 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         return QueryResult(DataBlock(
             names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
             [DataField(n, String) for n in names])
+    if st.what == "NETWORK_POLICIES":
+        rows = [(p["name"], ",".join(p["allowed"]), ",".join(p["blocked"]),
+                 p.get("comment", ""))
+                for p in s.users.list_network_policies() if match(p["name"])]
+        names = ["name", "allowed_ip_list", "blocked_ip_list", "comment"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(4)]),
+            [DataField(n, String) for n in names])
+    if st.what == "PASSWORD_POLICIES":
+        rows = [(p["name"], str(p["min_length"]), str(p["max_length"]),
+                 p.get("comment", ""))
+                for p in s.users.list_password_policies() if match(p["name"])]
+        names = ["name", "min_length", "max_length", "comment"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(4)]),
+            [DataField(n, String) for n in names])
+    if st.what == "MASKING_POLICIES":
+        rows = [(p.name, p.body, p.comment)
+                for p in s.policies.list_masking() if match(p.name)]
+        names = ["name", "body", "comment"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
+            [DataField(n, String) for n in names])
+    if st.what == "ROW_ACCESS_POLICIES":
+        rows = [(p.name, p.body, p.comment)
+                for p in s.policies.list_row_access() if match(p.name)]
+        names = ["name", "body", "comment"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
+            [DataField(n, String) for n in names])
     if st.what == "DICTIONARIES":
         rows = [(i.name, i.primary_key, i.source_kind, i.comment)
                 for i in s.dictionaries.list() if match(i.name)]
@@ -1550,6 +1637,13 @@ _STATEMENTS = {
     A.SetColumnMaskingPolicy: _stmt_set_column_masking_policy,
     A.SetTableRowAccessPolicy: _stmt_set_table_row_access_policy,
     A.AttachTable: _stmt_attach_table,
+    A.CreateNetworkPolicy: _stmt_create_network_policy,
+    A.DropNetworkPolicy: _stmt_drop_network_policy,
+    A.DescNetworkPolicy: _stmt_desc_network_policy,
+    A.CreatePasswordPolicy: _stmt_create_password_policy,
+    A.DropPasswordPolicy: _stmt_drop_password_policy,
+    A.DescPasswordPolicy: _stmt_desc_password_policy,
+    A.AlterUser: _stmt_alter_user,
     A.CreateDictionary: _stmt_create_dictionary,
     A.DropDictionary: _stmt_drop_dictionary,
     A.ShowCreateDictionary: _stmt_show_create_dictionary,

@@ -354,6 +354,24 @@ def _sys_sequences(s):
         ("comment", String, [i.comment for i in infos])])
 
 
+def _sys_network_policies(s):
+    infos = s.users.list_network_policies()
+    return _block([
+        ("name", String, [p["name"] for p in infos]),
+        ("allowed_ip_list", String, [",".join(p["allowed"]) for p in infos]),
+        ("blocked_ip_list", String, [",".join(p["blocked"]) for p in infos]),
+        ("comment", String, [p.get("comment", "") for p in infos])])
+
+
+def _sys_password_policies(s):
+    infos = s.users.list_password_policies()
+    return _block([
+        ("name", String, [p["name"] for p in infos]),
+        ("min_length", Int64, [p["min_length"] for p in infos]),
+        ("max_length", Int64, [p["max_length"] for p in infos]),
+        ("comment", String, [p.get("comment", "") for p in infos])])
+
+
 def _sys_masking_policies(s):
     infos = s.policies.list_masking()
     return _block([
@@ -431,6 +449,8 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "dictionaries": _sys_dictionaries,
     "masking_policies": _sys_masking_policies,
     "row_access_policies": _sys_row_access_policies,
+    "network_policies": _sys_network_policies,
+    "password_policies": _sys_password_policies,
 }
 
 

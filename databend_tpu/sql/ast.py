@@ -685,6 +685,58 @@ class AttachTable(Statement):
     location: str
 
 
+# ------------------------------------------------- network/password policies
+@dataclass
+class CreateNetworkPolicy(Statement):
+    name: str
+    allowed: List[str] = field(default_factory=list)
+    blocked: List[str] = field(default_factory=list)
+    comment: str = ""
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropNetworkPolicy(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class DescNetworkPolicy(Statement):
+    name: str
+
+
+@dataclass
+class CreatePasswordPolicy(Statement):
+    name: str
+    options: Dict[str, int] = field(default_factory=dict)
+    comment: str = ""
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropPasswordPolicy(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class DescPasswordPolicy(Statement):
+    name: str
+
+
+@dataclass
+class AlterUser(Statement):
+    """ALTER USER u [IDENTIFIED BY 'pw'] [WITH SET NETWORK POLICY='np' |
+    UNSET NETWORK POLICY | SET PASSWORD POLICY='pp' | UNSET ...]"""
+    name: str
+    password: Optional[str] = None
+    network_policy: object = ...   # ... = unchanged, None = unset
+    password_policy: object = ...
+
+
 # -------------------------------------------------------------- dictionaries
 @dataclass
 class CreateDictionary(Statement):

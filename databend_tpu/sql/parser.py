@@ -130,6 +130,14 @@ class Parser:
                 self.next()
                 self.next()
                 return A.DescMaskingPolicy(self.ident())
+            if self._at_word("NETWORK") and self.peek(1).text.upper() == "POLICY":
+                self.next()
+                self.next()
+                return A.DescNetworkPolicy(self.ident())
+            if self._at_word("PASSWORD") and self.peek(1).text.upper() == "POLICY":
+                self.next()
+                self.next()
+                return A.DescPasswordPolicy(self.ident())
             self.accept_keyword("TABLE")
             db, name = self.qualified_name()
             return A.DescribeTable(name, db)
@@ -450,6 +458,52 @@ class Parser:
                 comment = self.next().text
             return A.CreateRowAccessPolicy(name, args, body, comment, ine,
                                            replace)
+        if self._at_word("NETWORK") and self.peek(1).text.upper() == "POLICY":
+            self.next()
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            allowed, blocked, comment = [], [], ""
+            while self.peek().kind in ("IDENT", "KEYWORD"):
+                kw = self.peek().text.upper()
+                if kw in ("ALLOWED_IP_LIST", "BLOCKED_IP_LIST"):
+                    self.next()
+                    self.expect_op("=")
+                    self.expect_op("(")
+                    lst = []
+                    while not self.at_op(")"):
+                        lst.append(self.next().text)
+                        self.accept_op(",")
+                    self.expect_op(")")
+                    (allowed if kw == "ALLOWED_IP_LIST" else blocked).extend(lst)
+                elif kw == "COMMENT":
+                    self.next()
+                    self.expect_op("=")
+                    comment = self.next().text
+                else:
+                    break
+            return A.CreateNetworkPolicy(name, allowed, blocked, comment,
+                                         ine, replace)
+        if self._at_word("PASSWORD") and self.peek(1).text.upper() == "POLICY":
+            self.next()
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            opts: dict = {}
+            comment = ""
+            while self.peek().kind in ("IDENT", "KEYWORD"):
+                kw = self.peek().text.upper()
+                if kw == "COMMENT":
+                    self.next()
+                    self.expect_op("=")
+                    comment = self.next().text
+                elif kw.startswith("PASSWORD_"):
+                    self.next()
+                    self.expect_op("=")
+                    opts[kw.lower()] = int(self.next().text)
+                else:
+                    break
+            return A.CreatePasswordPolicy(name, opts, comment, ine, replace)
         if self._at_word("DICTIONARY"):
             self.next()
             ine = self._if_not_exists()
@@ -795,6 +849,16 @@ class Parser:
             self.next()
             ie = self._if_exists()
             return A.DropRowAccessPolicy(self.ident(), ie)
+        if self._at_word("NETWORK") and self.peek(1).text.upper() == "POLICY":
+            self.next()
+            self.next()
+            ie = self._if_exists()
+            return A.DropNetworkPolicy(self.ident(), ie)
+        if self._at_word("PASSWORD") and self.peek(1).text.upper() == "POLICY":
+            self.next()
+            self.next()
+            ie = self._if_exists()
+            return A.DropPasswordPolicy(self.ident(), ie)
         if self._at_word("DICTIONARY"):
             self.next()
             ie = self._if_exists()
@@ -890,6 +954,37 @@ class Parser:
             if action not in ("SUSPEND", "RESUME"):
                 self.error("expected SUSPEND/RESUME")
             return A.AlterTask(name, action)
+        if self._at_word("USER"):
+            self.next()
+            name = self._user_name()
+            password = None
+            net, pwp = ..., ...
+            self.accept_keyword("WITH")
+            while True:
+                if self._at_word("IDENTIFIED"):
+                    self.next()
+                    self.expect_keyword("BY")
+                    password = self.next().text
+                elif self.at_keyword("SET") or self._at_word("UNSET"):
+                    unset = self._at_word("UNSET")
+                    self.next()
+                    kind = self.next().text.upper()
+                    if kind not in ("NETWORK", "PASSWORD"):
+                        self.error("expected NETWORK/PASSWORD POLICY")
+                    if not self._at_word("POLICY"):
+                        self.error("expected POLICY")
+                    self.next()
+                    val = None
+                    if not unset:
+                        self.expect_op("=")
+                        val = self.next().text
+                    if kind == "NETWORK":
+                        net = val
+                    else:
+                        pwp = val
+                else:
+                    break
+            return A.AlterUser(name, password, net, pwp)
         self.expect_keyword("TABLE")
         db, name = self.qualified_name()
         if self.accept_keyword("RENAME"):
@@ -1045,6 +1140,18 @@ class Parser:
                 self.next()
                 user = self._user_name()
             return A.ShowGrants(user)
+        if self._at_word("NETWORK", "PASSWORD", "MASKING") \
+                and self.peek(1).text.upper() == "POLICIES":
+            w = self.next().text.upper()
+            self.next()
+            return A.ShowStmt(w + "_POLICIES", None, self._opt_like())
+        if self._at_word("ROW") and self.peek(1).text.upper() == "ACCESS":
+            self.next()
+            self.next()
+            if self.peek().text.upper() != "POLICIES":
+                self.error("expected ROW ACCESS POLICIES")
+            self.next()
+            return A.ShowStmt("ROW_ACCESS_POLICIES", None, self._opt_like())
         if self.peek().kind in ("IDENT", "KEYWORD"):
             what = self.next().text.upper()
             return A.ShowStmt(what, None, self._opt_like())

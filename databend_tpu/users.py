@@ -63,17 +63,22 @@ class UserInfo:
     password_sha256: Optional[str] = None
     roles: List[str] = field(default_factory=list)
     grants: List[GrantEntry] = field(default_factory=list)
+    network_policy: Optional[str] = None
+    password_policy: Optional[str] = None
 
     def to_dict(self):
         return {"name": self.name, "password_sha256": self.password_sha256,
                 "roles": self.roles,
-                "grants": [g.to_dict() for g in self.grants]}
+                "grants": [g.to_dict() for g in self.grants],
+                "network_policy": self.network_policy,
+                "password_policy": self.password_policy}
 
     @staticmethod
     def from_dict(d):
         return UserInfo(d["name"], d.get("password_sha256"),
                         list(d.get("roles", [])),
-                        [GrantEntry.from_dict(g) for g in d.get("grants", [])])
+                        [GrantEntry.from_dict(g) for g in d.get("grants", [])],
+                        d.get("network_policy"), d.get("password_policy"))
 
 
 @dataclass
@@ -132,14 +137,157 @@ class UserManager:
     def list_users(self) -> List[UserInfo]:
         return [UserInfo.from_dict(v) for _, v, _ in self.meta.list_prefix("users/")]
 
-    def authenticate(self, name: str, password: Optional[str]) -> UserInfo:
+    def alter_user(self, name: str, password: Optional[str] = None,
+                   network_policy=..., password_policy=...):
+        """ALTER USER: update password and/or attached policies. Ellipsis
+        = leave unchanged; None = UNSET."""
+        u = self.get_user(name)
+        if u is None:
+            raise UnknownUser(f"unknown user {name!r}")
+        if password_policy is not ...:
+            if password_policy is not None:
+                self.get_password_policy(password_policy)  # validates
+            u.password_policy = password_policy
+        if network_policy is not ...:
+            if network_policy is not None:
+                self.get_network_policy(network_policy)  # validates
+            u.network_policy = network_policy
+        if password is not None:
+            if u.password_policy:
+                self.validate_password(u.password_policy, password)
+            u.password_sha256 = hash_password(password)
+        self.meta.upsert(f"users/{name.lower()}", u.to_dict())
+
+    def authenticate(self, name: str, password: Optional[str],
+                     client_ip: Optional[str] = None) -> UserInfo:
         u = self.get_user(name)
         if u is None:
             raise AuthenticateFailure(f"unknown user {name!r}")
         if u.password_sha256 is not None:
             if password is None or hash_password(password) != u.password_sha256:
                 raise AuthenticateFailure(f"wrong password for {name!r}")
+        if u.network_policy and client_ip is not None:
+            self.check_network(u, client_ip)
         return u
+
+    # ------------------------------------------- network/password policies
+    # Reference: src/query/users/src/{network_policy,password_policy}.rs +
+    # enforcement in the auth manager / user-mgmt interpreters.
+    def create_network_policy(self, name: str, allowed: List[str],
+                              blocked: List[str], comment: str = "",
+                              if_not_exists=False, or_replace=False):
+        key = f"network_policies/{name.lower()}"
+        v, _ = self.meta.get(key)
+        if v is not None and not or_replace:
+            if if_not_exists:
+                return
+            raise IllegalGrant(f"network policy {name!r} already exists")
+        import ipaddress
+        for cidr in list(allowed) + list(blocked):
+            ipaddress.ip_network(cidr, strict=False)  # validates
+        self.meta.upsert(key, {"name": name, "allowed": list(allowed),
+                               "blocked": list(blocked), "comment": comment})
+
+    def drop_network_policy(self, name: str, if_exists=False):
+        key = f"network_policies/{name.lower()}"
+        v, _ = self.meta.get(key)
+        if v is None:
+            if if_exists:
+                return
+            raise UnknownRole(f"unknown network policy {name!r}")
+        for u in self.list_users():
+            if (u.network_policy or "").lower() == name.lower():
+                raise IllegalGrant(
+                    f"network policy {name!r} is in use by user {u.name!r}")
+        self.meta.delete(key)
+
+    def get_network_policy(self, name: str) -> dict:
+        v, _ = self.meta.get(f"network_policies/{name.lower()}")
+        if v is None:
+            raise UnknownRole(f"unknown network policy {name!r}")
+        return v
+
+    def list_network_policies(self) -> List[dict]:
+        return sorted((v for _, v, _ in self.meta.list_prefix("network_policies/")),
+                      key=lambda p: p["name"])
+
+    def check_network(self, u: UserInfo, client_ip: str):
+        import ipaddress
+        try:
+            ip = ipaddress.ip_address(client_ip)
+        except ValueError:
+            return  # unix sockets / test doubles: no IP to check
+        p = self.get_network_policy(u.network_policy)
+        for cidr in p.get("blocked", []):
+            if ip in ipaddress.ip_network(cidr, strict=False):
+                raise AuthenticateFailure(
+                    f"client {client_ip} blocked by network policy {p['name']!r}")
+        allowed = p.get("allowed", [])
+        if allowed and not any(ip in ipaddress.ip_network(c, strict=False)
+                               for c in allowed):
+            raise AuthenticateFailure(
+                f"client {client_ip} not in the allowed list of network"
+                f" policy {p['name']!r}")
+
+    def create_password_policy(self, name: str, opts: Dict[str, int],
+                               comment: str = "", if_not_exists=False,
+                               or_replace=False):
+        key = f"password_policies/{name.lower()}"
+        v, _ = self.meta.get(key)
+        if v is not None and not or_replace:
+            if if_not_exists:
+                return
+            raise IllegalGrant(f"password policy {name!r} already exists")
+        policy = {"name": name, "comment": comment,
+                  "min_length": int(opts.get("password_min_length", 8)),
+                  "max_length": int(opts.get("password_max_length", 256)),
+                  "min_upper_case_chars": int(opts.get("password_min_upper_case_chars", 1)),
+                  "min_lower_case_chars": int(opts.get("password_min_lower_case_chars", 1)),
+                  "min_numeric_chars": int(opts.get("password_min_numeric_chars", 1)),
+                  "min_special_chars": int(opts.get("password_min_special_chars", 0))}
+        self.meta.upsert(key, policy)
+
+    def drop_password_policy(self, name: str, if_exists=False):
+        key = f"password_policies/{name.lower()}"
+        v, _ = self.meta.get(key)
+        if v is None:
+            if if_exists:
+                return
+            raise UnknownRole(f"unknown password policy {name!r}")
+        for u in self.list_users():
+            if (u.password_policy or "").lower() == name.lower():
+                raise IllegalGrant(
+                    f"password policy {name!r} is in use by user {u.name!r}")
+        self.meta.delete(key)
+
+    def get_password_policy(self, name: str) -> dict:
+        v, _ = self.meta.get(f"password_policies/{name.lower()}")
+        if v is None:
+            raise UnknownRole(f"unknown password policy {name!r}")
+        return v
+
+    def list_password_policies(self) -> List[dict]:
+        return sorted((v for _, v, _ in self.meta.list_prefix("password_policies/")),
+                      key=lambda p: p["name"])
+
+    def validate_password(self, policy_name: str, password: str):
+        p = self.get_password_policy(policy_name)
+        n = len(password)
+        if n < p["min_length"] or n > p["max_length"]:
+            raise AuthenticateFailure(
+                f"password length {n} outside [{p['min_length']},"
+                f" {p['max_length']}] (policy {p['name']!r})")
+        counts = {
+            "min_upper_case_chars": sum(c.isupper() for c in password),
+            "min_lower_case_chars": sum(c.islower() for c in password),
+            "min_numeric_chars": sum(c.isdigit() for c in password),
+            "min_special_chars": sum(not c.isalnum() for c in password),
+        }
+        for k, have in counts.items():
+            if have < p[k]:
+                raise AuthenticateFailure(
+                    f"password needs at least {p[k]} {k[4:]} "
+                    f"(policy {p['name']!r})")
 
     # ------------------------------------------------------------- roles
     def _put_role(self, role: RoleInfo):
