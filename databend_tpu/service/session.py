@@ -517,6 +517,13 @@ def _stmt_create_table(s: SessionContext, st: A.CreateTable):
         st.options.update(computed_opts)
     db = st.database or s.current_database
     cluster_by = [c.name for c in st.cluster_by if isinstance(c, A.ColumnRef)]
+    if not fields and st.engine.upper() == "ICEBERG":
+        # schema comes from the iceberg metadata (reference storages/iceberg)
+        from ..storage.external import iceberg_schema
+        loc = st.options.get("location")
+        if not loc:
+            raise BadArguments("ENGINE=ICEBERG requires LOCATION='path'")
+        fields = list(iceberg_schema(loc).fields)
     if st.as_query is not None and not fields:
         from ..sql.binder import Binder
         plan = Binder(s).bind_query(st.as_query)

@@ -31,7 +31,7 @@ from ..expression.schema import TableSchema
 from ..utils.cache import CacheManager
 
 _FILE_ENGINES = ("PARQUET", "ORC", "CSV", "TSV", "NDJSON", "AVRO")
-EXTERNAL_ENGINES = _FILE_ENGINES + ("HIVE", "DELTA")
+EXTERNAL_ENGINES = _FILE_ENGINES + ("HIVE", "DELTA", "ICEBERG")
 
 
 class ExternalBlockMeta:
@@ -84,6 +84,8 @@ class ExternalTable:
     def _data_files(self) -> List[ExternalBlockMeta]:
         if self.engine == "DELTA":
             return self._delta_files()
+        if self.engine == "ICEBERG":
+            return self._iceberg_files()
         exts = {"PARQUET": (".parquet", ".pq"), "ORC": (".orc",),
                 "CSV": (".csv",), "TSV": (".tsv",),
                 "NDJSON": (".ndjson", ".jsonl", ".json"),
@@ -126,6 +128,35 @@ class ExternalTable:
                     elif "remove" in action:
                         live.pop(action["remove"]["path"], None)
         return [live[k] for k in sorted(live)]
+
+    # --------------------------------------------------------------- iceberg
+    def _iceberg_files(self) -> List[ExternalBlockMeta]:
+        """Live data files of an Iceberg table: current snapshot ->
+        manifest list (avro) -> manifests (avro) -> data files.
+        Reference: src/query/storages/iceberg (via the iceberg-rust crate);
+        here the table format spec is walked directly with the built-in
+        Avro decoder."""
+        from ..formats.avro import read_avro_records
+        meta = _iceberg_latest_metadata(self.location)
+        snap_id = meta.get("current-snapshot-id")
+        snap = next((s for s in meta.get("snapshots", [])
+                     if s.get("snapshot-id") == snap_id), None)
+        if snap is None:
+            return []
+        ml = _iceberg_localize(snap["manifest-list"], self.location)
+        out: List[ExternalBlockMeta] = []
+        for m in read_avro_records(ml):
+            mp = _iceberg_localize(m["manifest_path"], self.location)
+            for e in read_avro_records(mp):
+                if e.get("status") == 2:  # DELETED
+                    continue
+                df = e["data_file"]
+                if df.get("content", 0) != 0:  # 1/2 = delete files (v2)
+                    continue
+                path = _iceberg_localize(df["file_path"], self.location)
+                out.append(ExternalBlockMeta(
+                    path, row_count=int(df.get("record_count", -1))))
+        return sorted(out, key=lambda b: b.location)
 
     # ----------------------------------------------------------------- reads
     def read_partitions(self, pushdown: Optional[PushDownInfo] = None,
@@ -185,6 +216,81 @@ class ExternalTable:
             return blk.project([self.schema.field(n).name
                                 for n in projection])
         return blk
+
+
+def _iceberg_latest_metadata(location: str) -> dict:
+    """Resolve the current metadata JSON: version-hint.text when present,
+    else the lexicographically-newest *.metadata.json."""
+    md = os.path.join(location, "metadata")
+    if not os.path.isdir(md):
+        raise StorageOther(f"{location}: no iceberg metadata/ directory")
+    hint = os.path.join(md, "version-hint.text")
+    if os.path.isfile(hint):
+        v = open(hint).read().strip()
+        for cand in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            p = os.path.join(md, cand)
+            if os.path.isfile(p):
+                return json.load(open(p))
+    cands = sorted(n for n in os.listdir(md) if n.endswith(".metadata.json"))
+    if not cands:
+        raise StorageOther(f"{location}: no *.metadata.json found")
+    return json.load(open(os.path.join(md, cands[-1])))
+
+
+def _iceberg_localize(path: str, location: str) -> str:
+    """Map a (possibly absolute file:// URI from another machine) iceberg
+    path to this table's directory."""
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    if os.path.exists(p):
+        return p
+    # remap by the last metadata/ or data/ component
+    for marker in ("/metadata/", "/data/"):
+        if marker in p:
+            return os.path.join(location, marker.strip("/"),
+                                p.split(marker, 1)[1])
+    return os.path.join(location, os.path.basename(p))
+
+
+_ICEBERG_TYPES = {
+    "boolean": "BOOLEAN", "int": "INT", "long": "BIGINT", "float": "FLOAT",
+    "double": "DOUBLE", "string": "VARCHAR", "uuid": "VARCHAR",
+    "binary": "VARCHAR", "date": "DATE", "timestamp": "TIMESTAMP",
+    "timestamptz": "TIMESTAMP",
+}
+
+
+def iceberg_schema(location: str) -> TableSchema:
+    """Infer the table schema from iceberg metadata JSON (reference:
+    iceberg-rust schema conversion)."""
+    from ..expression.schema import DataField
+    from ..types import parse_type_name
+    meta = _iceberg_latest_metadata(location)
+    schema = None
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        schema = next((s for s in meta["schemas"]
+                       if s.get("schema-id") == sid), None)
+    if schema is None:
+        schema = meta.get("schema")
+    if schema is None:
+        raise StorageOther(f"{location}: iceberg metadata carries no schema")
+    fields = []
+    for f in schema.get("fields", []):
+        t = f["type"]
+        if isinstance(t, str):
+            if t.startswith("decimal"):
+                sql = t.upper().replace(" ", "")
+            else:
+                sql = _ICEBERG_TYPES.get(t, "VARCHAR")
+        else:
+            sql = "VARIANT"  # struct/list/map
+        dtype = parse_type_name(sql)
+        if not f.get("required", False) and not dtype.is_nullable():
+            dtype = dtype.wrap_nullable()
+        fields.append(DataField(f["name"], dtype))
+    return TableSchema(fields)
 
 
 def _string_type():

@@ -93,21 +93,24 @@ def column_stats(col: Column) -> ColumnStats:
     from ...types import DecimalType, GeometryType
     if isinstance(inner, GeometryType):
         # bbox stats for spatial pruning (reference spatial_index.rs:77):
-        # min = [xmin, ymin], max = [xmax, ymax] over POINT values
-        from ...expression.functions.geo_fns import parse_point
-        pts = []
+        # min = [xmin, ymin], max = [xmax, ymax] over any WKT geometry kind
+        from ...expression import geometry as G
+        box = None
         vals = col.to_pylist()
         for i, w in enumerate(vals):
             if valid is not None and not valid[i]:
                 continue
-            p = parse_point(w)
-            if p is not None:
-                pts.append(p)
-        if not pts:
+            try:
+                b = G.bbox(*G.parse_wkt(w))
+            except Exception:
+                continue
+            if b is None:
+                continue
+            box = b if box is None else (min(box[0], b[0]), min(box[1], b[1]),
+                                         max(box[2], b[2]), max(box[3], b[3]))
+        if box is None:
             return ColumnStats(None, None, nulls, 0)
-        xs = [p[0] for p in pts]
-        ys = [p[1] for p in pts]
-        return ColumnStats([min(xs), min(ys)], [max(xs), max(ys)], nulls, 0)
+        return ColumnStats([box[0], box[1]], [box[2], box[3]], nulls, 0)
     if isinstance(inner, DecimalType):
         vals = ([v for v, ok in zip(col.data.tolist(), valid) if ok]
                 if valid is not None else list(col.data.tolist()))
