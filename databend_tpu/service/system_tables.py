@@ -414,6 +414,75 @@ def _sys_temp_tables(s):
            if opened[k].read_snapshot() else 0) for k in keys])])
 
 
+def _sys_zero(s):
+    """One row, value 0 (reference zero_table.rs, ClickHouse system.zero)."""
+    return _block([("zero", Int64, [0])])
+
+
+def _sys_malloc_stats(s):
+    """Process memory stats (reference malloc_stats_table.rs; here the
+    Python allocator + RSS take the jemalloc role)."""
+    import resource
+    import sys as _sys
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    names = ["max_rss_bytes", "gc_objects", "allocated_blocks"]
+    vals = [ru.ru_maxrss * 1024, len(__import__("gc").get_objects()),
+            _sys.getallocatedblocks()]
+    return _block([("name", String, names),
+                   ("value", Int64, [int(v) for v in vals])])
+
+
+def _sys_backtrace(s):
+    """Live thread stacks (reference backtrace_table.rs / async_backtrace)."""
+    import sys as _sys
+    import threading
+    import traceback
+    names = {t.ident: t.name for t in threading.enumerate()}
+    rows = []
+    for tid, frame in _sys._current_frames().items():
+        stack = "".join(traceback.format_stack(frame, limit=16))
+        rows.append((str(tid), names.get(tid, "?"), stack))
+    return _block([
+        ("thread_id", String, [r[0] for r in rows]),
+        ("thread_name", String, [r[1] for r in rows]),
+        ("stack", String, [r[2] for r in rows])])
+
+
+def _sys_credits(s):
+    """Third-party substrate versions (reference credits_table.rs)."""
+    mods = []
+    for name in ("jax", "jaxlib", "numpy", "pyarrow", "flax", "optax"):
+        try:
+            m = __import__(name)
+            mods.append((name, getattr(m, "__version__", "?")))
+        except Exception:
+            pass
+    return _block([("name", String, [m[0] for m in mods]),
+                   ("version", String, [m[1] for m in mods])])
+
+
+def _sys_user_functions(s):
+    """Lambda UDFs (reference user_functions_table.rs)."""
+    rows = [(name, ",".join(v.get("params", [])), v.get("definition", ""))
+            for name, v in sorted(s.udfs.items())]
+    return _block([
+        ("name", String, [r[0] for r in rows]),
+        ("arguments", String, [r[1] for r in rows]),
+        ("definition", String, [r[2] for r in rows])])
+
+
+def _sys_query_execution(s):
+    """Per-operator execution profile of recent queries (reference
+    query_execution_table.rs fed by PlanProfile; here the span recorder)."""
+    from ..utils.tracing import RECORDER
+    spans = [sp for sp in RECORDER.snapshot() if sp.name == "execute"
+             or "." in sp.path()]
+    return _block([
+        ("query_id", String, [sp.query_id for sp in spans]),
+        ("operator", String, [sp.path() for sp in spans]),
+        ("duration_ms", Float64, [sp.duration_ms for sp in spans])])
+
+
 SYSTEM_TABLES: Dict[str, Callable] = {
     "one": _sys_one,
     "databases": _sys_databases,
@@ -451,6 +520,12 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "row_access_policies": _sys_row_access_policies,
     "network_policies": _sys_network_policies,
     "password_policies": _sys_password_policies,
+    "zero": _sys_zero,
+    "malloc_stats": _sys_malloc_stats,
+    "backtrace": _sys_backtrace,
+    "credits": _sys_credits,
+    "user_functions": _sys_user_functions,
+    "query_execution": _sys_query_execution,
 }
 
 

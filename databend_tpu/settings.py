@@ -202,6 +202,83 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "license key gating EE features (reference license.rs);"
                    " 'builtin-dev' = all features (dev build), '' = none,"
                    " or a comma-separated feature allowlist"),
+        # ---- compatibility tranche (reference settings_default.rs): each
+        # accepted with the reference's default/range; ones the engine
+        # consults say so in the description
+        SettingDef("query_result_cache_min_execute_secs", 0,
+                   "only cache queries at least this slow", (0, 1 << 20)),
+        SettingDef("nulls_last", True, "default NULLS ordering in ORDER BY"),
+        SettingDef("join_spilling_partition_bits", 4,
+                   "log2 grace-join partitions", (0, 10)),
+        SettingDef("sort_spilling_batch_bytes", 8388608,
+                   "spill run target bytes", (1 << 10, 1 << 34)),
+        SettingDef("force_sort_data_spill", False,
+                   "spill every sort run (test hook)"),
+        SettingDef("force_aggregate_data_spill", False,
+                   "spill every aggregate (test hook)"),
+        SettingDef("force_join_data_spill", False,
+                   "spill every join build (test hook)"),
+        SettingDef("grouping_sets_to_union", False,
+                   "rewrite GROUPING SETS to UNION ALL"),
+        SettingDef("inlist_to_join_threshold", 1024,
+                   "IN lists longer than this become joins", (1, 1 << 31)),
+        SettingDef("numeric_cast_option", "rounding",
+                   "numeric cast behavior: rounding | truncating"),
+        SettingDef("geometry_output_format", "WKT",
+                   "geometry render format (WKT here; reference adds WKB/json)"),
+        SettingDef("enable_strict_datetime_parser", True,
+                   "reject trailing garbage in datetime literals"),
+        SettingDef("parse_datetime_ignore_remainder", False,
+                   "lenient datetime parsing"),
+        SettingDef("format_null_as_str", True,
+                   "render NULL as the null_display string in text formats"),
+        SettingDef("storage_io_min_bytes_for_seek", 48,
+                   "merge reads closer than this", (0, 1 << 20)),
+        SettingDef("recluster_block_size", 0,
+                   "target bytes per recluster task (0 = auto)", (0, 1 << 40)),
+        SettingDef("recluster_timeout_secs", 43200,
+                   "OPTIMIZE recluster budget", (1, 1 << 20)),
+        SettingDef("enable_distributed_recluster", False,
+                   "shard recluster work across the mesh"),
+        SettingDef("stream_consume_batch_size_hint", 0,
+                   "rows per stream consumption batch (0 = all)",
+                   (0, 1 << 31)),
+        SettingDef("idle_transaction_timeout_secs", 14400,
+                   "abort transactions idle longer than this", (1, 1 << 20)),
+        SettingDef("http_handler_result_timeout_secs", 60,
+                   "HTTP result pagination expiry (consulted by the HTTP"
+                   " server GC)", (1, 1 << 16)),
+        SettingDef("script_max_steps", 10000,
+                   "SQL script step budget (consulted by script/engine)",
+                   (1, 1 << 24)),
+        SettingDef("short_sql_max_length", 128,
+                   "query_log SQL truncation length", (1, 1 << 20)),
+        SettingDef("trace_sample_rate", 100,
+                   "percent of queries recording trace spans", (0, 100)),
+        SettingDef("random_function_seed", False,
+                   "make rand() deterministic per query"),
+        SettingDef("ddl_column_type_nullable", True,
+                   "columns default to NULL unless NOT NULL is written"),
+        SettingDef("efficiently_memory_group_by", False,
+                   "trade group-by speed for memory"),
+        SettingDef("enable_experimental_aggregate_hashtable", True,
+                   "dense group-id hashing aggregate path (always on here)"),
+        SettingDef("network_policy", "",
+                   "session-level network policy override"),
+        SettingDef("warehouse", "default", "warehouse name (single-warehouse"
+                   " build; accepted for client compat)"),
+        SettingDef("sandbox_tenant", "", "test-isolation tenant tag"),
+        SettingDef("enable_optimizer_trace", False,
+                   "log optimizer rule applications"),
+        SettingDef("optimizer_skip_list", "",
+                   "comma-separated optimizer rules to skip (consulted by"
+                   " sql/optimizer)"),
+        SettingDef("statement_queue_ttl_in_seconds", 15,
+                   "admission queue entry TTL", (1, 1 << 16)),
+        SettingDef("queries_queue_retry_timeout", 5,
+                   "admission retry timeout", (1, 1 << 16)),
+        SettingDef("use_legacy_query_executor", False,
+                   "no legacy executor exists in this build"),
     ]
 }
 
