@@ -23,7 +23,7 @@ from ..expression.schema import (SEARCH_MATCHED_COL_NAME,
                                  SEARCH_SCORE_COL_NAME, VECTOR_SCORE_COL_NAME)
 from ..sql.plans import (AggregatePlan, DistinctPlan, FilterPlan, JoinPlan,
                          LimitPlan, Plan, ProjectPlan, Scan, SortPlan,
-                         UnionAllPlan, ValuesPlan, WindowPlan)
+                         SetOpPlan, UnionAllPlan, ValuesPlan, WindowPlan)
 from ..types import Boolean, Float32
 
 FLOAT32_MAX = np.float32(3.4028235e38)  # unmatched-row fill (reference
@@ -253,6 +253,32 @@ def _exec_union(plan: UnionAllPlan):
         out_names = [f.name for f in plan.output_fields()]
         for block in execute_plan_blocks(child):
             yield DataBlock(out_names, block.columns, block.num_rows)
+
+
+def _exec_setop(plan):
+    """INTERSECT/EXCEPT with DISTINCT output (reference set operators):
+    hash the right side's rows, stream the left with membership + dedup."""
+    from .keys import hashable_row
+    right_keys = set()
+    for block in execute_plan_blocks(plan.right):
+        cols = list(block.columns)
+        for i in range(block.num_rows):
+            right_keys.add(hashable_row(cols, i))
+    want_member = plan.op == "INTERSECT"
+    seen = set()
+    for block in execute_plan_blocks(plan.left):
+        cols = list(block.columns)
+        keep = np.zeros(block.num_rows, np.bool_)
+        for i in range(block.num_rows):
+            k = hashable_row(cols, i)
+            if k in seen:
+                continue
+            seen.add(k)
+            if (k in right_keys) == want_member:
+                keep[i] = True
+        out = block.filter(keep)
+        if out.num_rows:
+            yield out
 
 
 # ---------------------------------------------------------------------- sort
@@ -1359,4 +1385,5 @@ _DISPATCH = {
     DistinctPlan: _exec_distinct,
     JoinPlan: _exec_join,
     UnionAllPlan: _exec_union,
+    SetOpPlan: _exec_setop,
 }

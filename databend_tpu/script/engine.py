@@ -356,8 +356,9 @@ def _truthy(v) -> bool:
     return bool(v) and v is not None
 
 
-def execute_script_block(session, text: str):
-    """Run a script body; returns a QueryResult (reference executor.rs)."""
+def execute_script_block(session, text: str, env=None):
+    """Run a script body; returns a QueryResult (reference executor.rs).
+    ``env`` pre-seeds script variables (procedure arguments)."""
     from ..service.session import QueryResult
     from ..expression import Column, DataBlock, DataField
     from ..types import String
@@ -370,6 +371,8 @@ def execute_script_block(session, text: str):
     else:
         stmts = _parse_block(tk, ())
     runner = ScriptRunner(session)
+    if env:
+        runner.env.update({k.lower(): v for k, v in env.items()})
     result = None
     try:
         runner.exec_block(stmts)

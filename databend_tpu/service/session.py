@@ -37,6 +37,16 @@ _EXEC_IMMEDIATE_RE = _re.compile(
     r"^\s*EXECUTE\s+IMMEDIATE\s+\$\$(.*)\$\$\s*;?\s*$",
     _re.IGNORECASE | _re.DOTALL)
 
+# CREATE PROCEDURE has a $$-delimited script body the SQL tokenizer never
+# sees (reference: procedures carry a LANGUAGE SQL script)
+_CREATE_PROC_RE = _re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?PROCEDURE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"\((?P<args>[^)]*)\)\s*(?:RETURNS\s+[\w()]+\s*)?"
+    r"(?:LANGUAGE\s+SQL\s*)?(?:COMMENT\s*=?\s*'[^']*'\s*)?"
+    r"AS\s*\$\$(?P<body>.*)\$\$\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL)
+
 
 class QueryResult:
     """Result of one statement: a DataBlock + schema + profile info."""
@@ -247,6 +257,12 @@ class SessionContext:
                 entry["result_rows"] = len(result)
                 METRICS.inc("queries_total")
                 return result
+            pm = _CREATE_PROC_RE.match(sql)
+            if pm is not None:
+                entry["query_kind"] = "CreateProcedure"
+                result = self._create_procedure(pm)
+                METRICS.inc("queries_total")
+                return result
             from ..utils.tracing import reset_query_id, set_query_id, span
             _qid_token = set_query_id(entry["query_id"])
             try:
@@ -370,6 +386,27 @@ class SessionContext:
                 snaps.append((info.table_id, loc, seq))
         # current_database resolves unqualified names; it must be in the key
         return (repr(stmt.query), self.current_database, tuple(sorted(snaps)))
+
+    def _create_procedure(self, pm) -> QueryResult:
+        """CREATE [OR REPLACE] PROCEDURE p(args) AS $$ script $$
+        (reference: procedure interpreters + system.procedures)."""
+        self.check_privilege("SUPER", "*")
+        name = pm.group("name")
+        args = []
+        for part in pm.group("args").split(","):
+            part = part.strip()
+            if part:
+                bits = part.split()
+                args.append((bits[0], " ".join(bits[1:]) or "VARCHAR"))
+        key = f"procedures/{name.lower()}"
+        got, _seq = self.meta.get(key)
+        if got is not None and not pm.group("replace"):
+            if pm.group("ine"):
+                return QueryResult(DataBlock.empty(), [], 0)
+            raise BadArguments(f"procedure {name!r} already exists")
+        self.meta.upsert(key, {"name": name, "args": [list(a) for a in args],
+                               "body": pm.group("body").strip()})
+        return QueryResult(DataBlock.empty(), [], 0)
 
     # ----------------------------------------------------------- dispatching
     def _execute_statement(self, stmt: A.Statement) -> QueryResult:
@@ -1117,6 +1154,33 @@ def _stmt_alter_user(s: SessionContext, st: A.AlterUser):
     return _ok()
 
 
+def _stmt_drop_procedure(s: SessionContext, st: A.DropProcedure):
+    s.check_privilege("SUPER", "*")
+    key = f"procedures/{st.name.lower()}"
+    got, _seq = s.meta.get(key)
+    if got is None:
+        if st.if_exists:
+            return _ok()
+        raise BadArguments(f"unknown procedure {st.name!r}")
+    s.meta.delete(key)
+    return _ok()
+
+
+def _stmt_call_procedure(s: SessionContext, st: A.CallProcedure):
+    got, _seq = s.meta.get(f"procedures/{st.name.lower()}")
+    if got is None:
+        raise BadArguments(f"unknown procedure {st.name!r}")
+    if len(st.args) != len(got["args"]):
+        raise SemanticError(
+            f"procedure {st.name!r} expects {len(got['args'])} args")
+    env = {}
+    one = DataBlock(["__r"], [Column.from_pylist([0], Int64)])
+    for (aname, _atype), expr in zip(got["args"], st.args):
+        env[aname] = _eval_insert_value(expr, one)
+    from ..script import execute_script_block
+    return execute_script_block(s, got["body"], env=env)
+
+
 def _stmt_create_dictionary(s: SessionContext, st: A.CreateDictionary):
     s.check_privilege("SUPER", "*")
     from .dictionaries import DictionaryInfo
@@ -1504,6 +1568,16 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         return QueryResult(DataBlock(
             names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
             [DataField(n, String) for n in names])
+    if st.what == "PROCEDURES":
+        rows = sorted((v for _, v, _ in s.meta.list_prefix("procedures/")),
+                      key=lambda p: p["name"])
+        rows = [(p["name"],
+                 ", ".join(f"{n} {t}" for n, t in p["args"]))
+                for p in rows if match(p["name"])]
+        names = ["name", "arguments"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(2)]),
+            [DataField(n, String) for n in names])
     if st.what == "DICTIONARIES":
         rows = [(i.name, i.primary_key, i.source_kind, i.comment)
                 for i in s.dictionaries.list() if match(i.name)]
@@ -1651,6 +1725,8 @@ _STATEMENTS = {
     A.DropPasswordPolicy: _stmt_drop_password_policy,
     A.DescPasswordPolicy: _stmt_desc_password_policy,
     A.AlterUser: _stmt_alter_user,
+    A.DropProcedure: _stmt_drop_procedure,
+    A.CallProcedure: _stmt_call_procedure,
     A.CreateDictionary: _stmt_create_dictionary,
     A.DropDictionary: _stmt_drop_dictionary,
     A.ShowCreateDictionary: _stmt_show_create_dictionary,

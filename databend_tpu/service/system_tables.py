@@ -414,6 +414,17 @@ def _sys_temp_tables(s):
            if opened[k].read_snapshot() else 0) for k in keys])])
 
 
+def _sys_procedures(s):
+    """Reference: procedures_table.rs."""
+    rows = sorted((v for _, v, _ in s.meta.list_prefix("procedures/")),
+                  key=lambda p: p["name"])
+    return _block([
+        ("name", String, [p["name"] for p in rows]),
+        ("arguments", String,
+         [", ".join(f"{n} {t}" for n, t in p["args"]) for p in rows]),
+        ("definition", String, [p["body"] for p in rows])])
+
+
 def _sys_zero(s):
     """One row, value 0 (reference zero_table.rs, ClickHouse system.zero)."""
     return _block([("zero", Int64, [0])])
@@ -520,6 +531,7 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "row_access_policies": _sys_row_access_policies,
     "network_policies": _sys_network_policies,
     "password_policies": _sys_password_policies,
+    "procedures": _sys_procedures,
     "zero": _sys_zero,
     "malloc_stats": _sys_malloc_stats,
     "backtrace": _sys_backtrace,

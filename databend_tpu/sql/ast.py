@@ -198,6 +198,9 @@ class SelectStmt:
     group_by: List[Expr] = field(default_factory=list)
     having: Optional[Expr] = None
     distinct: bool = False
+    # GROUP BY GROUPING SETS/CUBE/ROLLUP: list of grouping sets, each a
+    # list of exprs; None = plain GROUP BY
+    group_sets: Optional[List[List[Expr]]] = None
 
 
 @dataclass
@@ -735,6 +738,29 @@ class AlterUser(Statement):
     password: Optional[str] = None
     network_policy: object = ...   # ... = unchanged, None = unset
     password_policy: object = ...
+
+
+# ---------------------------------------------------------------- procedures
+@dataclass
+class CreateProcedure(Statement):
+    """CREATE PROCEDURE p(a INT, ...) AS $$ <script> $$"""
+    name: str
+    args: List[tuple] = field(default_factory=list)  # [(name, type_sql)]
+    body: str = ""
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropProcedure(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class CallProcedure(Statement):
+    name: str
+    args: List[Expr] = field(default_factory=list)
 
 
 # -------------------------------------------------------------- dictionaries

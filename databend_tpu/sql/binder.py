@@ -231,6 +231,9 @@ class Binder:
             return UnionAllPlan([left, right])
         if s.op == "UNION":
             return DistinctPlan(UnionAllPlan([left, right]))
+        if s.op in ("INTERSECT", "EXCEPT"):
+            from .plans import SetOpPlan
+            return SetOpPlan(s.op, left, right)
         raise SemanticError(f"set operation {s.op} not supported yet")
 
     def _bind_body(self, body, ctes) -> Plan:
@@ -242,9 +245,93 @@ class Binder:
             return self.bind_query(body, ctes)
         raise SemanticError("unsupported set operand")
 
+    # ---------------------------------------------------- grouping sets
+    def _bind_grouping_sets(self, sel: A.SelectStmt, order_by, limit,
+                            offset, ctes) -> Plan:
+        """GROUP BY GROUPING SETS/CUBE/ROLLUP -> UNION ALL of per-set
+        aggregates with NULL-filled absent grouping columns and grouping()
+        folded per branch (reference: grouping-sets expansion in the
+        binder, grouping_sets_to_union)."""
+        import copy as _copy
+        all_keys = {repr(e) for s in sel.group_sets for e in s}
+
+        def subst(e, absent):
+            if isinstance(e, A.FunctionCall):
+                name = e.name.lower()
+                if is_aggregate_function(name):
+                    return e  # aggregate args see the real rows
+                if name == "grouping" and len(e.args) == 1:
+                    return A.Literal(1 if repr(e.args[0]) in absent else 0)
+                e2 = _copy.copy(e)
+                e2.args = [subst(a, absent) for a in e.args]
+                return e2
+            if repr(e) in absent:
+                return A.Literal(None)
+            for attr in ("left", "right", "operand", "expr", "low", "high"):
+                if hasattr(e, attr) and isinstance(getattr(e, attr), A.Expr):
+                    e = _copy.copy(e)
+                    setattr(e, attr, subst(getattr(e, attr), absent))
+            return e
+
+        plans = []
+        for gset in sel.group_sets:
+            present = {repr(e) for e in gset}
+            absent = all_keys - present
+            items = []
+            for i, it in enumerate(sel.items):
+                new_expr = subst(it.expr, absent)
+                # NULL-substituted items keep their original output name so
+                # every branch's columns line up for the UNION
+                alias = it.alias or _suggest_name(it.expr) or f"col_{i}"
+                items.append(A.SelectItem(new_expr, alias))
+            branch = A.SelectStmt(
+                items, sel.from_, sel.where, list(gset),
+                subst(sel.having, absent) if sel.having is not None else None,
+                sel.distinct)
+            plans.append(self._bind_select(branch, [], None, None, ctes))
+        # unify column types across branches (NULL-filled columns bind as
+        # NullType; cast them to the first concrete dtype seen)
+        n_cols = len(plans[0].output_fields())
+        from ..types.datatype import NullType
+        targets = []
+        for i in range(n_cols):
+            dt = next((p.output_fields()[i].dtype for p in plans
+                       if not isinstance(p.output_fields()[i].dtype
+                                         .remove_nullable(), NullType)),
+                      plans[0].output_fields()[i].dtype)
+            targets.append(dt.wrap_nullable())
+        names = [f.name for f in plans[0].output_fields()]
+        aligned = []
+        for p in plans:
+            items = []
+            for i, f in enumerate(p.output_fields()):
+                e = BoundColumn(f.name, f.dtype)
+                if f.dtype != targets[i]:
+                    e = CastExpr(e, targets[i], False)
+                items.append((names[i], e))
+            aligned.append(ProjectPlan(p, items))
+        plan = UnionAllPlan(aligned)
+        if order_by:
+            out_names = {f.name.lower() for f in plan.output_fields()}
+            items = []
+            for ob in order_by:
+                if isinstance(ob.expr, A.ColumnRef) \
+                        and ob.expr.name.lower() in out_names:
+                    items.append(SortItem(ob.expr.name, ob.asc, ob.nulls_first))
+                else:
+                    raise SemanticError(
+                        "ORDER BY over GROUPING SETS must reference output"
+                        " columns")
+            plan = SortPlan(plan, items)
+        if limit is not None or offset is not None:
+            plan = LimitPlan(plan, _const_int(limit), _const_int(offset) or 0)
+        return plan
+
     # ----------------------------------------------------------------- select
     def _bind_select(self, sel: A.SelectStmt, order_by: List[A.OrderByExpr],
                      limit, offset, ctes) -> Plan:
+        if sel.group_sets is not None:
+            return self._bind_grouping_sets(sel, order_by, limit, offset, ctes)
         state = ScanState()
         if sel.from_ is None:
             plan, ctx = self._one_row_plan()

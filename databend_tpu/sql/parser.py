@@ -200,6 +200,17 @@ class Parser:
                 self.expect_op("=")
                 pattern = self.next().text
             return A.RemoveStage(ref, pattern)
+        if self._at_word("CALL"):
+            self.next()
+            self.accept_keyword("PROCEDURE")
+            name = self.ident()
+            args = []
+            if self.accept_op("("):
+                while not self.at_op(")"):
+                    args.append(self.parse_expr())
+                    self.accept_op(",")
+                self.expect_op(")")
+            return A.CallProcedure(name, args)
         if self._at_word("ATTACH"):
             self.next()
             self.expect_keyword("TABLE")
@@ -849,6 +860,15 @@ class Parser:
             self.next()
             ie = self._if_exists()
             return A.DropRowAccessPolicy(self.ident(), ie)
+        if self._at_word("PROCEDURE"):
+            self.next()
+            ie = self._if_exists()
+            name = self.ident()
+            if self.accept_op("("):  # optional arg-type signature
+                while not self.at_op(")"):
+                    self.next()
+                self.expect_op(")")
+            return A.DropProcedure(name, ie)
         if self._at_word("NETWORK") and self.peek(1).text.upper() == "POLICY":
             self.next()
             self.next()
@@ -1266,17 +1286,56 @@ class Parser:
         if self.accept_keyword("WHERE"):
             where = self.parse_expr()
         group_by: List[A.Expr] = []
+        group_sets = None
         if self.accept_keyword("GROUP"):
             self.expect_keyword("BY")
             self.accept_keyword("ALL")
-            while True:
-                group_by.append(self.parse_expr())
-                if not self.accept_op(","):
-                    break
+            if self._at_word("GROUPING") and self.peek(1).text.upper() == "SETS":
+                self.next()
+                self.next()
+                self.expect_op("(")
+                group_sets = []
+                while True:
+                    if self.accept_op("("):
+                        one = []
+                        while not self.at_op(")"):
+                            one.append(self.parse_expr())
+                            self.accept_op(",")
+                        self.expect_op(")")
+                        group_sets.append(one)
+                    else:
+                        group_sets.append([self.parse_expr()])
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+            elif self._at_word("CUBE") and self.peek(1).text == "(":
+                self.next()
+                self.expect_op("(")
+                cols = [self.parse_expr()]
+                while self.accept_op(","):
+                    cols.append(self.parse_expr())
+                self.expect_op(")")
+                group_sets = [[cols[i] for i in range(len(cols))
+                               if mask & (1 << i)]
+                              for mask in range(1 << len(cols))]
+            elif self._at_word("ROLLUP") and self.peek(1).text == "(":
+                self.next()
+                self.expect_op("(")
+                cols = [self.parse_expr()]
+                while self.accept_op(","):
+                    cols.append(self.parse_expr())
+                self.expect_op(")")
+                group_sets = [cols[:n] for n in range(len(cols), -1, -1)]
+            else:
+                while True:
+                    group_by.append(self.parse_expr())
+                    if not self.accept_op(","):
+                        break
         having = None
         if self.accept_keyword("HAVING"):
             having = self.parse_expr()
-        return A.SelectStmt(items, from_, where, group_by, having, distinct)
+        return A.SelectStmt(items, from_, where, group_by, having, distinct,
+                            group_sets)
 
     def parse_select_item(self) -> A.SelectItem:
         if self.at_op("*"):

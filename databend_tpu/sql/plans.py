@@ -267,6 +267,24 @@ class UnionAllPlan(Plan):
 
 
 @dataclass
+class SetOpPlan(Plan):
+    """INTERSECT / EXCEPT with DISTINCT semantics (reference set ops)."""
+
+    op: str  # "INTERSECT" | "EXCEPT"
+    left: Plan
+    right: Plan
+
+    def children(self):
+        return [self.left, self.right]
+
+    def output_fields(self):
+        return self.left.output_fields()
+
+    def _explain_line(self):
+        return self.op
+
+
+@dataclass
 class DistinctPlan(Plan):
     child: Plan
 
