@@ -58,6 +58,13 @@ def _check_deadline():
         from ..errors import AbortedQuery
         raise AbortedQuery(
             "query exceeded max_execute_time_in_seconds and was aborted")
+    # KILL QUERY sets the abort flag in the process registry
+    from ..utils.processes import is_aborted
+    from ..utils.tracing import current_query_id
+    qid = current_query_id()
+    if qid is not None and is_aborted(qid):
+        from ..errors import AbortedQuery
+        raise AbortedQuery(f"query {qid} killed")
 
 
 def _profiled(plan: Plan, it: Iterator[DataBlock]) -> Iterator[DataBlock]:

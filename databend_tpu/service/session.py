@@ -237,7 +237,12 @@ class SessionContext:
 
     def sql(self, sql: str) -> QueryResult:
         start = time.time()
-        entry = {"query_id": f"q{len(self.query_log)}_{int(start * 1e3)}",
+        import uuid as _uuid
+
+        # unique across concurrent sessions/threads: KILL QUERY and the
+        # process registry key on this id
+        entry = {"query_id": f"q{len(self.query_log)}_{int(start * 1e3)}"
+                             f"_{_uuid.uuid4().hex[:6]}",
                  "query_text": sql.strip(), "query_kind": "Other",
                  "start": start, "duration_ms": 0.0, "result_rows": 0,
                  "error": None}
@@ -263,8 +268,12 @@ class SessionContext:
                 result = self._create_procedure(pm)
                 METRICS.inc("queries_total")
                 return result
+            from ..utils.processes import register as _proc_register
+            from ..utils.processes import unregister as _proc_unregister
             from ..utils.tracing import reset_query_id, set_query_id, span
             _qid_token = set_query_id(entry["query_id"])
+            _proc_register(entry["query_id"], sql.strip(),
+                           getattr(self.current_user, "name", "root"))
             try:
                 with span("parse"):
                     stmt = parse_sql(sql)
@@ -279,6 +288,7 @@ class SessionContext:
                 finally:
                     set_deadline(None, _dl_token)
             finally:
+                _proc_unregister(entry["query_id"])
                 reset_query_id(_qid_token)
             max_rows = int(self.settings.get("max_result_rows") or 0)
             if max_rows and isinstance(stmt, A.QueryStmt) \
@@ -1154,6 +1164,60 @@ def _stmt_alter_user(s: SessionContext, st: A.AlterUser):
     return _ok()
 
 
+def _stmt_begin(s: SessionContext, st: A.BeginTxn):
+    """BEGIN: record every table's head snapshot so ROLLBACK can restore
+    it (reference: multi-statement transactions; here snapshot-pointer
+    semantics for the embedded single-writer case — the storage format is
+    already MVCC, so rollback = repoint heads)."""
+    if getattr(s, "_txn", None) is not None:
+        raise SemanticError("a transaction is already active")
+    heads = {}
+    names = set()
+    for d in s.catalog.list_databases():
+        for info in s.catalog.list_tables(d.name):
+            loc, _seq = s.catalog.get_snapshot_location(info.table_id)
+            heads[info.table_id] = loc
+            names.add((d.name.lower(), info.name.lower()))
+    s._txn = {"heads": heads, "tables": names}
+    return _ok()
+
+
+def _stmt_commit(s: SessionContext, st: A.CommitTxn):
+    if getattr(s, "_txn", None) is None:
+        raise SemanticError("no active transaction")
+    s._txn = None
+    return _ok()
+
+
+def _stmt_rollback(s: SessionContext, st: A.RollbackTxn):
+    txn = getattr(s, "_txn", None)
+    if txn is None:
+        raise SemanticError("no active transaction")
+    s._txn = None
+    # restore snapshot pointers of pre-existing tables
+    for d in s.catalog.list_databases():
+        for info in list(s.catalog.list_tables(d.name)):
+            if (d.name.lower(), info.name.lower()) not in txn["tables"]:
+                # created inside the transaction: drop it
+                s.catalog.drop_table(d.name, info.name, if_exists=True)
+                continue
+            want = txn["heads"].get(info.table_id, None)
+            loc, seq = s.catalog.get_snapshot_location(info.table_id)
+            if loc != want:
+                s.catalog.set_snapshot_location(info.table_id, want, seq)
+    s._result_cache.clear()
+    return _ok()
+
+
+def _stmt_kill(s: SessionContext, st: A.KillStmt):
+    """KILL QUERY <id> — sets the query's abort flag; the executor raises
+    AbortedQuery at its next between-blocks check (reference kill_stmt)."""
+    from ..utils.processes import kill
+    if not kill(st.object_id):
+        raise BadArguments(f"no running query {st.object_id!r}")
+    return _ok()
+
+
 def _stmt_drop_procedure(s: SessionContext, st: A.DropProcedure):
     s.check_privilege("SUPER", "*")
     key = f"procedures/{st.name.lower()}"
@@ -1725,6 +1789,10 @@ _STATEMENTS = {
     A.DropPasswordPolicy: _stmt_drop_password_policy,
     A.DescPasswordPolicy: _stmt_desc_password_policy,
     A.AlterUser: _stmt_alter_user,
+    A.BeginTxn: _stmt_begin,
+    A.CommitTxn: _stmt_commit,
+    A.RollbackTxn: _stmt_rollback,
+    A.KillStmt: _stmt_kill,
     A.DropProcedure: _stmt_drop_procedure,
     A.CallProcedure: _stmt_call_procedure,
     A.CreateDictionary: _stmt_create_dictionary,

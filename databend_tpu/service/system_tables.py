@@ -204,14 +204,17 @@ def _sys_clusters(s):
 
 
 def _sys_processes(s):
-    entry = s.query_log[-1] if getattr(s, "query_log", None) else None
-    rows = ([(entry["query_id"], s.current_user.name, entry["query_text"],
-              entry["query_kind"])] if entry else [])
-    cols = list(zip(*rows)) if rows else [[] for _ in range(4)]
+    """Live running queries from the process registry (KILL QUERY targets
+    these ids; reference processes_table.rs)."""
+    import time as _t
+    from ..utils.processes import list_running
+    rows = sorted(list_running(), key=lambda e: e["start"])
     return _block([
-        ("id", String, list(cols[0])), ("user", String, list(cols[1])),
-        ("extra_info", String, list(cols[2])),
-        ("command", String, list(cols[3]))])
+        ("id", String, [e["id"] for e in rows]),
+        ("user", String, [e["user"] for e in rows]),
+        ("extra_info", String, [e["sql"] for e in rows]),
+        ("elapsed_ms", Float64,
+         [(_t.time() - e["start"]) * 1e3 for e in rows])])
 
 
 def _sys_streams(s):

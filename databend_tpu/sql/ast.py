@@ -182,6 +182,27 @@ class TableFunctionRef(TableRef):
 
 
 @dataclass
+class PivotRef(TableRef):
+    """FROM t PIVOT(agg(value_col) FOR for_col IN (v1, v2, ...))"""
+    inner: TableRef = None
+    agg: str = "sum"
+    value_col: str = ""
+    for_col: str = ""
+    in_values: List[object] = field(default_factory=list)
+    alias: Optional[str] = None
+
+
+@dataclass
+class UnpivotRef(TableRef):
+    """FROM t UNPIVOT(value_name FOR name_name IN (c1, c2, ...))"""
+    inner: TableRef = None
+    value_name: str = "value"
+    name_name: str = "name"
+    columns: List[str] = field(default_factory=list)
+    alias: Optional[str] = None
+
+
+@dataclass
 class Join(TableRef):
     kind: str  # INNER | LEFT | RIGHT | FULL | CROSS
     left: TableRef
@@ -201,6 +222,8 @@ class SelectStmt:
     # GROUP BY GROUPING SETS/CUBE/ROLLUP: list of grouping sets, each a
     # list of exprs; None = plain GROUP BY
     group_sets: Optional[List[List[Expr]]] = None
+    # QUALIFY <pred>: filter over window-function results
+    qualify: Optional[Expr] = None
 
 
 @dataclass
@@ -738,6 +761,28 @@ class AlterUser(Statement):
     password: Optional[str] = None
     network_policy: object = ...   # ... = unchanged, None = unset
     password_policy: object = ...
+
+
+@dataclass
+class BeginTxn(Statement):
+    pass
+
+
+@dataclass
+class CommitTxn(Statement):
+    pass
+
+
+@dataclass
+class RollbackTxn(Statement):
+    pass
+
+
+@dataclass
+class KillStmt(Statement):
+    """KILL [QUERY|CONNECTION] <id>"""
+    target: str  # QUERY | CONNECTION
+    object_id: str = ""
 
 
 # ---------------------------------------------------------------- procedures

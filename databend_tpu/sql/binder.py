@@ -26,6 +26,7 @@ from ..catalog.pushdown import (InvertedIndexInfo, PushDownInfo, Range,
                                 VectorIndexInfo)
 from ..errors import SemanticError, UnknownIndex, UnknownTable
 from ..expression import DataBlock, DataField
+from ..expression.evaluator import infer_literal_type
 from ..expression.expr import (BoundColumn, CastExpr, Constant, Func,
                                ScalarExpr)
 from ..expression.functions import registry
@@ -462,6 +463,47 @@ class Binder:
                 extra_items.append((name, e))
                 sort_items.append(SortItem(name, ob.asc, ob.nulls_first))
 
+        # QUALIFY ------------------------------------------------------------
+        # filter over window results (reference QUALIFY clause): evaluated
+        # after windows + projection, over select aliases, window outputs,
+        # and hidden passthrough columns
+        qualify_expr = None
+        qualify_hidden: List[Tuple[str, ScalarExpr]] = []
+        if sel.qualify is not None:
+            win_map: Dict[int, ScalarExpr] = {}
+            alias_names = {n.lower() for n, _ in bound_items}
+            qctx = BindContext()
+            for n, be in bound_items:
+                qctx.add(n, be.dtype, None)
+
+            def collect(e):
+                if isinstance(e, A.FunctionCall) and e.window is not None:
+                    be = base_binder.bind(e)  # registers the window item
+                    win_map[id(e)] = be
+                    if not any(n == be.name for n, _ in qualify_hidden):
+                        qualify_hidden.append(
+                            (be.name, BoundColumn(be.name, be.dtype)))
+                    return
+                if isinstance(e, A.ColumnRef):
+                    if e.table is None and e.name.lower() in alias_names:
+                        return
+                    be = self._bind_with_group_rewrite(
+                        e, base_binder, group_key_asts, group_keys)
+                    hname = f"__q_{len(qualify_hidden)}"
+                    qualify_hidden.append((hname, be))
+                    qctx.add(e.name, be.dtype, e.table, hname)
+                    return
+                for child in _ast_children(e):
+                    collect(child)
+
+            collect(sel.qualify)
+            for n, be in qualify_hidden:
+                if n.startswith("__win_"):
+                    qctx.add(n, be.dtype, None)
+            q_binder = ExprBinder(qctx, None,
+                                  window_handler=lambda e: win_map[id(e)])
+            qualify_expr = q_binder.bind(sel.qualify)
+
         has_agg = bool(aggs) or bool(sel.group_by)
         if has_agg:
             plan = AggregatePlan(plan, group_keys, aggs,
@@ -482,8 +524,10 @@ class Binder:
         self._finalize_scan(state, where_expr, sort_items, limit,
                             bound_items + extra_items)
 
-        # projection (+ hidden sort keys)
-        plan = ProjectPlan(plan, bound_items + extra_items)
+        # projection (+ hidden sort keys + hidden qualify columns)
+        plan = ProjectPlan(plan, bound_items + extra_items + qualify_hidden)
+        if qualify_expr is not None:
+            plan = FilterPlan(plan, qualify_expr)
         if sel.distinct:
             if extra_items:
                 raise SemanticError("ORDER BY expressions must appear in SELECT DISTINCT items")
@@ -497,7 +541,7 @@ class Binder:
             plan = SortPlan(plan, sort_items, _limit_sum(limit, offset),
                             spill_threshold_rows=spill_rows,
                             distributed=self._distributed_on())
-        if extra_items:
+        if extra_items or qualify_hidden:
             plan = ProjectPlan(plan, [
                 (n, BoundColumn(n, e.dtype)) for n, e in bound_items])
         if limit is not None or offset is not None:
@@ -637,7 +681,66 @@ class Binder:
             return ValuesPlan(block, list(fields)), ctx
         if isinstance(ref, A.Join):
             return self._bind_join(ref, ctes, state)
+        if isinstance(ref, A.PivotRef):
+            return self._bind_pivot(ref, ctes)
+        if isinstance(ref, A.UnpivotRef):
+            return self._bind_unpivot(ref, ctes)
         raise SemanticError(f"unsupported table reference {type(ref).__name__}")
+
+    def _bind_pivot(self, ref: A.PivotRef, ctes):
+        """PIVOT(agg(v) FOR c IN (x, y)) -> GROUP BY the remaining columns
+        with one conditional aggregate per IN value (reference: pivot
+        rewritten to aggregation in the binder)."""
+        state = ScanState()
+        inner, ictx = self._bind_table_ref(ref.inner, ctes, state)
+        cols = [(n, t) for (n, t, _tb, _on) in ictx.columns]
+        drop = {ref.value_col.lower(), ref.for_col.lower()}
+        keys = [(n, BoundColumn(n, t)) for n, t in cols
+                if n.lower() not in drop]
+        val = next((BoundColumn(n, t) for n, t in cols
+                    if n.lower() == ref.value_col.lower()), None)
+        fcol = next((BoundColumn(n, t) for n, t in cols
+                     if n.lower() == ref.for_col.lower()), None)
+        if val is None or fcol is None:
+            raise SemanticError("PIVOT value/for column not found")
+        agg_name = ref.agg.lower() + "_if"
+        aggs = []
+        for v in ref.in_values:
+            cond = Func("eq", [fcol, Constant(v, infer_literal_type(v))],
+                        Boolean)
+            fn = create_aggregate(agg_name, [val.dtype, Boolean], False)
+            aggs.append((str(v), fn, [val, cond]))
+        plan = AggregatePlan(inner, keys, aggs)
+        ctx = BindContext()
+        alias = ref.alias
+        for f in plan.output_fields():
+            ctx.add(f.name, f.dtype, alias)
+        return plan, ctx
+
+    def _bind_unpivot(self, ref: A.UnpivotRef, ctes):
+        """UNPIVOT(v FOR n IN (c1, c2)) -> UNION ALL of one projection per
+        column, carrying the column's name as the n output."""
+        state = ScanState()
+        inner, ictx = self._bind_table_ref(ref.inner, ctes, state)
+        cols = [(n, t) for (n, t, _tb, _on) in ictx.columns]
+        unpiv = {c.lower() for c in ref.columns}
+        keys = [(n, t) for n, t in cols if n.lower() not in unpiv]
+        from ..types import String as _Str
+        branches = []
+        for c in ref.columns:
+            src = next(((n, t) for n, t in cols if n.lower() == c.lower()),
+                       None)
+            if src is None:
+                raise SemanticError(f"UNPIVOT column {c!r} not found")
+            items = [(n, BoundColumn(n, t)) for n, t in keys]
+            items.append((ref.name_name, Constant(src[0], _Str)))
+            items.append((ref.value_name, BoundColumn(src[0], src[1])))
+            branches.append(ProjectPlan(inner, items))
+        plan = UnionAllPlan(branches)
+        ctx = BindContext()
+        for f in plan.output_fields():
+            ctx.add(f.name, f.dtype, ref.alias)
+        return plan, ctx
 
     def _apply_policies(self, info, scan, ctx):
         """Row access policy filter + masking-policy projections wrapped
@@ -911,6 +1014,21 @@ class Binder:
     def _bind_subquery_expr(self, e, binder: SelectExprBinder, ctes):
         from .subquery import bind_subquery_expr
         return bind_subquery_expr(self.session, e, binder, ctes)
+
+
+def _ast_children(e):
+    """Child Expr nodes of an AST expression (generic dataclass walk)."""
+    import dataclasses
+    if not dataclasses.is_dataclass(e):
+        return
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, A.Expr):
+            yield v
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                if isinstance(x, A.Expr):
+                    yield x
 
 
 def _ast_repr(e) -> str:

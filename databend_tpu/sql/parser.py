@@ -200,6 +200,29 @@ class Parser:
                 self.expect_op("=")
                 pattern = self.next().text
             return A.RemoveStage(ref, pattern)
+        if self._at_word("BEGIN"):
+            self.next()
+            self._at_word("TRANSACTION") and self.next()
+            return A.BeginTxn()
+        if self._at_word("START") and self.peek(1).text.upper() == "TRANSACTION":
+            self.next()
+            self.next()
+            return A.BeginTxn()
+        if self._at_word("COMMIT"):
+            self.next()
+            return A.CommitTxn()
+        if self._at_word("ROLLBACK"):
+            self.next()
+            return A.RollbackTxn()
+        if self._at_word("KILL"):
+            self.next()
+            target = "QUERY"
+            if self._at_word("QUERY", "CONNECTION"):
+                target = self.next().text.upper()
+            t = self.next()
+            if t.kind not in ("STRING", "IDENT", "INT"):
+                self.error("KILL expects a query id")
+            return A.KillStmt(target, t.text)
         if self._at_word("CALL"):
             self.next()
             self.accept_keyword("PROCEDURE")
@@ -1334,8 +1357,12 @@ class Parser:
         having = None
         if self.accept_keyword("HAVING"):
             having = self.parse_expr()
+        qualify = None
+        if self._at_word("QUALIFY"):
+            self.next()
+            qualify = self.parse_expr()
         return A.SelectStmt(items, from_, where, group_by, having, distinct,
-                            group_sets)
+                            group_sets, qualify)
 
     def parse_select_item(self) -> A.SelectItem:
         if self.at_op("*"):
@@ -1402,6 +1429,48 @@ class Parser:
         return left
 
     def parse_table_factor(self) -> A.TableRef:
+        ref = self._parse_table_factor_base()
+        while self._at_word("PIVOT", "UNPIVOT") and self.peek(1).text == "(":
+            kind = self.next().text.upper()
+            self.expect_op("(")
+            if kind == "PIVOT":
+                agg = self.ident()
+                self.expect_op("(")
+                value_col = self.ident()
+                self.expect_op(")")
+                if not self._at_word("FOR"):
+                    self.error("expected FOR in PIVOT")
+                self.next()
+                for_col = self.ident()
+                self.expect_keyword("IN")
+                self.expect_op("(")
+                vals = []
+                while not self.at_op(")"):
+                    t = self.next()
+                    vals.append(int(t.text) if t.kind == "INT" else t.text)
+                    self.accept_op(",")
+                self.expect_op(")")
+                self.expect_op(")")
+                ref = A.PivotRef(ref, agg, value_col, for_col, vals,
+                                 self._table_alias())
+            else:
+                value_name = self.ident()
+                if not self._at_word("FOR"):
+                    self.error("expected FOR in UNPIVOT")
+                self.next()
+                name_name = self.ident()
+                self.expect_keyword("IN")
+                self.expect_op("(")
+                cols = [self.ident()]
+                while self.accept_op(","):
+                    cols.append(self.ident())
+                self.expect_op(")")
+                self.expect_op(")")
+                ref = A.UnpivotRef(ref, value_name, name_name, cols,
+                                   self._table_alias())
+        return ref
+
+    def _parse_table_factor_base(self) -> A.TableRef:
         if self.peek().kind == "ATREF":
             ref = self.next().text
             options: dict = {}
@@ -1462,10 +1531,14 @@ class Parser:
         self.expect_op(")")
         return point
 
+    # non-reserved words that end a table factor (never implicit aliases)
+    _ALIAS_STOP = {"QUALIFY", "PIVOT", "UNPIVOT", "SAMPLE", "MATCHED"}
+
     def _table_alias(self) -> Optional[str]:
         if self.accept_keyword("AS"):
             return self.ident()
-        if self.peek().kind == "IDENT":
+        if self.peek().kind == "IDENT" \
+                and self.peek().text.upper() not in self._ALIAS_STOP:
             return self.next().text
         return None
 

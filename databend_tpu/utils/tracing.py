@@ -81,6 +81,10 @@ def set_query_id(qid: str):
     return _QUERY_ID.set(qid)
 
 
+def current_query_id():
+    return _QUERY_ID.get() or None
+
+
 def reset_query_id(token) -> None:
     _QUERY_ID.reset(token)
 
