@@ -56,6 +56,29 @@ def tokenize_text(text: str, tokenizer: str = "english",
     return out
 
 
+def tokenize_docs(texts, tokenizer: str = "english",
+                  filters: List[str] = ()) -> List[List[str]]:
+    """Batch tokenization for the ingest path.
+
+    Uses the native C++ analyzer (native/tokenize.cpp — the analog of
+    tantivy's native analyzer stack) when built; stemming runs in Python
+    over a per-batch cache so index-side stems match query-side stems
+    (both NLTK) exactly. Falls back to the per-doc Python tokenizer.
+    """
+    from ... import native
+    stop = ENGLISH_STOPWORDS if ("english_stop" in filters
+                                 or "chinese_stop" in filters) else None
+    out = native.tokenize_batch(texts, stop)
+    if out is None:
+        return [tokenize_text(t, tokenizer, filters) for t in texts]
+    if "english_stemmer" in filters:
+        stem = _get_stemmer().stem
+        cache: dict = {}
+        out = [[cache[t] if t in cache else cache.setdefault(t, stem(t))
+                for t in toks] for toks in out]
+    return out
+
+
 def parse_filters(options: dict) -> List[str]:
     raw = options.get("filters", "")
     return [f.strip() for f in raw.split(",") if f.strip()]

@@ -52,12 +52,137 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+        try:
+            lib.dbtpu_stopset_new.restype = ctypes.c_void_p
+            lib.dbtpu_stopset_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.dbtpu_stopset_free.argtypes = [ctypes.c_void_p]
+            lib.dbtpu_tokenize_count.restype = ctypes.c_int
+            lib.dbtpu_tokenize_count.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.dbtpu_tokenize_fill.restype = ctypes.c_int
+            lib.dbtpu_tokenize_fill.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+            lib.dbtpu_analyze.restype = ctypes.c_void_p
+            lib.dbtpu_analyze.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64, ctypes.c_void_p]
+            for g in ("n_tokens", "n_terms", "term_bytes"):
+                fn = getattr(lib, f"dbtpu_analysis_{g}")
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_void_p]
+            lib.dbtpu_analysis_fill.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+            lib.dbtpu_analysis_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            pass  # stale .so without the tokenizer: csv path still works
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def tokenize_batch(texts, stopwords=None):
+    """Native batch tokenization (lowercase + word/CJK split + stop
+    filter). Returns list-of-token-lists, or None when unavailable.
+
+    The per-document Python loop (regex findall per row) is the ingest
+    hot loop this replaces — the analog of tantivy's native analyzer.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dbtpu_tokenize_count"):
+        return None
+    encoded = [(t or "").encode("utf-8") for t in texts]
+    offsets = np.zeros(len(encoded) + 1, np.int64)
+    np.cumsum([len(b) for b in encoded], out=offsets[1:])
+    data = b"".join(encoded)
+    stop_handle = None
+    try:
+        if stopwords:
+            blob = "\n".join(sorted(stopwords)).encode("utf-8")
+            stop_handle = lib.dbtpu_stopset_new(blob, len(blob))
+        n_tok = ctypes.c_int64(0)
+        n_bytes = ctypes.c_int64(0)
+        rc = lib.dbtpu_tokenize_count(data, offsets, len(encoded),
+                                      stop_handle, ctypes.byref(n_tok),
+                                      ctypes.byref(n_bytes))
+        if rc != 0:
+            return None
+        out_bytes = ctypes.create_string_buffer(max(n_bytes.value, 1))
+        lens = np.empty(max(n_tok.value, 1), np.int32)
+        docs = np.empty(max(n_tok.value, 1), np.int32)
+        rc = lib.dbtpu_tokenize_fill(data, offsets, len(encoded),
+                                     stop_handle, out_bytes, lens, docs)
+        if rc != 0:
+            return None
+    finally:
+        if stop_handle:
+            lib.dbtpu_stopset_free(stop_handle)
+    out = [[] for _ in encoded]
+    raw = out_bytes.raw
+    pos = 0
+    for i in range(n_tok.value):
+        ln = int(lens[i])
+        out[int(docs[i])].append(raw[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    return out
+
+
+def analyze_batch(texts, stopwords=None):
+    """One-pass native analysis with in-C++ vocab dedup.
+
+    Returns (terms: List[str] in first-seen order, tok_term: int32 array,
+    tok_doc: int32 array) or None when unavailable. Python only decodes
+    the unique-term dictionary; postings become numpy over the id arrays.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dbtpu_analyze"):
+        return None
+    encoded = [(t or "").encode("utf-8") for t in texts]
+    offsets = np.zeros(len(encoded) + 1, np.int64)
+    np.cumsum([len(b) for b in encoded], out=offsets[1:])
+    data = b"".join(encoded)
+    stop_handle = None
+    handle = None
+    try:
+        if stopwords:
+            blob = "\n".join(sorted(stopwords)).encode("utf-8")
+            stop_handle = lib.dbtpu_stopset_new(blob, len(blob))
+        handle = lib.dbtpu_analyze(data, offsets, len(encoded), stop_handle)
+        n_tok = lib.dbtpu_analysis_n_tokens(handle)
+        n_terms = lib.dbtpu_analysis_n_terms(handle)
+        n_bytes = lib.dbtpu_analysis_term_bytes(handle)
+        blob_out = ctypes.create_string_buffer(max(int(n_bytes), 1))
+        term_lens = np.empty(max(int(n_terms), 1), np.int32)
+        tok_term = np.empty(max(int(n_tok), 1), np.int32)
+        tok_doc = np.empty(max(int(n_tok), 1), np.int32)
+        lib.dbtpu_analysis_fill(handle, blob_out, term_lens, tok_term, tok_doc)
+    finally:
+        if handle:
+            lib.dbtpu_analysis_free(handle)
+        if stop_handle:
+            lib.dbtpu_stopset_free(stop_handle)
+    raw = blob_out.raw
+    terms = []
+    pos = 0
+    for i in range(int(n_terms)):
+        ln = int(term_lens[i])
+        terms.append(raw[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    return terms, tok_term[:int(n_tok)], tok_doc[:int(n_tok)]
 
 
 def csv_scan(data: bytes, delim: str = ",", quote: str = '"'):
