@@ -342,6 +342,15 @@ class Parser:
             return A.CopyIntoLocation(dst, table, db, query, fmt)
         db, name = self.qualified_name()
         self.expect_keyword("FROM")
+        if self.at_op("("):
+            # transform-on-load: COPY INTO t FROM (SELECT ... FROM @stage)
+            # (reference: copy-with-transform) — an INSERT..SELECT with COPY
+            # syntax; the stage scan applies formats/patterns itself
+            self.next()
+            query = self.parse_query()
+            self.expect_op(")")
+            self._parse_copy_options()  # options already bound in the query
+            return A.Insert(name, db, [], query=query)
         if self.peek().kind not in ("STRING", "ATREF"):
             self.error("COPY INTO <table> FROM expects a path or @stage")
         src = self.next().text
