@@ -470,11 +470,32 @@ class SessionContext:
     def _explain(self, stmt: A.ExplainStmt) -> QueryResult:
         from ..pipeline.executor import execute_plan
         from ..sql.binder import Binder
+        if stmt.kind == "AST":
+            # reference EXPLAIN AST/SYNTAX: the parsed tree, one node/line
+            lines = _format_ast(stmt.inner).split("\n")
+            col = Column.from_pylist(lines, String)
+            return QueryResult(DataBlock(["explain"], [col]),
+                               [DataField("explain", String)])
         if not isinstance(stmt.inner, A.QueryStmt):
             raise SemanticError("EXPLAIN supports queries only")
         from ..sql.optimizer import optimize
-        plan = optimize(Binder(self).bind_query(stmt.inner.query), self)
-        lines = plan.explain().split("\n")
+        plan = Binder(self).bind_query(stmt.inner.query)
+        if stmt.kind != "RAW":  # RAW = the plan before optimization
+            plan = optimize(plan, self)
+        if stmt.kind == "PIPELINE":
+            # executor view: one line per operator with its executor fn
+            from ..pipeline.executor import _DISPATCH
+            lines = []
+
+            def walk(p, d=0):
+                fn = _DISPATCH.get(type(p))
+                lines.append("  " * d + type(p).__name__ + " -> "
+                             + (fn.__name__ if fn else "?"))
+                for c in p.children():
+                    walk(c, d + 1)
+            walk(plan)
+        else:
+            lines = plan.explain().split("\n")
         if stmt.analyze:
             t0 = time.time()
             block = execute_plan(plan)
@@ -487,6 +508,32 @@ class SessionContext:
                 lines.append("-- " + line)
         col = Column.from_pylist(lines, String)
         return QueryResult(DataBlock(["explain"], [col]), [DataField("explain", String)])
+
+
+def _format_ast(node, depth: int = 0, name: str = "") -> str:
+    """Indented AST dump (reference EXPLAIN AST formatting)."""
+    import dataclasses
+    pad = "  " * depth
+    label = (name + ": " if name else "") + type(node).__name__
+    if not dataclasses.is_dataclass(node):
+        return pad + label + f" = {node!r}"
+    lines = [pad + label]
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if v is None or v == [] or v == {} or v is False:
+            continue
+        if dataclasses.is_dataclass(v):
+            lines.append(_format_ast(v, depth + 1, f.name))
+        elif isinstance(v, (list, tuple)) and v \
+                and any(dataclasses.is_dataclass(x) for x in v):
+            lines.append(pad + "  " + f.name + ":")
+            for x in v:
+                lines.append(_format_ast(x, depth + 2)
+                             if dataclasses.is_dataclass(x)
+                             else "  " * (depth + 2) + repr(x))
+        else:
+            lines.append(pad + "  " + f.name + f" = {v!r}")
+    return "\n".join(lines)
 
 
 def _explain_with_profile(plan, indent: int = 0) -> str:
@@ -1164,6 +1211,55 @@ def _stmt_alter_user(s: SessionContext, st: A.AlterUser):
     return _ok()
 
 
+_SECRET_CONN_KEYS = {"secret_access_key", "session_token", "password",
+                     "credential", "master_key"}
+
+
+def _stmt_create_connection(s: SessionContext, st: A.CreateConnection):
+    """CREATE CONNECTION — named storage parameters (reference:
+    src/meta/app-storage types + connection management). The data plane
+    here uses the ambient credential chain (boto3); connections store and
+    expose the parameter surface and are attachable to stages."""
+    s.check_privilege("SUPER", "*")
+    key = f"connections/{st.name.lower()}"
+    got, _seq = s.meta.get(key)
+    if got is not None and not st.or_replace:
+        if st.if_not_exists:
+            return _ok()
+        raise BadArguments(f"connection {st.name!r} already exists")
+    s.meta.upsert(key, {"name": st.name, "storage_type": st.storage_type,
+                        "params": dict(st.params)})
+    return _ok()
+
+
+def _stmt_drop_connection(s: SessionContext, st: A.DropConnection):
+    s.check_privilege("SUPER", "*")
+    key = f"connections/{st.name.lower()}"
+    got, _seq = s.meta.get(key)
+    if got is None:
+        if st.if_exists:
+            return _ok()
+        raise BadArguments(f"unknown connection {st.name!r}")
+    s.meta.delete(key)
+    return _ok()
+
+
+def _redact_conn(params: dict) -> str:
+    return " ".join(f"{k}={'***' if k in _SECRET_CONN_KEYS else v}"
+                    for k, v in sorted(params.items()))
+
+
+def _stmt_desc_connection(s: SessionContext, st: A.DescConnection):
+    got, _seq = s.meta.get(f"connections/{st.name.lower()}")
+    if got is None:
+        raise BadArguments(f"unknown connection {st.name!r}")
+    names = ["name", "storage_type", "storage_params"]
+    vals = [got["name"], got["storage_type"], _redact_conn(got["params"])]
+    return QueryResult(
+        DataBlock(names, [Column.from_pylist([v], String) for v in vals], 1),
+        [DataField(n, String) for n in names])
+
+
 def _stmt_begin(s: SessionContext, st: A.BeginTxn):
     """BEGIN: record every table's head snapshot so ROLLBACK can restore
     it (reference: multi-statement transactions; here snapshot-pointer
@@ -1632,6 +1728,24 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         return QueryResult(DataBlock(
             names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
             [DataField(n, String) for n in names])
+    if st.what == "CONNECTIONS":
+        rows = sorted((v for _, v, _ in s.meta.list_prefix("connections/")),
+                      key=lambda c: c["name"])
+        rows = [(c["name"], c["storage_type"], _redact_conn(c["params"]))
+                for c in rows if match(c["name"])]
+        names = ["name", "storage_type", "storage_params"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String) for i in range(3)]),
+            [DataField(n, String) for n in names])
+    if st.what == "PROCESSLIST":
+        from ..utils.processes import list_running
+        rows = sorted(list_running(), key=lambda e: e["start"])
+        names = ["id", "user", "extra_info"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([e["id"] for e in rows], String),
+                    Column.from_pylist([e["user"] for e in rows], String),
+                    Column.from_pylist([e["sql"] for e in rows], String)]),
+            [DataField(n, String) for n in names])
     if st.what == "PROCEDURES":
         rows = sorted((v for _, v, _ in s.meta.list_prefix("procedures/")),
                       key=lambda p: p["name"])
@@ -1789,6 +1903,9 @@ _STATEMENTS = {
     A.DropPasswordPolicy: _stmt_drop_password_policy,
     A.DescPasswordPolicy: _stmt_desc_password_policy,
     A.AlterUser: _stmt_alter_user,
+    A.CreateConnection: _stmt_create_connection,
+    A.DropConnection: _stmt_drop_connection,
+    A.DescConnection: _stmt_desc_connection,
     A.BeginTxn: _stmt_begin,
     A.CommitTxn: _stmt_commit,
     A.RollbackTxn: _stmt_rollback,

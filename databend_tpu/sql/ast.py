@@ -259,6 +259,7 @@ class QueryStmt(Statement):
 class ExplainStmt(Statement):
     inner: Statement
     analyze: bool = False
+    kind: str = "PLAN"  # PLAN | ANALYZE | AST | RAW | PIPELINE
 
 
 @dataclass
@@ -776,6 +777,27 @@ class CommitTxn(Statement):
 @dataclass
 class RollbackTxn(Statement):
     pass
+
+
+@dataclass
+class CreateConnection(Statement):
+    """CREATE CONNECTION c STORAGE_TYPE='s3' <param>=<value> ..."""
+    name: str
+    storage_type: str = "s3"
+    params: Dict[str, str] = field(default_factory=dict)
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropConnection(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class DescConnection(Statement):
+    name: str
 
 
 @dataclass

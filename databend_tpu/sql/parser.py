@@ -95,8 +95,22 @@ class Parser:
     def parse_statement(self) -> A.Statement:
         if self.at_keyword("EXPLAIN"):
             self.next()
-            analyze = bool(self.accept_keyword("ANALYZE"))
-            return A.ExplainStmt(self.parse_statement(), analyze)
+            kind = "PLAN"
+            if self.accept_keyword("ANALYZE"):
+                kind = "ANALYZE"
+            elif self._at_word("AST", "SYNTAX"):
+                self.next()
+                kind = "AST"
+            elif self._at_word("RAW", "LOGICAL"):
+                self.next()
+                kind = "RAW"
+            elif self._at_word("PIPELINE"):
+                self.next()
+                kind = "PIPELINE"
+            elif self._at_word("PLAN"):
+                self.next()
+            return A.ExplainStmt(self.parse_statement(), kind == "ANALYZE",
+                                 kind)
         if self.at_keyword("SELECT", "WITH") or self.at_op("("):
             return A.QueryStmt(self.parse_query())
         if self.at_keyword("CREATE"):
@@ -134,6 +148,9 @@ class Parser:
                 self.next()
                 self.next()
                 return A.DescNetworkPolicy(self.ident())
+            if self._at_word("CONNECTION"):
+                self.next()
+                return A.DescConnection(self.ident())
             if self._at_word("PASSWORD") and self.peek(1).text.upper() == "POLICY":
                 self.next()
                 self.next()
@@ -501,6 +518,22 @@ class Parser:
                 comment = self.next().text
             return A.CreateRowAccessPolicy(name, args, body, comment, ine,
                                            replace)
+        if self._at_word("CONNECTION"):
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            storage_type = "s3"
+            params: dict = {}
+            while self.peek().kind in ("IDENT", "KEYWORD") \
+                    and self.peek(1).kind == "OP" and self.peek(1).text == "=":
+                k = self.next().text.lower()
+                self.expect_op("=")
+                v = self.next().text
+                if k == "storage_type":
+                    storage_type = v.lower()
+                else:
+                    params[k] = v
+            return A.CreateConnection(name, storage_type, params, ine, replace)
         if self._at_word("NETWORK") and self.peek(1).text.upper() == "POLICY":
             self.next()
             self.next()
@@ -892,6 +925,10 @@ class Parser:
             self.next()
             ie = self._if_exists()
             return A.DropRowAccessPolicy(self.ident(), ie)
+        if self._at_word("CONNECTION"):
+            self.next()
+            ie = self._if_exists()
+            return A.DropConnection(self.ident(), ie)
         if self._at_word("PROCEDURE"):
             self.next()
             ie = self._if_exists()
