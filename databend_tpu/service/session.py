@@ -1825,7 +1825,19 @@ def _stmt_analyze(s: SessionContext, st: A.AnalyzeTable):
 
 
 def _stmt_optimize(s: SessionContext, st: A.OptimizeTable):
+    import time as _t
     t = s.table(st.name, st.database)
+    if st.action == "RECLUSTER":
+        t0 = _t.time()
+        snap_before = t.read_snapshot()
+        n_blocks = t.recluster()
+        # clustering_history (reference clustering_history_table.rs)
+        hist = {"table": f"{t.info.database}.{t.info.name}",
+                "started": t0, "duration_ms": (_t.time() - t0) * 1e3,
+                "blocks_before": snap_before.block_count if snap_before else 0,
+                "blocks_after": n_blocks}
+        s.meta.upsert(f"clustering_history/{int(t0 * 1e6)}", hist)
+        return _ok(n_blocks)
     if st.action in ("COMPACT", "ALL"):
         t.compact()
     if st.action in ("PURGE", "ALL"):

@@ -417,6 +417,17 @@ def _sys_temp_tables(s):
            if opened[k].read_snapshot() else 0) for k in keys])])
 
 
+def _sys_clustering_history(s):
+    """Reference: clustering_history_table.rs — recluster operations."""
+    rows = sorted((v for _, v, _ in s.meta.list_prefix("clustering_history/")),
+                  key=lambda h: h["started"])
+    return _block([
+        ("table", String, [h["table"] for h in rows]),
+        ("duration_ms", Float64, [h["duration_ms"] for h in rows]),
+        ("blocks_before", Int64, [h["blocks_before"] for h in rows]),
+        ("blocks_after", Int64, [h["blocks_after"] for h in rows])])
+
+
 def _sys_procedures(s):
     """Reference: procedures_table.rs."""
     rows = sorted((v for _, v, _ in s.meta.list_prefix("procedures/")),
@@ -535,6 +546,7 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "network_policies": _sys_network_policies,
     "password_policies": _sys_password_policies,
     "procedures": _sys_procedures,
+    "clustering_history": _sys_clustering_history,
     "zero": _sys_zero,
     "malloc_stats": _sys_malloc_stats,
     "backtrace": _sys_backtrace,

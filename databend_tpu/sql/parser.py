@@ -169,8 +169,10 @@ class Parser:
             action = "COMPACT"
             if self.accept_keyword("ALL"):
                 action = "ALL"
-            elif self.peek().kind in ("IDENT", "KEYWORD") and self.peek().text.upper() in ("COMPACT", "PURGE"):
+            elif self.peek().kind in ("IDENT", "KEYWORD") and self.peek().text.upper() in ("COMPACT", "PURGE", "RECLUSTER"):
                 action = self.next().text.upper()
+                if action == "RECLUSTER":
+                    self._at_word("FINAL") and self.next()
             return A.OptimizeTable(name, db, action)
         if self.at_keyword("ANALYZE"):
             self.next()
@@ -1086,6 +1088,10 @@ class Parser:
         if self.accept_keyword("FLASHBACK"):
             self.expect_keyword("TO")
             return A.FlashbackTable(name, self.parse_travel_point(), db)
+        if self._at_word("RECLUSTER"):
+            self.next()
+            self._at_word("FINAL") and self.next()
+            return A.OptimizeTable(name, db, "RECLUSTER")
         if self.accept_keyword("ADD"):
             if self._at_word("ROW"):
                 self.next()

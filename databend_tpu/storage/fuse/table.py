@@ -651,6 +651,29 @@ class FuseTable:
         self._commit_replace([loc])
         return len(new_metas)
 
+    def recluster(self) -> int:
+        """OPTIMIZE/ALTER TABLE ... RECLUSTER: re-sort the whole table by
+        its cluster keys and rewrite blocks (reference: recluster
+        operations). For vector cluster keys this re-runs the global
+        k-means routing sort, restoring tight per-block centroid/radius
+        stats after many small appends — the quality knob of the IVF-style
+        big-shard path. Returns the block count after reclustering."""
+        snap = self.read_snapshot()
+        if snap is None:
+            return 0
+        if not self.info.cluster_by:
+            return self.compact()
+        segments = self.read_segments(snap)
+        blocks = [b for s in segments for b in s.blocks]
+        if not blocks:
+            return 0
+        whole = DataBlock.concat([
+            block_io.read_block(self.abs_path(b.location), self.schema)
+            for b in blocks])
+        self.append(whole, overwrite=True)  # append = cluster sort + split
+        new_snap = self.read_snapshot()
+        return new_snap.block_count if new_snap else 0
+
     def vacuum(self, retention_days: float = 0.0) -> int:
         """Delete files unreferenced by retained snapshots (reference:
         operations/{gc,vacuum}.rs). The head snapshot is always retained;
