@@ -1176,9 +1176,82 @@ def _exec_join(plan: JoinPlan):
         yield from _exec_cross_join(plan, right, lfields, rfields, out_names)
         return
 
+    if plan.runtime_filter and right is not None and right.num_rows:
+        _push_join_runtime_filter(plan, right)
+
     yield from _hash_join_stream(plan, right,
                                  execute_plan_blocks(plan.left),
                                  lfields, rfields, out_names)
+
+
+def _push_join_runtime_filter(plan: JoinPlan, right: DataBlock) -> None:
+    """Build-side key min/max pushed into the probe scan's filters BEFORE
+    the probe executes, so the range pruner drops probe blocks whose zone
+    maps cannot match (reference: join runtime filters,
+    enable_join_runtime_filter). Safe for INNER/RIGHT joins only —
+    LEFT/FULL must keep unmatched probe rows."""
+    if plan.kind not in ("INNER", "RIGHT"):
+        return
+    # the optimizer's join reorder rebuilds JoinPlans, so enforce the
+    # setting at runtime too (bind-time flag is a hint)
+    from ..utils.current import current_session
+    s = current_session()
+    if s is not None:
+        try:
+            if not bool(s.settings.get("enable_join_runtime_filter")):
+                return
+        except Exception:
+            pass
+    # locate the probe-side Scan through passthrough wrappers
+    node = plan.left
+    while isinstance(node, (FilterPlan, ProjectPlan)):
+        if isinstance(node, ProjectPlan) and not all(
+                isinstance(e, BoundColumn) for _, e in node.items):
+            return
+        node = node.child
+    if not isinstance(node, Scan):
+        return
+    from ..expression.expr import Constant, Func
+    from ..types import Boolean
+    from ..types.datatype import DateType, NumberType, TimestampType
+    ev = Evaluator(right)
+    conds = []
+    schema = node.table.schema
+    for lk, rk in zip(plan.left_keys, plan.right_keys):
+        if not isinstance(lk, BoundColumn):
+            continue
+        inner = lk.dtype.remove_nullable()
+        if not isinstance(inner, (NumberType, DateType, TimestampType)):
+            continue
+        # join keys may carry disambiguated names ('f.k'); the scan's
+        # columns use the bare schema name
+        col_name = lk.name
+        if not schema.has_field(col_name):
+            col_name = col_name.split(".")[-1]
+            if not schema.has_field(col_name):
+                continue
+        key = BoundColumn(schema.field(col_name).name, lk.dtype)
+        try:
+            vals = ev.run(rk)
+        except Exception:
+            continue
+        data = np.asarray(vals.data)
+        if vals.validity is not None:
+            data = data[vals.validity]
+        if data.size == 0:
+            continue
+        lo = Constant(data.min().item(), inner)
+        hi = Constant(data.max().item(), inner)
+        conds.append(Func("gte", [key, lo], Boolean))
+        conds.append(Func("lte", [key, hi], Boolean))
+    if not conds:
+        return
+    rf = conds[0]
+    for c in conds[1:]:
+        rf = Func("and", [rf, c], Boolean)
+    pd = node.pushdown
+    pd.filters = rf if pd.filters is None else Func("and", [pd.filters, rf],
+                                                   Boolean)
 
 
 def _exec_grace_join(plan: JoinPlan, buffered_right, rit,

@@ -865,7 +865,9 @@ class Binder:
         plan = JoinPlan(j.kind, left, right, left_keys, right_keys, residual,
                         out_fields, distributed=self._distributed_on(),
                         spill_threshold_rows=self._spill_rows(
-                            "join_spill_row_threshold"))
+                            "join_spill_row_threshold"),
+                        runtime_filter=self._setting_bool(
+                            "enable_join_runtime_filter", True))
         return plan, ctx
 
     def _distributed_on(self) -> bool:

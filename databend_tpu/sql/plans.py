@@ -209,6 +209,9 @@ class JoinPlan(Plan):
     # build-side rows above which the join grace-partitions both sides to
     # disk and joins partition-by-partition; None = never spill
     spill_threshold_rows: Optional[int] = None
+    # push build-side key min/max into the probe scan's pushdown so the
+    # range pruner skips probe blocks (reference join runtime filters)
+    runtime_filter: bool = True
 
     def children(self):
         return [self.left, self.right]
