@@ -47,15 +47,21 @@ class StringData:
         kernels hit the same block's strings repeatedly; decode once)."""
         cache = getattr(self, "_obj_cache", None)
         if cache is None or len(cache) != len(self):
-            cache = np.array(self.to_pylist(), dtype=object)
+            const = getattr(self, "_const_value", None)
+            if const is not None:  # literal broadcast: no per-row decode
+                cache = np.full(len(self), const, dtype=object)
+            else:
+                cache = np.array(self._decode_all(), dtype=object)
             object.__setattr__(self, "_obj_cache", cache)
         return cache
 
     @staticmethod
     def constant(value: str, n: int) -> "StringData":
         b = np.frombuffer(value.encode("utf-8"), np.uint8)
-        return StringData(np.arange(n + 1, dtype=np.int64) * len(b),
-                          np.tile(b, n))
+        s = StringData(np.arange(n + 1, dtype=np.int64) * len(b),
+                       np.tile(b, n))
+        object.__setattr__(s, "_const_value", value)
+        return s
 
     @staticmethod
     def from_pylist(values: Sequence[Any]) -> "StringData":
@@ -74,6 +80,12 @@ class StringData:
         return bytes(self.data[self.offsets[i]: self.offsets[i + 1]]).decode("utf-8", "replace")
 
     def to_pylist(self) -> list:
+        cache = getattr(self, "_obj_cache", None)
+        if cache is not None and len(cache) == len(self):
+            return list(cache)
+        return self._decode_all()
+
+    def _decode_all(self) -> list:
         out = []
         offs = self.offsets
         mv = self.data.tobytes()
@@ -88,7 +100,18 @@ class StringData:
         new_offsets = np.zeros(len(idx) + 1, dtype=np.int64)
         np.cumsum(new_lens, out=new_offsets[1:])
         total = int(new_offsets[-1])
-        # vectorized gather: for output byte k in row j,
+        n = len(self)
+        # filter-shaped takes (strictly increasing indices — the common
+        # case from block.filter) gather with ONE boolean byte mask
+        # instead of three row-length int64 temporaries
+        if len(idx) and total and np.all(np.diff(idx) > 0):
+            keep = np.zeros(n, np.bool_)
+            keep[idx] = True
+            byte_keep = np.repeat(keep, lens)
+            return StringData(new_offsets, self.data[byte_keep])
+        if not total:
+            return StringData(new_offsets, np.zeros(0, np.uint8))
+        # general gather: for output byte k in row j,
         # src = row_start[j] + (k - out_start[j])
         within = np.arange(total, dtype=np.int64) - np.repeat(
             new_offsets[:-1], new_lens)

@@ -220,11 +220,34 @@ class CountDistinctAgg(AggregateFunction):
         return [set() for _ in range(num_groups)]
 
     def update(self, state, group_ids, payload, validity):
-        vals = payload.to_pylist() if isinstance(payload, StringData) else payload.tolist()
-        for i, g in enumerate(group_ids.tolist()):
-            if validity is not None and not validity[i]:
-                continue
-            state[g].add(vals[i])
+        # vectorized: factorize values to dense codes, np.unique over
+        # (group, code) pairs, set-insert only the UNIQUE pairs
+        # (reference: distinct via the group hashtable, not per-row adds)
+        import pandas as pd
+        if isinstance(payload, StringData):
+            codes, vals = pd.factorize(payload.as_object_array())
+            codes = codes.astype(np.int64, copy=False)
+            lookup = vals
+        else:
+            arr = np.asarray(payload)
+            codes, vals = pd.factorize(arr)
+            codes = codes.astype(np.int64, copy=False)
+            lookup = vals
+        g = np.asarray(group_ids, np.int64)
+        if validity is not None:
+            keep = np.asarray(validity, bool)
+            g, codes = g[keep], codes[keep]
+        ok = codes >= 0  # factorize NA sentinel: NULLs don't count
+        if not ok.all():
+            g, codes = g[ok], codes[ok]
+        if len(g) == 0:
+            return
+        packed = g * (codes.max() + 2) + codes
+        uniq = np.unique(packed)
+        base = int(codes.max() + 2)
+        vals_list = lookup.tolist()
+        for p in uniq.tolist():
+            state[p // base].add(vals_list[p % base])
 
     def merge(self, s1, s2):
         return [a | b for a, b in zip(s1, s2)]
