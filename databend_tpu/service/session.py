@@ -593,6 +593,13 @@ def _stmt_use(s: SessionContext, st: A.UseDatabase):
 
 def _stmt_create_table(s: SessionContext, st: A.CreateTable):
     s.check_privilege("CREATE", st.database or s.current_database)
+    if st.or_replace and not st.temporary:
+        # CREATE OR REPLACE drops the existing table (and its data) first
+        db_ = st.database or s.current_database
+        if not s.drop_temp_table(db_, st.name):
+            info_old = s.catalog.drop_table(db_, st.name, if_exists=True)
+            if info_old is not None:
+                s._tables.pop(info_old.table_id, None)
 
     fields = []
     computed_opts = {}
@@ -625,6 +632,8 @@ def _stmt_create_table(s: SessionContext, st: A.CreateTable):
     info = TableInfo(0, db, st.name, TableSchema(fields), st.engine,
                      dict(st.options), cluster_by)
     if st.temporary:
+        if st.or_replace:
+            s.drop_temp_table(db, st.name)
         if s.temp_table(db, st.name) is not None:
             if st.if_not_exists:
                 return _ok()

@@ -301,6 +301,7 @@ class CreateTable(Statement):
     as_query: Optional[Query] = None
     options: Dict[str, str] = field(default_factory=dict)
     temporary: bool = False  # CREATE TEMP TABLE: session-scoped
+    or_replace: bool = False  # CREATE OR REPLACE: drop existing first
 
 
 @dataclass

@@ -786,8 +786,8 @@ class Parser:
                 options[k.lower()] = t.text
             else:
                 break
-        return A.CreateTable(name, db, columns, ine or replace, cluster_by, engine,
-                             as_query, options, temporary)
+        return A.CreateTable(name, db, columns, ine, cluster_by, engine,
+                             as_query, options, temporary, replace)
 
     def parse_column_def(self) -> A.ColumnDef:
         name = self.ident()
