@@ -1450,7 +1450,7 @@ def _assemble_join(lblock, right, lidx, ridx, lfields, rfields, out_names):
 
 def _exec_window(plan: WindowPlan):
     from .window import execute_window
-    yield execute_window(plan, execute_plan_blocks(plan.child))
+    yield from execute_window(plan, execute_plan_blocks(plan.child))
 
 
 _DISPATCH = {

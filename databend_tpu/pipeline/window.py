@@ -63,22 +63,88 @@ def _neq_prev(col: Column) -> np.ndarray:
     return out
 
 
-def execute_window(plan: WindowPlan, child_blocks) -> DataBlock:
-    blocks = [b for b in child_blocks if b.num_rows]
+def execute_window(plan: WindowPlan, child_blocks):
+    """Yields output blocks. Inputs above the spill threshold are
+    hash-partitioned to disk on the (shared) PARTITION BY keys and each
+    disk partition is windowed independently — window partitions are
+    wholly contained in one hash bucket, so results are exact (reference:
+    window_partition spill, spillers/inner.rs)."""
+    import itertools
     fields = plan.output_fields()
     names = [f.name for f in fields]
-    if not blocks:
+    threshold = _spill_threshold()
+    part_keys = _shared_partition_keys(plan)
+    buffered = []
+    total = 0
+    it = (b for b in child_blocks if b.num_rows)
+    for b in it:
+        buffered.append(b)
+        total += b.num_rows
+        if threshold and part_keys and total > threshold:
+            yield from _execute_spilled(plan, itertools.chain(buffered, it),
+                                        part_keys, names)
+            return
+    if not buffered:
         from ..expression.evaluator import constant_column
-        return DataBlock(names, [constant_column(None, f.dtype.wrap_nullable(), 0)
-                                 for f in fields], 0)
-    block = DataBlock.concat(blocks)
+        yield DataBlock(names, [constant_column(None, f.dtype.wrap_nullable(), 0)
+                                for f in fields], 0)
+        return
+    yield _window_block(plan, DataBlock.concat(buffered), names)
+
+
+def _window_block(plan: WindowPlan, block: DataBlock, names) -> DataBlock:
     n = block.num_rows
     ev = Evaluator(block)
-
     out_cols = [block.column(f.name) for f in plan.child.output_fields()]
     for item in plan.items:
         out_cols.append(_compute_item(ev, item, n))
     return DataBlock(names, out_cols, n)
+
+
+def _spill_threshold():
+    from ..utils.current import current_session
+    s = current_session()
+    if s is None:
+        return None
+    try:
+        v = int(s.settings.get("window_spill_row_threshold"))
+        return v or None
+    except Exception:
+        return None
+
+
+def _shared_partition_keys(plan: WindowPlan):
+    """The common PARTITION BY exprs across all window items, or None
+    (spill needs one partitioning that contains every item's groups)."""
+    keys = None
+    for item in plan.items:
+        if not item.partition_by:
+            return None  # unpartitioned window needs the whole input
+        sig = [e.display() for e in item.partition_by]
+        if keys is None:
+            keys = (sig, item.partition_by)
+        elif keys[0] != sig:
+            return None
+    return keys[1] if keys else None
+
+
+def _execute_spilled(plan: WindowPlan, blocks_iter, part_keys, names):
+    from ..utils.metrics import METRICS
+    from .executor import N_SPILL_PARTITIONS, _PartitionSpill, _partition_ids
+    METRICS.inc("window_spill_queries")
+    spill = _PartitionSpill(plan.child.output_fields(), "dbtpu_winspill_")
+    try:
+        for b in blocks_iter:
+            ev = Evaluator(b)
+            keys = [ev.run(e) for e in part_keys]
+            spill.add_block(b, _partition_ids(keys, b.num_rows))
+        for p in range(N_SPILL_PARTITIONS):
+            part_blocks = spill.read(p)
+            if part_blocks:
+                yield _window_block(plan, DataBlock.concat(part_blocks),
+                                    names)
+    finally:
+        spill.cleanup()
 
 
 def _compute_item(ev: Evaluator, item: WindowItem, n: int) -> Column:

@@ -67,6 +67,11 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "buffered input rows above which GROUP BY hash-partitions"
                    " its input to disk and aggregates partition-by-partition"
                    " (reference spillers/inner.rs:269); 0 disables", (0, 1 << 40)),
+        SettingDef("window_spill_row_threshold", 8_000_000,
+                   "input rows above which window functions hash-partition"
+                   " the input to disk on PARTITION BY keys and window each"
+                   " partition independently (reference window_partition"
+                   " spill); 0 disables", (0, 1 << 40)),
         SettingDef("join_spill_row_threshold", 8_000_000,
                    "build-side rows above which a hash join grace-partitions"
                    " both sides to disk and joins per partition"

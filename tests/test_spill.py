@@ -114,3 +114,23 @@ def test_join_spill_right_and_nulls(tmp_catalog):
     # NULL keys never match; RIGHT join keeps every right row
     assert [tuple(r) for r in rows] == [(2, 2), (3, 3), (None, 4),
                                         (None, None)]
+
+
+def test_window_spill_parity(tmp_path):
+    """Window spill: hash-partitioned by PARTITION BY keys; results match
+    the in-memory path exactly (reference window_partition spill)."""
+    from databend_tpu import SessionContext
+    ctx = SessionContext(data_root=str(tmp_path / "ws"))
+    ctx.sql("CREATE TABLE w (g INT, v INT)")
+    ctx.sql("INSERT INTO w SELECT number % 50, number FROM numbers(20000)")
+    q = ("SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,"
+         " sum(v) OVER (PARTITION BY g) AS s FROM w QUALIFY rn <= 2"
+         " ORDER BY g, rn")
+    base = ctx.sql(q).rows()
+    ctx.sql("SET window_spill_row_threshold = 1000")
+    assert ctx.sql(q).rows() == base
+    # unpartitioned windows can't hash-partition: stays in memory, correct
+    q2 = "SELECT max(v) OVER () FROM w LIMIT 1"
+    assert ctx.sql(q2).rows() == [(19999,)]
+    ctx.sql("SET window_spill_row_threshold = 0")
+    assert ctx.sql(q).rows() == base
