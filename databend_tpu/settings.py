@@ -284,6 +284,102 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "admission retry timeout", (1, 1 << 16)),
         SettingDef("use_legacy_query_executor", False,
                    "no legacy executor exists in this build"),
+        SettingDef("analyze_histogram_algorithm", 'kll',
+                   "ANALYZE histogram sketch: kll | equi_height"),
+        SettingDef("auto_compaction_imperfect_blocks_threshold", 25,
+                   "auto-compact after this many small blocks", (1, 1048576)),
+        SettingDef("auto_compaction_segments_limit", 3,
+                   "segments per auto-compaction", (1, 1024)),
+        SettingDef("bloom_runtime_filter_threshold", 1048576,
+                   "build sides above this skip bloom runtime filters", (0, 1099511627776)),
+        SettingDef("copy_dedup_full_path_by_default", True,
+                   "copied-files dedup keys on the full stage path"),
+        SettingDef("data_retention_num_snapshots_to_keep", 0,
+                   "retain at least this many snapshots in VACUUM (0 = time-based only)", (0, 1048576)),
+        SettingDef("default_order_by_null", 'nulls_last',
+                   "NULL ordering: nulls_first | nulls_last"),
+        SettingDef("disable_variant_check", False,
+                   "skip VARIANT validity checks on ingest"),
+        SettingDef("dynamic_sample_time_budget_ms", 0,
+                   "optimizer sampling time budget", (0, 1048576)),
+        SettingDef("enable_auto_analyze", False,
+                   "re-ANALYZE after large writes"),
+        SettingDef("enable_auto_vacuum", False,
+                   "vacuum automatically after commits"),
+        SettingDef("enable_compact_after_write", False,
+                   "compact small blocks right after writes"),
+        SettingDef("enable_decimal_sum_widening", True,
+                   "widen DECIMAL sums to avoid overflow"),
+        SettingDef("enable_distributed_replace_into", True,
+                   "shard REPLACE INTO across the mesh"),
+        SettingDef("enable_loser_tree_merge_sort", True,
+                   "k-way merge via loser tree (always the behavior here)"),
+        SettingDef("enable_merge_into_row_fetch", True,
+                   "MERGE INTO lazy row fetch"),
+        SettingDef("enable_parallel_multi_merge_sort", True,
+                   "parallel run merging in external sort"),
+        SettingDef("enable_parallel_union_all", True,
+                   "execute UNION ALL inputs concurrently"),
+        SettingDef("enable_parquet_page_index", True,
+                   "parquet page-level pruning metadata"),
+        SettingDef("enable_parquet_prewhere", True,
+                   "filter-first parquet reads"),
+        SettingDef("enable_parquet_rowgroup_pruning", True,
+                   "row-group zone-map pruning"),
+        SettingDef("enable_prune_cache", True,
+                   "cache pruning results per snapshot"),
+        SettingDef("enable_prune_pipeline", True,
+                   "run pruners as a pipeline"),
+        SettingDef("enable_refresh_aggregating_index_after_write", True,
+                   "keep aggregating indexes fresh on write (the write path here always does)"),
+        SettingDef("enable_result_set_spilling", False,
+                   "spill large result sets before pagination"),
+        SettingDef("enable_shuffle_sort", True,
+                   "distributed sort via shuffle exchange"),
+        SettingDef("enable_spatial_join", False,
+                   "spatial join operator (bbox pruning exists; join rewrite pending)"),
+        SettingDef("enable_table_snapshot_stats", True,
+                   "persist table-level stats in snapshots"),
+        SettingDef("enforce_local", False,
+                   "force local (non-distributed) execution"),
+        SettingDef("error_on_nondeterministic_update", True,
+                   "error when an UPDATE matches a row twice"),
+        SettingDef("flight_client_timeout", 60,
+                   "flight RPC timeout seconds", (1, 65536)),
+        SettingDef("flight_connection_max_retry_times", 3,
+                   "flight connect retries", (0, 64)),
+        SettingDef("grouping_sets_channel_size", 2,
+                   "grouping-sets branch buffering", (1, 1024)),
+        SettingDef("hash_shuffle_rows_threshold", 0,
+                   "rows above which joins hash-shuffle (0 = optimizer decides)", (0, 1099511627776)),
+        SettingDef("inlist_runtime_filter_threshold", 1024,
+                   "IN-set runtime filters up to this many build keys", (0, 1048576)),
+        SettingDef("join_runtime_filter_selectivity_threshold", 50,
+                   "percent selectivity below which runtime filters apply", (0, 100)),
+        SettingDef("max_query_memory_usage", 0,
+                   "per-query memory ceiling bytes (0 = max_memory_usage governs)", (0, 281474976710656)),
+        SettingDef("max_set_operator_count", 1024,
+                   "max set operators per query", (1, 1048576)),
+        SettingDef("max_vacuum_temp_files_after_query", 0,
+                   "temp files vacuumed after each query (0 = unlimited)", (0, 2147483648)),
+        SettingDef("min_max_runtime_filter_threshold", 10485760,
+                   "build sides above this skip min/max runtime filters", (0, 281474976710656)),
+        SettingDef("prewhere_selectivity_threshold", 80,
+                   "percent selectivity above which prewhere is skipped", (0, 100)),
+        SettingDef("query_out_of_memory_behavior", 'throw',
+                   "on memory limit: throw | spilling"),
+        SettingDef("replace_into_bloom_pruning_max_column_number", 4,
+                   "bloom-prune REPLACE INTO on up to this many columns", (0, 64)),
+        SettingDef("s3_storage_class", 'standard',
+                   "S3 storage class for writes"),
+        SettingDef("spilling_file_format", 'parquet',
+                   "spill run file format"),
+        SettingDef("storage_delete_batch_size", 1000,
+                   "object deletions per batch", (1, 1048576)),
+        SettingDef("window_partition_sort_block_size", 65536,
+                   "rows per window partition sort block", (1, 16777216)),
+        SettingDef("window_spill_unit_size_mb", 256,
+                   "window spill unit size MB", (1, 65536)),
     ]
 }
 
