@@ -156,6 +156,24 @@ class SessionContext:
         self.users = UserManager(self.meta)
         self.current_user = self.users.get_user("root")
 
+    def close(self) -> None:
+        """Drop session-scoped state (temp tables and their files).
+        Reference: temp tables vanish with the session."""
+        if getattr(self, "_is_view", False):
+            return  # per-request views share the parent's state
+        opened = getattr(self, "_temp_open", None) or {}
+        for (db, name) in list(opened):
+            try:
+                self.drop_temp_table(db, name)
+            except Exception:
+                pass
+
+    def __del__(self):  # best-effort: embedded sessions often just go away
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def authenticate(self, user: str, password: Optional[str] = None) -> None:
         """Switch the session to an authenticated user (HTTP basic auth)."""
         self.current_user = self.users.authenticate(user, password)
@@ -171,6 +189,7 @@ class SessionContext:
         import copy
         s = copy.copy(self)
         s.current_user = user
+        s._is_view = True  # close() must not tear down the parent's state
         return s
 
     def check_privilege(self, priv: str, database: str, table: str = "*"):
