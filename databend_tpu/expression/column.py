@@ -55,6 +55,20 @@ class StringData:
             object.__setattr__(self, "_obj_cache", cache)
         return cache
 
+    def codes(self):
+        """Dense int64 codes via the native factorizer (cached), or None.
+        Lets per-row kernels (LIKE/regexp) run once per UNIQUE value."""
+        if getattr(self, "_const_value", None) is not None:
+            return np.zeros(len(self), np.int64)
+        cache = getattr(self, "_code_cache", None)
+        if cache is not None and len(cache) == len(self):
+            return cache
+        from .. import native
+        codes = native.factorize_strings(self.offsets, self.data)
+        if codes is not None:
+            object.__setattr__(self, "_code_cache", codes)
+        return codes
+
     @staticmethod
     def constant(value: str, n: int) -> "StringData":
         b = np.frombuffer(value.encode("utf-8"), np.uint8)

@@ -129,16 +129,41 @@ def _str2_resolver(name):
     return resolve
 
 
+def _test_unique(payload, test):
+    """Evaluate a per-row predicate once per UNIQUE string value via the
+    native factorizer codes; None = not applicable (reference: the
+    low-cardinality dictionary fast path)."""
+    if not isinstance(payload, StringData):
+        return None
+    n = len(payload)
+    codes = payload.codes()
+    if codes is None or n < 1024:
+        return None
+    n_uniq = int(codes.max()) + 1 if n else 0
+    if n_uniq * 4 > n:  # high cardinality: dedup won't pay
+        return None
+    # first-occurrence row per code (reversed scatter: first write wins)
+    first = np.empty(n_uniq, np.int64)
+    first[codes[::-1]] = np.arange(n - 1, -1, -1, dtype=np.int64)
+    uniq_res = np.fromiter((test(payload.get(int(r))) for r in first),
+                           np.bool_, n_uniq)
+    return uniq_res[codes]
+
+
 def _apply_pattern(a, pattern_payload, flags):
     pats = _comparable(pattern_payload)
-    vals = _comparable(a)
-    n = len(vals)
     if len(set(pats.tolist())) == 1:  # constant pattern fast path
         rx = re.compile(_like_to_regex(pats[0]), flags)
-        return np.fromiter((rx.match(v or "") is not None for v in vals), np.bool_, n)
+        fast = _test_unique(a, lambda v: rx.match(v or "") is not None)
+        if fast is not None:
+            return fast
+        vals = _comparable(a)
+        return np.fromiter((rx.match(v or "") is not None for v in vals),
+                           np.bool_, len(vals))
+    vals = _comparable(a)
     return np.fromiter(
         (re.match(_like_to_regex(p), v or "", flags) is not None for v, p in zip(vals, pats)),
-        np.bool_, n)
+        np.bool_, len(vals))
 
 
 @scalar_function("like", _str2_resolver("like"))
@@ -178,10 +203,14 @@ def _in_set(a, items, **kw):
 @scalar_function("regexp", _str2_resolver("regexp"), aliases=["rlike"])
 def _regexp(a, pattern, **kw):
     pats = _comparable(pattern)
-    vals = _comparable(a)
     if len(set(pats.tolist())) == 1:
         rx = re.compile(pats[0])
+        fast = _test_unique(a, lambda v: rx.search(v or "") is not None)
+        if fast is not None:
+            return fast
+        vals = _comparable(a)
         return np.fromiter((rx.search(v or "") is not None for v in vals), np.bool_, len(vals))
+    vals = _comparable(a)
     return np.fromiter(
         (re.search(p, v or "") is not None for v, p in zip(vals, pats)),
         np.bool_, len(vals))

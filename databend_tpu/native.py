@@ -85,6 +85,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
             lib.dbtpu_analysis_free.argtypes = [ctypes.c_void_p]
+            lib.dbtpu_factorize_strings.restype = ctypes.c_int64
+            lib.dbtpu_factorize_strings.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
         except AttributeError:
             pass  # stale .so without the tokenizer: csv path still works
         _lib = lib
@@ -183,6 +189,24 @@ def analyze_batch(texts, stopwords=None):
         terms.append(raw[pos:pos + ln].decode("utf-8"))
         pos += ln
     return terms, tok_term[:int(n_tok)], tok_doc[:int(n_tok)]
+
+
+def factorize_strings(offsets: np.ndarray, data: np.ndarray):
+    """Dense int64 codes for a StringData column without decoding.
+
+    Returns codes (int64 [n]) or None when the native library is absent.
+    The group-by/distinct/join key path (the reference's short-string
+    hashtable specialization).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dbtpu_factorize_strings"):
+        return None
+    n = len(offsets) - 1
+    codes = np.empty(max(n, 1), np.int64)
+    buf = np.ascontiguousarray(data).tobytes()
+    offs = np.ascontiguousarray(offsets, np.int64)
+    lib.dbtpu_factorize_strings(buf, offs, n, codes)
+    return codes[:n]
 
 
 def csv_scan(data: bytes, delim: str = ",", quote: str = '"'):

@@ -34,6 +34,16 @@ def factorize_column(col: Column) -> np.ndarray:
     """Dense int64 codes per row; NULLs get NULL_CODE. Codes are
     block-local (not comparable across calls)."""
     import pandas as pd
+    from ..expression.column import StringData
+    data = col.data
+    if isinstance(data, StringData):
+        # native byte-level factorize: no per-row decode (the reference's
+        # short-string hashtable specialization, native/tokenize.cpp)
+        codes = data.codes()
+        if codes is not None:
+            if col.validity is not None:
+                codes = np.where(col.validity, codes, NULL_CODE)
+            return codes
     vals = key_values(col)
     codes, _ = pd.factorize(vals, use_na_sentinel=True)
     codes = codes.astype(np.int64, copy=False)

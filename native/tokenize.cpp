@@ -229,4 +229,28 @@ void dbtpu_analysis_fill(void* h, char* term_blob, int32_t* term_lens,
 
 void dbtpu_analysis_free(void* h) { delete (Analysis*)h; }
 
+// ---------------------------------------------------------------------------
+// String-column factorization: dense codes per row without decoding —
+// the group-by/distinct/join key hot loop (reference: the short-string
+// specialized hashtable in src/common/hashtable).
+
+int64_t dbtpu_factorize_strings(const char* data, const int64_t* offsets,
+                                int64_t n_rows, int64_t* codes_out) {
+    std::unordered_map<std::string, int64_t> seen;
+    seen.reserve(1024);
+    std::string key;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        key.assign(data + offsets[i], offsets[i + 1] - offsets[i]);
+        auto it = seen.find(key);
+        if (it == seen.end()) {
+            int64_t code = (int64_t)seen.size();
+            seen.emplace(std::move(key), code);
+            codes_out[i] = code;
+        } else {
+            codes_out[i] = it->second;
+        }
+    }
+    return (int64_t)seen.size();
+}
+
 }  // extern "C"
