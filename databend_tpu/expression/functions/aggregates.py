@@ -210,6 +210,16 @@ class MaxAgg(_MinMaxAgg):
     _is_min = False
 
 
+def _uniq_pairs(g: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Unique (g, v) rows via lexsort (np.unique(axis=0) sorts void views
+    and is an order of magnitude slower)."""
+    order = np.lexsort((vals, g))
+    gs, vs = g[order], vals[order]
+    keep = np.ones(len(gs), np.bool_)
+    keep[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+    return np.stack([gs[keep], vs[keep]], axis=1)
+
+
 class CountDistinctAgg(AggregateFunction):
     name = "count_distinct"
 
@@ -217,23 +227,31 @@ class CountDistinctAgg(AggregateFunction):
         return UInt64
 
     def init_state(self, num_groups):
-        return [set() for _ in range(num_groups)]
+        # numeric payloads: per-block-deduped (group, value) pair chunks,
+        # one global np.unique at finalize (reference: distinct via the
+        # group hashtable). other payloads: per-group python sets.
+        return {"n": num_groups, "chunks": [],
+                "sets": [set() for _ in range(num_groups)]}
 
     def update(self, state, group_ids, payload, validity):
-        # vectorized: factorize values to dense codes, np.unique over
-        # (group, code) pairs, set-insert only the UNIQUE pairs
-        # (reference: distinct via the group hashtable, not per-row adds)
         import pandas as pd
-        if isinstance(payload, StringData):
-            codes, vals = pd.factorize(payload.as_object_array())
-            codes = codes.astype(np.int64, copy=False)
-            lookup = vals
-        else:
-            arr = np.asarray(payload)
-            codes, vals = pd.factorize(arr)
-            codes = codes.astype(np.int64, copy=False)
-            lookup = vals
         g = np.asarray(group_ids, np.int64)
+        if not isinstance(payload, StringData):
+            arr = np.asarray(payload)
+            if arr.dtype.kind in "iub":
+                vals = arr.astype(np.int64, copy=False)
+                if validity is not None:
+                    keep = np.asarray(validity, bool)
+                    g, vals = g[keep], vals[keep]
+                if len(g):
+                    state["chunks"].append(_uniq_pairs(g, vals))
+                return
+        # strings / floats: factorize to codes, unique pairs, set-insert
+        if isinstance(payload, StringData):
+            codes, lookup = pd.factorize(payload.as_object_array())
+        else:
+            codes, lookup = pd.factorize(np.asarray(payload))
+        codes = codes.astype(np.int64, copy=False)
         if validity is not None:
             keep = np.asarray(validity, bool)
             g, codes = g[keep], codes[keep]
@@ -242,18 +260,27 @@ class CountDistinctAgg(AggregateFunction):
             g, codes = g[ok], codes[ok]
         if len(g) == 0:
             return
-        packed = g * (codes.max() + 2) + codes
-        uniq = np.unique(packed)
-        base = int(codes.max() + 2)
+        base = int(codes.max()) + 2
+        uniq = np.unique(g * base + codes)
         vals_list = lookup.tolist()
+        sets = state["sets"]
         for p in uniq.tolist():
-            state[p // base].add(vals_list[p % base])
+            sets[p // base].add(vals_list[p % base])
 
     def merge(self, s1, s2):
-        return [a | b for a, b in zip(s1, s2)]
+        return {"n": max(s1["n"], s2["n"]),
+                "chunks": s1["chunks"] + s2["chunks"],
+                "sets": [a | b for a, b in zip(s1["sets"], s2["sets"])]}
 
     def finalize(self, state, num_groups):
-        return Column.from_numpy(np.array([len(s) for s in state], np.uint64))
+        counts = np.array([len(s) for s in state["sets"]], np.uint64)
+        if state["chunks"]:
+            allp = (state["chunks"][0] if len(state["chunks"]) == 1
+                    else np.concatenate(state["chunks"], axis=0))
+            uniq = _uniq_pairs(allp[:, 0], allp[:, 1])
+            counts = counts + np.bincount(
+                uniq[:, 0], minlength=num_groups).astype(np.uint64)[:num_groups]
+        return Column.from_numpy(counts)
 
 
 class AnyAgg(AggregateFunction):
