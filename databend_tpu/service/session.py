@@ -1633,6 +1633,81 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
     return _ok(block.num_rows)
 
 
+def _stmt_replace_into(s: SessionContext, st: A.ReplaceInto):
+    """REPLACE INTO ... ON (keys): delete target rows whose conflict keys
+    match any incoming row, then append the incoming rows (reference:
+    replace-into with bloom-pruned conflict detection)."""
+    from ..expression.expr import BoundColumn, CastExpr, Constant, Func
+    from ..types import ArrayType, Boolean
+    s.check_privilege("INSERT", st.database or s.current_database, st.table)
+    db = st.database or s.current_database
+    table = s.temp_table(db, st.table) or s.open_table(
+        s.catalog.get_table(db, st.table))
+    info = table.info
+    computed = _computed_defs(info)
+    plain_fields = [n for n in info.schema.field_names()
+                    if n.lower() not in computed]
+    cols = st.columns or plain_fields
+    for k in st.on_keys:
+        if k not in [c for c in cols] and not info.schema.has_field(k):
+            raise SemanticError(f"conflict key {k!r} not found")
+    if st.query is not None:
+        from ..pipeline.executor import execute_plan
+        from ..sql.binder import Binder
+        block = execute_plan(Binder(s).bind_query(st.query))
+        if block.num_columns() != len(cols):
+            raise SemanticError("REPLACE INTO SELECT arity mismatch")
+        out_cols = []
+        for name, col in zip(cols, block.columns):
+            f = info.schema.field(name)
+            if col.dtype != f.dtype:
+                col = cast_column(col, f.dtype, is_try=False)
+            out_cols.append(col)
+        block = DataBlock(cols, out_cols, block.num_rows)
+    else:
+        if any(len(row) != len(cols) for row in st.values):
+            raise SemanticError("REPLACE INTO VALUES row arity mismatch")
+        data: Dict[str, list] = {c: [] for c in cols}
+        one = DataBlock(["__r"], [Column.from_pylist([0], Int64)])
+        for row in st.values:
+            for c, e in zip(cols, row):
+                data[c].append(_eval_insert_value(e, one))
+        block = DataBlock(cols, [
+            Column.from_pylist(data[c],
+                               _insert_literal_type(data[c],
+                                                    info.schema.field(c).dtype))
+            for c in cols], len(st.values))
+    if computed:
+        block = _fill_stored_computed(info, block, computed)
+    # delete conflicting target rows: composite keys joined with \x1f
+    if table.read_snapshot() is not None and block.num_rows:
+        key_fields = [info.schema.field(k) for k in st.on_keys]
+        incoming = set()
+        for i in range(block.num_rows):
+            incoming.add("\x1f".join(
+                "" if (v := block.column(f.name).get(i)) is None else str(v)
+                for f in key_fields))
+        def key_expr():
+            parts = []
+            for f in key_fields:
+                e = CastExpr(BoundColumn(f.name, f.dtype), String, True)
+                parts.append(e)
+            expr = parts[0]
+            for p in parts[1:]:
+                expr = Func("concat",
+                            [Func("concat",
+                                  [expr, Constant("\x1f", String)], String),
+                             p], String)
+            return expr
+        from ..types import String as _S
+        member = Func("in_set", [key_expr(),
+                                 Constant(sorted(incoming), ArrayType(_S))],
+                      Boolean)
+        table.delete_rows(member)
+    table.append(block)
+    return _ok(block.num_rows)
+
+
 def _insert_literal_type(values, target):
     # vectors arrive as python lists; other types use the column's own type
     from ..types import ArrayType, VectorType
@@ -1917,6 +1992,7 @@ _STATEMENTS = {
     A.DropIndex: _stmt_drop_index,
     A.RefreshIndex: _stmt_refresh_index,
     A.Insert: _stmt_insert,
+    A.ReplaceInto: _stmt_replace_into,
     A.Delete: _stmt_delete,
     A.Update: _stmt_update,
     A.ShowStmt: _stmt_show,

@@ -781,6 +781,17 @@ class RollbackTxn(Statement):
 
 
 @dataclass
+class ReplaceInto(Statement):
+    """REPLACE INTO t [(cols)] ON (k1[, k2]) VALUES ... | <query>"""
+    table: str
+    database: Optional[str] = None
+    columns: List[str] = field(default_factory=list)
+    on_keys: List[str] = field(default_factory=list)
+    values: Optional[List[List[Expr]]] = None
+    query: Optional[Query] = None
+
+
+@dataclass
 class CreateConnection(Statement):
     """CREATE CONNECTION c STORAGE_TYPE='s3' <param>=<value> ..."""
     name: str

@@ -219,6 +219,42 @@ class Parser:
                 self.expect_op("=")
                 pattern = self.next().text
             return A.RemoveStage(ref, pattern)
+        if self.at_keyword("REPLACE") and self.peek(1).text.upper() == "INTO":
+            self.next()
+            self.next()
+            db, name = self.qualified_name()
+            columns: List[str] = []
+            if self.at_op("(") :
+                save = self.i
+                self.next()
+                try:
+                    columns = [self.ident()]
+                    while self.accept_op(","):
+                        columns.append(self.ident())
+                    self.expect_op(")")
+                except SyntaxException:
+                    self.i = save
+                    columns = []
+            self.expect_keyword("ON")
+            self.expect_op("(")
+            keys = [self.ident()]
+            while self.accept_op(","):
+                keys.append(self.ident())
+            self.expect_op(")")
+            if self.accept_keyword("VALUES"):
+                rows = []
+                while True:
+                    self.expect_op("(")
+                    row = [self.parse_expr()]
+                    while self.accept_op(","):
+                        row.append(self.parse_expr())
+                    self.expect_op(")")
+                    rows.append(row)
+                    if not self.accept_op(","):
+                        break
+                return A.ReplaceInto(name, db, columns, keys, values=rows)
+            return A.ReplaceInto(name, db, columns, keys,
+                                 query=self.parse_query())
         if self._at_word("BEGIN"):
             self.next()
             self._at_word("TRANSACTION") and self.next()
