@@ -93,8 +93,10 @@ class SumAgg(AggregateFunction):
     def init_state(self, num_groups):
         if self._decimal_type() is not None:
             import decimal
-            return [[decimal.Decimal(0)] * num_groups]
-        return np.zeros(num_groups, np.float64)
+            return [[decimal.Decimal(0)] * num_groups,
+                    np.zeros(num_groups, np.int64)]
+        return [np.zeros(num_groups, np.float64),
+                np.zeros(num_groups, np.int64)]
 
     def update(self, state, group_ids, payload, validity):
         if self._decimal_type() is not None:
@@ -104,18 +106,29 @@ class SumAgg(AggregateFunction):
                 if validity is not None and not validity[i]:
                     continue
                 acc[g] += vals[i]
+                state[1][g] += 1
             return
         gids, p = self._mask(group_ids, np.asarray(payload, np.float64), validity)
-        state += np.bincount(gids, weights=p, minlength=len(state))
+        state[0] += np.bincount(gids, weights=p, minlength=len(state[0]))
+        np.add.at(state[1], gids, 1)
 
     def merge(self, s1, s2):
-        return s1 + s2
+        return [s1[0] + s2[0] if not isinstance(s1[0], list)
+                else [a + b for a, b in zip(s1[0], s2[0])],
+                s1[1] + s2[1]]
 
     def finalize(self, state, num_groups):
+        # SQL: SUM over zero rows is NULL (reference aggregate semantics)
         rt = self.return_type()
+        counts = state[1]
+        validity = np.asarray(counts) > 0
         if self._decimal_type() is not None:
-            return Column.from_pylist(state[0], rt)
-        return Column.from_numpy(state.astype(rt.numpy_dtype()), rt)
+            vals = [v if ok else None
+                    for v, ok in zip(state[0], validity.tolist())]
+            return Column.from_pylist(vals, rt.wrap_nullable())
+        payload = state[0].astype(rt.numpy_dtype())
+        return Column(rt.wrap_nullable(), payload,
+                      None if validity.all() else validity)
 
 
 class AvgAgg(AggregateFunction):

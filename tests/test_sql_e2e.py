@@ -100,7 +100,8 @@ class TestAggregates:
     def test_agg_empty_table(self, ctx):
         ctx.sql("CREATE TABLE e (x INT)")
         assert ctx.sql("SELECT count(*) FROM e").scalar() == 0
-        assert ctx.sql("SELECT sum(x) FROM e").scalar() == 0
+        # SQL semantics (reference): SUM over zero rows is NULL, not 0
+        assert ctx.sql("SELECT sum(x) FROM e").scalar() is None
 
     def test_group_by_expression(self, ctx):
         setup_basic(ctx)
