@@ -384,29 +384,48 @@ class StddevSampAgg(_StddevAgg):
 
 
 class StringAggAgg(AggregateFunction):
+    """string_agg(x [, sep]) / group_concat; DISTINCT dedups values while
+    preserving first-seen order (reference aggregate_string_agg.rs)."""
+
     name = "string_agg"
+    multi_arg = True
 
     def return_type(self):
         return String
 
     def init_state(self, num_groups):
-        return [[[] for _ in range(num_groups)]]
+        return {"vals": [[] for _ in range(num_groups)], "sep": ","}
 
-    def update(self, state, group_ids, payload, validity):
-        vals = payload.to_pylist() if isinstance(payload, StringData) else [str(v) for v in payload.tolist()]
+    def _append(self, state, group_ids, payload, validity):
+        vals = payload.to_pylist() if isinstance(payload, StringData) \
+            else [str(v) for v in payload.tolist()]
         for i, g in enumerate(group_ids.tolist()):
             if validity is not None and not validity[i]:
                 continue
-            state[0][g].append(vals[i])
+            state["vals"][g].append(vals[i])
+
+    def update(self, state, group_ids, payload, validity):
+        self._append(state, group_ids, payload, validity)
+
+    def update_multi(self, state, group_ids, cols):
+        if len(cols) > 1 and len(cols[1]):
+            sep = cols[1].data
+            state["sep"] = (sep.get(0) if isinstance(sep, StringData)
+                            else str(sep[0] if hasattr(sep, "__getitem__")
+                                     else sep))
+        self._append(state, group_ids, cols[0].data, cols[0].validity)
 
     def merge(self, s1, s2):
-        return [[a + b for a, b in zip(s1[0], s2[0])]]
+        return {"vals": [a + b for a, b in zip(s1["vals"], s2["vals"])],
+                "sep": s2["sep"] if s1["sep"] == "," else s1["sep"]}
 
     def finalize(self, state, num_groups):
-        sep = ","
-        if len(self.arg_types) > 1:
-            sep = getattr(self, "separator", ",")
-        return Column.from_pylist([sep.join(v) for v in state[0]], String)
+        sep = state["sep"]
+        if self.distinct:
+            out = [sep.join(dict.fromkeys(v)) for v in state["vals"]]
+        else:
+            out = [sep.join(v) for v in state["vals"]]
+        return Column.from_pylist(out, String)
 
 
 class MedianAgg(AggregateFunction):
@@ -938,11 +957,79 @@ def is_aggregate_function(name: str) -> bool:
     return name.lower() in AGGREGATE_FUNCTIONS
 
 
+class _DistinctCombinator(AggregateFunction):
+    """agg(DISTINCT x): dedup (group, value) pairs, then replay into the
+    inner aggregate at finalize (reference: the DISTINCT combinator,
+    aggregates/aggregate_combinator_distinct.rs)."""
+
+    def __init__(self, inner: AggregateFunction):
+        self._inner = inner
+        self.arg_types = inner.arg_types
+        self.name = inner.name + "_distinct"
+        self.distinct = True
+
+    def return_type(self):
+        return self._inner.return_type()
+
+    def init_state(self, num_groups):
+        return {"n": num_groups, "g": [], "v": [], "obj": set()}
+
+    def update(self, state, group_ids, payload, validity):
+        g = np.asarray(group_ids, np.int64)
+        if not isinstance(payload, StringData):
+            arr = np.asarray(payload)
+            if arr.dtype.kind in "iufb":
+                if validity is not None:
+                    keep = np.asarray(validity, bool)
+                    g, arr = g[keep], arr[keep]
+                if len(g):
+                    order = np.lexsort((arr, g))
+                    gs, vs = g[order], arr[order]
+                    k = np.ones(len(gs), np.bool_)
+                    k[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+                    state["g"].append(gs[k])
+                    state["v"].append(vs[k])
+                return
+        vals = payload.to_pylist() if isinstance(payload, StringData) \
+            else np.asarray(payload).tolist()
+        for i, gid in enumerate(g.tolist()):
+            if validity is not None and not validity[i]:
+                continue
+            state["obj"].add((gid, vals[i]))
+
+    def merge(self, s1, s2):
+        return {"n": max(s1["n"], s2["n"]), "g": s1["g"] + s2["g"],
+                "v": s1["v"] + s2["v"], "obj": s1["obj"] | s2["obj"]}
+
+    def finalize(self, state, num_groups):
+        inner_state = self._inner.init_state(num_groups)
+        if state["g"]:
+            g = np.concatenate(state["g"])
+            v = np.concatenate(state["v"])
+            order = np.lexsort((v, g))
+            gs, vs = g[order], v[order]
+            k = np.ones(len(gs), np.bool_)
+            k[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+            self._inner.update(inner_state, gs[k], vs[k], None)
+        if state["obj"]:
+            pairs = sorted(state["obj"], key=lambda t: t[0])
+            gids = np.array([p[0] for p in pairs], np.int64)
+            vals = np.array([p[1] for p in pairs], dtype=object)
+            self._inner.update(inner_state, gids, vals, None)
+        return self._inner.finalize(inner_state, num_groups)
+
+
 def create_aggregate(name: str, arg_types: List[DataType],
                      distinct: bool = False) -> AggregateFunction:
     key = name.lower()
     if key == "count" and distinct:
         key = "count_distinct"
+        distinct = False
     if key not in AGGREGATE_FUNCTIONS:
         raise UnknownFunction(f"unknown aggregate function {name!r}")
-    return AGGREGATE_FUNCTIONS[key](arg_types, distinct)
+    fn = AGGREGATE_FUNCTIONS[key](arg_types, distinct)
+    if distinct and not getattr(fn, "multi_arg", False) \
+            and key not in ("count_distinct", "min", "max", "any",
+                            "bool_and", "bool_or"):
+        return _DistinctCombinator(fn)
+    return fn

@@ -224,6 +224,8 @@ class SelectStmt:
     group_sets: Optional[List[List[Expr]]] = None
     # QUALIFY <pred>: filter over window-function results
     qualify: Optional[Expr] = None
+    # GROUP BY ALL: group by every non-aggregate select item
+    group_all: bool = False
 
 
 @dataclass

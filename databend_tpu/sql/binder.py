@@ -409,9 +409,18 @@ class Binder:
 
         # GROUP BY / aggregates ----------------------------------------------
         select_items = self._expand_stars(sel.items, ctx)
+        group_by_exprs = list(sel.group_by)
+        if sel.group_all:
+            # GROUP BY ALL: every select item without an aggregate becomes
+            # a grouping key (reference: group-by-all desugar in the binder)
+            group_by_exprs = [it.expr for it in select_items
+                              if not _contains_aggregate(it.expr)]
+            if not group_by_exprs:
+                raise SemanticError("GROUP BY ALL needs at least one"
+                                    " non-aggregate select item")
         group_keys: List[Tuple[str, ScalarExpr]] = []
         group_key_asts: List[str] = []
-        for g in sel.group_by:
+        for g in group_by_exprs:
             if isinstance(g, A.Literal) and isinstance(g.value, int):
                 item = select_items[g.value - 1]
                 g = item.expr
@@ -504,7 +513,7 @@ class Binder:
                                   window_handler=lambda e: win_map[id(e)])
             qualify_expr = q_binder.bind(sel.qualify)
 
-        has_agg = bool(aggs) or bool(sel.group_by)
+        has_agg = bool(aggs) or bool(group_by_exprs)
         if has_agg:
             plan = AggregatePlan(plan, group_keys, aggs,
                                  distributed=self._distributed_on(),
@@ -1016,6 +1025,13 @@ class Binder:
     def _bind_subquery_expr(self, e, binder: SelectExprBinder, ctes):
         from .subquery import bind_subquery_expr
         return bind_subquery_expr(self.session, e, binder, ctes)
+
+
+def _contains_aggregate(e) -> bool:
+    if isinstance(e, A.FunctionCall) and e.window is None \
+            and is_aggregate_function(e.name.lower()):
+        return True
+    return any(_contains_aggregate(c) for c in _ast_children(e))
 
 
 def _ast_children(e):

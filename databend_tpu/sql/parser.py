@@ -1398,10 +1398,12 @@ class Parser:
             where = self.parse_expr()
         group_by: List[A.Expr] = []
         group_sets = None
+        group_all = False
         if self.accept_keyword("GROUP"):
             self.expect_keyword("BY")
-            self.accept_keyword("ALL")
-            if self._at_word("GROUPING") and self.peek(1).text.upper() == "SETS":
+            if self.accept_keyword("ALL"):
+                group_all = True
+            elif self._at_word("GROUPING") and self.peek(1).text.upper() == "SETS":
                 self.next()
                 self.next()
                 self.expect_op("(")
@@ -1450,7 +1452,7 @@ class Parser:
             self.next()
             qualify = self.parse_expr()
         return A.SelectStmt(items, from_, where, group_by, having, distinct,
-                            group_sets, qualify)
+                            group_sets, qualify, group_all)
 
     def parse_select_item(self) -> A.SelectItem:
         if self.at_op("*"):

@@ -120,3 +120,42 @@ def test_new_aggs_survive_spill(agg_ctx):
     for a, e in zip(got, expected):
         assert a[0] == e[0] and a[2] == e[2] and a[3] == e[3]
         assert a[1] == pytest.approx(e[1], rel=1e-9)
+
+
+def test_distinct_aggregates(tmp_path):
+    """agg(DISTINCT x) via the DISTINCT combinator (reference
+    aggregate_combinator_distinct.rs); was silently ignored before."""
+    from databend_tpu import SessionContext
+    ctx = SessionContext(data_root=str(tmp_path / "da"))
+    ctx.sql("CREATE TABLE t (g VARCHAR, v INT)")
+    ctx.sql("INSERT INTO t VALUES ('a',1),('a',2),('b',3),('b',3)")
+    assert ctx.sql("SELECT g, sum(DISTINCT v) FROM t GROUP BY g"
+                   " ORDER BY g").rows() == [("a", 3), ("b", 3)]
+    assert ctx.sql("SELECT avg(DISTINCT v) FROM t").rows() == [(2.0,)]
+    assert ctx.sql("SELECT count(DISTINCT v) FROM t").rows() == [(3,)]
+    # min/max DISTINCT == plain min/max
+    assert ctx.sql("SELECT max(DISTINCT v) FROM t").rows() == [(3,)]
+
+
+def test_group_by_all(tmp_path):
+    from databend_tpu import SessionContext
+    ctx = SessionContext(data_root=str(tmp_path / "ga"))
+    ctx.sql("CREATE TABLE t (g VARCHAR, h INT, v INT)")
+    ctx.sql("INSERT INTO t VALUES ('a',1,1),('a',1,2),('b',2,3)")
+    rows = ctx.sql("SELECT g, h, sum(v) FROM t GROUP BY ALL"
+                   " ORDER BY g").rows()
+    assert rows == [("a", 1, 3), ("b", 2, 3)]
+    import pytest
+    with pytest.raises(Exception):
+        ctx.sql("SELECT sum(v) FROM t GROUP BY ALL")  # no non-agg items
+
+
+def test_string_agg_separator_and_distinct(tmp_path):
+    from databend_tpu import SessionContext
+    ctx = SessionContext(data_root=str(tmp_path / "sa"))
+    ctx.sql("CREATE TABLE t (g VARCHAR)")
+    ctx.sql("INSERT INTO t VALUES ('a'),('a'),('b')")
+    assert ctx.sql("SELECT string_agg(g, '|') FROM t").rows() == [("a|a|b",)]
+    assert ctx.sql("SELECT string_agg(DISTINCT g, '+') FROM t").rows() \
+        == [("a+b",)]
+    assert ctx.sql("SELECT group_concat(g) FROM t").rows() == [("a,a,b",)]
