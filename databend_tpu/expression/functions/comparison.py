@@ -53,6 +53,47 @@ _register_cmp("gt", lambda a, b: a > b)
 _register_cmp("gte", lambda a, b: a >= b)
 
 
+@scalar_function("eq_null_safe", _cmp_resolver("eq_null_safe"),
+                 null_policy="custom")
+def _eq_null_safe(payloads, validities, arg_types, n_rows):
+    """<=> (IS NOT DISTINCT FROM): NULL <=> NULL is TRUE, never NULL."""
+    a = _comparable(payloads[0])
+    b = _comparable(payloads[1])
+    va, vb = validities
+    va = np.ones(n_rows, np.bool_) if va is None else np.asarray(va, bool)
+    vb = np.ones(n_rows, np.bool_) if vb is None else np.asarray(vb, bool)
+    eq = np.asarray(a == b, np.bool_)
+    out = np.where(va & vb, eq, ~va & ~vb)
+    return out.astype(np.bool_), None
+
+
+def _extreme_resolver(name):
+    def resolve(arg_types):
+        if not arg_types:
+            raise SemanticError(f"{name} expects at least 1 arg")
+        from ...types import common_super_type
+        out = arg_types[0]
+        for t in arg_types[1:]:
+            out = common_super_type(out, t)
+        return out
+    return resolve
+
+
+def _register_extreme(name, reduce_fn):
+    @scalar_function(name, _extreme_resolver(name))
+    def _k(*args, **kw):
+        cols = [_comparable(a) for a in args]
+        out = cols[0]
+        for c in cols[1:]:
+            out = reduce_fn(out, c)
+        return out
+    return _k
+
+
+_register_extreme("greatest", lambda a, b: np.where(a >= b, a, b))
+_register_extreme("least", lambda a, b: np.where(a <= b, a, b))
+
+
 def _bool_resolver(name, n=2):
     def resolve(arg_types):
         if len(arg_types) != n:

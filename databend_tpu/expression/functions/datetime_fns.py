@@ -236,14 +236,58 @@ def _sub_years(a, n, arg_types=None, **kw):
     return _add_months_impl(a, -12 * np.asarray(n, np.int64), arg_types)
 
 
-@scalar_function("date_diff", _res("date_diff", 2, Int64), aliases=["datediff"])
-def _date_diff(a, b, arg_types=None, **kw):
-    def to_days(x, t):
+def _date_diff_resolver(name):
+    def resolve(arg_types):
+        if len(arg_types) not in (2, 3):
+            raise SemanticError(f"{name} expects 2 or 3 args")
+        return Int64
+    return resolve
+
+
+@scalar_function("date_diff", _date_diff_resolver("date_diff"),
+                 aliases=["datediff"])
+def _date_diff(*args, arg_types=None, **kw):
+    """date_diff(a, b) = a - b in days (MySQL) or
+    date_diff('unit', start, end) = end - start in units (reference)."""
+    def to_us(x, t):
         t = t.remove_nullable()
         if t == Date:
-            return np.asarray(x, np.int64)
-        return np.asarray(x, np.int64) // (86400 * _US)
-    return to_days(a, arg_types[0]) - to_days(b, arg_types[1])
+            return np.asarray(x, np.int64) * 86400 * _US
+        return np.asarray(x, np.int64)
+
+    if len(args) == 2:
+        return (to_us(args[0], arg_types[0])
+                - to_us(args[1], arg_types[1])) // (86400 * _US)
+    unit_col = args[0]
+    unit = (unit_col.get(0) if hasattr(unit_col, "get")
+            else str(np.asarray(unit_col).ravel()[0])).lower().rstrip("s")
+    delta = to_us(args[2], arg_types[2]) - to_us(args[1], arg_types[1])
+    scale = {"second": _US, "minute": 60 * _US, "hour": 3600 * _US,
+             "day": 86400 * _US, "week": 7 * 86400 * _US}.get(unit)
+    if scale is not None:
+        return delta // scale
+    if unit in ("month", "quarter", "year"):
+        import datetime as _dt
+        epoch = _dt.date(1970, 1, 1)
+        def months(us):
+            out = np.empty(len(us), np.int64)
+            for i, u in enumerate(us.tolist()):
+                d = epoch + _dt.timedelta(seconds=u // _US)
+                out[i] = d.year * 12 + d.month
+            return out
+        m = months(to_us(args[2], arg_types[2])) - months(to_us(args[1], arg_types[1]))
+        return m // {"month": 1, "quarter": 3, "year": 12}[unit]
+    raise SemanticError(f"date_diff: unknown unit {unit!r}")
+
+
+@scalar_function("date_add", _res("date_add", 2, Date), aliases=["date_sub_neg"])
+def _date_add(a, n, arg_types=None, **kw):
+    return np.asarray(a, np.int64) + np.asarray(n, np.int64)
+
+
+@scalar_function("date_sub", _res("date_sub", 2, Date))
+def _date_sub(a, n, arg_types=None, **kw):
+    return np.asarray(a, np.int64) - np.asarray(n, np.int64)
 
 
 @scalar_function("to_hour", _res("to_hour", 1, UInt8), aliases=["hour"])

@@ -98,9 +98,15 @@ def _split(a, sep, **kw):
                     dtype=object)
 
 
-@scalar_function("position", _str_resolver("position", 2, ret=UInt64), aliases=["instr", "locate"])
+@scalar_function("position", _str_resolver("position", 2, ret=UInt64), aliases=["locate"])
 def _position(sub, a, **kw):
     return np.array([v.find(s) + 1 for s, v in zip(_as_list(sub), _as_list(a))], np.uint64)
+
+
+@scalar_function("instr", _str_resolver("instr", 2, ret=UInt64))
+def _instr(a, sub, **kw):
+    """MySQL arg order: instr(str, substr)."""
+    return np.array([v.find(s) + 1 for v, s in zip(_as_list(a), _as_list(sub))], np.uint64)
 
 
 @scalar_function("left", _str_resolver("left", 2))

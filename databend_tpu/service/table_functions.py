@@ -25,7 +25,25 @@ def bind_table_function(session, ref: A.TableFunctionRef) -> Plan:
         return _fuse_segment(session, ref.args)
     if name in ("fuse_block", "fuse_blocks"):
         return _fuse_block(session, ref.args)
+    if name in ("unnest", "flatten"):
+        return _unnest(ref.args)
     raise SemanticError(f"unknown table function {ref.name!r}")
+
+
+def _unnest(args) -> Plan:
+    """unnest([v1, v2, ...]) — one row per array element (reference:
+    the unnest/flatten table function)."""
+    from ..expression import Column, DataBlock
+    from ..expression.evaluator import infer_literal_type
+    if len(args) != 1 or not isinstance(args[0], A.Literal) \
+            or not isinstance(args[0].value, (list, tuple)):
+        raise SemanticError("unnest expects a constant array")
+    vals = list(args[0].value)
+    dtype = infer_literal_type(vals[0]) if vals else Int64
+    col = Column.from_pylist(vals, dtype.wrap_nullable()
+                             if any(v is None for v in vals) else dtype)
+    block = DataBlock(["value"], [col], len(vals))
+    return ValuesPlan(block, [DataField("value", col.dtype)])
 
 
 def _const_args(args, n, fname):

@@ -24,7 +24,7 @@ from . import ast as A
 _BINOP_FN = {
     "+": "plus", "-": "minus", "*": "multiply", "/": "divide", "%": "modulo",
     "=": "eq", "==": "eq", "!=": "noteq", "<>": "noteq", "<": "lt",
-    "<=": "lte", ">": "gt", ">=": "gte", "<=>": "eq",
+    "<=": "lte", ">": "gt", ">=": "gte", "<=>": "eq_null_safe",
     "AND": "and", "OR": "or", "XOR": "xor",
     "LIKE": "like", "ILIKE": "ilike", "REGEXP": "regexp", "RLIKE": "regexp",
     "||": "concat",

@@ -1797,6 +1797,40 @@ class Parser:
             self.next()
             return A.ColumnRef(t.text)
         if t.kind == "IDENT":
+            if t.text.upper() == "TRIM" and self.peek(1).text == "(" \
+                    and (self.peek(2).text.upper() in ("BOTH", "LEADING",
+                                                       "TRAILING")
+                         or self.peek(2).kind == "STRING"):
+                # ANSI TRIM([BOTH|LEADING|TRAILING] [chars] FROM s)
+                save = self.i
+                self.next()
+                self.expect_op("(")
+                kind = "BOTH"
+                if self._at_word("BOTH", "LEADING", "TRAILING"):
+                    kind = self.next().text.upper()
+                chars = None
+                if self.peek().kind == "STRING":
+                    chars = A.Literal(self.next().text)
+                if self._at_word("FROM"):
+                    self.next()
+                    s = self.parse_expr()
+                    self.expect_op(")")
+                    fn = {"BOTH": "trim_both", "LEADING": "trim_leading",
+                          "TRAILING": "trim_trailing"}[kind]
+                    return A.FunctionCall(fn, [s, chars or A.Literal(" ")])
+                self.i = save  # plain trim('x') call: normal path
+            if t.text.upper() == "POSITION" and self.peek(1).text == "(":
+                # POSITION(needle IN haystack) -> position(haystack, needle)
+                save = self.i
+                self.next()
+                self.expect_op("(")
+                needle = self.parse_expr(41)  # above IN's binding power (40)
+                if self.at_keyword("IN"):
+                    self.next()
+                    hay = self.parse_expr()
+                    self.expect_op(")")
+                    return A.FunctionCall("position", [needle, hay])
+                self.i = save
             if t.text.upper() in ("EXTRACT", "DATE_PART") \
                     and self.peek(1).text == "(":
                 self.next()

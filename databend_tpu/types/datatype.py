@@ -313,9 +313,9 @@ def common_super_type(a: DataType, b: DataType) -> DataType:
     """
     nullable = a.is_nullable() or b.is_nullable()
     ai, bi = a.remove_nullable(), b.remove_nullable()
-    if isinstance(a, NullType):
+    if isinstance(ai, NullType):
         return b.wrap_nullable()
-    if isinstance(b, NullType):
+    if isinstance(bi, NullType):
         return a.wrap_nullable()
     if ai == bi:
         out = ai

@@ -75,3 +75,22 @@ def test_over_table_with_nulls(ctx):
     assert rows[0][0] == "616263"
     assert any(r == (None, None) for r in rows)
     ctx.sql("DROP TABLE sm_t")
+
+
+def test_ansi_forms_and_misc(ctx):
+    assert q1(ctx, "SELECT TRIM(BOTH 'x' FROM 'xxaxx')") == ("a",)
+    assert q1(ctx, "SELECT TRIM(LEADING 'y' FROM 'yya')") == ("a",)
+    assert q1(ctx, "SELECT POSITION('b' IN 'abc')") == (2,)
+    assert q1(ctx, "SELECT instr('abc', 'b'), locate('b', 'abc')") == (2, 2)
+    assert q1(ctx, "SELECT greatest(1, 5, 3), least(2, 0)") == (5, 0)
+    assert q1(ctx, "SELECT 1 <=> 1, NULL <=> NULL, 1 <=> NULL") \
+        == (True, True, False)
+    assert q1(ctx, "SELECT date_diff('day', to_date('2024-01-01'),"
+                   " to_date('2024-01-11'))") == (10,)
+    assert q1(ctx, "SELECT date_diff('year', to_date('2020-06-01'),"
+                   " to_date('2024-06-01'))") == (4,)
+    import datetime
+    assert q1(ctx, "SELECT date_add(to_date('2024-01-01'), 10)") \
+        == (datetime.date(2024, 1, 11),)
+    assert q1(ctx, "SELECT sum(value) FROM unnest([1,2,3])") == (6,)
+    assert q1(ctx, "SELECT ifnull(NULL, 5)") == (5,)
