@@ -42,14 +42,14 @@ def _array_contains(a, item, **kw):
 
 def _get_resolver(arg_types):
     if len(arg_types) != 2:
-        raise SemanticError("get expects 2 args")
+        raise SemanticError("array_get expects 2 args")
     t = arg_types[0].remove_nullable()
     if isinstance(t, ArrayType):
         return t.inner.wrap_nullable()
     raise SemanticError(f"get expects an array, got {t}")
 
 
-@scalar_function("get", _get_resolver, null_policy="custom")
+@scalar_function("array_get", _get_resolver, null_policy="custom")
 def _get(payloads, validities, arg_types=None, n_rows=None, **kw):
     from ..column import Column
     lists = _as_lists(payloads[0])

@@ -35,6 +35,7 @@ class ColumnRef(Expr):
 @dataclass
 class Star(Expr):
     table: Optional[str] = None
+    exclude: List[str] = field(default_factory=list)  # SELECT * EXCLUDE (..)
 
 
 @dataclass
@@ -200,6 +201,14 @@ class UnpivotRef(TableRef):
     name_name: str = "name"
     columns: List[str] = field(default_factory=list)
     alias: Optional[str] = None
+
+
+@dataclass
+class ValuesRef(TableRef):
+    """FROM (VALUES (1,'a'), (2,'b')) AS v(x, y)"""
+    rows: List[List[Expr]] = field(default_factory=list)
+    alias: Optional[str] = None
+    column_names: List[str] = field(default_factory=list)
 
 
 @dataclass

@@ -688,6 +688,40 @@ class Binder:
             state.scan = None
             state.table_info = None
             return ValuesPlan(block, list(fields)), ctx
+        if isinstance(ref, A.ValuesRef):
+            # FROM (VALUES ...) — evaluate constant rows into one block
+            from ..expression import Column
+            from ..expression.evaluator import infer_literal_type
+            n_cols = len(ref.rows[0]) if ref.rows else 0
+            cols = []
+            names = (ref.column_names
+                     or [f"col{i}" for i in range(n_cols)])
+            for ci in range(n_cols):
+                vals = []
+                for row in ref.rows:
+                    e = row[ci]
+                    if isinstance(e, A.UnaryOp) and e.op == "-" \
+                            and isinstance(e.operand, A.Literal):
+                        vals.append(-e.operand.value)
+                    elif isinstance(e, A.Literal):
+                        vals.append(e.value)
+                    else:
+                        raise SemanticError(
+                            "VALUES rows must be constant literals")
+                dtype = next((infer_literal_type(v) for v in vals
+                              if v is not None), Int64)
+                if any(v is None for v in vals):
+                    dtype = dtype.wrap_nullable()
+                cols.append(Column.from_pylist(vals, dtype))
+            block = DataBlock(names, cols, len(ref.rows))
+            plan = ValuesPlan(block, [DataField(n, c.dtype)
+                                      for n, c in zip(names, cols)])
+            ctx = BindContext()
+            for n, c in zip(names, cols):
+                ctx.add(n, c.dtype, ref.alias)
+            state.scan = None
+            state.table_info = None
+            return plan, ctx
         if isinstance(ref, A.Join):
             return self._bind_join(ref, ctes, state)
         if isinstance(ref, A.PivotRef):
@@ -935,7 +969,10 @@ class Binder:
         out = []
         for item in items:
             if isinstance(item.expr, A.Star):
+                excluded = {c.lower() for c in item.expr.exclude}
                 for (n, t, tb, on) in ctx.columns:
+                    if n.lower() in excluded:
+                        continue
                     if item.expr.table is None or \
                             (tb or "").lower() == item.expr.table.lower():
                         out.append(A.SelectItem(A.ColumnRef(n, tb), None))

@@ -33,6 +33,23 @@ _BINOP_FN = {
 
 _CMP_FNS = {"eq", "noteq", "lt", "lte", "gt", "gte"}
 
+# to_<type>(x) cast-sugar family (reference: to_* conversion functions);
+# resolved lazily to avoid import-order issues
+def _build_to_cast():
+    from ..types import (Boolean, Date, Float32, Float64, Int8, Int16, Int32,
+                         Int64, String, Timestamp, UInt8, UInt16, UInt32,
+                         UInt64)
+    return {
+        "to_int8": Int8, "to_int16": Int16, "to_int32": Int32,
+        "to_int64": Int64, "to_uint8": UInt8, "to_uint16": UInt16,
+        "to_uint32": UInt32, "to_uint64": UInt64, "to_float32": Float32,
+        "to_float64": Float64, "to_boolean": Boolean, "to_text": String,
+        "to_varchar": String,
+    }
+
+
+_TO_CAST = _build_to_cast()
+
 
 class BindContext:
     """Column scope: ordered (name, dtype, table-alias, output_name) tuples.
@@ -105,7 +122,12 @@ class ExprBinder:
         if isinstance(e, A.IsNull):
             return self._func("is_not_null" if e.negated else "is_null", [self.bind(e.expr)])
         if isinstance(e, A.MapAccess):
-            return self._func("get", [self.bind(e.expr), self.bind(e.key)])
+            base = self.bind(e.expr)
+            key = self.bind(e.key)
+            fn = ("array_get"
+                  if isinstance(base.dtype.remove_nullable(), ArrayType)
+                  else "get")
+            return self._func(fn, [base, key])
         if isinstance(e, A.Tuple_):
             raise SemanticError("tuple expressions are not supported here")
         if isinstance(e, (A.ScalarSubquery, A.InSubquery, A.Exists)):
@@ -191,6 +213,16 @@ class ExprBinder:
             return self._bind_nextval(e)
         if name == "dict_get":
             return self._bind_dict_get(e)
+        if name in _TO_CAST and len(e.args) == 1:
+            # to_int64(x) etc. are cast sugar (reference to_* functions)
+            return CastExpr(self.bind(e.args[0]), _TO_CAST[name], False)
+        if name.startswith("try_") and name[4:] in _TO_CAST \
+                and len(e.args) == 1:
+            return CastExpr(self.bind(e.args[0]),
+                            _TO_CAST[name[4:]].wrap_nullable(), True)
+        if name == "typeof" and len(e.args) == 1:
+            arg = self.bind(e.args[0])
+            return Constant(arg.dtype.sql_name(), String)
         if name in ("current_user", "current_role", "current_database",
                     "database", "version", "connection_id") and not e.args:
             return self._bind_session_constant(name)

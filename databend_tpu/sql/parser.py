@@ -1260,6 +1260,14 @@ class Parser:
                 from_db = self.ident()
             like = self._opt_like()
             return A.ShowStmt("TABLES", from_db, like)
+        if self._at_word("COLUMNS", "FIELDS"):
+            self.next()
+            if not (self.accept_keyword("FROM") or self.accept_keyword("IN")):
+                self.error("expected FROM <table>")
+            db, name = self.qualified_name()
+            if self.accept_keyword("FROM") or self.accept_keyword("IN"):
+                db = self.ident()
+            return A.DescribeTable(name, db)
         if self.accept_keyword("DATABASES"):
             return A.ShowStmt("DATABASES", None, self._opt_like())
         if self.accept_keyword("SETTINGS"):
@@ -1287,6 +1295,19 @@ class Parser:
             what = self.next().text.upper()
             return A.ShowStmt(what, None, self._opt_like())
         self.error("unsupported SHOW")
+
+    def _parse_star_exclude(self):
+        # SELECT * EXCLUDE (a, b) / EXCLUDE a  (reference query.rs)
+        if not self._at_word("EXCLUDE"):
+            return []
+        self.next()
+        if self.accept_op("("):
+            cols = [self.ident()]
+            while self.accept_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+            return cols
+        return [self.ident()]
 
     def _opt_like(self) -> Optional[str]:
         if self.accept_keyword("LIKE"):
@@ -1457,7 +1478,7 @@ class Parser:
     def parse_select_item(self) -> A.SelectItem:
         if self.at_op("*"):
             self.next()
-            return A.SelectItem(A.Star())
+            return A.SelectItem(A.Star(None, self._parse_star_exclude()))
         # t.* qualified star
         if (self.peek().kind == "IDENT" and self.peek(1).kind == "OP"
                 and self.peek(1).text == "." and self.peek(2).kind == "OP"
@@ -1465,7 +1486,7 @@ class Parser:
             t = self.next().text
             self.next()
             self.next()
-            return A.SelectItem(A.Star(t))
+            return A.SelectItem(A.Star(t, self._parse_star_exclude()))
         e = self.parse_expr()
         alias = None
         if self.accept_keyword("AS"):
@@ -1561,6 +1582,31 @@ class Parser:
         return ref
 
     def _parse_table_factor_base(self) -> A.TableRef:
+        if self.at_op("(") and self.peek(1).kind == "KEYWORD" \
+                and self.peek(1).text == "VALUES":
+            self.next()
+            self.next()
+            rows = []
+            while True:
+                self.expect_op("(")
+                row = [self.parse_expr()]
+                while self.accept_op(","):
+                    row.append(self.parse_expr())
+                self.expect_op(")")
+                rows.append(row)
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            alias = None
+            cols: list = []
+            if self.accept_keyword("AS") or self.peek().kind == "IDENT":
+                alias = self.ident()
+                if self.accept_op("("):
+                    cols = [self.ident()]
+                    while self.accept_op(","):
+                        cols.append(self.ident())
+                    self.expect_op(")")
+            return A.ValuesRef(rows, alias, cols)
         if self.peek().kind == "ATREF":
             ref = self.next().text
             options: dict = {}

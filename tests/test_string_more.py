@@ -94,3 +94,17 @@ def test_ansi_forms_and_misc(ctx):
         == (datetime.date(2024, 1, 11),)
     assert q1(ctx, "SELECT sum(value) FROM unnest([1,2,3])") == (6,)
     assert q1(ctx, "SELECT ifnull(NULL, 5)") == (5,)
+
+
+def test_surface_batch2(ctx):
+    ctx.sql("CREATE OR REPLACE TABLE sb2 (a INT, b VARCHAR, c DOUBLE)")
+    ctx.sql("INSERT INTO sb2 VALUES (1,'x',1.5)")
+    assert ctx.sql("SELECT * EXCLUDE (b) FROM sb2").rows() == [(1, 1.5)]
+    assert ctx.sql("SHOW COLUMNS FROM sb2").to_pydict()["field"] \
+        == ["a", "b", "c"]
+    assert ctx.sql("SELECT * FROM (VALUES (1,'a'),(2,'b')) AS v(x, y)"
+                   " ORDER BY x").rows() == [(1, "a"), (2, "b")]
+    assert q1(ctx, "SELECT to_int64('42'), try_to_int64('nope')") == (42, None)
+    assert q1(ctx, "SELECT typeof(1.5)") == ("DOUBLE",)
+    assert q1(ctx, "SELECT [10,20,30][2]") == (20,)
+    ctx.sql("DROP TABLE sb2")
