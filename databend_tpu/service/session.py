@@ -620,6 +620,25 @@ def _stmt_create_table(s: SessionContext, st: A.CreateTable):
             if info_old is not None:
                 s._tables.pop(info_old.table_id, None)
 
+    like = st.options.pop("like", None)
+    if like is not None:
+        # CREATE TABLE ... LIKE src: copy schema/options, no data
+        src_db, _, src = like.partition(".")
+        src_info = s.catalog.get_table(src_db or s.current_database, src)
+        st.columns = []
+        st.options.update({k: v for k, v in src_info.options.items()
+                           if k != "like"})
+        import copy as _copy
+        fields = [_copy.deepcopy(f) for f in src_info.schema.fields]
+        db = st.database or s.current_database
+        info = TableInfo(0, db, st.name, TableSchema(fields), st.engine,
+                         dict(st.options), list(src_info.cluster_by))
+        if st.temporary:
+            s.create_temp_table(info)
+        else:
+            s.catalog.create_table(info, st.if_not_exists)
+        return _ok()
+
     fields = []
     computed_opts = {}
     for c in st.columns:
@@ -1333,6 +1352,15 @@ def _stmt_rollback(s: SessionContext, st: A.RollbackTxn):
     return _ok()
 
 
+def _stmt_set_table_comment(s: SessionContext, st: A.SetTableComment):
+    s.check_privilege("ALTER", st.database or s.current_database, st.table)
+    info = s.catalog.get_table(st.database or s.current_database, st.table)
+    info.options["comment"] = st.comment
+    s.catalog.update_table(info)
+    s._tables.pop(info.table_id, None)
+    return _ok()
+
+
 def _stmt_kill(s: SessionContext, st: A.KillStmt):
     """KILL QUERY <id> — sets the query's abort flag; the executor raises
     AbortedQuery at its next between-blocks check (reference kill_stmt)."""
@@ -1890,6 +1918,21 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         return QueryResult(DataBlock(
             names, [Column.from_pylist([r[i] for r in rows], String) for i in range(4)]),
             [DataField(n, String) for n in names])
+    if st.what == "VARIABLES":
+        return _stmt_show(s, A.ShowStmt("SETTINGS", None, st.like))
+    # generic fallback: SHOW <word> renders the matching system table
+    # (USERS, ROLES, ENGINES, CATALOGS, METRICS, ...)
+    from .system_tables import SYSTEM_TABLES
+    if st.what.lower() in SYSTEM_TABLES:
+        from ..pipeline.executor import execute_plan
+        from .system_tables import system_table_plan
+        plan = system_table_plan(s, st.what.lower())
+        block = execute_plan(plan)
+        if st.like is not None and block.num_columns():
+            first = block.columns[0].to_pylist()
+            keep = np.array([match(str(v)) for v in first], np.bool_)
+            block = block.filter(keep)
+        return QueryResult(block, plan.output_fields())
     raise UnsupportedFeature(f"SHOW {st.what} not supported")
 
 
@@ -2025,6 +2068,7 @@ _STATEMENTS = {
     A.BeginTxn: _stmt_begin,
     A.CommitTxn: _stmt_commit,
     A.RollbackTxn: _stmt_rollback,
+    A.SetTableComment: _stmt_set_table_comment,
     A.KillStmt: _stmt_kill,
     A.DropProcedure: _stmt_drop_procedure,
     A.CallProcedure: _stmt_call_procedure,

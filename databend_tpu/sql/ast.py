@@ -824,6 +824,14 @@ class DescConnection(Statement):
 
 
 @dataclass
+class SetTableComment(Statement):
+    """ALTER TABLE t COMMENT = '...'"""
+    table: str
+    database: Optional[str] = None
+    comment: str = ""
+
+
+@dataclass
 class KillStmt(Statement):
     """KILL [QUERY|CONNECTION] <id>"""
     target: str  # QUERY | CONNECTION

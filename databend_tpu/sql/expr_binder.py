@@ -224,7 +224,8 @@ class ExprBinder:
             arg = self.bind(e.args[0])
             return Constant(arg.dtype.sql_name(), String)
         if name in ("current_user", "current_role", "current_database",
-                    "database", "version", "connection_id") and not e.args:
+                    "database", "version", "connection_id",
+                    "current_catalog") and not e.args:
             return self._bind_session_constant(name)
         if name == "array":
             args = [self.bind(a) for a in e.args]
@@ -260,6 +261,8 @@ class ExprBinder:
             v = s.current_database
         elif name == "connection_id":
             v = str(id(s))
+        elif name == "current_catalog":
+            v = "default"
         else:
             from ..version import __version__
             v = f"databend_tpu v{__version__}"

@@ -788,6 +788,12 @@ class Parser:
         self.expect_keyword("TABLE")
         ine = self._if_not_exists()
         db, name = self.qualified_name()
+        if self.accept_keyword("LIKE"):
+            src_db, src = self.qualified_name()
+            st = A.CreateTable(name, db, [], ine, [], "FUSE", None, {},
+                               temporary, replace)
+            st.options["like"] = (src_db or "") + "." + src
+            return st
         columns: List[A.ColumnDef] = []
         if self.accept_op("("):
             while True:
@@ -1128,6 +1134,10 @@ class Parser:
             self.next()
             self._at_word("FINAL") and self.next()
             return A.OptimizeTable(name, db, "RECLUSTER")
+        if self.accept_keyword("COMMENT"):
+            self.accept_op("=")
+            st = A.SetTableComment(name, db, self.next().text)
+            return st
         if self.accept_keyword("ADD"):
             if self._at_word("ROW"):
                 self.next()

@@ -87,3 +87,22 @@ def test_set_global_persists(tmp_path):
     c.meta.close()
     c2 = SessionContext(data_root=str(tmp_path))
     assert c2.settings.get("max_threads") == 3
+
+
+def test_show_fallback_and_like_and_table_ddl(tmp_path):
+    """SHOW <word> falls back to the matching system table; CREATE TABLE
+    LIKE; ALTER TABLE COMMENT; SHOW VARIABLES alias."""
+    from databend_tpu import SessionContext
+    ctx = SessionContext(data_root=str(tmp_path / "sf"))
+    assert ctx.sql("SHOW USERS").rows()[0][0] == "root"
+    assert any(r[0] == "FUSE" for r in ctx.sql("SHOW ENGINES").rows())
+    assert ctx.sql("SHOW VARIABLES LIKE 'max_threads'").rows()[0][0] \
+        == "max_threads"
+    ctx.sql("CREATE TABLE src (a INT NOT NULL, b VARCHAR) CLUSTER BY (a)")
+    ctx.sql("CREATE TABLE dup LIKE src")
+    info = ctx.catalog.get_table("default", "dup")
+    assert [f.name for f in info.schema.fields] == ["a", "b"]
+    assert info.cluster_by == ["a"]
+    ctx.sql("ALTER TABLE src COMMENT = 'hello'")
+    assert ctx.catalog.get_table("default", "src").options["comment"] == "hello"
+    assert ctx.sql("SELECT current_catalog()").rows() == [("default",)]
