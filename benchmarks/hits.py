@@ -2,8 +2,8 @@
 benchmark/hits/queries (43 files) on a synthetic hits-shaped corpus.
 
 Reference: benchmark/hits/{create.sql,queries/} + benchmark_local.sh.
-The subset below keeps the reference queries' exact shapes (Q00-Q03,
-Q07-Q08, Q12-Q13, Q21, Q27); data is synthetic (no ClickBench download in
+The subset below keeps the reference queries' exact shapes (17 queries:
+Q00-Q05, Q07-Q09, Q12-Q14, Q16, Q21, Q25, Q27, Q31); data is synthetic (no ClickBench download in
 this environment) with ClickBench-like skew. Every query's result is
 verified against pandas before timing.
 
@@ -45,6 +45,21 @@ QUERIES = {
     "q27": ("SELECT CounterID, AVG(length(URL)) AS l, COUNT(*) AS c"
             " FROM hits WHERE URL <> '' GROUP BY CounterID"
             " HAVING COUNT(*) > 1000 ORDER BY l DESC LIMIT 25"),
+    "q04": "SELECT COUNT(DISTINCT UserID) FROM hits",
+    "q05": "SELECT COUNT(DISTINCT SearchPhrase) FROM hits",
+    "q09": ("SELECT RegionID, SUM(AdvEngineID), COUNT(*) AS c,"
+            " AVG(ResolutionWidth), COUNT(DISTINCT UserID) FROM hits"
+            " GROUP BY RegionID ORDER BY c DESC LIMIT 10"),
+    "q14": ("SELECT RegionID, SearchPhrase, COUNT(*) AS c FROM hits"
+            " WHERE SearchPhrase <> '' GROUP BY RegionID, SearchPhrase"
+            " ORDER BY c DESC LIMIT 10"),
+    "q16": ("SELECT UserID, SearchPhrase, COUNT(*) FROM hits"
+            " GROUP BY UserID, SearchPhrase ORDER BY COUNT(*) DESC LIMIT 10"),
+    "q25": ("SELECT SearchPhrase FROM hits WHERE SearchPhrase <> ''"
+            " ORDER BY SearchPhrase LIMIT 10"),
+    "q31": ("SELECT UserID, RegionID, COUNT(*) AS c, SUM(AdvEngineID),"
+            " AVG(ResolutionWidth) FROM hits WHERE SearchPhrase <> ''"
+            " GROUP BY UserID, RegionID ORDER BY c DESC LIMIT 10"),
 }
 
 
@@ -102,6 +117,30 @@ def verify(df, name, got):
             l=("URL", lambda s: s.str.len().mean()), c=("URL", "size"))
         want = g[g.c > 1000].sort_values("l", ascending=False).head(25)
         return len(got) == len(want)
+    if name == "q04":
+        return got == [(int(df.UserID.nunique()),)]
+    if name == "q05":
+        return got == [(int(df.SearchPhrase.nunique()),)]
+    if name == "q09":
+        want = df.groupby("RegionID").size().sort_values(ascending=False).head(10)
+        return sorted(int(r[2]) for r in got) == sorted(int(v) for v in want.values)
+    if name == "q14":
+        sub = df[df.SearchPhrase != ""]
+        want = sub.groupby(["RegionID", "SearchPhrase"]).size() \
+            .sort_values(ascending=False).head(10)
+        return sorted(int(r[2]) for r in got) == sorted(int(v) for v in want.values)
+    if name == "q16":
+        want = df.groupby(["UserID", "SearchPhrase"]).size() \
+            .sort_values(ascending=False).head(10)
+        return sorted(int(r[2]) for r in got) == sorted(int(v) for v in want.values)
+    if name == "q25":
+        sub = df[df.SearchPhrase != ""].SearchPhrase.sort_values().head(10)
+        return [r[0] for r in got] == list(sub.values)
+    if name == "q31":
+        sub = df[df.SearchPhrase != ""]
+        want = sub.groupby(["UserID", "RegionID"]).size() \
+            .sort_values(ascending=False).head(10)
+        return sorted(int(r[2]) for r in got) == sorted(int(v) for v in want.values)
     return False
 
 

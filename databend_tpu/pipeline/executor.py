@@ -528,14 +528,16 @@ def _group_ids(block: DataBlock, key_cols: List[Column], state: dict):
 def _group_ids_n(n: int, key_cols: List[Column], state: dict):
     if not key_cols:
         return np.zeros(n, np.int64), state
-    from .keys import composite_group, factorize_column, hashable_row
+    from .keys import composite_group, factorize_column, hashable_rows
     local, rep_idx = composite_group([factorize_column(c) for c in key_cols])
     mapping: Dict[tuple, int] = state.setdefault("mapping", {})
     reprs: List[tuple] = state.setdefault("reprs", [])
-    # the Python loop runs over distinct keys only, not rows
+    # the Python loop runs over distinct keys only, not rows; rep key
+    # tuples are built column-wise (vectorized) — per-row gets are 10x
+    # slower at high key cardinality
+    keys = hashable_rows(key_cols, rep_idx)
     local_to_global = np.empty(len(rep_idx), np.int64)
-    for k, ri in enumerate(rep_idx):
-        key = hashable_row(key_cols, ri)
+    for k, key in enumerate(keys):
         gid = mapping.get(key)
         if gid is None:
             gid = len(mapping)
@@ -1084,14 +1086,13 @@ def _exec_distinct(plan: DistinctPlan):
     """Vectorized DISTINCT: per-block composite factorization keeps only
     each block's first occurrence, then a distinct-keys-only dict dedups
     across blocks (reference: distinct via the group-by hashtable)."""
-    from .keys import composite_group, factorize_column, hashable_row
+    from .keys import composite_group, factorize_column, hashable_rows
     seen = set()
     for block in execute_plan_blocks(plan.child):
         cols = list(block.columns)
         local, rep_idx = composite_group([factorize_column(c) for c in cols])
         keep = np.zeros(block.num_rows, np.bool_)
-        for ri in rep_idx:
-            key = hashable_row(cols, ri)
+        for ri, key in zip(rep_idx, hashable_rows(cols, rep_idx)):
             if key not in seen:
                 seen.add(key)
                 keep[ri] = True
