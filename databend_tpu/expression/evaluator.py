@@ -233,10 +233,29 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
     # anything -> string
     if isinstance(dst, StringType):
         return out(StringData.from_pylist([_to_str(v) for v in col.to_pylist()]))
-    # string -> date/timestamp via functions
+    # string -> date/timestamp (TRY_CAST of malformed text -> NULL,
+    # plain CAST raises a typed error — reference cast semantics)
     if isinstance(src, StringType) and dst in (Date, Timestamp):
-        fn = registry.get("to_date" if dst == Date else "to_timestamp")
-        return out(fn.kernel(col.data, arg_types=[src], out_dtype=dst, n_rows=n))
+        import datetime as _dt
+        epoch = _dt.date(1970, 1, 1)
+        vals = col.data.to_pylist()
+        payload = np.zeros(n, dst.numpy_dtype())
+        ok = np.ones(n, np.bool_)
+        for i, s in enumerate(vals):
+            try:
+                if dst == Date:
+                    payload[i] = (_dt.date.fromisoformat(str(s)[:10])
+                                  - epoch).days
+                else:
+                    ts = _dt.datetime.fromisoformat(str(s))
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=_dt.timezone.utc)
+                    payload[i] = int(ts.timestamp() * 1_000_000)
+            except (ValueError, TypeError):
+                if not is_try:
+                    raise BadDataValueType(f"cannot cast {s!r} to {dst}")
+                ok[i] = False
+        return out(payload, ok if not ok.all() else None)
     # array -> vector (INSERT [..] INTO VECTOR(n))
     if isinstance(src, ArrayType) and isinstance(dst, VectorType):
         lists = col.to_pylist()

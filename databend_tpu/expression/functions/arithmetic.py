@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ...errors import SemanticError
+from ...errors import BadArguments, SemanticError
 from ...types import Float64, Int64, NumberType, common_super_type
 from .registry import scalar_function
 
@@ -45,24 +45,42 @@ scalar_function("minus", _numeric_binary_resolver("minus"))(_with_out_dtype(np.s
 scalar_function("multiply", _numeric_binary_resolver("multiply"))(_with_out_dtype(np.multiply))
 
 
+def _check_zero(b):
+    b = np.asarray(b)
+    if (b == 0).any():
+        raise BadArguments("divided by zero")  # reference error text
+    return b
+
+
 @scalar_function("divide", _div_resolver)
 def _divide(a, b, **kw):
-    b = np.asarray(b, dtype=np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out = np.asarray(a, dtype=np.float64) / b
-    return out
+    b = _check_zero(np.asarray(b, dtype=np.float64))
+    return np.asarray(a, dtype=np.float64) / b
 
 
 @scalar_function("modulo", _numeric_binary_resolver("modulo"), aliases=["mod"])
 def _modulo(a, b, out_dtype=None, **kw):
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return np.mod(a, b).astype(out_dtype.numpy_dtype())
+    return np.mod(a, _check_zero(b)).astype(out_dtype.numpy_dtype())
 
 
-@scalar_function("div", _numeric_binary_resolver("div"))
+@scalar_function("div", _numeric_binary_resolver("div"),
+                 aliases=["intdiv"])
 def _intdiv(a, b, out_dtype=None, **kw):
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return np.floor_divide(a, b).astype(out_dtype.numpy_dtype())
+    return np.floor_divide(a, _check_zero(b)).astype(out_dtype.numpy_dtype())
+
+
+# bit operations (reference scalars/arithmetic.rs bit_* family)
+def _bit_kernel(op):
+    def kernel(a, b, out_dtype=None, **kw):
+        return op(np.asarray(a, np.int64), np.asarray(b, np.int64))
+    return kernel
+
+
+for _n, _op in (("bit_and", np.bitwise_and), ("bit_or", np.bitwise_or),
+                ("bit_xor", np.bitwise_xor),
+                ("bit_shift_left", np.left_shift),
+                ("bit_shift_right", np.right_shift)):
+    scalar_function(_n, _numeric_binary_resolver(_n))(_bit_kernel(_op))
 
 
 def _neg_resolver(arg_types):

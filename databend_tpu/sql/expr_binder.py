@@ -23,6 +23,8 @@ from . import ast as A
 
 _BINOP_FN = {
     "+": "plus", "-": "minus", "*": "multiply", "/": "divide", "%": "modulo",
+    "&": "bit_and", "|": "bit_or", "^": "bit_xor",
+    "<<": "bit_shift_left", ">>": "bit_shift_right", "DIV": "div",
     "=": "eq", "==": "eq", "!=": "noteq", "<>": "noteq", "<": "lt",
     "<=": "lte", ">": "gt", ">=": "gte", "<=>": "eq_null_safe",
     "AND": "and", "OR": "or", "XOR": "xor",

@@ -22,10 +22,11 @@ _BIN_POWER = {
     "OR": 10, "XOR": 15, "AND": 20,
     "=": 40, "==": 40, "!=": 40, "<>": 40, "<": 40, "<=": 40, ">": 40,
     ">=": 40, "<=>": 40, "LIKE": 40, "ILIKE": 40, "REGEXP": 40, "RLIKE": 40,
-    "||": 50,
+    "||": 50, "|": 51, "&": 52,
+    "<<": 58, ">>": 58,
     "->": 55, "->>": 55,
     "+": 60, "-": 60,
-    "*": 70, "/": 70, "%": 70,
+    "*": 70, "/": 70, "%": 70, "DIV": 70,
     "^": 80,
 }
 

@@ -27,7 +27,7 @@ _TOKEN_RE = re.compile(
   | (?P<PARAM>\$\d+|\?)
   | (?P<ATREF>@~(?:/[A-Za-z0-9_./*?-]*)?|@%?[A-Za-z_][A-Za-z0-9_]*(?:/[A-Za-z0-9_./*?-]*)?)
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_$]*)
-  | (?P<OP><=>|<>|!=|>=|<=|==|\|\||->>|->|=>|::|:=|[-+*/%(),.;=<>\[\]{}:@^~&|!])
+  | (?P<OP><=>|<>|!=|>=|<=|==|\|\||<<|>>|->>|->|=>|::|:=|[-+*/%(),.;=<>\[\]{}:@^~&|!])
     """,
     re.X | re.S,
 )
@@ -40,7 +40,7 @@ KEYWORDS = {
     "CASE", "WHEN", "THEN", "ELSE", "END", "CAST", "TRY_CAST", "INTERVAL",
     "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "ON",
     "USING", "UNION", "EXCEPT", "INTERSECT", "WITH", "RECURSIVE",
-    "CREATE", "DROP", "ALTER", "TABLE", "DATABASE", "SCHEMA", "VIEW",
+    "CREATE", "DROP", "ALTER", "TABLE", "DATABASE", "SCHEMA", "VIEW", "DIV",
     "INDEX", "VECTOR", "INVERTED", "NGRAM", "IF", "REPLACE", "RENAME",
     "INSERT", "INTO", "VALUES", "DELETE", "UPDATE", "SET", "TRUNCATE",
     "COPY", "SHOW", "TABLES", "DATABASES", "DESCRIBE", "DESC", "EXPLAIN",

@@ -120,3 +120,22 @@ class TestEvaluator:
         out = cast_column(col, VectorType(2), False)
         assert out.numpy().dtype == np.float32
         np.testing.assert_allclose(out.numpy(), [[1.5, 2.5]])
+
+
+def test_divide_by_zero_and_bit_ops():
+    """Reference semantics: 1/0 and 1%0 error 'divided by zero'; bit
+    operators and DIV work; TRY_CAST of malformed dates is NULL."""
+    import pytest
+
+    from databend_tpu import SessionContext
+    ctx = SessionContext()
+    with pytest.raises(Exception, match="divided by zero"):
+        ctx.sql("SELECT 1/0")
+    with pytest.raises(Exception, match="divided by zero"):
+        ctx.sql("SELECT 1 % 0")
+    assert ctx.sql("SELECT 5 & 3, 5 | 3, 5 ^ 3, 1 << 4, 32 >> 2,"
+                   " 7 DIV 2").rows() == [(1, 7, 6, 16, 8, 3)]
+    assert ctx.sql("SELECT TRY_CAST('nope' AS DATE),"
+                   " TRY_CAST('x' AS TIMESTAMP)").rows() == [(None, None)]
+    with pytest.raises(Exception):
+        ctx.sql("SELECT CAST('nope' AS DATE)")
