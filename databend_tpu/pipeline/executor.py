@@ -1191,7 +1191,7 @@ def _push_join_runtime_filter(plan: JoinPlan, right: DataBlock) -> None:
     maps cannot match (reference: join runtime filters,
     enable_join_runtime_filter). Safe for INNER/RIGHT joins only —
     LEFT/FULL must keep unmatched probe rows."""
-    if plan.kind not in ("INNER", "RIGHT"):
+    if plan.kind not in ("INNER", "RIGHT", "SEMI"):
         return
     # the optimizer's join reorder rebuilds JoinPlans, so enforce the
     # setting at runtime too (bind-time flag is a hint)
@@ -1310,6 +1310,27 @@ def _hash_join_stream(plan: JoinPlan, right, left_iter,
             lidx, ridx = lidx.tolist(), ridx.tolist()
         else:
             lidx, ridx = [], []
+        if plan.kind in ("SEMI", "ANTI"):
+            matched = np.zeros(lblock.num_rows, np.bool_)
+            if lidx:
+                if plan.residual is not None:
+                    full_names = [f.name for f in plan.all_fields]
+                    pairs = _assemble_join(lblock, right, lidx, ridx,
+                                           lfields, rfields, full_names)
+                    col = Evaluator(pairs).run(plan.residual)
+                    mask = np.asarray(col.data, np.bool_)
+                    if col.validity is not None:
+                        mask = mask & col.validity
+                    hit = np.asarray(lidx, np.int64)[mask]
+                else:
+                    hit = np.asarray(lidx, np.int64)
+                matched[hit] = True
+            keep = matched if plan.kind == "SEMI" else ~matched
+            out = DataBlock(out_names, list(lblock.filter(keep).columns),
+                            int(keep.sum()))
+            if out.num_rows:
+                yield out
+            continue
         unmatched_l = []
         if plan.kind in ("LEFT", "FULL"):
             matched = np.zeros(lblock.num_rows, np.bool_)

@@ -333,6 +333,11 @@ class Binder:
                      limit, offset, ctes) -> Plan:
         if sel.group_sets is not None:
             return self._bind_grouping_sets(sel, order_by, limit, offset, ctes)
+        # correlated [NOT] EXISTS / IN conjuncts -> SEMI/ANTI joins
+        # (reference: subquery decorrelation rules in the optimizer)
+        from .decorrelate import decorrelate_where
+        decorrelate_where(sel, getattr(self, "_decorr_counter", None)
+                          or self.__dict__.setdefault("_decorr_counter", [0]))
         state = ScanState()
         if sel.from_ is None:
             plan, ctx = self._one_row_plan()
@@ -905,12 +910,21 @@ class Binder:
         elif j.kind != "CROSS":
             raise SemanticError("JOIN requires ON or USING")
 
+        all_fields = None
+        if j.kind in ("SEMI", "ANTI"):
+            # semi/anti joins expose only the probe side's columns
+            all_fields = out_fields
+            out_fields = all_fields[:len(lctx.columns)]
+            ctx = BindContext()
+            for (n, t, tb, on), f in zip(lctx.columns, out_fields):
+                ctx.add(n, t, tb, f.name)
         plan = JoinPlan(j.kind, left, right, left_keys, right_keys, residual,
                         out_fields, distributed=self._distributed_on(),
                         spill_threshold_rows=self._spill_rows(
                             "join_spill_row_threshold"),
                         runtime_filter=self._setting_bool(
-                            "enable_join_runtime_filter", True))
+                            "enable_join_runtime_filter", True),
+                        all_fields=all_fields)
         return plan, ctx
 
     def _distributed_on(self) -> bool:

@@ -1,0 +1,149 @@
+"""Correlated subquery decorrelation: EXISTS / IN -> SEMI / ANTI joins.
+
+Reference: subquery decorrelation in the optimizer
+(src/query/sql/src/planner/optimizer/optimizers/rule/ — subquery rewrite
+rules lowering correlated EXISTS/IN/ANY into (anti) semi joins).
+
+Here the rewrite runs on the AST before binding: a top-level [NOT]
+EXISTS/IN conjunct in WHERE whose inner query references OUTER tables
+through qualified columns becomes a LEFT SEMI/ANTI JOIN against the inner
+query, with the correlated equality conjuncts hoisted into the join
+condition. Unqualified inner columns resolve inside the subquery (standard
+SQL scoping), so correlation is detected through qualifiers that don't
+match any inner FROM alias — the form every standard correlated query
+(TPC-H q4/q21/q22 class) uses.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Set, Tuple
+
+from . import ast as A
+
+
+def split_conjuncts(e: Optional[A.Expr]) -> List[A.Expr]:
+    if e is None:
+        return []
+    if isinstance(e, A.BinaryOp) and e.op.upper() == "AND":
+        return split_conjuncts(e.left) + split_conjuncts(e.right)
+    return [e]
+
+
+def and_join(conjs: List[A.Expr]) -> Optional[A.Expr]:
+    if not conjs:
+        return None
+    out = conjs[0]
+    for c in conjs[1:]:
+        out = A.BinaryOp("AND", out, c)
+    return out
+
+
+def _from_names(ref: Optional[A.TableRef]) -> Set[str]:
+    """Alias/table names a FROM clause exposes."""
+    out: Set[str] = set()
+    if ref is None:
+        return out
+    if isinstance(ref, A.TableName):
+        out.add((ref.alias or ref.name).lower())
+    elif isinstance(ref, (A.SubqueryRef, A.TableFunctionRef, A.StageRef,
+                          A.ValuesRef)):
+        alias = getattr(ref, "alias", None) or getattr(ref, "name", None)
+        if alias:
+            out.add(str(alias).lower())
+    elif isinstance(ref, A.Join):
+        out |= _from_names(ref.left)
+        out |= _from_names(ref.right)
+    elif isinstance(ref, (A.PivotRef, A.UnpivotRef)):
+        out |= _from_names(ref.inner)
+    return out
+
+
+def _refs_outside(e: A.Expr, inner_names: Set[str]) -> bool:
+    """Any qualified ColumnRef whose qualifier is not an inner name?"""
+    import dataclasses
+    if isinstance(e, A.ColumnRef):
+        return e.table is not None and e.table.lower() not in inner_names
+    if not dataclasses.is_dataclass(e):
+        return False
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        vals = v if isinstance(v, (list, tuple)) else [v]
+        for x in vals:
+            if isinstance(x, A.Expr) and _refs_outside(x, inner_names):
+                return True
+    return False
+
+
+def _classify(conj: A.Expr, inner_names: Set[str]):
+    """'inner' | ('corr', inner_side, outer_side) | None (unsupported)."""
+    if not _refs_outside(conj, inner_names):
+        return "inner"
+    if isinstance(conj, A.BinaryOp) and conj.op == "=":
+        l_out = _refs_outside(conj.left, inner_names)
+        r_out = _refs_outside(conj.right, inner_names)
+        if l_out != r_out:
+            inner_side = conj.right if l_out else conj.left
+            outer_side = conj.left if l_out else conj.right
+            if not _refs_outside(inner_side, inner_names):
+                return ("corr", inner_side, outer_side)
+    return None
+
+
+def decorrelate_where(sel: A.SelectStmt, counter: List[int]) -> None:
+    """Rewrite sel.from_/sel.where in place; leaves unsupported shapes
+    untouched (they follow the uncorrelated path or raise as before)."""
+    if sel.where is None or sel.from_ is None:
+        return
+    keep: List[A.Expr] = []
+    for conj in split_conjuncts(sel.where):
+        target, negate = conj, False
+        if isinstance(conj, A.UnaryOp) and conj.op == "NOT" \
+                and isinstance(conj.operand, (A.Exists, A.InSubquery)):
+            target, negate = conj.operand, True
+        handled = False
+        if isinstance(target, (A.Exists, A.InSubquery)):
+            neg = negate != target.negated
+            handled = _try_rewrite(sel, target, neg, counter)
+        if not handled:
+            keep.append(conj)
+    sel.where = and_join(keep)
+
+
+def _try_rewrite(sel: A.SelectStmt, target, negated: bool,
+                 counter: List[int]) -> bool:
+    q = target.query
+    body = q.body
+    if not isinstance(body, A.SelectStmt) or body.from_ is None:
+        return False
+    if q.limit is not None or body.group_by or body.group_sets \
+            or body.having is not None:
+        return False
+    inner_names = _from_names(body.from_)
+    inner_conjs: List[A.Expr] = []
+    corr: List[Tuple[A.Expr, A.Expr]] = []
+    for c in split_conjuncts(body.where):
+        kind = _classify(c, inner_names)
+        if kind == "inner":
+            inner_conjs.append(c)
+        elif isinstance(kind, tuple):
+            corr.append((kind[1], kind[2]))
+        else:
+            return False  # non-equi correlation: leave untouched
+    if not corr:
+        return False  # uncorrelated: the constant-folding path handles it
+    alias = f"__sq{counter[0]}"
+    counter[0] += 1
+    items = [A.SelectItem(ins, f"__c{i}") for i, (ins, _) in enumerate(corr)]
+    on_parts = [A.BinaryOp("=", A.ColumnRef(f"__c{i}", alias), outer)
+                for i, (_, outer) in enumerate(corr)]
+    if isinstance(target, A.InSubquery):
+        if len(body.items) != 1:
+            return False
+        items.append(A.SelectItem(body.items[0].expr, "__v"))
+        on_parts.append(A.BinaryOp("=", A.ColumnRef("__v", alias),
+                                   target.expr))
+    inner_sel = A.SelectStmt(items, body.from_, and_join(inner_conjs))
+    sub = A.SubqueryRef(A.Query(inner_sel), alias)
+    sel.from_ = A.Join("ANTI" if negated else "SEMI", sel.from_, sub,
+                       and_join(on_parts))
+    return True

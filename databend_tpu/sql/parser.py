@@ -1520,7 +1520,14 @@ class Parser:
                     kind = "INNER"
                 elif self.accept_keyword("LEFT"):
                     kind = "LEFT"
-                    self.accept_keyword("OUTER")
+                    if self._at_word("SEMI"):
+                        self.next()
+                        kind = "SEMI"
+                    elif self._at_word("ANTI"):
+                        self.next()
+                        kind = "ANTI"
+                    else:
+                        self.accept_keyword("OUTER")
                 elif self.accept_keyword("RIGHT"):
                     kind = "RIGHT"
                     self.accept_keyword("OUTER")

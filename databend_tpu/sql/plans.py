@@ -212,6 +212,9 @@ class JoinPlan(Plan):
     # push build-side key min/max into the probe scan's pushdown so the
     # range pruner skips probe blocks (reference join runtime filters)
     runtime_filter: bool = True
+    # SEMI/ANTI joins output left columns only; the full joined field list
+    # is kept here for residual evaluation
+    all_fields: Optional[List[DataField]] = None
 
     def children(self):
         return [self.left, self.right]
