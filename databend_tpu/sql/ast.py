@@ -132,6 +132,13 @@ class ScalarSubquery(Expr):
 
 
 @dataclass
+class AnyAllSubquery(Expr):
+    """RHS of `x <op> ANY/ALL/SOME (subquery)`."""
+    kind: str  # ANY | ALL
+    query: "Query" = None
+
+
+@dataclass
 class Tuple_(Expr):
     items: List[Expr]
 

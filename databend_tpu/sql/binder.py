@@ -335,7 +335,10 @@ class Binder:
             return self._bind_grouping_sets(sel, order_by, limit, offset, ctes)
         # correlated [NOT] EXISTS / IN conjuncts -> SEMI/ANTI joins
         # (reference: subquery decorrelation rules in the optimizer)
-        from .decorrelate import decorrelate_where
+        from .decorrelate import decorrelate_where, rewrite_any_all
+        sel.where = rewrite_any_all(sel.where)
+        if sel.having is not None:
+            sel.having = rewrite_any_all(sel.having)
         decorrelate_where(sel, getattr(self, "_decorr_counter", None)
                           or self.__dict__.setdefault("_decorr_counter", [0]))
         state = ScanState()
@@ -429,6 +432,14 @@ class Binder:
             if isinstance(g, A.Literal) and isinstance(g.value, int):
                 item = select_items[g.value - 1]
                 g = item.expr
+            elif isinstance(g, A.ColumnRef) and g.table is None \
+                    and not ctx.has(g.name):
+                # GROUP BY <select alias> (reference: alias resolution in
+                # the group-by binder)
+                for item in select_items:
+                    if item.alias and item.alias.lower() == g.name.lower():
+                        g = item.expr
+                        break
             kb = SelectExprBinder(ctx, state, None, subquery_handler)
             ge = kb.bind(g)
             name = _suggest_name(g) or f"__key_{len(group_keys)}"

@@ -147,3 +147,75 @@ def _try_rewrite(sel: A.SelectStmt, target, negated: bool,
     sel.from_ = A.Join("ANTI" if negated else "SEMI", sel.from_, sub,
                        and_join(on_parts))
     return True
+
+
+# --------------------------------------------------------- ANY / ALL / SOME
+# Reference: quantified-comparison subquery rewrite (the optimizer lowers
+# `x <op> ANY/ALL (q)` into IN-subqueries or min/max scalar aggregates).
+
+_ANYALL_UNSUPPORTED = "unsupported quantified comparison: {} {}"
+
+
+def _scalar_agg(q: A.Query, agg: str) -> A.Query:
+    """`(SELECT agg(__v) FROM (q renamed to __v) __aa)`."""
+    import dataclasses
+    body = q.body
+    if not isinstance(body, A.SelectStmt) or len(body.items) != 1:
+        raise ValueError("quantified subquery must select one column")
+    new_body = dataclasses.replace(
+        body, items=[A.SelectItem(body.items[0].expr, "__v")])
+    inner = A.Query(new_body, order_by=q.order_by, limit=q.limit,
+                    offset=q.offset, ctes=q.ctes)
+    outer = A.SelectStmt(
+        [A.SelectItem(A.FunctionCall(agg, [A.ColumnRef("__v", "__aa")]),
+                      None)],
+        A.SubqueryRef(inner, "__aa"))
+    return A.Query(outer)
+
+
+def _lower_any_all(op: str, lhs: A.Expr, rhs: "A.AnyAllSubquery") -> A.Expr:
+    kind, q = rhs.kind, rhs.query
+    if op == "=" and kind == "ANY":
+        return A.InSubquery(lhs, q)
+    if op in ("<>", "!=") and kind == "ALL":
+        return A.InSubquery(lhs, q, negated=True)
+
+    def mm(agg: str) -> A.Expr:
+        return A.ScalarSubquery(_scalar_agg(q, agg))
+
+    if op in ("<", "<="):
+        return A.BinaryOp(op, lhs, mm("max" if kind == "ANY" else "min"))
+    if op in (">", ">="):
+        return A.BinaryOp(op, lhs, mm("min" if kind == "ANY" else "max"))
+    if op == "=" and kind == "ALL":
+        # every v equals x  <=>  min(v)=x AND max(v)=x (empty set caveat)
+        return A.BinaryOp("AND", A.BinaryOp("=", lhs, mm("min")),
+                          A.BinaryOp("=", lhs, mm("max")))
+    if op in ("<>", "!=") and kind == "ANY":
+        # exists v <> x  <=>  min(v)<>x OR max(v)<>x
+        return A.BinaryOp("OR", A.BinaryOp("<>", lhs, mm("min")),
+                          A.BinaryOp("<>", lhs, mm("max")))
+    raise ValueError(_ANYALL_UNSUPPORTED.format(op, kind))
+
+
+def rewrite_any_all(e: Optional[A.Expr]) -> Optional[A.Expr]:
+    """Replace `x <op> ANY/ALL (subquery)` nodes; recurses through scalar
+    expressions but not into subquery bodies (those rewrite when bound)."""
+    import dataclasses
+    if e is None or isinstance(e, A.Query) or not dataclasses.is_dataclass(e):
+        return e
+    if isinstance(e, A.BinaryOp):
+        e.left = rewrite_any_all(e.left)
+        if isinstance(e.right, A.AnyAllSubquery):
+            return _lower_any_all(e.op, e.left, e.right)
+        e.right = rewrite_any_all(e.right)
+        return e
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, A.Expr):
+            setattr(e, f.name, rewrite_any_all(v))
+        elif isinstance(v, list):
+            setattr(e, f.name,
+                    [rewrite_any_all(x) if isinstance(x, A.Expr) else x
+                     for x in v])
+    return e

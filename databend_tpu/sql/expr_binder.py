@@ -67,6 +67,13 @@ class BindContext:
             out_name: Optional[str] = None):
         self.columns.append((name, dtype, table, out_name or name))
 
+    def has(self, name: str, table: Optional[str] = None) -> bool:
+        try:
+            self.resolve(name, table)
+            return True
+        except Exception:
+            return False
+
     def resolve(self, name: str, table: Optional[str] = None) -> BoundColumn:
         matches = [
             (n, t, tb, on) for (n, t, tb, on) in self.columns

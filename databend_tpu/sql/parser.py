@@ -1479,12 +1479,24 @@ class Parser:
         having = None
         if self.accept_keyword("HAVING"):
             having = self.parse_expr()
+        named_windows = {}
+        while self._at_word("WINDOW") and self.peek(1).kind == "IDENT":
+            # WINDOW w AS (PARTITION BY ... ORDER BY ...) [, w2 AS (...)]*
+            self.next()
+            while True:
+                wname = self.ident().lower()
+                self.expect_keyword("AS")
+                named_windows[wname] = self.parse_window_spec()
+                if not self.accept_op(","):
+                    break
         qualify = None
         if self._at_word("QUALIFY"):
             self.next()
             qualify = self.parse_expr()
-        return A.SelectStmt(items, from_, where, group_by, having, distinct,
+        stmt = A.SelectStmt(items, from_, where, group_by, having, distinct,
                             group_sets, qualify, group_all)
+        _resolve_named_windows(stmt, named_windows)
+        return stmt
 
     def parse_select_item(self) -> A.SelectItem:
         if self.at_op("*"):
@@ -1686,7 +1698,8 @@ class Parser:
         return point
 
     # non-reserved words that end a table factor (never implicit aliases)
-    _ALIAS_STOP = {"QUALIFY", "PIVOT", "UNPIVOT", "SAMPLE", "MATCHED"}
+    _ALIAS_STOP = {"QUALIFY", "PIVOT", "UNPIVOT", "SAMPLE", "MATCHED",
+                   "WINDOW"}
 
     def _table_alias(self) -> Optional[str]:
         if self.accept_keyword("AS"):
@@ -1844,6 +1857,12 @@ class Parser:
                 q = self.parse_query()
                 self.expect_op(")")
                 return A.Exists(q)
+            if t.text in ("ANY", "ALL", "SOME") and self.peek(1).text == "(":
+                self.next()
+                self.expect_op("(")
+                q = self.parse_query()
+                self.expect_op(")")
+                return A.AnyAllSubquery("ANY" if t.text != "ALL" else "ALL", q)
             if t.text == "INTERVAL":
                 self.next()
                 v = self.next().text
@@ -1943,10 +1962,31 @@ class Parser:
                 while self.accept_op(","):
                     args.append(self.parse_expr())
             self.expect_op(")")
+            # agg(args) FILTER (WHERE cond) -> <agg>_if(args..., cond)
+            # (reference: the FILTER clause lowered to the IF combinator)
+            if self.peek().kind == "IDENT" \
+                    and self.peek().text.upper() == "FILTER" \
+                    and self.peek(1).text == "(":
+                self.next()
+                self.expect_op("(")
+                self.expect_keyword("WHERE")
+                cond = self.parse_expr()
+                self.expect_op(")")
+                base = name.lower()
+                if base == "count":
+                    if args and isinstance(args[0], A.Star):
+                        args = []
+                    return A.FunctionCall("count_if", args + [cond], distinct)
+                return A.FunctionCall(base + "_if", args + [cond], distinct)
             window = None
             if self.peek().kind == "IDENT" and self.peek().text.upper() == "OVER":
                 self.next()
-                window = self.parse_window_spec()
+                if self.peek().kind == "IDENT":
+                    # OVER w: named window, resolved against the WINDOW
+                    # clause at the end of parse_select
+                    window = self.next().text.lower()
+                else:
+                    window = self.parse_window_spec()
             return A.FunctionCall(name.lower(), args, distinct, window=window)
         if self.at_op(".") and self.peek(1).kind in ("IDENT",):
             self.next()
@@ -2023,3 +2063,22 @@ def parse_statements(sql: str) -> List[A.Statement]:
         while p.accept_op(";"):
             pass
     return out
+
+
+def _resolve_named_windows(obj, windows) -> None:
+    """Replace `OVER w` name placeholders with their WINDOW-clause specs
+    (reference: named window binding in the select binder)."""
+    import dataclasses
+    if isinstance(obj, A.FunctionCall) and isinstance(obj.window, str):
+        spec = windows.get(obj.window)
+        if spec is None:
+            raise SyntaxException(f"unknown window: {obj.window}")
+        obj.window = spec
+    if not dataclasses.is_dataclass(obj) or isinstance(obj, A.Query):
+        return
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        vals = v if isinstance(v, (list, tuple)) else [v]
+        for x in vals:
+            if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                _resolve_named_windows(x, windows)
