@@ -21,7 +21,7 @@ from ..expression.evaluator import Evaluator, cast_column
 from ..expression.expr import BoundColumn
 from ..expression.schema import (SEARCH_MATCHED_COL_NAME,
                                  SEARCH_SCORE_COL_NAME, VECTOR_SCORE_COL_NAME)
-from ..sql.plans import (AggregatePlan, DistinctPlan, FilterPlan, JoinPlan,
+from ..sql.plans import (LateralFlattenPlan,AggregatePlan, DistinctPlan, FilterPlan, JoinPlan,
                          LimitPlan, Plan, ProjectPlan, Scan, SortPlan,
                          SetOpPlan, UnionAllPlan, ValuesPlan, WindowPlan)
 from ..types import Boolean, Float32
@@ -225,6 +225,56 @@ def _exec_filter(plan: FilterPlan):
             yield out
 
 
+def _exec_lateral_flatten(plan):
+    """Per-left-row explode of a variant/array expression (reference:
+    lateral FLATTEN srf join)."""
+    from ..expression import Column
+    from ..types import ArrayType
+    from .flatten import flatten_value, to_json_or_none
+    p = plan.params
+    path = str(p.get("path") or "")
+    outer = bool(p.get("outer"))
+    mode = str(p.get("mode") or "both")
+    recursive = bool(p.get("recursive"))
+    is_array_in = isinstance(plan.input_expr.dtype.remove_nullable(),
+                             ArrayType)
+    fields = plan.output_fields()
+    n_left = len(fields) - 6
+    seq0 = 0
+    for block in execute_plan_blocks(plan.child):
+        ev = Evaluator(block)
+        vals = ev.run(plan.input_expr).to_pylist()
+        idx = []
+        seqs, keys, paths, indexes, values, thises = [], [], [], [], [], []
+        for i, raw in enumerate(vals):
+            rows = flatten_value(raw, path, mode, recursive, outer,
+                                 is_json_text=not is_array_in)
+            for (k, pth, ix, v, this) in rows:
+                idx.append(i)
+                seqs.append(seq0 + i + 1)
+                keys.append(k)
+                paths.append(pth)
+                indexes.append(ix)
+                if plan.unnest and is_array_in:
+                    values.append(v)
+                else:
+                    values.append(to_json_or_none(v))
+                thises.append(to_json_or_none(this))
+        seq0 += block.num_rows
+        if not idx:
+            continue
+        out = block.take(np.asarray(idx, np.int64))
+        cols = list(out.columns)
+        names = [f.name for f in fields]
+        fcols = [Column.from_pylist(seqs, fields[n_left].dtype),
+                 Column.from_pylist(keys, fields[n_left + 1].dtype),
+                 Column.from_pylist(paths, fields[n_left + 2].dtype),
+                 Column.from_pylist(indexes, fields[n_left + 3].dtype),
+                 Column.from_pylist(values, fields[n_left + 4].dtype),
+                 Column.from_pylist(thises, fields[n_left + 5].dtype)]
+        yield DataBlock(names, cols + fcols, len(idx))
+
+
 def _exec_project(plan: ProjectPlan):
     for block in execute_plan_blocks(plan.child):
         ev = Evaluator(block)
@@ -263,25 +313,43 @@ def _exec_union(plan: UnionAllPlan):
 
 
 def _exec_setop(plan):
-    """INTERSECT/EXCEPT with DISTINCT output (reference set operators):
-    hash the right side's rows, stream the left with membership + dedup."""
+    """INTERSECT/EXCEPT with DISTINCT output, plus the ALL (multiset)
+    variants (reference set operators): hash the right side's rows, stream
+    the left with membership (+ dedup, or per-match count consumption)."""
     from .keys import hashable_row
-    right_keys = set()
+    is_all = plan.op.endswith(" ALL")
+    base_op = plan.op.split()[0]
+    right_counts = {}
     for block in execute_plan_blocks(plan.right):
         cols = list(block.columns)
         for i in range(block.num_rows):
-            right_keys.add(hashable_row(cols, i))
-    want_member = plan.op == "INTERSECT"
+            k = hashable_row(cols, i)
+            right_counts[k] = right_counts.get(k, 0) + 1
+    want_member = base_op == "INTERSECT"
     seen = set()
     for block in execute_plan_blocks(plan.left):
         cols = list(block.columns)
         keep = np.zeros(block.num_rows, np.bool_)
         for i in range(block.num_rows):
             k = hashable_row(cols, i)
+            if is_all:
+                # multiset: INTERSECT ALL emits min(l,r) copies; EXCEPT ALL
+                # emits max(l-r, 0) copies
+                n = right_counts.get(k, 0)
+                if want_member:
+                    if n > 0:
+                        right_counts[k] = n - 1
+                        keep[i] = True
+                else:
+                    if n > 0:
+                        right_counts[k] = n - 1
+                    else:
+                        keep[i] = True
+                continue
             if k in seen:
                 continue
             seen.add(k)
-            if (k in right_keys) == want_member:
+            if (k in right_counts) == want_member:
                 keep[i] = True
         out = block.filter(keep)
         if out.num_rows:
@@ -1488,4 +1556,5 @@ _DISPATCH = {
     JoinPlan: _exec_join,
     UnionAllPlan: _exec_union,
     SetOpPlan: _exec_setop,
+    LateralFlattenPlan: _exec_lateral_flatten,
 }

@@ -149,6 +149,9 @@ class SessionContext:
         self._tables: Dict[int, FuseTable] = {}
         # in-memory query history (system.query_log; reference history_tables)
         self.query_log: List[dict] = []
+        # result_scan: last few SELECT results keyed by query id
+        self._result_scan_cache: dict = {}
+        self._last_query_ids: List[str] = []
         # (sql, snapshots) -> (ts, QueryResult); active when
         # query_result_cache_ttl_secs > 0
         self._result_cache: Dict[tuple, tuple] = {}
@@ -315,6 +318,16 @@ class SessionContext:
                 result = QueryResult(result.block.slice(0, max_rows),
                                      result.fields, result.affected_rows,
                                      result.profile)
+            if isinstance(stmt, A.QueryStmt):
+                # result_scan(last_query_id()) support (reference:
+                # result_scan table function + result cache)
+                self._result_scan_cache[entry["query_id"]] = \
+                    (result.block, result.fields)
+                self._last_query_ids.append(entry["query_id"])
+                while len(self._result_scan_cache) > 8:
+                    self._result_scan_cache.pop(
+                        next(iter(self._result_scan_cache)))
+                del self._last_query_ids[:-64]
             entry["result_rows"] = len(result)
             METRICS.inc("queries_total")
             return result
@@ -1661,6 +1674,91 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
     return _ok(block.num_rows)
 
 
+def _stmt_multi_insert(s: SessionContext, st: A.MultiInsert):
+    """INSERT ALL/FIRST [WHEN..THEN] INTO .. SELECT — multi-table insert
+    (reference: multi-table insert interpreter). The source runs ONCE;
+    each branch filters + projects it."""
+    import numpy as np
+    from ..expression.evaluator import Evaluator
+    from ..pipeline.executor import execute_plan
+    from ..sql.binder import Binder
+    from ..sql.expr_binder import BindContext, ExprBinder
+
+    src_plan = Binder(s).bind_query(st.query)
+    block = execute_plan(src_plan)
+    ctx = BindContext()
+    for f in src_plan.output_fields():
+        ctx.add(f.name, f.dtype)
+    eb = ExprBinder(ctx)
+    ev = Evaluator(block)
+    n = block.num_rows
+
+    def eval_mask(cond):
+        col = ev.run(eb.bind(cond))
+        vals = col.to_pylist()
+        return np.array([bool(v) for v in vals], np.bool_)
+
+    def do_insert(br, mask):
+        rows = block.filter(mask) if not mask.all() else block
+        if rows.num_rows == 0:
+            return 0
+        db = br.database or s.current_database
+        table = s.temp_table(db, br.table)
+        if table is None:
+            s.check_privilege("INSERT", db, br.table)
+            table = s.open_table(s.catalog.get_table(db, br.table))
+        info = table.info
+        computed = _computed_defs(info)
+        plain = [fn for fn in info.schema.field_names()
+                 if fn.lower() not in computed]
+        tgt = br.columns or plain
+        if br.values is not None:
+            exprs = [eb.bind(e) for e in br.values]
+            ev_rows = Evaluator(rows)
+            out_cols = [ev_rows.run(e) for e in exprs]
+        else:
+            out_cols = list(rows.columns)
+        if len(out_cols) != len(tgt):
+            raise SemanticError(
+                f"multi-insert branch into {br.table!r} arity mismatch:"
+                f" {len(out_cols)} values for {len(tgt)} columns")
+        cast_cols = []
+        for name, col in zip(tgt, out_cols):
+            f = info.schema.field(name)
+            if col.dtype != f.dtype:
+                col = cast_column(col, f.dtype, is_try=False)
+            cast_cols.append(col)
+        out = DataBlock(tgt, cast_cols, rows.num_rows)
+        if computed:
+            out = _fill_stored_computed(info, out, computed)
+        table.append(out, overwrite=st.overwrite)
+        return out.num_rows
+
+    total = 0
+    claimed = np.zeros(n, np.bool_)
+    any_when = np.zeros(n, np.bool_)
+    cond_masks: Dict[int, "np.ndarray"] = {}
+    for br in st.branches:
+        key = id(br.condition)
+        if key not in cond_masks:
+            mask = (np.ones(n, np.bool_) if br.condition is None
+                    else eval_mask(br.condition))
+            if br.condition is not None:
+                any_when |= mask
+            if st.first:
+                mask = mask & ~claimed
+                claimed |= mask
+            cond_masks[key] = mask
+        total += do_insert(br, cond_masks[key])
+    if st.else_branches:
+        rest = ~any_when
+        if st.first:
+            rest &= ~claimed
+        for br in st.else_branches:
+            total += do_insert(br, rest)
+    return _ok(total)
+
+
 def _stmt_replace_into(s: SessionContext, st: A.ReplaceInto):
     """REPLACE INTO ... ON (keys): delete target rows whose conflict keys
     match any incoming row, then append the incoming rows (reference:
@@ -2035,6 +2133,7 @@ _STATEMENTS = {
     A.DropIndex: _stmt_drop_index,
     A.RefreshIndex: _stmt_refresh_index,
     A.Insert: _stmt_insert,
+    A.MultiInsert: _stmt_multi_insert,
     A.ReplaceInto: _stmt_replace_into,
     A.Delete: _stmt_delete,
     A.Update: _stmt_update,

@@ -26,24 +26,91 @@ def bind_table_function(session, ref: A.TableFunctionRef) -> Plan:
     if name in ("fuse_block", "fuse_blocks"):
         return _fuse_block(session, ref.args)
     if name in ("unnest", "flatten"):
-        return _unnest(ref.args)
+        return _flatten_const(ref.args, name == "unnest")
+    if name in ("generate_series", "range"):
+        return _generate_series(ref.args, name)
+    if name == "result_scan":
+        return _result_scan(session, ref.args)
     raise SemanticError(f"unknown table function {ref.name!r}")
 
 
-def _unnest(args) -> Plan:
-    """unnest([v1, v2, ...]) — one row per array element (reference:
-    the unnest/flatten table function)."""
-    from ..expression import Column, DataBlock
+def _flatten_const(args, unnest: bool) -> Plan:
+    """FLATTEN(input => <const>, path/outer/mode/recursive =>) over a
+    constant array or JSON text (reference: the FLATTEN srf; the lateral
+    correlated form binds in the binder, not here)."""
     from ..expression.evaluator import infer_literal_type
-    if len(args) != 1 or not isinstance(args[0], A.Literal) \
-            or not isinstance(args[0].value, (list, tuple)):
-        raise SemanticError("unnest expects a constant array")
-    vals = list(args[0].value)
-    dtype = infer_literal_type(vals[0]) if vals else Int64
-    col = Column.from_pylist(vals, dtype.wrap_nullable()
-                             if any(v is None for v in vals) else dtype)
-    block = DataBlock(["value"], [col], len(vals))
-    return ValuesPlan(block, [DataField("value", col.dtype)])
+    from ..pipeline.flatten import flatten_value, to_json_or_none
+    from ..types import String, UInt64, VariantType
+    params = {"path": "", "outer": False, "mode": "both", "recursive": False}
+    input_v, is_json = None, True
+    for i, a in enumerate(args):
+        name, e = (a.name, a.expr) if isinstance(a, A.NamedArg) else (None, a)
+        if not isinstance(e, A.Literal):
+            raise SemanticError("flatten expects constant arguments"
+                                " (use FROM t, LATERAL FLATTEN(..) for"
+                                " correlated input)")
+        if name in (None, "input"):
+            if name is None and i != 0:
+                raise BadArguments("flatten takes one positional argument")
+            input_v = e.value
+            is_json = not isinstance(e.value, (list, tuple))
+        elif name in params:
+            params[name] = e.value
+        else:
+            raise BadArguments(f"unknown flatten argument {name}")
+    rows = flatten_value(input_v, str(params["path"] or ""),
+                         str(params["mode"] or "both"),
+                         bool(params["recursive"]), bool(params["outer"]),
+                         is_json_text=is_json)
+    elem_t = VariantType().wrap_nullable()
+    if unnest and not is_json:
+        vals = [v for (_, _, _, v, _) in rows]
+        elem_t = (infer_literal_type(next(
+            (v for v in vals if v is not None), 0))).wrap_nullable()
+        value_col = Column.from_pylist(vals, elem_t)
+    else:
+        value_col = Column.from_pylist(
+            [to_json_or_none(v) for (_, _, _, v, _) in rows], elem_t)
+    names = ["seq", "key", "path", "index", "value", "this"]
+    types = [UInt64, String.wrap_nullable(), String.wrap_nullable(),
+             Int64.wrap_nullable(), value_col.dtype,
+             VariantType().wrap_nullable()]
+    cols = [Column.from_pylist([1] * len(rows), UInt64),
+            Column.from_pylist([k for (k, _, _, _, _) in rows], types[1]),
+            Column.from_pylist([p for (_, p, _, _, _) in rows], types[2]),
+            Column.from_pylist([ix for (_, _, ix, _, _) in rows], types[3]),
+            value_col,
+            Column.from_pylist([to_json_or_none(t)
+                                for (_, _, _, _, t) in rows], types[5])]
+    return ValuesPlan(DataBlock(names, cols, len(rows)),
+                      [DataField(n, t) for n, t in zip(names, types)])
+
+
+def _generate_series(args, fname: str) -> Plan:
+    """generate_series(start, stop[, step]) — inclusive stop; range() is
+    the exclusive-stop alias (reference: generate_series table function)."""
+    vals = _const_args(args, len(args), fname)
+    if len(vals) not in (2, 3):
+        raise BadArguments(f"{fname} expects 2 or 3 arguments")
+    start, stop = vals[0], vals[1]
+    step = vals[2] if len(vals) == 3 else 1
+    if step == 0:
+        raise BadArguments(f"{fname} step must not be zero")
+    if isinstance(start, float) or isinstance(stop, float) \
+            or isinstance(step, float):
+        n = max(0, int(np.floor((stop - start) / step)) + 1)
+        arr = start + step * np.arange(n, dtype=np.float64)
+        if fname == "range" and n and arr[-1] == stop:
+            arr = arr[:-1]
+        col = Column.from_numpy(arr.astype(np.float64))
+        dt = Float64
+    else:
+        stop_adj = stop + (0 if fname == "range" else (1 if step > 0 else -1))
+        arr = np.arange(start, stop_adj, step, dtype=np.int64)
+        col = Column.from_numpy(arr)
+        dt = Int64
+    return ValuesPlan(DataBlock([fname], [col], len(arr)),
+                      [DataField(fname, dt)])
 
 
 def _const_args(args, n, fname):
@@ -129,3 +196,34 @@ def _fuse_block(session, args) -> Plan:
     cols = [Column.from_pylist([r[i] for r in rows], t) for i, t in enumerate(types)]
     return ValuesPlan(DataBlock(names, cols, len(rows)),
                       [DataField(n, t) for n, t in zip(names, types)])
+
+
+def _result_scan(session, args) -> Plan:
+    """result_scan('qid' | last_query_id([-n])) — replay a cached SELECT
+    result (reference: the result_scan table function + result cache)."""
+    if len(args) != 1:
+        raise BadArguments("result_scan expects one argument")
+    a = args[0]
+    if isinstance(a, A.Literal):
+        qid = str(a.value)
+    elif isinstance(a, A.FunctionCall) and a.name.lower() == "last_query_id":
+        n = -1
+        if a.args:
+            if not isinstance(a.args[0], A.Literal):
+                raise BadArguments("last_query_id expects a constant")
+            n = int(a.args[0].value)
+        elif getattr(a, "params", None):
+            n = int(a.params[0])
+        ids = session._last_query_ids
+        if not ids or abs(n) > len(ids):
+            raise BadArguments("no query result at that offset")
+        qid = ids[n if n < 0 else n - 1]
+    else:
+        raise BadArguments("result_scan expects a query id or"
+                           " last_query_id()")
+    hit = session._result_scan_cache.get(qid)
+    if hit is None:
+        raise BadArguments(f"no cached result for query id {qid!r}"
+                           " (only the last 8 SELECT results are kept)")
+    block, fields = hit
+    return ValuesPlan(block, list(fields))

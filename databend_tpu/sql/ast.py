@@ -139,6 +139,13 @@ class AnyAllSubquery(Expr):
 
 
 @dataclass
+class NamedArg(Expr):
+    """name => expr argument (table functions, stage options)."""
+    name: str
+    expr: Expr = None
+
+
+@dataclass
 class Tuple_(Expr):
     items: List[Expr]
 
@@ -180,6 +187,7 @@ class TableName(TableRef):
 class SubqueryRef(TableRef):
     query: "Query"
     alias: Optional[str] = None
+    lateral: bool = False
 
 
 @dataclass
@@ -187,6 +195,7 @@ class TableFunctionRef(TableRef):
     name: str
     args: List[Expr]
     alias: Optional[str] = None
+    lateral: bool = False
 
 
 @dataclass
@@ -579,6 +588,26 @@ class Insert(Statement):
     columns: List[str]
     values: Optional[List[List[Expr]]] = None
     query: Optional[Query] = None
+    overwrite: bool = False
+
+
+@dataclass
+class MultiInsertBranch:
+    condition: Optional[Expr]  # None = unconditional / ELSE
+    table: str = ""
+    database: Optional[str] = None
+    columns: List[str] = field(default_factory=list)
+    values: Optional[List[Expr]] = None  # None = pass source row through
+
+
+@dataclass
+class MultiInsert(Statement):
+    """INSERT ALL/FIRST [WHEN .. THEN] INTO .. SELECT (multi-table
+    insert)."""
+    first: bool
+    branches: List[MultiInsertBranch] = field(default_factory=list)
+    else_branches: List[MultiInsertBranch] = field(default_factory=list)
+    query: "Query" = None
     overwrite: bool = False
 
 

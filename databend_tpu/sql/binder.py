@@ -207,10 +207,16 @@ class Binder:
 
     def _order_limit_over(self, plan: Plan, q: A.Query) -> Plan:
         if q.order_by:
-            names = {f.name.lower() for f in plan.output_fields()}
+            fields = plan.output_fields()
+            names = {f.name.lower() for f in fields}
             items = []
             for ob in q.order_by:
-                if isinstance(ob.expr, A.ColumnRef) and ob.expr.name.lower() in names:
+                if isinstance(ob.expr, A.Literal) \
+                        and isinstance(ob.expr.value, int) \
+                        and 1 <= ob.expr.value <= len(fields):
+                    items.append(SortItem(fields[ob.expr.value - 1].name,
+                                          ob.asc, ob.nulls_first))
+                elif isinstance(ob.expr, A.ColumnRef) and ob.expr.name.lower() in names:
                     items.append(SortItem(ob.expr.name, ob.asc, ob.nulls_first))
                 else:
                     raise SemanticError("ORDER BY over set operations must reference output columns")
@@ -232,7 +238,7 @@ class Binder:
             return UnionAllPlan([left, right])
         if s.op == "UNION":
             return DistinctPlan(UnionAllPlan([left, right]))
-        if s.op in ("INTERSECT", "EXCEPT"):
+        if s.op in ("INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"):
             from .plans import SetOpPlan
             return SetOpPlan(s.op, left, right)
         raise SemanticError(f"set operation {s.op} not supported yet")
@@ -746,6 +752,63 @@ class Binder:
             return self._bind_unpivot(ref, ctes)
         raise SemanticError(f"unsupported table reference {type(ref).__name__}")
 
+    def _bind_lateral_flatten(self, j: A.Join, ctes, state: ScanState):
+        """t, [LATERAL] FLATTEN(input => t.col, ...) f — explode a
+        variant/array expression per left row (reference: lateral flatten
+        srf join)."""
+        from ..types import ArrayType, String, UInt64, VariantType
+        from .plans import LateralFlattenPlan
+        left, lctx = self._bind_table_ref(j.left, ctes, ScanState())
+        state.scan = None
+        state.table_info = None
+        ref = j.right
+        params = {"path": "", "outer": False, "mode": "both",
+                  "recursive": False}
+        input_ast = None
+        for i, a in enumerate(ref.args):
+            if isinstance(a, A.NamedArg):
+                if a.name == "input":
+                    input_ast = a.expr
+                elif a.name in params:
+                    if not isinstance(a.expr, A.Literal):
+                        raise SemanticError(
+                            f"flatten {a.name} must be a constant")
+                    params[a.name] = a.expr.value
+                else:
+                    raise SemanticError(f"unknown flatten argument {a.name}")
+            elif i == 0:
+                input_ast = a
+            else:
+                raise SemanticError("flatten takes one positional argument")
+        if input_ast is None:
+            raise SemanticError("flatten requires input =>")
+        input_e = ExprBinder(lctx).bind(input_ast)
+        unnest = ref.name.lower() == "unnest"
+        in_t = input_e.dtype.remove_nullable()
+        elem_t = (in_t.inner.wrap_nullable() if isinstance(in_t, ArrayType)
+                  else VariantType().wrap_nullable())
+        variant_n = VariantType().wrap_nullable()
+        flat = [DataField("seq", UInt64),
+                DataField("key", String.wrap_nullable()),
+                DataField("path", String.wrap_nullable()),
+                DataField("index", Int64.wrap_nullable()),
+                DataField("value", elem_t if unnest else variant_n),
+                DataField("this", variant_n)]
+        alias = ref.alias or ref.name.lower()
+        ctx = BindContext()
+        out_fields: List[DataField] = []
+        lnames = set()
+        for (n, t, tb, on) in lctx.columns:
+            ctx.add(n, t, tb, on)
+            out_fields.append(DataField(on, t))
+            lnames.add(n.lower())
+        for f in flat:
+            uniq = f"{alias}.{f.name}" if f.name in lnames else f.name
+            ctx.add(f.name, f.dtype, alias, uniq)
+            out_fields.append(DataField(uniq, f.dtype))
+        plan = LateralFlattenPlan(left, input_e, params, out_fields, unnest)
+        return plan, ctx
+
     def _bind_pivot(self, ref: A.PivotRef, ctes):
         """PIVOT(agg(v) FOR c IN (x, y)) -> GROUP BY the remaining columns
         with one conditional aggregate per IN value (reference: pivot
@@ -879,7 +942,22 @@ class Binder:
         state.table_info = None
         return plan, ctx
 
+    @staticmethod
+    def _args_reference_columns(args) -> bool:
+        from .decorrelate import _refs_outside
+        for a in args:
+            e = a.expr if isinstance(a, A.NamedArg) else a
+            if e is not None and _refs_outside(e, set()) \
+                    or isinstance(e, A.ColumnRef):
+                return True
+        return False
+
     def _bind_join(self, j: A.Join, ctes, state: ScanState):
+        if isinstance(j.right, A.TableFunctionRef) \
+                and j.right.name.lower() in ("flatten", "unnest") \
+                and (j.right.lateral
+                     or self._args_reference_columns(j.right.args)):
+            return self._bind_lateral_flatten(j, ctes, state)
         lstate, rstate = ScanState(), ScanState()
         left, lctx = self._bind_table_ref(j.left, ctes, lstate)
         right, rctx = self._bind_table_ref(j.right, ctes, rstate)

@@ -232,6 +232,19 @@ class ExprBinder:
         if name == "typeof" and len(e.args) == 1:
             arg = self.bind(e.args[0])
             return Constant(arg.dtype.sql_name(), String)
+        if name == "last_query_id" and len(e.args) <= 1:
+            from ..utils.current import current_session
+            s = current_session()
+            ids = getattr(s, "_last_query_ids", None) if s else None
+            n = -1
+            if e.args:
+                c = self.bind(e.args[0])
+                if not isinstance(c, Constant):
+                    raise SemanticError("last_query_id expects a constant")
+                n = int(c.value)
+            if not ids or abs(n) > len(ids):
+                return Constant(None, String.wrap_nullable())
+            return Constant(ids[n if n < 0 else n - 1], String)
         if name in ("current_user", "current_role", "current_database",
                     "database", "version", "connection_id",
                     "current_catalog") and not e.args:

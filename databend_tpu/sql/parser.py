@@ -112,7 +112,7 @@ class Parser:
                 self.next()
             return A.ExplainStmt(self.parse_statement(), kind == "ANALYZE",
                                  kind)
-        if self.at_keyword("SELECT", "WITH") or self.at_op("("):
+        if self.at_keyword("SELECT", "WITH", "VALUES") or self.at_op("("):
             return A.QueryStmt(self.parse_query())
         if self.at_keyword("CREATE"):
             return self.parse_create()
@@ -1197,6 +1197,8 @@ class Parser:
     def parse_insert(self):
         self.expect_keyword("INSERT")
         overwrite = bool(self.accept_keyword("OVERWRITE"))
+        if self.at_keyword("ALL", "FIRST") or self._at_word("WHEN"):
+            return self._parse_multi_insert(overwrite)
         if not overwrite:
             self.expect_keyword("INTO")
         else:
@@ -1229,6 +1231,58 @@ class Parser:
             return A.Insert(name, db, columns, values=rows, overwrite=overwrite)
         query = self.parse_query()
         return A.Insert(name, db, columns, query=query, overwrite=overwrite)
+
+    def _parse_multi_insert(self, overwrite: bool):
+        """INSERT [OVERWRITE] ALL|FIRST [WHEN c THEN] INTO t [(cols)]
+        [VALUES (e, ..)] ... [ELSE INTO ..] SELECT .. (reference:
+        multi-table insert)."""
+        first = bool(self.accept_keyword("FIRST"))
+        if not first:
+            self.expect_keyword("ALL")
+        branches: List[A.MultiInsertBranch] = []
+        else_branches: List[A.MultiInsertBranch] = []
+
+        def parse_into(cond):
+            self.expect_keyword("INTO")
+            db, name = self.qualified_name()
+            cols: List[str] = []
+            vals = None
+            if self.accept_op("("):
+                cols = [self.ident()]
+                while self.accept_op(","):
+                    cols.append(self.ident())
+                self.expect_op(")")
+            if self.accept_keyword("VALUES"):
+                self.expect_op("(")
+                vals = [self.parse_expr()]
+                while self.accept_op(","):
+                    vals.append(self.parse_expr())
+                self.expect_op(")")
+            return A.MultiInsertBranch(cond, name, db, cols, vals)
+
+        while True:
+            if self._at_word("WHEN"):
+                self.next()
+                cond = self.parse_expr()
+                if not self._at_word("THEN"):
+                    self.error("expected THEN after WHEN condition")
+                self.next()
+                branches.append(parse_into(cond))
+                while self.at_keyword("INTO"):
+                    branches.append(parse_into(cond))
+            elif self.at_keyword("INTO"):
+                branches.append(parse_into(None))
+            elif self.accept_keyword("ELSE"):
+                else_branches.append(parse_into(None))
+                while self.at_keyword("INTO"):
+                    else_branches.append(parse_into(None))
+            else:
+                break
+        if not branches:
+            self.error("multi-table INSERT needs at least one INTO branch")
+        query = self.parse_query()
+        return A.MultiInsert(first, branches, else_branches, query,
+                             overwrite)
 
     def parse_delete(self):
         self.expect_keyword("DELETE")
@@ -1400,8 +1454,8 @@ class Parser:
         left = self.parse_query_primary()
         while self.at_keyword("UNION", "EXCEPT", "INTERSECT"):
             op = self.next().text
-            if op == "UNION" and self.accept_keyword("ALL"):
-                op = "UNION ALL"
+            if self.accept_keyword("ALL"):
+                op = op + " ALL"
             elif self.accept_keyword("DISTINCT"):
                 pass
             right = self.parse_query_primary()
@@ -1413,6 +1467,21 @@ class Parser:
             q = self.parse_query()
             self.expect_op(")")
             return q
+        if self.at_keyword("VALUES"):
+            # standalone VALUES (..),(..) (reference: values statement)
+            self.next()
+            rows = []
+            while True:
+                self.expect_op("(")
+                row = [self.parse_expr()]
+                while self.accept_op(","):
+                    row.append(self.parse_expr())
+                self.expect_op(")")
+                rows.append(row)
+                if not self.accept_op(","):
+                    break
+            vref = A.ValuesRef(rows)
+            return A.SelectStmt([A.SelectItem(A.Star(None))], vref)
         return self.parse_select()
 
     def parse_select(self) -> A.SelectStmt:
@@ -1612,6 +1681,14 @@ class Parser:
         return ref
 
     def _parse_table_factor_base(self) -> A.TableRef:
+        if self._at_word("LATERAL"):
+            # LATERAL <subquery or table function> (reference: lateral
+            # derived tables / lateral flatten)
+            self.next()
+            ref = self._parse_table_factor_base()
+            if isinstance(ref, (A.SubqueryRef, A.TableFunctionRef)):
+                ref.lateral = True
+            return ref
         if self.at_op("(") and self.peek(1).kind == "KEYWORD" \
                 and self.peek(1).text == "VALUES":
             self.next()
@@ -1662,9 +1739,9 @@ class Parser:
             self.expect_op("(")
             args: List[A.Expr] = []
             if not self.at_op(")"):
-                args.append(self.parse_expr())
+                args.append(self._parse_tf_arg())
                 while self.accept_op(","):
-                    args.append(self.parse_expr())
+                    args.append(self._parse_tf_arg())
             self.expect_op(")")
             return A.TableFunctionRef(name, args, self._table_alias())
         db, name = self.qualified_name()
@@ -1672,6 +1749,15 @@ class Parser:
         if self.accept_keyword("AT"):
             at_snapshot = self.parse_travel_point()
         return A.TableName(name, db, self._table_alias(), at_snapshot)
+
+    def _parse_tf_arg(self) -> A.Expr:
+        # named argument: ident => expr
+        if self.peek().kind in ("IDENT", "KEYWORD") \
+                and self.peek(1).kind == "OP" and self.peek(1).text == "=>":
+            name = self.next().text.lower()
+            self.next()
+            return A.NamedArg(name, self.parse_expr())
+        return self.parse_expr()
 
     def parse_travel_point(self):
         """AT (SNAPSHOT => 'id' | OFFSET => -n | TIMESTAMP => 'iso')"""
@@ -1988,7 +2074,9 @@ class Parser:
                 else:
                     window = self.parse_window_spec()
             return A.FunctionCall(name.lower(), args, distinct, window=window)
-        if self.at_op(".") and self.peek(1).kind in ("IDENT",):
+        if self.at_op(".") and (self.peek(1).kind == "IDENT"
+                                or (self.peek(1).kind == "KEYWORD"
+                                    and self.peek(1).text in NON_RESERVED)):
             self.next()
             col = self.ident()
             return A.ColumnRef(col, table=name)

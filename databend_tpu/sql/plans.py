@@ -299,3 +299,25 @@ class DistinctPlan(Plan):
 
     def output_fields(self):
         return self.child.output_fields()
+
+
+@dataclass
+class LateralFlattenPlan(Plan):
+    """LATERAL FLATTEN(input => <expr over child>) — per-row explode of a
+    variant/array expression (reference: the FLATTEN srf table function
+    joined laterally)."""
+
+    child: Plan
+    input_expr: ScalarExpr
+    params: dict  # path/outer/mode/recursive
+    fields: List[DataField]  # child fields + flatten output fields
+    unnest: bool = False  # typed-element value column (unnest) vs variant
+
+    def children(self):
+        return [self.child]
+
+    def output_fields(self):
+        return self.fields
+
+    def _explain_line(self):
+        return f"LateralFlatten({self.input_expr.display()})"

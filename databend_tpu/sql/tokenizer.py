@@ -56,7 +56,7 @@ NON_RESERVED = {
     "DATABASES", "SETTINGS", "VECTOR", "INVERTED", "NGRAM", "SYNC", "ASYNC",
     "REFRESH", "ANALYZE", "VACUUM", "OPTIMIZE", "STAGE", "SNAPSHOT", "AT",
     "STREAM", "TASK", "COLUMN", "ADD", "MODIFY", "USE", "TO", "FUSE", "DEFAULT",
-    "FLASHBACK", "TABLE", "DATABASE",
+    "FLASHBACK", "TABLE", "DATABASE", "INDEX",
 }
 
 
