@@ -52,6 +52,9 @@ class Evaluator:
             return cast_column(self.run(expr.arg), expr.dtype, expr.is_try)
         if isinstance(expr, CaseExpr):
             return self._run_case(expr)
+        from .expr import ArrayLambda
+        if isinstance(expr, ArrayLambda):
+            return self._run_array_lambda(expr)
         if isinstance(expr, Func):
             return self._run_func(expr)
         raise SemanticError(f"cannot evaluate {type(expr).__name__}")
@@ -76,6 +79,90 @@ class Evaluator:
                             out_dtype=expr.dtype.remove_nullable(), n_rows=n)
         return Column(expr.dtype.remove_nullable(), payload,
                       validity.copy() if validity is not None else None)
+
+    def _run_array_lambda(self, expr) -> Column:
+        """Evaluate array_map/filter/fold/count/any/all: flatten every
+        row's elements into ONE element block (outer columns repeated per
+        element so closures resolve), run the lambda body vectorized over
+        it, then regroup per row (reference: array lambda kernels)."""
+        import json as _json
+        from ..types import VariantType
+        arr_col = self.run(expr.arr)
+        lists = arr_col.to_pylist()
+        is_variant = isinstance(expr.arr.dtype.remove_nullable(),
+                                VariantType)
+        parsed = []
+        for x in lists:
+            if is_variant and isinstance(x, (str, bytes)):
+                try:
+                    x = _json.loads(x)
+                except Exception:
+                    x = None
+            parsed.append(x if isinstance(x, (list, tuple)) else None)
+        n = self.block.num_rows
+
+        if expr.kind == "fold":
+            init_col = self.run(expr.init)
+            accs = init_col.to_pylist()
+            out = []
+            acc_t = init_col.dtype.wrap_nullable()
+            for i, xs in enumerate(parsed):
+                if xs is None:
+                    out.append(None)
+                    continue
+                acc = accs[i]
+                row = self.block.slice(i, i + 1)
+                for v in xs:
+                    b = DataBlock(
+                        row.names + list(expr.param_cols),
+                        row.columns + [
+                            Column.from_pylist([acc], acc_t),
+                            Column.from_pylist([v], expr.elem_dtype)],
+                        1)
+                    acc = Evaluator(b).run(expr.body).get(0)
+                out.append(acc)
+            return Column.from_pylist(out, expr.dtype)
+
+        counts = np.array([len(x) if x is not None else 0 for x in parsed],
+                          np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        elems = [v for x in parsed if x is not None for v in x]
+        if is_variant:
+            elems = [None if v is None else
+                     _json.dumps(v, separators=(",", ":"), default=str)
+                     for v in elems]
+        base = self.block.take(idx) if len(idx) else DataBlock(
+            self.block.names, [c.slice(0, 0) for c in self.block.columns], 0)
+        eb = DataBlock(base.names + [expr.param_cols[0]],
+                       base.columns + [Column.from_pylist(elems,
+                                                          expr.elem_dtype)],
+                       len(elems))
+        res = Evaluator(eb).run(expr.body).to_pylist() if len(elems) \
+            else []
+        # regroup by row
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        out = []
+        for i, xs in enumerate(parsed):
+            if xs is None:
+                out.append(None)
+                continue
+            seg = res[offs[i]:offs[i + 1]]
+            if expr.kind == "map":
+                out.append(list(seg))
+            elif expr.kind == "filter":
+                out.append([v for v, keep in zip(xs, seg) if keep])
+            elif expr.kind == "count":
+                out.append(sum(1 for s in seg if s))
+            elif expr.kind == "any":
+                out.append(any(bool(s) for s in seg))
+            else:  # all
+                out.append(all(bool(s) for s in seg))
+        if expr.kind == "filter" and is_variant:
+            out = [None if x is None else
+                   _json.dumps(x, separators=(",", ":"), default=str)
+                   for x in out]
+        return Column.from_pylist(out, expr.dtype)
 
     def _run_case(self, expr: CaseExpr) -> Column:
         n = self.block.num_rows
@@ -278,6 +365,30 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
     if isinstance(src, VectorType) and isinstance(dst, ArrayType):
         return Column.from_pylist([row.tolist() for row in col.data],
                                   target if target.is_nullable() else dst)
+    # variant -> number/boolean (JSON scalar coercion)
+    from ..types import VariantType as _VT
+    if isinstance(src, _VT) and (isinstance(dst, NumberType)
+                                 or dst == Boolean):
+        import json as _json
+        vals = col.to_pylist()
+        payload = np.zeros(n, dst.numpy_dtype())
+        ok = np.ones(n, np.bool_)
+        for i, s in enumerate(vals):
+            try:
+                v = _json.loads(s) if isinstance(s, (str, bytes)) else s
+                if v is None or isinstance(v, (list, dict)):
+                    raise ValueError(v)
+                if dst == Boolean:
+                    payload[i] = bool(v)
+                elif dst.is_float():
+                    payload[i] = float(v)
+                else:
+                    payload[i] = int(float(v))
+            except (ValueError, TypeError):
+                if not is_try:
+                    raise BadDataValueType(f"cannot cast {s!r} to {dst}")
+                ok[i] = False
+        return out(payload, ok if not ok.all() else None)
     if isinstance(src, NullType):
         return constant_column(None, dst.wrap_nullable(), n)
     raise BadDataValueType(f"unsupported cast {src} -> {dst}")
@@ -297,11 +408,17 @@ def _to_str(v) -> str:
 
 def _is_column_free(e: ScalarExpr) -> bool:
     """True when no BoundColumn (and no per-row volatile fn) appears."""
-    from .expr import BoundColumn as _BC, Func as _F
+    from .expr import ArrayLambda as _AL, BoundColumn as _BC, Func as _F
     for x in e.walk():
         if isinstance(x, _BC):
             return False
         if isinstance(x, _F) and x.name in ("rand", "random", "uuid",
                                             "gen_random_uuid"):
             return False
+        if isinstance(x, _AL):
+            # the body may close over outer columns (they are not in
+            # children(), which feeds column-pruning walks)
+            for b in x.body.walk():
+                if isinstance(b, _BC) and b.name not in x.param_cols:
+                    return False
     return True

@@ -98,6 +98,35 @@ class DictGet(ScalarExpr):
 
 
 @dataclass
+class ArrayLambda(ScalarExpr):
+    """Higher-order array function with an inline lambda (reference:
+    lambda expressions in the type checker + the array lambda kernels in
+    scalars/array.rs): map/filter/fold/count/any/all over array elements.
+
+    ``body`` is bound against the outer scope plus the lambda parameters,
+    which appear as columns named ``param_cols[i]`` in the element block
+    the evaluator builds (outer columns repeated per element — closures
+    work)."""
+
+    kind: str               # map | filter | fold | count | any | all
+    arr: ScalarExpr
+    params: List[str]       # source-level parameter names
+    param_cols: List[str]   # unique column names in the element block
+    body: ScalarExpr
+    elem_dtype: DataType = None
+    init: Optional[ScalarExpr] = None  # fold only
+    dtype: DataType = None
+
+    def children(self):
+        return [self.arr] + ([self.init] if self.init is not None else [])
+
+    def display(self) -> str:
+        ps = ", ".join(self.params)
+        return (f"array_{self.kind}({self.arr.display()},"
+                f" ({ps}) -> {self.body.display()})")
+
+
+@dataclass
 class CastExpr(ScalarExpr):
     arg: ScalarExpr
     dtype: DataType

@@ -950,6 +950,7 @@ AGGREGATE_FUNCTIONS: Dict[str, Type[AggregateFunction]] = {
     "stddev_samp": StddevSampAgg,
     "string_agg": StringAggAgg,
     "group_concat": StringAggAgg,
+    "listagg": StringAggAgg,
 }
 
 

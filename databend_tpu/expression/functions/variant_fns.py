@@ -21,6 +21,18 @@ from .registry import scalar_function
 def _texts(payload):
     if isinstance(payload, StringData):
         return payload.to_pylist()
+    from ..column import Column as _Col
+    if isinstance(payload, tuple) and len(payload) == 2 \
+            and isinstance(payload[1], _Col):
+        # typed ARRAY column (CSR: offsets + values): rebuild rows as JSON
+        offs = np.asarray(payload[0])
+        vals = payload[1].to_pylist()
+        return [json.dumps(vals[offs[i]:offs[i + 1]], default=str)
+                for i in range(len(offs) - 1)]
+    if isinstance(payload, np.ndarray) and payload.dtype == object:
+        return [json.dumps(v, default=str)
+                if isinstance(v, (list, tuple, dict)) else str(v)
+                for v in payload]
     return [str(v) for v in payload.tolist()]
 
 

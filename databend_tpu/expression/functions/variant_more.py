@@ -273,3 +273,48 @@ def _json_array(payloads, validities, arg_types, n_rows):
             arr.append(v)
         out.append(json.dumps(arr))
     return StringData.from_pylist(out), None
+
+
+def _jsonpath_eval(doc, path):
+    """Tiny jsonpath subset: $.a.b, $.a[*], $.a[2], $[*].b (reference:
+    jsonb path query functions in scalars/variant.rs)."""
+    import re as _re
+    if not path.startswith("$"):
+        return []
+    cur = [doc]
+    for tok in _re.findall(r"\.([A-Za-z_][A-Za-z0-9_]*)|\[(\*|\d+)\]",
+                           path[1:]):
+        key, idx = tok
+        nxt = []
+        for d in cur:
+            if key:
+                if isinstance(d, dict) and key in d:
+                    nxt.append(d[key])
+            elif idx == "*":
+                if isinstance(d, list):
+                    nxt.extend(d)
+            else:
+                i = int(idx)
+                if isinstance(d, list) and i < len(d):
+                    nxt.append(d[i])
+        cur = nxt
+    return cur
+
+
+_reg("json_path_query_array", _arr(lambda v, p: _jsonpath_eval(v, str(p))),
+     n_args=2)
+_reg("json_path_query_first",
+     lambda v, p: (_jsonpath_eval(v, str(p)) or [None])[0], n_args=2)
+_reg("json_path_exists", lambda v, p: bool(_jsonpath_eval(v, str(p))),
+     n_args=2, ret=Boolean)
+_reg("json_path_match", lambda v, p: bool(_jsonpath_eval(v, str(p))),
+     n_args=2, ret=Boolean)
+
+
+def _jpq_rows(v, p):
+    # json_path_query returns a SET of matches; as a scalar column we
+    # return the match list (parity shim: full srf form is FLATTEN-able)
+    return _jsonpath_eval(v, str(p))
+
+
+_reg("json_path_query", _jpq_rows, n_args=2)

@@ -150,6 +150,7 @@ class SessionContext:
         # in-memory query history (system.query_log; reference history_tables)
         self.query_log: List[dict] = []
         # result_scan: last few SELECT results keyed by query id
+        self.variables: Dict[str, object] = {}
         self._result_scan_cache: dict = {}
         self._last_query_ids: List[str] = []
         # (sql, snapshots) -> (ts, QueryResult); active when
@@ -1674,6 +1675,21 @@ def _stmt_insert(s: SessionContext, st: A.Insert):
     return _ok(block.num_rows)
 
 
+def _stmt_set_variable(s: SessionContext, st: A.SetVariable):
+    """SET VARIABLE x = <expr> (reference: session variables + $x)."""
+    from ..expression.evaluator import Evaluator
+    from ..sql.expr_binder import BindContext, ExprBinder
+    e = ExprBinder(BindContext()).bind(st.value)
+    col = Evaluator(DataBlock([], [], 1)).run(e)
+    s.variables[st.name.lower()] = col.get(0)
+    return _ok(0)
+
+
+def _stmt_unset_variable(s: SessionContext, st: A.UnsetVariable):
+    s.variables.pop(st.name.lower(), None)
+    return _ok(0)
+
+
 def _stmt_multi_insert(s: SessionContext, st: A.MultiInsert):
     """INSERT ALL/FIRST [WHEN..THEN] INTO .. SELECT — multi-table insert
     (reference: multi-table insert interpreter). The source runs ONCE;
@@ -2134,6 +2150,8 @@ _STATEMENTS = {
     A.RefreshIndex: _stmt_refresh_index,
     A.Insert: _stmt_insert,
     A.MultiInsert: _stmt_multi_insert,
+    A.SetVariable: _stmt_set_variable,
+    A.UnsetVariable: _stmt_unset_variable,
     A.ReplaceInto: _stmt_replace_into,
     A.Delete: _stmt_delete,
     A.Update: _stmt_update,

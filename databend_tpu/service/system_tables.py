@@ -43,14 +43,16 @@ def _sys_tables(s):
                          snap.row_count if snap else 0,
                          snap.block_count if snap else 0,
                          snap.snapshot_id if snap else None,
-                         ",".join(info.cluster_by)))
-    cols = list(zip(*rows)) if rows else [[] for _ in range(7)]
+                         ",".join(info.cluster_by),
+                         (info.options or {}).get("comment", "")))
+    cols = list(zip(*rows)) if rows else [[] for _ in range(8)]
     return _block([
         ("database", String, list(cols[0])), ("name", String, list(cols[1])),
         ("engine", String, list(cols[2])), ("num_rows", Int64, list(cols[3])),
         ("num_blocks", Int64, list(cols[4])),
         ("snapshot_id", String, list(cols[5])),
-        ("cluster_by", String, list(cols[6]))])
+        ("cluster_by", String, list(cols[6])),
+        ("comment", String, list(cols[7]))])
 
 
 def _sys_columns(s):

@@ -36,6 +36,8 @@ class ColumnRef(Expr):
 class Star(Expr):
     table: Optional[str] = None
     exclude: List[str] = field(default_factory=list)  # SELECT * EXCLUDE (..)
+    # SELECT * REPLACE (expr AS col, ..): substitute expr for column col
+    replace: List[Tuple[str, Expr]] = field(default_factory=list)
 
 
 @dataclass
@@ -856,6 +858,18 @@ class DropConnection(Statement):
 
 @dataclass
 class DescConnection(Statement):
+    name: str
+
+
+@dataclass
+class SetVariable(Statement):
+    """SET VARIABLE x = <const expr> (session variables, $x access)."""
+    name: str
+    value: Expr = None
+
+
+@dataclass
+class UnsetVariable(Statement):
     name: str
 
 

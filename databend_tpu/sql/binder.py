@@ -1073,12 +1073,18 @@ class Binder:
         for item in items:
             if isinstance(item.expr, A.Star):
                 excluded = {c.lower() for c in item.expr.exclude}
+                repl = {c.lower(): e for c, e in
+                        getattr(item.expr, "replace", [])}
                 for (n, t, tb, on) in ctx.columns:
                     if n.lower() in excluded:
                         continue
                     if item.expr.table is None or \
                             (tb or "").lower() == item.expr.table.lower():
-                        out.append(A.SelectItem(A.ColumnRef(n, tb), None))
+                        if n.lower() in repl:
+                            out.append(A.SelectItem(repl[n.lower()], n))
+                        else:
+                            out.append(A.SelectItem(A.ColumnRef(n, tb),
+                                                    None))
                 if not ctx.columns:
                     raise SemanticError("SELECT * with no FROM")
             else:
@@ -1252,6 +1258,15 @@ def _const_int(e) -> Optional[int]:
         return None
     if isinstance(e, A.Literal) and isinstance(e.value, int):
         return int(e.value)
+    # constant expressions ($var, getvariable(), 2+3) fold at bind time
+    try:
+        bound = ExprBinder(BindContext()).bind(e)
+        from ..expression.evaluator import Evaluator
+        v = Evaluator(DataBlock([], [], 1)).run(bound).get(0)
+        if v is not None and float(v) == int(v):
+            return int(v)
+    except Exception:
+        pass
     raise SemanticError("LIMIT/OFFSET must be integer literals")
 
 

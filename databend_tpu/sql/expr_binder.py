@@ -232,6 +232,17 @@ class ExprBinder:
         if name == "typeof" and len(e.args) == 1:
             arg = self.bind(e.args[0])
             return Constant(arg.dtype.sql_name(), String)
+        if name in _ARRAY_LAMBDA_FNS:
+            return self._bind_array_lambda(name, e)
+        if name == "getvariable" and len(e.args) == 1 \
+                and isinstance(e.args[0], A.Literal):
+            from ..utils.current import current_session
+            s = current_session()
+            v = (getattr(s, "variables", {}) or {}).get(
+                str(e.args[0].value).lower()) if s else None
+            if v is None:
+                return Constant(None, NullType())
+            return Constant(v, infer_literal_type(v))
         if name == "last_query_id" and len(e.args) <= 1:
             from ..utils.current import current_session
             s = current_session()
@@ -404,3 +415,116 @@ def _as_interval(e) -> "Optional[tuple]":
         except ValueError:
             return None
     return None
+
+
+# higher-order array functions -> (kind, lambda-arg position)
+_ARRAY_LAMBDA_FNS = {
+    "array_map": ("map", 1), "array_transform": ("map", 1),
+    "array_apply": ("map", 1),
+    "array_filter": ("filter", 1),
+    "array_fold": ("fold", 2), "array_reduce": ("fold", 2),
+    "array_count": ("count", 1),
+    "array_any": ("any", 1), "array_all": ("all", 1),
+}
+
+_LAMBDA_DEPTH = [0]
+
+
+def _lambda_param_names(left: A.Expr):
+    if isinstance(left, A.ColumnRef) and left.table is None:
+        return [left.name]
+    if isinstance(left, A.Tuple_) and all(
+            isinstance(x, A.ColumnRef) and x.table is None
+            for x in left.items):
+        return [x.name for x in left.items]
+    return None
+
+
+def _lambda_parts(e: A.Expr):
+    """`x -> body` / `(a, b) -> body` parsed as BinaryOp('->', ...).
+
+    `->` binds tighter than comparison operators, so `x -> x % 2 = 0`
+    parses as `(x -> x % 2) = 0` — walk the leftmost operator chain to
+    find the `->` node and splice its right side back into the tree."""
+    if isinstance(e, A.BinaryOp) and e.op == "->":
+        params = _lambda_param_names(e.left)
+        if params is not None:
+            return params, e.right
+    node, parent = e, None
+    while isinstance(node, A.BinaryOp) and node.op != "->":
+        parent, node = node, node.left
+    if isinstance(node, A.BinaryOp) and node.op == "->" \
+            and parent is not None:
+        params = _lambda_param_names(node.left)
+        if params is not None:
+            parent.left = node.right
+            return params, e
+    return None, None
+
+
+def _bind_array_lambda(self, name: str, e: A.FunctionCall):
+    from ..expression.expr import ArrayLambda
+    from ..types import Int64 as _Int64
+    from ..types import UInt64 as _UInt64
+    from ..types import VariantType
+    kind, lam_pos = _ARRAY_LAMBDA_FNS[name]
+    want_args = lam_pos + 1
+    if len(e.args) != want_args:
+        raise SemanticError(f"{name} expects {want_args} arguments")
+    params, body_ast = _lambda_parts(e.args[lam_pos])
+    if params is None:
+        raise SemanticError(f"{name} expects a lambda like x -> expr")
+    n_params = 2 if kind == "fold" else 1
+    if len(params) != n_params:
+        raise SemanticError(f"{name} lambda takes {n_params} parameter(s)")
+    arr = self.bind(e.args[0])
+    arr_t = arr.dtype.remove_nullable()
+    if isinstance(arr_t, ArrayType):
+        elem_t = arr_t.inner.wrap_nullable()
+    elif isinstance(arr_t, VariantType):
+        elem_t = VariantType().wrap_nullable()
+    else:
+        raise SemanticError(f"{name} expects an array, got"
+                            f" {arr.dtype.sql_name()}")
+    init = self.bind(e.args[1]) if kind == "fold" else None
+    depth = _LAMBDA_DEPTH[0]
+    _LAMBDA_DEPTH[0] += 1
+    try:
+        inner_ctx = BindContext()
+        param_cols = []
+        if kind == "fold":
+            pc = f"__lam{depth}_{params[0]}"
+            inner_ctx.add(params[0], init.dtype.wrap_nullable(), None, pc)
+            param_cols.append(pc)
+            pc = f"__lam{depth}_{params[1]}"
+            inner_ctx.add(params[1], elem_t, None, pc)
+            param_cols.append(pc)
+        else:
+            pc = f"__lam{depth}_{params[0]}"
+            inner_ctx.add(params[0], elem_t, None, pc)
+            param_cols.append(pc)
+        pset = {p.lower() for p in params}
+        for (cn, ct, ctb, con) in self.ctx.columns:
+            if cn.lower() not in pset:  # lambda params shadow outer names
+                inner_ctx.add(cn, ct, ctb, con)
+        body = ExprBinder(inner_ctx).bind(body_ast)
+    finally:
+        _LAMBDA_DEPTH[0] -= 1
+    nullable = arr.dtype.is_nullable()
+    if kind == "map":
+        out_t = ArrayType(body.dtype.remove_nullable())
+    elif kind == "filter":
+        out_t = arr_t
+    elif kind == "count":
+        out_t = _UInt64
+    elif kind in ("any", "all"):
+        out_t = Boolean
+    else:  # fold
+        out_t = common_super_type(init.dtype, body.dtype) or body.dtype
+    if nullable:
+        out_t = out_t.wrap_nullable()
+    return ArrayLambda(kind, arr, list(params), param_cols, body, elem_t,
+                       init, out_t)
+
+
+ExprBinder._bind_array_lambda = _bind_array_lambda

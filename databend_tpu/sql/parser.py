@@ -114,6 +114,18 @@ class Parser:
                                  kind)
         if self.at_keyword("SELECT", "WITH", "VALUES") or self.at_op("("):
             return A.QueryStmt(self.parse_query())
+        if self.at_keyword("COMMENT"):
+            # COMMENT ON TABLE t IS '...' (reference: comment statement)
+            self.next()
+            self.expect_keyword("ON")
+            self.expect_keyword("TABLE")
+            db, name = self.qualified_name()
+            self.expect_keyword("IS")
+            return A.SetTableComment(name, db, self.next().text)
+        if self._at_word("UNSET") and self.peek(1).text.upper() == "VARIABLE":
+            self.next()
+            self.next()
+            return A.UnsetVariable(self.ident())
         if self.at_keyword("CREATE"):
             return self.parse_create()
         if self.at_keyword("DROP"):
@@ -1374,6 +1386,22 @@ class Parser:
             return cols
         return [self.ident()]
 
+    def _parse_star_replace(self):
+        # SELECT * REPLACE (expr AS col, ..) (reference query.rs)
+        if not self._at_word("REPLACE") or self.peek(1).text != "(":
+            return []
+        self.next()
+        self.expect_op("(")
+        out = [(None, None)] * 0
+        while True:
+            e = self.parse_expr()
+            self.expect_keyword("AS")
+            out.append((self.ident(), e))
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        return out
+
     def _opt_like(self) -> Optional[str]:
         if self.accept_keyword("LIKE"):
             return self.next().text
@@ -1381,6 +1409,11 @@ class Parser:
 
     def parse_set(self):
         self.expect_keyword("SET")
+        if self._at_word("VARIABLE"):
+            self.next()
+            name = self.ident()
+            self.expect_op("=")
+            return A.SetVariable(name, self.parse_expr())
         # GLOBAL is not reserved: only treat it as the scope marker when a
         # setting name follows (SET global = 1 stays a plain assignment)
         is_global = (self._at_word("GLOBAL")
@@ -1570,7 +1603,8 @@ class Parser:
     def parse_select_item(self) -> A.SelectItem:
         if self.at_op("*"):
             self.next()
-            return A.SelectItem(A.Star(None, self._parse_star_exclude()))
+            return A.SelectItem(A.Star(None, self._parse_star_exclude(),
+                                       self._parse_star_replace()))
         # t.* qualified star
         if (self.peek().kind == "IDENT" and self.peek(1).kind == "OP"
                 and self.peek(1).text == "." and self.peek(2).kind == "OP"
@@ -1578,7 +1612,8 @@ class Parser:
             t = self.next().text
             self.next()
             self.next()
-            return A.SelectItem(A.Star(t, self._parse_star_exclude()))
+            return A.SelectItem(A.Star(t, self._parse_star_exclude(),
+                                       self._parse_star_replace()))
         e = self.parse_expr()
         alias = None
         if self.accept_keyword("AS"):
@@ -1870,6 +1905,10 @@ class Parser:
         return None
 
     def parse_prefix(self) -> A.Expr:
+        if self.peek().kind == "VAR":
+            name = self.next().text[1:]
+            return A.FunctionCall("getvariable",
+                                  [A.Literal(name)])
         t = self.peek()
         if t.kind == "INT":
             self.next()

@@ -25,6 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>'(?:[^'\\]|\\.|'')*')
   | (?P<QUOTED_IDENT>"(?:[^"]|"")*"|`(?:[^`])*`)
   | (?P<PARAM>\$\d+|\?)
+  | (?P<VAR>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ATREF>@~(?:/[A-Za-z0-9_./*?-]*)?|@%?[A-Za-z_][A-Za-z0-9_]*(?:/[A-Za-z0-9_./*?-]*)?)
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_$]*)
   | (?P<OP><=>|<>|!=|>=|<=|==|\|\||<<|>>|->>|->|=>|::|:=|[-+*/%(),.;=<>\[\]{}:@^~&|!])
