@@ -220,6 +220,12 @@ class Column:
                         raise BadDataValueType(f"vector dim mismatch: expected {dim}, got {a.shape}")
                     out[i] = a
             return Column(dtype, out, validity)
+        from ..types import MapType, TupleType
+        if isinstance(inner, (MapType, TupleType)):
+            payload = np.empty(len(values), object)
+            for i, v in enumerate(values):
+                payload[i] = v
+            return Column(dtype, payload, validity)
         if isinstance(inner, ArrayType):
             offsets = np.zeros(len(values) + 1, dtype=np.int64)
             flat: list = []

@@ -226,6 +226,9 @@ def constant_column(value, dtype: DataType, n: int) -> Column:
         return Column(inner, np.broadcast_to(row, (n, inner.dim)).copy())
     if isinstance(inner, ArrayType):
         return Column.from_pylist([value] * n, inner)
+    from ..types import MapType as _MT, TupleType as _TT
+    if isinstance(inner, (_MT, _TT)):
+        return Column.from_pylist([value] * n, inner)
     arr = np.full(n, value, dtype=inner.numpy_dtype())
     return Column(inner, arr)
 
@@ -241,6 +244,15 @@ def infer_literal_type(value) -> DataType:
         return Float64
     if isinstance(value, str):
         return String
+    if isinstance(value, dict):
+        from ..types import MapType as _MT
+        kt = infer_literal_type(next(iter(value))) if value else String
+        vt = infer_literal_type(next(iter(value.values()))) if value \
+            else String
+        return _MT(kt, vt)
+    if isinstance(value, tuple):
+        from ..types import TupleType as _TT
+        return _TT(tuple(infer_literal_type(v) for v in value))
     if isinstance(value, (list, tuple)):
         if value and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in value):
             return ArrayType(Float64)

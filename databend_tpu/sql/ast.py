@@ -141,6 +141,13 @@ class AnyAllSubquery(Expr):
 
 
 @dataclass
+class MapExpr(Expr):
+    """{'k': v, ...} map literal."""
+    keys: List[Expr] = field(default_factory=list)
+    values: List[Expr] = field(default_factory=list)
+
+
+@dataclass
 class NamedArg(Expr):
     """name => expr argument (table functions, stage options)."""
     name: str
@@ -272,6 +279,7 @@ class Query:
     limit: Optional[Expr] = None
     offset: Optional[Expr] = None
     ctes: List[Tuple[str, "Query"]] = field(default_factory=list)
+    recursive: bool = False  # WITH RECURSIVE
 
 
 # ----------------------------------------------------------------- statements

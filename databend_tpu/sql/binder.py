@@ -193,7 +193,11 @@ class Binder:
                    ctes: Optional[Dict[str, Plan]] = None) -> Plan:
         ctes = dict(ctes or {})
         for name, cq in q.ctes:
-            ctes[name.lower()] = self.bind_query(cq, ctes)
+            if getattr(q, "recursive", False) \
+                    and _cte_self_references(cq, name):
+                ctes[name.lower()] = self._bind_recursive_cte(name, cq, ctes)
+            else:
+                ctes[name.lower()] = self.bind_query(cq, ctes)
         if isinstance(q.body, A.SelectStmt):
             return self._bind_select(q.body, q.order_by, q.limit, q.offset, ctes)
         if isinstance(q.body, A.SetOp):
@@ -224,6 +228,67 @@ class Binder:
         if q.limit is not None or q.offset is not None:
             plan = LimitPlan(plan, _const_int(q.limit), _const_int(q.offset) or 0)
         return plan
+
+    def _bind_recursive_cte(self, name: str, cq: A.Query, ctes) -> Plan:
+        """WITH RECURSIVE r AS (anchor UNION ALL step) — iterate the step
+        against the previous iteration's rows until fixpoint (reference:
+        recursive CTE binding/execution; r_cte union semantics). Runs at
+        bind time, like stage scans — the result is a ValuesPlan."""
+        from ..pipeline.executor import execute_plan
+        body = cq.body
+        if not isinstance(body, A.SetOp) or not body.op.startswith("UNION"):
+            raise SemanticError(
+                "recursive CTE must be 'anchor UNION [ALL] step'")
+        distinct = body.op == "UNION"
+        anchor_plan = self._bind_body(body.left, ctes)
+        fields = anchor_plan.output_fields()
+        names = [f.name for f in fields]
+        cur = execute_plan(anchor_plan)
+        max_depth = 512
+        try:
+            from ..utils.current import current_session
+            s = current_session()
+            if s is not None:
+                max_depth = int(s.settings.get(
+                    "max_cte_recursive_depth") or 512)
+        except Exception:
+            pass
+        chunks = [cur]
+        seen = None
+        if distinct:
+            from ..pipeline.keys import hashable_row
+            seen = {hashable_row(list(cur.columns), i)
+                    for i in range(cur.num_rows)}
+        for _ in range(max_depth):
+            if cur.num_rows == 0:
+                break
+            step_ctes = dict(ctes)
+            step_ctes[name.lower()] = ValuesPlan(
+                DataBlock(names, list(cur.columns), cur.num_rows),
+                list(fields))
+            step_plan = self._bind_body(body.right, step_ctes)
+            nxt = execute_plan(step_plan)
+            if nxt.num_columns() != len(names):
+                raise SemanticError("recursive step arity mismatch")
+            nxt = DataBlock(names, list(nxt.columns), nxt.num_rows)
+            if distinct and nxt.num_rows:
+                import numpy as np
+                from ..pipeline.keys import hashable_row
+                cols = list(nxt.columns)
+                keep = np.zeros(nxt.num_rows, np.bool_)
+                for i in range(nxt.num_rows):
+                    k = hashable_row(cols, i)
+                    if k not in seen:
+                        seen.add(k)
+                        keep[i] = True
+                nxt = nxt.filter(keep)
+            cur = nxt
+            if cur.num_rows:
+                chunks.append(cur)
+        else:
+            raise SemanticError(
+                f"recursive CTE {name!r} exceeded max depth {max_depth}")
+        return ValuesPlan(DataBlock.concat(chunks), list(fields))
 
     def _bind_setop(self, s: A.SetOp, ctes) -> Plan:
         left = self._bind_body(s.left, ctes)
@@ -1280,3 +1345,24 @@ def _limit_sum(limit, offset) -> Optional[int]:
     lim = _const_int(limit)
     off = _const_int(offset) or 0
     return (lim + off) if lim is not None else None
+
+
+def _cte_self_references(cq: A.Query, name: str) -> bool:
+    """Does the CTE's own body reference its name as a table?"""
+    import dataclasses
+
+    def walk(o):
+        if isinstance(o, A.TableName) and o.name.lower() == name.lower():
+            return True
+        if not dataclasses.is_dataclass(o) or isinstance(o, type):
+            return False
+        for f in dataclasses.fields(o):
+            v = getattr(o, f.name)
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            for x in vals:
+                if dataclasses.is_dataclass(x) and not isinstance(x, type) \
+                        and walk(x):
+                    return True
+        return False
+
+    return walk(cq)

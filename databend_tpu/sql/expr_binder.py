@@ -131,13 +131,49 @@ class ExprBinder:
         if isinstance(e, A.IsNull):
             return self._func("is_not_null" if e.negated else "is_null", [self.bind(e.expr)])
         if isinstance(e, A.MapAccess):
+            from ..types import MapType, TupleType
             base = self.bind(e.expr)
             key = self.bind(e.key)
-            fn = ("array_get"
-                  if isinstance(base.dtype.remove_nullable(), ArrayType)
-                  else "get")
+            bt = base.dtype.remove_nullable()
+            if isinstance(bt, ArrayType):
+                fn = "array_get"
+            elif isinstance(bt, MapType):
+                fn = "map_get"
+            elif isinstance(bt, TupleType):
+                if not isinstance(key, Constant) \
+                        or not isinstance(key.value, int):
+                    raise SemanticError("tuple access needs a constant"
+                                        " 1-based index")
+                idx = int(key.value)
+                fields = bt.fields
+                if not 1 <= idx <= len(fields):
+                    raise SemanticError(f"tuple index {idx} out of range")
+                ret = fields[idx - 1].wrap_nullable()
+                return Func("tuple_get", [base, Constant(idx, key.dtype)],
+                            ret)
+            else:
+                fn = "get"
             return self._func(fn, [base, key])
+        if isinstance(e, A.MapExpr):
+            from ..types import MapType
+            keys = [self.bind(k) for k in e.keys]
+            vals = [self.bind(v) for v in e.values]
+            if all(isinstance(x, Constant) for x in keys + vals):
+                d = {k.value: v.value for k, v in zip(keys, vals)}
+                kt = keys[0].dtype.remove_nullable() if keys else String
+                vt = vals[0].dtype.remove_nullable() if vals else String
+                for v in vals[1:]:
+                    vt = common_super_type(vt, v.dtype.remove_nullable()) \
+                        or vt
+                return Constant(d, MapType(kt, vt))
+            raise SemanticError(
+                "non-constant map construction: use map(keys, values)")
         if isinstance(e, A.Tuple_):
+            from ..types import TupleType
+            items = [self.bind(x) for x in e.items]
+            if all(isinstance(x, Constant) for x in items):
+                return Constant(tuple(x.value for x in items),
+                                TupleType(tuple(x.dtype for x in items)))
             raise SemanticError("tuple expressions are not supported here")
         if isinstance(e, (A.ScalarSubquery, A.InSubquery, A.Exists)):
             raise SemanticError("subquery must be handled by the planner")

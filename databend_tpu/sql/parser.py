@@ -1436,8 +1436,9 @@ class Parser:
     # ------------------------------------------------------------------ query
     def parse_query(self) -> A.Query:
         ctes: List[Tuple[str, A.Query]] = []
+        recursive = False
         if self.accept_keyword("WITH"):
-            self.accept_keyword("RECURSIVE")
+            recursive = bool(self.accept_keyword("RECURSIVE"))
             while True:
                 cname = self.ident()
                 self.expect_keyword("AS")
@@ -1465,7 +1466,8 @@ class Parser:
                 limit = first
         if self.accept_keyword("OFFSET"):
             offset = self.parse_expr()
-        return A.Query(body, order_by, limit, offset, ctes)
+        return A.Query(body, order_by, limit, offset, ctes,
+                       recursive)
 
     def parse_order_by_expr(self) -> A.OrderByExpr:
         e = self.parse_expr()
@@ -1905,6 +1907,18 @@ class Parser:
         return None
 
     def parse_prefix(self) -> A.Expr:
+        if self.at_op("{"):
+            # {'k': v, ...} map literal (reference: map expressions)
+            self.next()
+            keys, values = [], []
+            while not self.at_op("}"):
+                keys.append(self.parse_expr())
+                self.expect_op(":")
+                values.append(self.parse_expr())
+                if not self.accept_op(","):
+                    break
+            self.expect_op("}")
+            return A.MapExpr(keys, values)
         if self.peek().kind == "VAR":
             name = self.next().text[1:]
             return A.FunctionCall("getvariable",

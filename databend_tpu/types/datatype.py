@@ -238,6 +238,22 @@ class ArrayType(DataType):
 
 
 @dataclass(frozen=True, eq=False)
+class MapType(DataType):
+    """MAP(K, V) — per-row python dicts, host-side (reference:
+    src/query/expression/src/types/map.rs; kv pairs never enter device
+    kernels)."""
+
+    key: DataType = None
+    value: DataType = None
+
+    def sql_name(self) -> str:
+        return f"MAP({self.key.sql_name()}, {self.value.sql_name()})"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(object)
+
+
+@dataclass(frozen=True, eq=False)
 class TupleType(DataType):
     fields: tuple
 
@@ -408,6 +424,20 @@ def parse_type_name(name: str) -> DataType:
             m = _ARRAY_RE.match(s)
             if m:
                 ty = ArrayType(parse_type_name(m.group(1)))
+            elif up.startswith("MAP(") and up.endswith(")"):
+                inner = s[4:-1]
+                depth = 0
+                for i, ch in enumerate(inner):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        ty = MapType(parse_type_name(inner[:i]),
+                                     parse_type_name(inner[i + 1:]))
+                        break
+                else:
+                    raise SyntaxException(f"unknown type name: {name!r}")
             else:
                 raise SyntaxException(f"unknown type name: {name!r}")
     return ty.wrap_nullable() if nullable else ty
