@@ -800,7 +800,12 @@ def _stmt_merge(s: SessionContext, st: A.MergeInto):
 
 
 def _stmt_create_task(s: SessionContext, st: A.CreateTask):
-    s.tasks.create(st.name, st.schedule_secs, st.sql_text, st.if_not_exists)
+    if st.or_replace:
+        s.tasks.drop(st.name, if_exists=True)
+    s.tasks.create(st.name, st.schedule_secs, st.sql_text, st.if_not_exists,
+                   warehouse=st.warehouse, cron=st.cron, comment=st.comment,
+                   after=st.after, when=st.when,
+                   suspend_after_failures=st.suspend_after_failures)
     return _ok()
 
 

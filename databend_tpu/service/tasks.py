@@ -19,6 +19,21 @@ UnknownTask = _err("UnknownTask", 2611)
 TaskAlreadyExists = _err("TaskAlreadyExists", 2612)
 
 
+def _cron_period_secs(cron: str) -> int:
+    """Rough period from a 5/6-field cron spec: */n minutes -> n*60, a
+    fixed minute -> hourly, otherwise daily."""
+    fields = cron.split()
+    minute = fields[1] if len(fields) == 6 else fields[0] if fields else "*"
+    if minute.startswith("*/"):
+        try:
+            return max(1, int(minute[2:])) * 60
+        except ValueError:
+            return 3600
+    if minute == "*":
+        return 60
+    return 3600
+
+
 def _key(name: str) -> str:
     return f"tasks/{name.lower()}"
 
@@ -32,15 +47,26 @@ class TaskManager:
 
     # ----------------------------------------------------------------- crud
     def create(self, name: str, schedule_secs: int, sql: str,
-               if_not_exists: bool = False):
+               if_not_exists: bool = False, warehouse: str = None,
+               cron: str = None, comment: str = None, after=None,
+               when: str = None, suspend_after_failures: int = None):
         cur, _ = self.s.meta.get(_key(name))
         if cur is not None:
             if if_not_exists:
                 return
             raise TaskAlreadyExists(f"task {name!r} already exists")
+        if cron is not None and schedule_secs == 0:
+            # embedded scheduler has no cron wheel: approximate the beat
+            # from the cron minute field (reference tasks run server-side)
+            schedule_secs = _cron_period_secs(cron)
         self.s.meta.upsert(_key(name), {
             "name": name.lower(), "schedule_secs": schedule_secs,
-            "sql": sql, "state": "SUSPENDED", "last_run": 0.0})
+            "sql": sql, "state": "SUSPENDED", "last_run": 0.0,
+            "warehouse": warehouse or "", "cron": cron or "",
+            "comment": comment or "", "after": list(after or []),
+            "when": when or "",
+            "suspend_after_failures": suspend_after_failures or 0,
+            "consecutive_failures": 0})
 
     def drop(self, name: str, if_exists: bool = False):
         cur, _ = self.s.meta.get(_key(name))

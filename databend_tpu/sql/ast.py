@@ -409,6 +409,13 @@ class CreateTask(Statement):
     schedule_secs: int
     sql_text: str
     if_not_exists: bool = False
+    warehouse: Optional[str] = None
+    cron: Optional[str] = None
+    comment: Optional[str] = None
+    after: List[str] = field(default_factory=list)  # task DAG edges
+    when: Optional[str] = None  # boolean SQL guard
+    suspend_after_failures: Optional[int] = None
+    or_replace: bool = False
 
 
 @dataclass

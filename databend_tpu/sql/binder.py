@@ -817,6 +817,33 @@ class Binder:
             return self._bind_unpivot(ref, ctes)
         raise SemanticError(f"unsupported table reference {type(ref).__name__}")
 
+    def _bind_lateral_project(self, j: A.Join, ctes, state: ScanState):
+        """t, LATERAL (SELECT <exprs over t> [WHERE ..]) x — a FROM-less
+        lateral derived table is a per-row projection over the outer side
+        (reference: lateral derived tables in the binder)."""
+        left, lctx = self._bind_table_ref(j.left, ctes, ScanState())
+        state.scan = None
+        state.table_info = None
+        sel = j.right.query.body
+        alias = j.right.alias or "lateral"
+        eb = ExprBinder(lctx)
+        items = [(f.name, BoundColumn(f.name, f.dtype))
+                 for f in left.output_fields()]
+        lnames = {n.lower() for n, _ in items}
+        ctx = BindContext()
+        for (n, t, tb, on) in lctx.columns:
+            ctx.add(n, t, tb, on)
+        for i, it in enumerate(sel.items):
+            e = eb.bind(it.expr)
+            name = it.alias or _suggest_name(it.expr) or f"col_{i}"
+            uniq = f"{alias}.{name}" if name.lower() in lnames else name
+            items.append((uniq, e))
+            ctx.add(name, e.dtype, alias, uniq)
+        plan = ProjectPlan(left, items)
+        if sel.where is not None:
+            plan = FilterPlan(plan, ExprBinder(ctx).bind(sel.where))
+        return plan, ctx
+
     def _bind_lateral_flatten(self, j: A.Join, ctes, state: ScanState):
         """t, [LATERAL] FLATTEN(input => t.col, ...) f — explode a
         variant/array expression per left row (reference: lateral flatten
@@ -1023,6 +1050,10 @@ class Binder:
                 and (j.right.lateral
                      or self._args_reference_columns(j.right.args)):
             return self._bind_lateral_flatten(j, ctes, state)
+        if isinstance(j.right, A.SubqueryRef) and j.right.lateral \
+                and isinstance(j.right.query.body, A.SelectStmt) \
+                and j.right.query.body.from_ is None:
+            return self._bind_lateral_project(j, ctes, state)
         lstate, rstate = ScanState(), ScanState()
         left, lctx = self._bind_table_ref(j.left, ctes, lstate)
         right, rctx = self._bind_table_ref(j.right, ctes, rstate)

@@ -736,24 +736,72 @@ class Parser:
             return A.CreateView(name, self.sql[start:].strip().rstrip(";"),
                                 db, replace, ine)
         if self.at_keyword("TASK"):
+            # CREATE TASK t [WAREHOUSE='..'] [SCHEDULE = n SECOND|MINUTE |
+            # USING CRON '..'] [AFTER t1, t2] [WHEN <cond sql>]
+            # [SUSPEND_TASK_AFTER_NUM_FAILURES = n] [COMMENT='..'] AS <sql>
+            # (reference: task_support CREATE TASK grammar)
             self.next()
             ine = self._if_not_exists()
             name = self.ident()
-            if not self._at_word("SCHEDULE"):
-                self.error("expected SCHEDULE = n SECOND")
-            self.next()
-            self.expect_op("=")
-            secs = int(self.next().text)
-            unit = self.next().text.upper()
-            if unit.startswith("MINUTE"):
-                secs *= 60
-            elif not unit.startswith("SECOND"):
-                self.error("expected SECOND/MINUTE")
+            secs, warehouse, cron, comment = 0, None, None, None
+            after: List[str] = []
+            when_sql = None
+            suspend_n = None
+            while not self.at_keyword("AS"):
+                w = self.peek().text.upper()
+                if w == "SCHEDULE":
+                    self.next()
+                    self.expect_op("=")
+                    if self._at_word("USING"):
+                        self.next()
+                        if self._at_word("CRON"):
+                            self.next()
+                        cron = self.next().text
+                        continue
+                    secs = int(self.next().text)
+                    unit = self.next().text.upper()
+                    if unit.startswith("MINUTE"):
+                        secs *= 60
+                    elif unit.startswith("HOUR"):
+                        secs *= 3600
+                    elif not unit.startswith("SECOND"):
+                        self.error("expected SECOND/MINUTE/HOUR")
+                elif w == "USING":
+                    self.next()
+                    if self._at_word("CRON"):
+                        self.next()
+                    cron = self.next().text
+                elif w == "WAREHOUSE":
+                    self.next()
+                    self.expect_op("=")
+                    warehouse = self.next().text
+                elif w == "COMMENT":
+                    self.next()
+                    self.expect_op("=")
+                    comment = self.next().text
+                elif w == "AFTER":
+                    self.next()
+                    after.append(self.ident())
+                    while self.accept_op(","):
+                        after.append(self.ident())
+                elif w == "WHEN":
+                    self.next()
+                    start = self.peek().pos
+                    self.parse_expr()
+                    when_sql = self.sql[start:self.peek().pos].strip()
+                elif w == "SUSPEND_TASK_AFTER_NUM_FAILURES":
+                    self.next()
+                    self.expect_op("=")
+                    suspend_n = int(self.next().text)
+                else:
+                    self.error(f"unknown CREATE TASK option {w!r}")
             self.expect_keyword("AS")
             start = self.peek().pos
             self.parse_statement()  # validate the body parses
             return A.CreateTask(name, secs,
-                                self.sql[start:].strip().rstrip(";"), ine)
+                                self.sql[start:].strip().rstrip(";"), ine,
+                                warehouse, cron, comment, after, when_sql,
+                                suspend_n, replace)
         if self.at_keyword("FUNCTION"):
             self.next()
             ine = self._if_not_exists()
@@ -2004,8 +2052,15 @@ class Parser:
                 return A.AnyAllSubquery("ANY" if t.text != "ALL" else "ALL", q)
             if t.text == "INTERVAL":
                 self.next()
-                v = self.next().text
-                unit = self.ident()
+                vt = self.next()
+                if vt.kind == "STRING" and self.peek().kind != "IDENT":
+                    # INTERVAL '1 day' / '2 hours' string form
+                    parts = vt.text.split()
+                    if len(parts) != 2:
+                        self.error("expected INTERVAL '<n> <unit>'")
+                    v, unit = parts[0], parts[1].rstrip("sS")
+                else:
+                    v, unit = vt.text, self.ident()
                 return A.FunctionCall("interval", [A.Literal(v), A.Literal(unit)])
             # keywords that double as function names: if(...), left(...), replace(...)
             if (self.peek(1).kind == "OP" and self.peek(1).text == "("
