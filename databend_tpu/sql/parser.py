@@ -2156,6 +2156,19 @@ class Parser:
                 while self.accept_op(","):
                     args.append(self.parse_expr())
             self.expect_op(")")
+            params: List[Any] = []
+            if self.at_op("("):
+                # f(p1, ..)(args): parameterized aggregate, e.g.
+                # quantile_cont(0.5)(v) (reference: agg function params)
+                params = [a.value if isinstance(a, A.Literal) else a
+                          for a in args]
+                self.next()
+                args = []
+                if not self.at_op(")"):
+                    args.append(self.parse_expr())
+                    while self.accept_op(","):
+                        args.append(self.parse_expr())
+                self.expect_op(")")
             # agg(args) FILTER (WHERE cond) -> <agg>_if(args..., cond)
             # (reference: the FILTER clause lowered to the IF combinator)
             if self.peek().kind == "IDENT" \
@@ -2181,7 +2194,8 @@ class Parser:
                     window = self.next().text.lower()
                 else:
                     window = self.parse_window_spec()
-            return A.FunctionCall(name.lower(), args, distinct, window=window)
+            return A.FunctionCall(name.lower(), args, distinct, params,
+                                  window)
         if self.at_op(".") and (self.peek(1).kind == "IDENT"
                                 or (self.peek(1).kind == "KEYWORD"
                                     and self.peek(1).text in NON_RESERVED)):
