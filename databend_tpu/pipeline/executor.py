@@ -1309,6 +1309,11 @@ def _push_join_runtime_filter(plan: JoinPlan, right: DataBlock) -> None:
             data = data[vals.validity]
         if data.size == 0:
             continue
+        if np.issubdtype(data.dtype, np.floating) and np.isnan(data).any():
+            # NaN build keys would make min()/max() NaN and the pushed
+            # 'key BETWEEN NaN AND NaN' filter false for every row,
+            # wrongly emptying joins with real matches — skip the filter.
+            continue
         lo = Constant(data.min().item(), inner)
         hi = Constant(data.max().item(), inner)
         conds.append(Func("gte", [key, lo], Boolean))

@@ -1367,6 +1367,21 @@ def _stmt_rollback(s: SessionContext, st: A.RollbackTxn):
             loc, seq = s.catalog.get_snapshot_location(info.table_id)
             if loc != want:
                 s.catalog.set_snapshot_location(info.table_id, want, seq)
+    # tables dropped inside the transaction: undrop and repoint to the
+    # BEGIN-time snapshot (DROP is a soft delete, so the meta survives)
+    present = {(d.name.lower(), i.name.lower())
+               for d in s.catalog.list_databases()
+               for i in s.catalog.list_tables(d.name)}
+    for db_name, tbl_name in txn["tables"] - present:
+        try:
+            info = s.catalog.undrop_table(db_name, tbl_name)
+        except Exception:
+            continue  # dropped before the txn's BEGIN or already vacuumed
+        want = txn["heads"].get(info.table_id, None)
+        loc, seq = s.catalog.get_snapshot_location(info.table_id)
+        if loc != want:
+            s.catalog.set_snapshot_location(info.table_id, want, seq)
+        s._tables.pop(info.table_id, None)
     s._result_cache.clear()
     return _ok()
 
@@ -1506,6 +1521,7 @@ def _stmt_remove_stage(s: SessionContext, st: A.RemoveStage):
 
 
 def _stmt_presign(s: SessionContext, st: A.PresignStage):
+    s.check_privilege("SUPER", "*")
     p = s.stages.presign(st.ref, st.method, st.expire_secs)
     import json as _json
     names = ["method", "headers", "url"]
@@ -1826,31 +1842,22 @@ def _stmt_replace_into(s: SessionContext, st: A.ReplaceInto):
             for c in cols], len(st.values))
     if computed:
         block = _fill_stored_computed(info, block, computed)
-    # delete conflicting target rows: composite keys joined with \x1f
+    # delete conflicting target rows: typed per-column tuple matching
+    # (null-safe — NULL keys conflict with NULL keys), not stringified
+    # concat, so bool/float/timestamp representations can't disagree
     if table.read_snapshot() is not None and block.num_rows:
-        key_fields = [info.schema.field(k) for k in st.on_keys]
-        incoming = set()
-        for i in range(block.num_rows):
-            incoming.add("\x1f".join(
-                "" if (v := block.column(f.name).get(i)) is None else str(v)
-                for f in key_fields))
-        def key_expr():
-            parts = []
-            for f in key_fields:
-                e = CastExpr(BoundColumn(f.name, f.dtype), String, True)
-                parts.append(e)
-            expr = parts[0]
-            for p in parts[1:]:
-                expr = Func("concat",
-                            [Func("concat",
-                                  [expr, Constant("\x1f", String)], String),
-                             p], String)
-            return expr
-        from ..types import String as _S
-        member = Func("in_set", [key_expr(),
-                                 Constant(sorted(incoming), ArrayType(_S))],
-                      Boolean)
-        table.delete_rows(member)
+        key_names = [info.schema.field(k).name for k in st.on_keys]
+        key_cols = [block.column(n).to_pylist() for n in key_names]
+        incoming = set(zip(*key_cols)) if len(key_names) > 1 \
+            else set(key_cols[0])
+
+        def conflict_mask(target_block):
+            import numpy as _np
+            cols = [target_block.column(n).to_pylist() for n in key_names]
+            rows = zip(*cols) if len(key_names) > 1 else cols[0]
+            return _np.fromiter((r in incoming for r in rows), _np.bool_,
+                                target_block.num_rows)
+        table.delete_rows(conflict_mask)
     table.append(block)
     return _ok(block.num_rows)
 

@@ -140,8 +140,24 @@ def _try_rewrite(sel: A.SelectStmt, target, negated: bool,
         if len(body.items) != 1:
             return False
         items.append(A.SelectItem(body.items[0].expr, "__v"))
-        on_parts.append(A.BinaryOp("=", A.ColumnRef("__v", alias),
-                                   target.expr))
+        v = A.ColumnRef("__v", alias)
+        if negated:
+            # NOT IN is three-valued: if the (correlated) subquery yields
+            # any NULL, or the outer expr is NULL with a non-empty inner
+            # set, the row must be filtered. A plain equality ANTI join
+            # would keep it. Lower to a NULL-aware anti join instead:
+            # pair on the correlation keys, and treat `v = x OR v IS NULL
+            # OR x IS NULL` as the match condition (reference lowers NOT
+            # IN via a null-aware mark join). The binder routes this
+            # disjunction to the join residual, which the ANTI executor
+            # evaluates per matched pair.
+            on_parts.append(A.BinaryOp(
+                "OR",
+                A.BinaryOp("OR", A.BinaryOp("=", v, target.expr),
+                           A.IsNull(v)),
+                A.IsNull(target.expr)))
+        else:
+            on_parts.append(A.BinaryOp("=", v, target.expr))
     inner_sel = A.SelectStmt(items, body.from_, and_join(inner_conjs))
     sub = A.SubqueryRef(A.Query(inner_sel), alias)
     sel.from_ = A.Join("ANTI" if negated else "SEMI", sel.from_, sub,

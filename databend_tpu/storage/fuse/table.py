@@ -523,11 +523,17 @@ class FuseTable:
             new_metas: List[BlockMeta] = []
             changed = False
             for bm in seg.blocks:
-                if filter_expr is not None and not range_should_keep(filter_expr, bm.col_stats):
+                is_callable = callable(filter_expr) and not hasattr(filter_expr, "dtype")
+                if filter_expr is not None and not is_callable \
+                        and not range_should_keep(filter_expr, bm.col_stats):
                     new_metas.append(bm)
                     continue
                 block = block_io.read_block(self.abs_path(bm.location), self.schema)
-                if filter_expr is not None:
+                if is_callable:
+                    # python predicate: block -> bool mask (REPLACE INTO's
+                    # typed conflict matcher takes this path)
+                    mask = np.asarray(filter_expr(block), np.bool_)
+                elif filter_expr is not None:
                     col = Evaluator(block).run(filter_expr)
                     mask = np.asarray(col.data, np.bool_)
                     if col.validity is not None:

@@ -50,8 +50,28 @@ class StageInfo:
                          d.get("comment", ""), d.get("created_ts", 0.0))
 
 
+def _safe_rel(rel: str) -> str:
+    """Confine a stage-relative path to the stage root.
+
+    The reference roots its stage operator at the stage prefix, so
+    ``@stage/../x`` can never escape; mirror that by normalising and
+    rejecting any path that resolves above the root (or is absolute).
+    """
+    rel = rel.strip()
+    if not rel:
+        return ""
+    if rel.startswith(("/", "\\")) or "\x00" in rel:
+        raise BadArguments(f"invalid stage path: {rel!r}")
+    norm = posixpath.normpath(rel.replace("\\", "/"))
+    if norm in (".", ""):
+        return ""
+    if norm == ".." or norm.startswith("../"):
+        raise BadArguments(f"stage path escapes the stage root: {rel!r}")
+    return norm
+
+
 def _join(url: str, rel: str) -> str:
-    rel = rel.lstrip("/")
+    rel = _safe_rel(rel.lstrip("/"))
     if not rel:
         return url
     return url.rstrip("/") + "/" + rel
@@ -131,8 +151,8 @@ class StageManager:
                 self.meta.upsert(key, info.to_dict())
             else:
                 info = StageInfo.from_dict(got)
-            return info, rel
-        return self.get(name), rel
+            return info, _safe_rel(rel)
+        return self.get(name), _safe_rel(rel)
 
     # ------------------------------------------------------------ file ops
     def _list_keys(self, info: StageInfo, rel: str) -> List[str]:
