@@ -204,15 +204,16 @@ def _shuffle_program(mesh, capacity: int, n_cols: int):
         # position of each row within its destination run
         start = jnp.searchsorted(dest_s, jnp.arange(s))
         within = jnp.arange(dest_s.shape[0]) - start[jnp.clip(dest_s, 0, s - 1)]
-        # scatter into [s, capacity, n_cols] send buffer (+validity)
+        # scatter into [s, capacity, n_cols] send buffer (+validity);
+        # invalid rows aim past the buffer and are dropped (mode="drop" —
+        # writing them to a clamped slot would clobber a real row)
         buf = jnp.zeros((s, capacity, n_cols), vals.dtype)
         ok = (dest_s >= 0) & (within < capacity)
-        d_idx = jnp.where(ok, dest_s, 0)
+        d_idx = jnp.where(ok, dest_s, s)
         w_idx = jnp.where(ok, within, 0)
-        buf = buf.at[d_idx, w_idx].set(
-            jnp.where(ok[:, None], vals_s, 0.0))
+        buf = buf.at[d_idx, w_idx].set(vals_s, mode="drop")
         valid = jnp.zeros((s, capacity), jnp.bool_)
-        valid = valid.at[d_idx, w_idx].set(ok)
+        valid = valid.at[d_idx, w_idx].set(True, mode="drop")
         # the shuffle: bucket i of every shard lands on shard i
         recv = jax.lax.all_to_all(buf, SHARD_AXIS, split_axis=0,
                                   concat_axis=0, tiled=True)
@@ -224,6 +225,23 @@ def _shuffle_program(mesh, capacity: int, n_cols: int):
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS, None)),
         out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS)), check_vma=False))
+
+
+def _shuffle_capacity(dest_padded: np.ndarray, s: int) -> int:
+    """Worst-case rows one shard sends to one destination, vectorized
+    over the whole padded dest array (no per-shard host loop)."""
+    per_shard = dest_padded.shape[0] // s
+    src = np.arange(dest_padded.shape[0]) // per_shard
+    valid = dest_padded >= 0
+    if not valid.any():
+        return 1
+    counts = np.bincount(src[valid] * s + dest_padded[valid],
+                         minlength=s * s)
+    return max(int(counts.max()), 1)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
 
 
 def shuffle_by_key(mesh, key_codes: np.ndarray, values: np.ndarray
@@ -243,16 +261,7 @@ def shuffle_by_key(mesh, key_codes: np.ndarray, values: np.ndarray
                             np.ascontiguousarray(values, np.float64)])
     dest_dev, n = shard_rows_padded(mesh, dest, fill=-1)
     vals_dev, _ = shard_rows_padded(mesh, cols)
-    # capacity: worst-case rows one shard sends to one destination
-    per_shard = dest_dev.shape[0] // s
-    counts = np.zeros((s, s), np.int64)
-    dpad = np.asarray(dest_dev)
-    for src in range(s):
-        seg = dpad[src * per_shard:(src + 1) * per_shard]
-        seg = seg[seg >= 0]
-        if len(seg):
-            counts[src] = np.bincount(seg, minlength=s)
-    capacity = max(int(counts.max()), 1)
+    capacity = _shuffle_capacity(np.asarray(dest_dev), s)
     recv, valid = _shuffle_program(mesh, capacity, cols.shape[1])(
         dest_dev, vals_dev)
     recv = np.asarray(recv)
@@ -261,3 +270,216 @@ def shuffle_by_key(mesh, key_codes: np.ndarray, values: np.ndarray
     keys_out = recv[valid, 0].astype(np.int64)
     vals_out = recv[valid, 1:]
     return keys_out, vals_out, shard_of[valid]
+
+
+# ------------------------------------------- shuffle grouped aggregation
+
+@functools.lru_cache(maxsize=64)
+def _shuffle_agg_program(mesh, capacity: int, groups_per_shard: int,
+                         ops: Tuple[str, ...]):
+    """One device program = the whole shuffle-aggregate fragment: rows
+    all_to_all-shuffled by ``gid % s`` so each group lands wholly on its
+    owner shard, then a per-shard segment reduce over the owner-local
+    group range. Unlike the psum merge (``_grouped_agg_program``) no
+    shard ever materializes the dense global [G] state — communication
+    is the row data, which wins when G is large (the reference's
+    FragmentKind::Normal hash shuffle for high-cardinality GROUP BY,
+    fragmenter.rs:209-266)."""
+    s = mesh.shape[SHARD_AXIS]
+    m = len(ops)
+
+    def local(gids, vals):
+        dest = jnp.where(gids >= 0, gids % s, s)
+        order = jnp.argsort(dest, stable=True)
+        dest_s = jnp.clip(dest[order], 0, s - 1)
+        gid_s = gids[order]
+        vals_s = vals[order]
+        start = jnp.searchsorted(dest_s, jnp.arange(s))
+        within = jnp.arange(dest_s.shape[0]) - start[dest_s]
+        ok = (gid_s >= 0) & (within < capacity)
+        d_idx = jnp.where(ok, dest_s, s)   # invalid rows: dropped OOB
+        w_idx = jnp.where(ok, within, 0)
+        gbuf = jnp.full((s, capacity), -1, jnp.int32)
+        gbuf = gbuf.at[d_idx, w_idx].set(gid_s, mode="drop")
+        vbuf = jnp.zeros((s, capacity, vals.shape[1]), vals.dtype)
+        vbuf = vbuf.at[d_idx, w_idx].set(vals_s, mode="drop")
+        rg = jax.lax.all_to_all(gbuf, SHARD_AXIS, split_axis=0,
+                                concat_axis=0, tiled=True).reshape(-1)
+        rv = jax.lax.all_to_all(vbuf, SHARD_AXIS, split_axis=0,
+                                concat_axis=0, tiled=True).reshape(-1, vals.shape[1])
+        valid = rg >= 0
+        g_local = jnp.where(valid, rg // s, groups_per_shard)
+        nseg = groups_per_shard + 1  # +1 = padding bucket, sliced off
+        outs = []
+        for j, op in enumerate(ops):
+            v = rv[:, j]
+            if op == "count":
+                part = jax.ops.segment_sum(valid.astype(v.dtype), g_local,
+                                           num_segments=nseg)
+            elif op == "sum":
+                part = jax.ops.segment_sum(jnp.where(valid, v, 0), g_local,
+                                           num_segments=nseg)
+            elif op == "min":
+                part = jax.ops.segment_min(jnp.where(valid, v, jnp.inf),
+                                           g_local, num_segments=nseg)
+            elif op == "max":
+                part = jax.ops.segment_max(jnp.where(valid, v, -jnp.inf),
+                                           g_local, num_segments=nseg)
+            else:
+                raise ValueError(op)
+            outs.append(part[:groups_per_shard])
+        return jnp.stack(outs, axis=1)  # [groups_per_shard, m]
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS, None)),
+        out_specs=P(SHARD_AXIS, None), check_vma=False))
+
+
+def sharded_shuffle_grouped_agg(mesh, gids: np.ndarray, values: np.ndarray,
+                                n_groups: int, ops: Sequence[str]
+                                ) -> Optional[np.ndarray]:
+    """High-cardinality distributed GROUP BY via the shuffle exchange.
+
+    Returns the merged [n_groups, len(ops)] array (group order = gid), or
+    None under pathological skew (one destination would receive most of
+    the data — the psum/host paths handle that better).
+    """
+    s = mesh.shape[SHARD_AXIS]
+    gids32 = gids.astype(np.int32)
+    gids_dev, _ = shard_rows_padded(mesh, gids32, fill=-1)
+    vals_dev, _ = shard_rows_padded(
+        mesh, np.ascontiguousarray(values, np.float32))
+    padded = np.asarray(gids_dev)
+    dest = np.where(padded >= 0, padded % s, -1).astype(np.int32)
+    capacity = _next_pow2(_shuffle_capacity(dest, s))
+    per_shard = padded.shape[0] // s
+    if capacity > max(4 * per_shard // s, 1024):
+        return None  # skew guard: send buffers would blow past ~4x input
+    gps = _next_pow2((int(n_groups) + s - 1) // s)
+    out = np.asarray(_shuffle_agg_program(mesh, capacity, gps, tuple(ops))(
+        gids_dev, vals_dev))  # [s * gps, m]
+    gid_range = np.arange(int(n_groups), dtype=np.int64)
+    perm = (gid_range % s) * gps + gid_range // s
+    return out[perm]
+
+
+# ----------------------------------------------------- shuffle hash join
+
+@functools.lru_cache(maxsize=64)
+def _shuffle_probe_program(mesh, capacity: int, build_cap: int):
+    """Probe side of the shuffle join: probe (code, id) rows are
+    all_to_all-shuffled to their owner shard (code % s), which binary-
+    searches its sorted build-code run for the match range. Generalizes
+    the broadcast lookup past unique build keys: the output is a
+    [lo, count) range per probe row into the owner shard's sorted build
+    order (reference exchange_transform_shuffle.rs + hash join probe)."""
+    s = mesh.shape[SHARD_AXIS]
+
+    def local(codes, ids, build_sorted):
+        dest = jnp.where(codes >= 0, codes % s, s)
+        order = jnp.argsort(dest, stable=True)
+        dest_s = jnp.clip(dest[order], 0, s - 1)
+        code_s = codes[order]
+        id_s = ids[order]
+        start = jnp.searchsorted(dest_s, jnp.arange(s))
+        within = jnp.arange(dest_s.shape[0]) - start[dest_s]
+        ok = (code_s >= 0) & (within < capacity)
+        d_idx = jnp.where(ok, dest_s, s)   # invalid rows: dropped OOB
+        w_idx = jnp.where(ok, within, 0)
+        cbuf = jnp.full((s, capacity), -1, jnp.int32)
+        cbuf = cbuf.at[d_idx, w_idx].set(code_s, mode="drop")
+        ibuf = jnp.full((s, capacity), -1, jnp.int32)
+        ibuf = ibuf.at[d_idx, w_idx].set(id_s, mode="drop")
+        rc = jax.lax.all_to_all(cbuf, SHARD_AXIS, split_axis=0,
+                                concat_axis=0, tiled=True).reshape(-1)
+        ri = jax.lax.all_to_all(ibuf, SHARD_AXIS, split_axis=0,
+                                concat_axis=0, tiled=True).reshape(-1)
+        lo = jnp.searchsorted(build_sorted, rc, side="left")
+        hi = jnp.searchsorted(build_sorted, rc, side="right")
+        valid = ri >= 0
+        cnt = jnp.where(valid, hi - lo, 0).astype(jnp.int32)
+        return ri, lo.astype(jnp.int32), cnt
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_vma=False))
+
+
+class ShuffleJoin:
+    """Shuffle (Normal) exchange hash join for non-unique build keys.
+
+    Build once: the build side's key codes are hash-partitioned by
+    ``code % s`` and each shard's run is sorted on the host (a one-time
+    C-speed lexsort); the sorted code runs live on the mesh as the
+    device-resident build state. Probe per block: the device program
+    shuffles probe rows to their owner shard and returns match ranges;
+    the host expands ranges into (probe_row, build_row) pairs with one
+    np.repeat (output materialization is host-side anyway).
+    """
+
+    def __init__(self, mesh, build_codes: np.ndarray):
+        # codes must be DENSE int32-range factorization codes (negative =
+        # NULL): with x64 disabled jax would silently truncate int64
+        self.mesh = mesh
+        s = mesh.shape[SHARD_AXIS]
+        self.s = s
+        build_codes = build_codes.astype(np.int32)
+        dest = np.where(build_codes >= 0, build_codes % s, -1)
+        order = np.lexsort((build_codes, dest))
+        order = order[dest[order] >= 0]  # NULL keys never match
+        codes_s = build_codes[order]
+        dest_s = dest[order]
+        counts = np.bincount(dest_s, minlength=s)
+        self.build_cap = _next_pow2(max(int(counts.max()), 1))
+        # per-shard sorted code runs, padded with int32 max (never matches)
+        sentinel = np.iinfo(np.int32).max
+        codes_pad = np.full((s, self.build_cap), sentinel, np.int32)
+        ids_pad = np.full((s, self.build_cap), -1, np.int64)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for sh in range(s):
+            run = slice(offs[sh], offs[sh + 1])
+            k = counts[sh]
+            codes_pad[sh, :k] = codes_s[run]
+            ids_pad[sh, :k] = order[run]
+        self.build_ids = ids_pad            # host: for range expansion
+        self.build_dev = jax.device_put(
+            codes_pad.reshape(-1),
+            NamedSharding(mesh, P(SHARD_AXIS)))
+
+    def probe(self, probe_codes: np.ndarray
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (lidx, ridx) pairs sorted by (probe row, build row)."""
+        s = self.s
+        codes = probe_codes.astype(np.int32)
+        ids = np.arange(len(codes), dtype=np.int32)
+        codes_dev, _ = shard_rows_padded(self.mesh, codes, fill=-1)
+        ids_dev, _ = shard_rows_padded(self.mesh, ids, fill=-1)
+        padded = np.asarray(codes_dev)
+        dest = np.where(padded >= 0, padded % s, -1).astype(np.int32)
+        capacity = _next_pow2(_shuffle_capacity(dest, s))
+        ri, lo, cnt = _shuffle_probe_program(
+            self.mesh, capacity, self.build_cap)(
+                codes_dev, ids_dev, self.build_dev)
+        ri = np.asarray(ri)
+        lo = np.asarray(lo)
+        cnt = np.asarray(cnt)
+        rows_per_shard = ri.shape[0] // s
+        shard_of = np.arange(ri.shape[0]) // rows_per_shard
+        hit = cnt > 0
+        if not hit.any():
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        h_ids = ri[hit]
+        h_lo = lo[hit].astype(np.int64)
+        h_cnt = cnt[hit].astype(np.int64)
+        h_sh = shard_of[hit]
+        # expand [lo, lo+cnt) ranges: repeat + intra-range offsets
+        lidx = np.repeat(h_ids, h_cnt).astype(np.int64)
+        base = np.repeat(h_lo + h_sh * self.build_cap, h_cnt)
+        ends = np.cumsum(h_cnt)
+        offsets = np.arange(ends[-1]) - np.repeat(ends - h_cnt, h_cnt)
+        ridx = self.build_ids.reshape(-1)[base + offsets]
+        order = np.lexsort((ridx, lidx))
+        return lidx[order], ridx[order]

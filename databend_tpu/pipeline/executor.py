@@ -889,12 +889,7 @@ def _exec_aggregate(plan: AggregatePlan):
         yield from _exec_aggregate_spilled(plan, spiller)
         return
 
-    state: dict = {}
-    buffered: List[Tuple[np.ndarray, List[Optional[Column]]]] = []
-    for key_cols, arg_cols, n in pending:
-        gids, state = _group_ids_n(n, key_cols, state)
-        buffered.append((gids, arg_cols))
-    out = _finalize_aggregate(plan, buffered, state, allow_distributed=True)
+    out = _aggregate_vectorized(plan, pending, allow_distributed=True)
     if out is not None:
         yield out
 
@@ -924,6 +919,55 @@ def _agg_update(fn, state, gids, arg_cols: Optional[List[Column]]):
         fn.update(state, gids, arg_cols[0].data, arg_cols[0].validity)
     else:
         fn.update_multi(state, gids, arg_cols)
+
+
+def _aggregate_vectorized(plan: AggregatePlan, runs,
+                          allow_distributed: bool = False
+                          ) -> Optional[DataBlock]:
+    """Fully vectorized grouped aggregation over buffered runs.
+
+    ``runs``: list of (key_cols, arg_cols, n). The reference's group-by
+    hashtable (src/common/hashtable) becomes: concat the evaluated key
+    columns across runs, factorize each once at C speed, composite-pack
+    into dense group ids, and take first-occurrence rows for the output
+    key columns. No per-distinct-key Python dict, no from_pylist over
+    groups — both were the ClickBench high-cardinality bottleneck. The
+    reduction itself then runs as one vectorized update per aggregate
+    (or rides the device grouped-merge exchange when distributed)."""
+    if not runs:
+        return None
+    from .keys import composite_group, factorize_column
+    nk = len(plan.keys)
+
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else Column.concat(parts)
+
+    key_cols_all = [cat([r[0][i] for r in runs]) for i in range(nk)]
+    gids, rep_idx = composite_group(
+        [factorize_column(c) for c in key_cols_all])
+    final_n = len(rep_idx)
+    if final_n == 0:
+        return None
+    out_cols = [c.take(rep_idx) for c in key_cols_all]
+    names = [n for n, _ in plan.keys] + [n for n, _, _ in plan.aggs]
+    arg_cols_all: List[Optional[List[Column]]] = []
+    for ai in range(len(plan.aggs)):
+        parts = [r[1][ai] for r in runs]
+        if parts[0] is None:
+            arg_cols_all.append(None)
+        else:
+            arg_cols_all.append([cat([p[t] for p in parts])
+                                 for t in range(len(parts[0]))])
+    if allow_distributed and plan.distributed:
+        dist = _try_distributed_aggregate(plan, [(gids, arg_cols_all)],
+                                          final_n)
+        if dist is not None:
+            return DataBlock(names, out_cols + dist, final_n)
+    for ai, (name, fn, _) in enumerate(plan.aggs):
+        st = fn.init_state(final_n)
+        _agg_update(fn, st, gids, arg_cols_all[ai])
+        out_cols.append(fn.finalize(st, final_n))
+    return DataBlock(names, out_cols, final_n)
 
 
 def _finalize_aggregate(plan: AggregatePlan, buffered, state,
@@ -1036,12 +1080,8 @@ def _exec_aggregate_spilled(plan: AggregatePlan, spiller: _AggSpiller):
         for p in range(N_SPILL_PARTITIONS):
             if not spiller.files[p]:
                 continue
-            state: dict = {}
-            buffered = []
-            for key_cols, arg_cols, n in spiller.read_partition(p):
-                gids, state = _group_ids_n(n, key_cols, state)
-                buffered.append((gids, arg_cols))
-            out = _finalize_aggregate(plan, buffered, state)
+            runs = list(spiller.read_partition(p))
+            out = _aggregate_vectorized(plan, runs)
             if out is not None:
                 yield out
     finally:
@@ -1121,7 +1161,16 @@ def _try_distributed_aggregate(plan: AggregatePlan, buffered, final_n: int):
         val_parts.append(vals)
     gids_all = np.concatenate(gid_parts)
     vals_all = np.concatenate(val_parts)
-    merged = sharded_grouped_agg(mesh, gids_all, vals_all, final_n, ops)
+    merged = None
+    if final_n > 65536:
+        # high cardinality: the psum merge would densify a [G] state on
+        # every shard — route through the all_to_all shuffle exchange
+        # instead (reference FragmentKind::Normal, fragmenter.rs:209)
+        from ..parallel.exchange import sharded_shuffle_grouped_agg
+        merged = sharded_shuffle_grouped_agg(mesh, gids_all, vals_all,
+                                             final_n, ops)
+    if merged is None:
+        merged = sharded_grouped_agg(mesh, gids_all, vals_all, final_n, ops)
     out_cols: List[Column] = []
     for ai, (name, fn, _) in enumerate(plan.aggs):
         kind, idxs = spec[ai]
@@ -1370,6 +1419,8 @@ def _hash_join_stream(plan: JoinPlan, right, left_iter,
         rkeys = [ev.run(e) for e in plan.right_keys]
     bcast = (_BroadcastJoinContext.build(plan, rkeys)
              if plan.distributed and rkeys else None)
+    shuffle = (_ShuffleJoinContext.build(plan, rkeys)
+               if plan.distributed and rkeys and bcast is None else None)
     right_matched = np.zeros(right.num_rows if right is not None else 0, np.bool_)
 
     for lblock in left_iter:
@@ -1378,6 +1429,8 @@ def _hash_join_stream(plan: JoinPlan, right, left_iter,
         if rkeys and lblock.num_rows:
             if bcast is not None:
                 lidx, ridx = bcast.probe(lkeys)
+            elif shuffle is not None:
+                lidx, ridx = shuffle.probe(lkeys)
             else:
                 lidx, ridx = match_indices(rkeys, lkeys)
             lidx, ridx = lidx.tolist(), ridx.tolist()
@@ -1505,6 +1558,81 @@ class _BroadcastJoinContext:
         out = broadcast_lookup_join(self.mesh, comp, self.build_comp)
         lidx = np.nonzero(out >= 0)[0]
         return lidx, out[lidx]
+
+
+class _ShuffleJoinContext:
+    """Shuffle (Normal) exchange join for NON-unique build keys: the case
+    the broadcast context refuses. Build/probe key tuples map to dense
+    int32 codes through a shared factorization; the device-resident
+    ShuffleJoin state hash-partitions build codes over the mesh once and
+    each probe block all_to_all-shuffles to its owner shard for a binary-
+    search match-range lookup (reference fragmenter.rs:209 hash shuffle +
+    hash join probe)."""
+
+    def __init__(self, mesh, indexes, sizes, dense_index, sj):
+        self.mesh = mesh
+        self.indexes = indexes
+        self.sizes = sizes
+        self.dense_index = dense_index
+        self.sj = sj
+
+    @staticmethod
+    def _composite(key_cols, indexes, sizes):
+        import pandas as pd
+        from .keys import key_values
+        comp = np.zeros(len(key_cols[0]), np.int64)
+        nullmask = np.zeros(len(key_cols[0]), np.bool_)
+        for c, idx, s in zip(key_cols, indexes, sizes):
+            vals = key_values(c)
+            cd = idx.get_indexer(vals).astype(np.int64)
+            if c.validity is not None:
+                cd = np.where(c.validity, cd, -1)
+            nullmask |= cd < 0
+            comp = comp * s + np.where(cd >= 0, cd, 0)
+        return np.where(nullmask, -1, comp)
+
+    @staticmethod
+    def build(plan, rkeys):
+        from ..parallel.exchange import ShuffleJoin
+        from ..parallel.mesh import get_default_mesh
+        mesh = get_default_mesh()
+        if mesh is None:
+            return None
+        import pandas as pd
+        from .keys import key_values
+        indexes, codes, sizes = [], [], []
+        for c in rkeys:
+            vals = key_values(c)
+            cd, uniq = pd.factorize(vals)
+            cd = cd.astype(np.int64)
+            if c.validity is not None:
+                cd = np.where(c.validity, cd, -1)
+            indexes.append(pd.Index(uniq))
+            codes.append(cd)
+            sizes.append(len(uniq) + 1)
+        total = 1
+        for s in sizes:
+            total *= s
+            if total > (1 << 62):
+                return None
+        comp = np.zeros(len(rkeys[0]), np.int64)
+        nullmask = np.zeros(len(rkeys[0]), np.bool_)
+        for cd, s in zip(codes, sizes):
+            comp = comp * s + np.where(cd >= 0, cd, 0)
+            nullmask |= cd < 0
+        comp = np.where(nullmask, -1, comp)
+        # densify composites to int32-range codes shared with probes
+        dense_index = pd.Index(pd.unique(comp[comp >= 0]))
+        dense = dense_index.get_indexer(comp)
+        dense = np.where(comp >= 0, dense, -1).astype(np.int32)
+        return _ShuffleJoinContext(mesh, indexes, sizes, dense_index,
+                                   ShuffleJoin(mesh, dense))
+
+    def probe(self, lkeys):
+        comp = self._composite(lkeys, self.indexes, self.sizes)
+        dense = self.dense_index.get_indexer(comp)
+        dense = np.where(comp >= 0, dense, -1).astype(np.int32)
+        return self.sj.probe(dense)
 
 
 def _exec_cross_join(plan, right, lfields, rfields, out_names):
