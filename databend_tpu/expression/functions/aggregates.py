@@ -176,6 +176,40 @@ class _MinMaxAgg(AggregateFunction):
 
     def update(self, state, group_ids, payload, validity):
         if self._py_path():
+            if isinstance(payload, StringData):
+                codes = payload.codes()
+                if codes is not None and len(codes):
+                    # rank path: decode + order UNIQUE values only, then a
+                    # C-level minimum.at over int ranks; the per-group
+                    # merge loop runs over groups, not rows
+                    g = np.asarray(group_ids, np.int64)
+                    if validity is not None:
+                        keep = np.asarray(validity, bool)
+                        g, codes = g[keep], codes[keep]
+                    if not len(g):
+                        return
+                    n_u = int(codes.max()) + 1
+                    rep = np.empty(n_u, np.int64)
+                    rep[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+                    uniq = [payload.get(int(i)) for i in rep]
+                    order = np.argsort(np.array(uniq, object))
+                    rank = np.empty(n_u, np.int64)
+                    rank[order] = np.arange(n_u)
+                    best = state[0]
+                    nb = len(best)
+                    br = np.full(nb, n_u if self._is_min else -1, np.int64)
+                    op = np.minimum if self._is_min else np.maximum
+                    op.at(br, g, rank[codes])
+                    by_rank = np.array(uniq, object)[order]
+                    hit = np.nonzero((br < n_u) if self._is_min
+                                     else (br >= 0))[0]
+                    for gi in hit.tolist():
+                        v = by_rank[br[gi]]
+                        if best[gi] is None or \
+                                (v < best[gi] if self._is_min
+                                 else v > best[gi]):
+                            best[gi] = v
+                    return
             vals = payload.to_pylist() if isinstance(payload, StringData) else list(payload)
             best = state[0]
             for i, g in enumerate(group_ids.tolist()):

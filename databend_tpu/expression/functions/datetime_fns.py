@@ -124,6 +124,66 @@ def _to_unix(a, arg_types=None, **kw):
     return np.asarray(a, np.int64) // _US
 
 
+def _res_date_trunc(arg_types):
+    if len(arg_types) != 2:
+        raise SemanticError("date_trunc expects (unit, date/timestamp)")
+    return arg_types[1].remove_nullable()
+
+
+@scalar_function("date_trunc", _res_date_trunc)
+def _date_trunc(unit, a, arg_types=None, **kw):
+    """DATE_TRUNC('minute'|'hour'|..., expr) — reference
+    scalars/datetime.rs date_trunc/to_start_of_* family."""
+    u = (unit.get(0) if isinstance(unit, StringData) else str(unit)).lower()
+    t = arg_types[1].remove_nullable()
+    arr = np.asarray(a, np.int64)
+    if t == Date:
+        if u in ("second", "minute", "hour", "day"):
+            return arr.astype(np.int32)  # sub-day units: identity on DATE
+        if u == "week":  # Monday start (epoch day 4 = first Monday)
+            return ((arr - 4) // 7 * 7 + 4).astype(np.int32)
+        y, m, _d = _civil(arr, [Date])
+        if u == "month":
+            first = _days_from_civil(y, m, np.ones_like(m))
+        elif u == "quarter":
+            qm = (m - 1) // 3 * 3 + 1
+            first = _days_from_civil(y, qm, np.ones_like(m))
+        elif u == "year":
+            first = _days_from_civil(y, np.ones_like(m), np.ones_like(m))
+        else:
+            raise SemanticError(f"date_trunc: unknown unit {u!r}")
+        return first.astype(np.int32)
+    us = {"second": _US, "minute": 60 * _US, "hour": 3600 * _US,
+          "day": 86400 * _US}.get(u)
+    if us is not None:
+        return arr // us * us
+    if u == "week":
+        day = arr // (86400 * _US)
+        return ((day - 4) // 7 * 7 + 4) * 86400 * _US
+    y, m, _d = _civil(arr, [Timestamp])
+    if u == "month":
+        first = _days_from_civil(y, m, np.ones_like(m))
+    elif u == "quarter":
+        qm = (m - 1) // 3 * 3 + 1
+        first = _days_from_civil(y, qm, np.ones_like(m))
+    elif u == "year":
+        first = _days_from_civil(y, np.ones_like(m), np.ones_like(m))
+    else:
+        raise SemanticError(f"date_trunc: unknown unit {u!r}")
+    return first * 86400 * _US
+
+
+def _days_from_civil(y, m, d):
+    """Inverse of _civil (Howard Hinnant's days_from_civil), vectorized."""
+    y = y - (m <= 2)
+    era = np.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = np.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
 @scalar_function("date_format", _res("date_format", 2, String), aliases=["to_char"])
 def _date_format(a, fmt, arg_types=None, **kw):
     t = arg_types[0].remove_nullable()

@@ -299,6 +299,14 @@ def _rx(pat, cache):
 
 @scalar_function("regexp_like", _str_resolver("regexp_like", 2, 3, ret=Boolean))
 def _regexp_like(a, pat, flags=None, **kw):
+    p0 = _const_str(pat)
+    if flags is None and p0 is not None:
+        codes, uniq = _dict_uniques(a)
+        if len(uniq) < max(len(codes) // 2, 2):
+            rx = _rx(p0, {})
+            hit = np.array([rx.search(v) is not None for v in uniq],
+                           np.bool_)
+            return hit[codes]
     vals, pats = _as_list(a), _as_list(pat)
     fl = _as_list(flags) if flags is not None else [""] * len(vals)
     cache = {}
@@ -310,8 +318,44 @@ def _regexp_like(a, pat, flags=None, **kw):
     return out
 
 
+def _const_str(x):
+    """The broadcast literal behind a constant StringData, else None."""
+    if isinstance(x, StringData):
+        return getattr(x, "_const_value", None)
+    return None
+
+
+def _dict_uniques(a):
+    """(codes, unique_values) over a string payload — the dictionary-
+    execution trick: run an expensive per-row function over DISTINCT
+    values only, then fan results back out with one vectorized take.
+    Uses the native byte-level factorizer when available (no per-row
+    decode at all: only the uniques get decoded)."""
+    import pandas as pd
+    if isinstance(a, StringData):
+        codes = a.codes()
+        if codes is not None:
+            n_u = int(codes.max()) + 1 if len(codes) else 0
+            rep = np.empty(n_u, np.int64)
+            rep[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+            return codes, [a.get(int(i)) for i in rep]
+        arr = a.as_object_array()
+    else:
+        arr = np.asarray(_as_list(a), object)
+    codes, uniq = pd.factorize(arr)
+    return codes, uniq.tolist()
+
+
 @scalar_function("regexp_replace", _str_resolver("regexp_replace", 3, 6))
 def _regexp_replace(a, pat, rep, pos=None, occ=None, flags=None, **kw):
+    p0, r0 = _const_str(pat), _const_str(rep)
+    if pos is None and occ is None and flags is None \
+            and p0 is not None and r0 is not None:
+        codes, uniq = _dict_uniques(a)
+        if len(uniq) < max(len(codes) // 2, 2):
+            rx = _rx(p0, {})
+            mapped = StringData.from_pylist([rx.sub(r0, v) for v in uniq])
+            return mapped.take(codes)
     vals, pats, reps = _as_list(a), _as_list(pat), _as_list(rep)
     n = len(vals)
     poss = np.asarray(pos).tolist() if pos is not None else [1] * n

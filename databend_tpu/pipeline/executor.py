@@ -381,7 +381,22 @@ def _sort_key_arrays(block: DataBlock, items) -> List[np.ndarray]:
 
 def _comparable_array(col: Column) -> np.ndarray:
     if isinstance(col.data, StringData):
-        return np.array(col.data.to_pylist(), dtype=object)
+        sd = col.data
+        codes = sd.codes()
+        if codes is not None and len(codes):
+            # rank-encode: only the UNIQUE values get decoded and sorted,
+            # then one int gather — an object-array lexsort over millions
+            # of Python strings becomes an int64 lexsort (the reference's
+            # string sort runs on binary columns for the same reason)
+            n_u = int(codes.max()) + 1
+            rep = np.empty(n_u, np.int64)
+            rep[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+            uniq = np.array([sd.get(int(i)) for i in rep], dtype=object)
+            order = np.argsort(uniq)
+            rank = np.empty(n_u, np.int64)
+            rank[order] = np.arange(n_u)
+            return rank[codes]
+        return np.array(sd.to_pylist(), dtype=object)
     return col.data
 
 

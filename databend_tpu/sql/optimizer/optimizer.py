@@ -38,12 +38,240 @@ MAX_DP_RELATIONS = 10
 def optimize(plan: Plan, session) -> Plan:
     """Entry point: rewrite the bound plan tree (reference planner.rs:92
     `optimize()` after bind)."""
+    cbo = True
     try:
-        if not session.settings.get("enable_cbo"):
-            return plan
+        cbo = bool(session.settings.get("enable_cbo"))
     except Exception:
         pass
-    return _Optimizer(session).rewrite(plan)
+    out = _Optimizer(session).rewrite(plan) if cbo else plan
+    if cbo:
+        out = _transform_post(out, _rewrite_affine_sums)
+    prune_scan_columns(out)
+    return out
+
+
+def _transform_post(plan: Plan, f) -> Plan:
+    """Post-order plan transform (children first, then the node)."""
+    from ..plans import DistinctPlan, LateralFlattenPlan, SetOpPlan
+    if isinstance(plan, (FilterPlan, ProjectPlan, AggregatePlan, SortPlan,
+                         LimitPlan, WindowPlan, DistinctPlan,
+                         LateralFlattenPlan)):
+        plan.child = _transform_post(plan.child, f)
+    elif isinstance(plan, (JoinPlan, SetOpPlan)):
+        plan.left = _transform_post(plan.left, f)
+        plan.right = _transform_post(plan.right, f)
+    elif isinstance(plan, UnionAllPlan):
+        plan.inputs = [_transform_post(c, f) for c in plan.inputs]
+    return f(plan)
+
+
+def _decompose_affine(e: ScalarExpr):
+    """sum-arg `k*base + c` decomposition for plus/minus with a numeric
+    literal: returns (base_expr, k, c) or None."""
+    if not isinstance(e, Func) or e.name not in ("plus", "minus") \
+            or len(e.args) != 2:
+        return None
+    a, b = e.args
+    for const, base, swapped in ((b, a, False), (a, b, True)):
+        if isinstance(const, Constant) \
+                and isinstance(const.value, (int, float)) \
+                and not isinstance(const.value, bool) \
+                and not isinstance(base, Constant):
+            if e.name == "plus":
+                return (base, 1, const.value)
+            # minus: base - c  |  c - base
+            return (base, -1, const.value) if swapped else (base, 1, -const.value)
+    return None
+
+
+def _rewrite_affine_sums(plan: Plan) -> Plan:
+    """SUM(x ± c) -> SUM(x) ± c*COUNT(x): dedupes the base column's sum
+    and count once, then computes each affine output in a projection
+    (ClickBench q29's 90 sums collapse to one sum + one count). Applied
+    when at least two aggregates share the rewrite."""
+    if not isinstance(plan, AggregatePlan):
+        return plan
+    from ...expression.functions.aggregates import CountAgg, SumAgg
+    from ...types import Float64, Int64
+    affine = {}
+    for name, fn, args in plan.aggs:
+        if getattr(fn, "name", "") == "sum" and not fn.distinct \
+                and len(args) == 1:
+            d = _decompose_affine(args[0])
+            if d is not None and d[0].dtype.remove_nullable().is_numeric():
+                affine[name] = d
+    if len(affine) < 2:
+        return plan
+    base_slots: Dict[str, Tuple[int, ScalarExpr]] = {}
+    new_aggs = []
+    for name, fn, args in plan.aggs:
+        if name not in affine:
+            new_aggs.append((name, fn, args))
+    items: List[Tuple[str, ScalarExpr]] = []
+    for kname, kexpr in plan.keys:
+        items.append((kname, BoundColumn(kname, kexpr.dtype)))
+    for name, fn, args in plan.aggs:
+        if name not in affine:
+            rt = fn.return_type()
+            if not name.startswith("count"):
+                rt = rt.wrap_nullable()
+            items.append((name, BoundColumn(name, rt)))
+            continue
+        base, k, c = affine[name]
+        key = base.display()
+        if key not in base_slots:
+            i = len(base_slots)
+            base_slots[key] = (i, base)
+            new_aggs.append((f"__afs{i}", SumAgg([base.dtype]), [base]))
+            new_aggs.append((f"__afc{i}", CountAgg([base.dtype]), [base]))
+        i, _ = base_slots[key]
+        srt = SumAgg([base.dtype]).return_type().wrap_nullable()
+        s_col = BoundColumn(f"__afs{i}", srt)
+        n_col = BoundColumn(f"__afc{i}", Int64)
+        cdt = Float64 if isinstance(c, float) else Int64
+        expr: ScalarExpr = s_col if k == 1 else Func(
+            "negate", [s_col], srt)
+        if c != 0:
+            expr = Func("plus", [expr, Func(
+                "multiply", [Constant(c, cdt), CastExpr(n_col, Int64, True)],
+                cdt)], srt)
+        items.append((name, CastExpr(expr, fn.return_type().wrap_nullable(),
+                                     True)))
+    plan.aggs = new_aggs
+    return ProjectPlan(plan, items)
+
+
+# ------------------------------------------------------- column pruning
+
+def prune_scan_columns(plan: Plan) -> None:
+    """Projection pushdown: compute the base columns each Scan must
+    materialize and record them in Scan.columns (reference: column
+    pruning / PushDownInfo.projection). Two phases — a top-down collect
+    that UNIONS requirements per Scan object (the binder shares Scans,
+    e.g. across UNPIVOT's UNION branches), then assignment plus a
+    post-order re-alignment of positional join output fields. A node
+    type without a rule falls back to "all columns" (always correct).
+    Qualified names ('f.k') match schema names by suffix."""
+    reqs: Dict[int, Optional[Set[str]]] = {}
+    scans: Dict[int, Scan] = {}
+    joins: List[Tuple[JoinPlan, list, list]] = []
+    _collect_reqs(plan, None, reqs, scans, joins)
+    for sid, scan in scans.items():
+        req = reqs[sid]
+        if req is None:
+            continue
+        names = set(req)
+        if scan.pushdown.filters is not None:
+            names |= column_names(scan.pushdown.filters)
+        suffixes = {q.rsplit(".", 1)[-1] for q in names}
+        keep = [f.name for f in scan.table.schema.fields
+                if f.name.lower() in names or f.name.lower() in suffixes]
+        if not keep:  # zero-column blocks lose their row count: keep one
+            keep = [scan.table.schema.fields[0].name]
+        if len(keep) < len(scan.table.schema.fields):
+            scan.columns = keep
+    # joins were appended top-down; reversed = children realign first
+    seen_joins: Set[int] = set()
+    for jp, lf_before, rf_before in reversed(joins):
+        if id(jp) in seen_joins:
+            continue  # shared node: realign exactly once
+        seen_joins.add(id(jp))
+        lkeep = {f.name for f in jp.left.output_fields()}
+        rkeep = {f.name for f in jp.right.output_fields()}
+        if len(lkeep) == len(lf_before) and len(rkeep) == len(rf_before):
+            continue
+        mask = [f.name in lkeep for f in lf_before] + \
+               [f.name in rkeep for f in rf_before]
+        if jp.all_fields is not None:  # SEMI/ANTI: fields = left side only
+            jp.all_fields = [f for f, k in zip(jp.all_fields, mask) if k]
+            jp.fields = [f for f, k in
+                         zip(jp.fields, mask[:len(lf_before)]) if k]
+        else:
+            jp.fields = [f for f, k in zip(jp.fields, mask) if k]
+
+
+def _names_of(exprs) -> Set[str]:
+    out: Set[str] = set()
+    for e in exprs:
+        if e is not None:
+            out |= column_names(e)
+    return out
+
+
+def _merge_req(reqs, scans, scan: Scan, req: Optional[Set[str]]) -> None:
+    sid = id(scan)
+    scans[sid] = scan
+    if sid in reqs and reqs[sid] is None:
+        return
+    if req is None:
+        reqs[sid] = None
+    else:
+        reqs.setdefault(sid, set())
+        reqs[sid] |= req
+
+
+def _collect_reqs(plan: Plan, req: Optional[Set[str]], reqs, scans,
+                  joins) -> None:
+    from ..plans import LateralFlattenPlan
+    if isinstance(plan, Scan):
+        _merge_req(reqs, scans, plan, req)
+        return
+    if isinstance(plan, ProjectPlan):
+        _collect_reqs(plan.child, _names_of(e for _, e in plan.items),
+                      reqs, scans, joins)
+        return
+    if isinstance(plan, FilterPlan):
+        _collect_reqs(plan.child,
+                      None if req is None else req | column_names(plan.expr),
+                      reqs, scans, joins)
+        return
+    if isinstance(plan, AggregatePlan):
+        need = _names_of(e for _, e in plan.keys)
+        for _n, _f, args in plan.aggs:
+            need |= _names_of(args)
+        _collect_reqs(plan.child, need, reqs, scans, joins)
+        return
+    if isinstance(plan, SortPlan):
+        _collect_reqs(plan.child, None if req is None
+                      else req | {i.name.lower() for i in plan.items},
+                      reqs, scans, joins)
+        return
+    if isinstance(plan, LimitPlan):
+        _collect_reqs(plan.child, req, reqs, scans, joins)
+        return
+    if isinstance(plan, JoinPlan):
+        if req is None:
+            _collect_reqs(plan.left, None, reqs, scans, joins)
+            _collect_reqs(plan.right, None, reqs, scans, joins)
+            return
+        need = (req | _names_of(plan.left_keys)
+                | _names_of(plan.right_keys)
+                | _names_of([plan.residual]))
+        joins.append((plan, plan.left.output_fields(),
+                      plan.right.output_fields()))
+        _collect_reqs(plan.left, need, reqs, scans, joins)
+        _collect_reqs(plan.right, need, reqs, scans, joins)
+        return
+    if isinstance(plan, WindowPlan):
+        if req is None:
+            _collect_reqs(plan.child, None, reqs, scans, joins)
+            return
+        need = set(req)
+        for it in plan.items:
+            need |= _names_of(it.args)
+            need |= _names_of(it.partition_by)
+            need |= _names_of(e for e, _a, _nf in it.order_by)
+        _collect_reqs(plan.child, need, reqs, scans, joins)
+        return
+    if isinstance(plan, LateralFlattenPlan):
+        _collect_reqs(plan.child, None if req is None
+                      else req | column_names(plan.input_expr),
+                      reqs, scans, joins)
+        return
+    # DistinctPlan, UnionAllPlan, SetOpPlan, unknown nodes: the full child
+    # output is semantically significant (dedup / positional union)
+    for ch in plan.children():
+        _collect_reqs(ch, None, reqs, scans, joins)
 
 
 # ----------------------------------------------------------- expression utils
@@ -84,7 +312,18 @@ def rename_columns(e: ScalarExpr, ren: Dict[str, str]) -> ScalarExpr:
 
 
 def column_names(e: ScalarExpr) -> Set[str]:
-    return {x.name.lower() for x in e.walk() if isinstance(x, BoundColumn)}
+    from ...expression.expr import ArrayLambda
+    out: Set[str] = set()
+    for x in e.walk():
+        if isinstance(x, BoundColumn):
+            out.add(x.name.lower())
+        elif isinstance(x, ArrayLambda):
+            # lambda bodies close over outer columns; the lambda's own
+            # parameters are element-block locals, not table columns
+            inner = column_names(x.body)
+            out |= inner - {p.lower() for p in x.param_cols} \
+                - {p.lower() for p in x.params}
+    return out
 
 
 # ------------------------------------------------------------------ join graph
