@@ -61,7 +61,16 @@ class Evaluator:
 
     def _run_func(self, expr: Func) -> Column:
         fn = registry.get(expr.name)
-        args = [self.run(a) for a in expr.args]
+        if expr.name == "in_set" and len(expr.args) == 2 \
+                and isinstance(expr.args[1], Constant):
+            # the kernel reads the constant IN-list from row 0 only —
+            # build it once instead of physically broadcasting a 150k-key
+            # list to every input row (TPC-H q18/q20 IN-subquery folds)
+            args = [self.run(expr.args[0]),
+                    constant_column(expr.args[1].value,
+                                    expr.args[1].dtype, 1)]
+        else:
+            args = [self.run(a) for a in expr.args]
         n = self.block.num_rows
         arg_types = [a.dtype for a in args]
         if fn.null_policy == "custom":

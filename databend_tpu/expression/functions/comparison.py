@@ -236,9 +236,14 @@ def _in_set(a, items, **kw):
         s = set(lst[0] if lst and isinstance(lst[0], (list, tuple)) else lst)
     if isinstance(vals, np.ndarray) and vals.dtype.kind in "iuf" \
             and all(isinstance(v, (int, float)) for v in s):
-        s = {float(v) for v in s}
-        return np.fromiter((float(v) in s for v in vals.tolist()), np.bool_, len(vals))
-    return np.fromiter((v in s for v in vals.tolist()), np.bool_, len(vals))
+        # vectorized membership: one np.isin (sort-based) instead of a
+        # Python loop per row — TPC-H q18's 150k-key IN list at C speed
+        return np.isin(vals, np.fromiter((float(v) for v in s), np.float64,
+                                         len(s)))
+    import pandas as pd
+    return pd.Index(vals).isin(list(s)).astype(np.bool_) \
+        if isinstance(vals, np.ndarray) else \
+        np.fromiter((v in s for v in vals.tolist()), np.bool_, len(vals))
 
 
 @scalar_function("regexp", _str2_resolver("regexp"), aliases=["rlike"])

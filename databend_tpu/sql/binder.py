@@ -410,8 +410,23 @@ class Binder:
         sel.where = rewrite_any_all(sel.where)
         if sel.having is not None:
             sel.having = rewrite_any_all(sel.having)
+        cte_names = {n.lower() for n in (ctes or {})}
+
+        def _resolver(ref):
+            """Table columns for decorrelation; None when unknown (CTE,
+            view, missing) — falls back to qualified-only detection."""
+            name = getattr(ref, "name", None)
+            if name is None or name.lower() in cte_names:
+                return None
+            try:
+                t = self.session.table(name, getattr(ref, "database", None))
+                return {f.name.lower() for f in t.schema.fields}
+            except Exception:
+                return None
+
         decorrelate_where(sel, getattr(self, "_decorr_counter", None)
-                          or self.__dict__.setdefault("_decorr_counter", [0]))
+                          or self.__dict__.setdefault("_decorr_counter", [0]),
+                          _resolver)
         state = ScanState()
         if sel.from_ is None:
             plan, ctx = self._one_row_plan()

@@ -58,40 +58,75 @@ def _from_names(ref: Optional[A.TableRef]) -> Set[str]:
     return out
 
 
-def _refs_outside(e: A.Expr, inner_names: Set[str]) -> bool:
-    """Any qualified ColumnRef whose qualifier is not an inner name?"""
+def _inner_col_set(ref: Optional[A.TableRef], resolver) -> Optional[Set[str]]:
+    """Columns the inner FROM exposes (lowercase), or None if unknown.
+    With a catalog resolver this lets UNQUALIFIED outer references be
+    recognized (TPC-H writes `l_orderkey = o_orderkey`, no qualifiers)."""
+    if ref is None:
+        return set()
+    if resolver is None:
+        return None
+    if isinstance(ref, A.TableName):
+        return resolver(ref)
+    if isinstance(ref, A.Join):
+        a = _inner_col_set(ref.left, resolver)
+        b = _inner_col_set(ref.right, resolver)
+        return None if a is None or b is None else a | b
+    return None  # subquery / table function / values: unknown
+
+
+def _refs_outside(e: A.Expr, inner_names: Set[str],
+                  inner_cols: Optional[Set[str]] = None) -> bool:
+    """Any ColumnRef resolving OUTSIDE the subquery: qualified with a
+    non-inner name, or (when the inner column set is known) unqualified
+    and not an inner column."""
     import dataclasses
     if isinstance(e, A.ColumnRef):
-        return e.table is not None and e.table.lower() not in inner_names
+        if e.table is not None:
+            return e.table.lower() not in inner_names
+        return inner_cols is not None and e.name.lower() not in inner_cols
     if not dataclasses.is_dataclass(e):
         return False
     for f in dataclasses.fields(e):
         v = getattr(e, f.name)
         vals = v if isinstance(v, (list, tuple)) else [v]
         for x in vals:
-            if isinstance(x, A.Expr) and _refs_outside(x, inner_names):
+            if isinstance(x, A.Expr) and _refs_outside(x, inner_names,
+                                                       inner_cols):
                 return True
     return False
 
 
-def _classify(conj: A.Expr, inner_names: Set[str]):
-    """'inner' | ('corr', inner_side, outer_side) | None (unsupported)."""
-    if not _refs_outside(conj, inner_names):
+_CMP_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
+
+
+def _classify(conj: A.Expr, inner_names: Set[str],
+              inner_cols: Optional[Set[str]] = None):
+    """'inner' | ('corr', inner, outer) | ('residual', op, inner, outer,
+    inner_is_left) | None (unsupported)."""
+    if not _refs_outside(conj, inner_names, inner_cols):
         return "inner"
-    if isinstance(conj, A.BinaryOp) and conj.op == "=":
-        l_out = _refs_outside(conj.left, inner_names)
-        r_out = _refs_outside(conj.right, inner_names)
+    if isinstance(conj, A.BinaryOp) and conj.op in _CMP_OPS:
+        l_out = _refs_outside(conj.left, inner_names, inner_cols)
+        r_out = _refs_outside(conj.right, inner_names, inner_cols)
         if l_out != r_out:
             inner_side = conj.right if l_out else conj.left
             outer_side = conj.left if l_out else conj.right
-            if not _refs_outside(inner_side, inner_names):
-                return ("corr", inner_side, outer_side)
+            if not _refs_outside(inner_side, inner_names, inner_cols):
+                if conj.op == "=":
+                    return ("corr", inner_side, outer_side)
+                # non-equi correlation: hoistable into the join residual
+                return ("residual", conj.op, inner_side, outer_side,
+                        not l_out)
     return None
 
 
-def decorrelate_where(sel: A.SelectStmt, counter: List[int]) -> None:
+def decorrelate_where(sel: A.SelectStmt, counter: List[int],
+                      resolver=None) -> None:
     """Rewrite sel.from_/sel.where in place; leaves unsupported shapes
-    untouched (they follow the uncorrelated path or raise as before)."""
+    untouched (they follow the uncorrelated path or raise as before).
+    ``resolver(A.TableName) -> set[str] | None`` supplies table columns
+    so unqualified correlated references classify correctly."""
     if sel.where is None or sel.from_ is None:
         return
     keep: List[A.Expr] = []
@@ -103,14 +138,90 @@ def decorrelate_where(sel: A.SelectStmt, counter: List[int]) -> None:
         handled = False
         if isinstance(target, (A.Exists, A.InSubquery)):
             neg = negate != target.negated
-            handled = _try_rewrite(sel, target, neg, counter)
+            handled = _try_rewrite(sel, target, neg, counter, resolver)
+        elif isinstance(conj, A.BinaryOp) and conj.op in _CMP_OPS:
+            new_conj = _try_scalar_agg(sel, conj, counter, resolver)
+            if new_conj is not None:
+                keep.append(new_conj)
+                handled = True
         if not handled:
             keep.append(conj)
     sel.where = and_join(keep)
 
 
+def _try_scalar_agg(sel: A.SelectStmt, conj: A.BinaryOp,
+                    counter: List[int], resolver) -> Optional[A.Expr]:
+    """Correlated scalar aggregate subquery in a comparison:
+    `x CMP (SELECT agg(...) FROM inner WHERE corr-eqs AND ...)` becomes
+    an INNER join against the GROUP BY corr-keys aggregate (TPC-H q2/
+    q17/q20 shape; reference: scalar-subquery-to-join rule). A missing
+    group yields scalar NULL -> comparison UNKNOWN -> row filtered, which
+    the inner join reproduces exactly for a positive WHERE conjunct."""
+    sub_left = isinstance(conj.left, A.ScalarSubquery)
+    sub = conj.left if sub_left else conj.right
+    other = conj.right if sub_left else conj.left
+    if not isinstance(sub, A.ScalarSubquery) \
+            or isinstance(other, A.ScalarSubquery):
+        return None
+    q = sub.query
+    body = q.body
+    if not isinstance(body, A.SelectStmt) or body.from_ is None:
+        return None
+    if q.limit is not None or body.group_by or body.group_sets \
+            or body.having is not None or len(body.items) != 1:
+        return None
+    if not _has_agg(body.items[0].expr):
+        return None
+    inner_names = _from_names(body.from_)
+    inner_cols = _inner_col_set(body.from_, resolver)
+    inner_conjs: List[A.Expr] = []
+    corr: List[Tuple[A.Expr, A.Expr]] = []
+    for c in split_conjuncts(body.where):
+        kind = _classify(c, inner_names, inner_cols)
+        if kind == "inner":
+            inner_conjs.append(c)
+        elif isinstance(kind, tuple) and kind[0] == "corr":
+            corr.append((kind[1], kind[2]))
+        else:
+            return None
+    if not corr:
+        return None  # uncorrelated: the eager constant fold handles it
+    alias = f"__sa{counter[0]}"
+    counter[0] += 1
+    items = [A.SelectItem(ins, f"__ck{i}") for i, (ins, _) in enumerate(corr)]
+    items.append(A.SelectItem(body.items[0].expr, "__v"))
+    grouped = A.SelectStmt(items, body.from_, and_join(inner_conjs),
+                           group_by=[ins for ins, _ in corr])
+    on = and_join([A.BinaryOp("=", A.ColumnRef(f"__ck{i}", alias), outer)
+                   for i, (_, outer) in enumerate(corr)])
+    sel.from_ = A.Join("INNER", sel.from_,
+                       A.SubqueryRef(A.Query(grouped), alias), on)
+    v = A.ColumnRef("__v", alias)
+    return A.BinaryOp(conj.op, v, other) if sub_left \
+        else A.BinaryOp(conj.op, other, v)
+
+
+_AGG_NAMES = {"sum", "avg", "min", "max", "count", "count_distinct",
+              "stddev", "stddev_pop", "stddev_samp", "variance"}
+
+
+def _has_agg(e: A.Expr) -> bool:
+    import dataclasses
+    if isinstance(e, A.FunctionCall) and e.name.lower() in _AGG_NAMES:
+        return True
+    if not dataclasses.is_dataclass(e) or isinstance(e, A.Query):
+        return False
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        vals = v if isinstance(v, (list, tuple)) else [v]
+        for x in vals:
+            if isinstance(x, A.Expr) and _has_agg(x):
+                return True
+    return False
+
+
 def _try_rewrite(sel: A.SelectStmt, target, negated: bool,
-                 counter: List[int]) -> bool:
+                 counter: List[int], resolver=None) -> bool:
     q = target.query
     body = q.body
     if not isinstance(body, A.SelectStmt) or body.from_ is None:
@@ -119,16 +230,20 @@ def _try_rewrite(sel: A.SelectStmt, target, negated: bool,
             or body.having is not None:
         return False
     inner_names = _from_names(body.from_)
+    inner_cols = _inner_col_set(body.from_, resolver)
     inner_conjs: List[A.Expr] = []
     corr: List[Tuple[A.Expr, A.Expr]] = []
+    resids: List[Tuple[str, A.Expr, A.Expr, bool]] = []
     for c in split_conjuncts(body.where):
-        kind = _classify(c, inner_names)
+        kind = _classify(c, inner_names, inner_cols)
         if kind == "inner":
             inner_conjs.append(c)
-        elif isinstance(kind, tuple):
+        elif isinstance(kind, tuple) and kind[0] == "corr":
             corr.append((kind[1], kind[2]))
+        elif isinstance(kind, tuple) and kind[0] == "residual":
+            resids.append((kind[1], kind[2], kind[3], kind[4]))
         else:
-            return False  # non-equi correlation: leave untouched
+            return False  # unsupported correlation shape: leave untouched
     if not corr:
         return False  # uncorrelated: the constant-folding path handles it
     alias = f"__sq{counter[0]}"
@@ -136,6 +251,14 @@ def _try_rewrite(sel: A.SelectStmt, target, negated: bool,
     items = [A.SelectItem(ins, f"__c{i}") for i, (ins, _) in enumerate(corr)]
     on_parts = [A.BinaryOp("=", A.ColumnRef(f"__c{i}", alias), outer)
                 for i, (_, outer) in enumerate(corr)]
+    # non-equi correlated conjuncts ride the join residual: hoist the
+    # pure-inner side as a select item (TPC-H q21's l2.l_suppkey <>
+    # l1.l_suppkey), the binder routes non-equi ON conjuncts to residual
+    for i, (op, ins, outer, inner_is_left) in enumerate(resids):
+        items.append(A.SelectItem(ins, f"__r{i}"))
+        rcol = A.ColumnRef(f"__r{i}", alias)
+        on_parts.append(A.BinaryOp(op, rcol, outer) if inner_is_left
+                        else A.BinaryOp(op, outer, rcol))
     if isinstance(target, A.InSubquery):
         if len(body.items) != 1:
             return False

@@ -284,7 +284,55 @@ def conjuncts(e: Optional[ScalarExpr]) -> List[ScalarExpr]:
         for a in e.args:
             out.extend(conjuncts(a))
         return out
+    factored = _factor_common_or(e)
+    if factored is not None:
+        return factored
     return [e]
+
+
+def _or_disjuncts(e: ScalarExpr) -> List[ScalarExpr]:
+    if isinstance(e, Func) and e.name == "or":
+        out = []
+        for a in e.args:
+            out.extend(_or_disjuncts(a))
+        return out
+    return [e]
+
+
+def _factor_common_or(e: ScalarExpr) -> Optional[List[ScalarExpr]]:
+    """(A AND X) OR (A AND Y) -> [A, (X OR Y)] — common-predicate
+    extraction over a disjunction (reference: the filter normalization
+    rule). TPC-H q19's `p_partkey = l_partkey` join predicate hides in
+    every disjunct; without this the join degenerates to a cross join."""
+    if not (isinstance(e, Func) and e.name == "or"):
+        return None
+    ds = _or_disjuncts(e)
+    if len(ds) < 2:
+        return None
+    conj_lists = [conjuncts(d) if not (isinstance(d, Func)
+                                       and d.name == "or")
+                  else [d] for d in ds]
+    # conjuncts() on a non-or disjunct can recurse back here only for
+    # nested ors, which _or_disjuncts already flattened
+    key_maps = [{c.display(): c for c in cl} for cl in conj_lists]
+    common = set(key_maps[0])
+    for km in key_maps[1:]:
+        common &= set(km)
+    if not common:
+        return None
+    out = [key_maps[0][k] for k in sorted(common)]
+    rest_parts = []
+    for cl in conj_lists:
+        rem = [c for c in cl if c.display() not in common]
+        if not rem:
+            return out  # one disjunct is exactly the common part: OR is
+            # implied true given it -> keep only the common conjuncts
+        rest_parts.append(and_all(rem))
+    rest = rest_parts[0]
+    for p in rest_parts[1:]:
+        rest = Func("or", [rest, p], Boolean)
+    out.append(rest)
+    return out
 
 
 def and_all(parts: List[ScalarExpr]) -> Optional[ScalarExpr]:
@@ -412,6 +460,23 @@ class _Optimizer:
         if isinstance(plan, FilterPlan):
             plan.child = self._push_filter(plan.child, expr)
             return plan
+        if isinstance(plan, JoinPlan) and plan.kind in ("SEMI", "ANTI",
+                                                        "LEFT"):
+            # these joins pass the probe side through unchanged, so any
+            # conjunct over probe columns pushes below (the decorrelated
+            # TPC-H q21 shape: equi conjuncts must reach the base-table
+            # region under the SEMI/ANTI joins, not sit above them)
+            left_names = {f.name.lower()
+                          for f in plan.left.output_fields()}
+            push = [c for c in conjuncts(expr)
+                    if column_names(c) <= left_names]
+            keep = [c for c in conjuncts(expr)
+                    if not (column_names(c) <= left_names)]
+            if push:
+                plan.left = self._push_filter(plan.left, and_all(push))
+                plan.left = self.rewrite(plan.left)
+                rest = and_all(keep)
+                return plan if rest is None else FilterPlan(plan, rest)
         return FilterPlan(plan, expr)
 
     # ------------------------------------------------------- region handling

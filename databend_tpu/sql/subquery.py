@@ -18,7 +18,8 @@ from . import ast as A
 def _run(session, query: A.Query, ctes):
     from ..pipeline.executor import execute_plan
     from .binder import Binder
-    plan = Binder(session).bind_query(query, ctes)
+    from .optimizer import optimize
+    plan = optimize(Binder(session).bind_query(query, ctes), session)
     return execute_plan(plan), plan
 
 

@@ -1,7 +1,10 @@
-"""TPC-H subset correctness: q1/q3/q5/q6/q10 vs a pandas reference.
+"""TPC-H correctness vs a pandas reference (benchmarks/tpch.py harness).
 
-The CBO's done-criterion suite (VERDICT r1 item 2): multi-join analytics
-must produce exact results with joins reordered by cost.
+The CBO's done-criterion suite (VERDICT r1 item 2, r2 item 3): all 22
+reference queries run in the benchmark harness; this test keeps a
+representative subset fast for CI — including the decorrelation-heavy
+shapes (q2/q17/q21 correlated scalar agg + non-equi EXISTS, q4 unqualified
+correlation, q11 HAVING subquery, q19 OR-factored join predicate).
 """
 
 import datetime as dt
@@ -9,9 +12,12 @@ import datetime as dt
 import numpy as np
 import pytest
 
-from benchmarks.tpch import QUERIES, expected, generate, load
+from benchmarks.tpch import QUERIES, check, expected, frames, generate, load
 
 EPOCH = dt.date(1970, 1, 1)
+
+SUBSET = ["q1", "q2", "q3", "q4", "q5", "q6", "q10", "q11", "q13", "q15",
+          "q17", "q19", "q21", "q22"]
 
 
 @pytest.fixture(scope="module")
@@ -20,32 +26,14 @@ def tpch_ctx(tmp_path_factory):
     ctx = SessionContext(data_root=str(tmp_path_factory.mktemp("tpch")))
     data = generate(0.002)  # ~12k lineitem rows
     load(ctx, data)
-    return ctx, data
+    return ctx, frames(data)
 
 
-def _norm(v):
-    if isinstance(v, dt.date):
-        return (v - EPOCH).days
-    if isinstance(v, float):
-        return round(v, 2)
-    if isinstance(v, np.generic):
-        return _norm(v.item())
-    return v
-
-
-@pytest.mark.parametrize("qname", ["q1", "q3", "q5", "q6", "q10"])
+@pytest.mark.parametrize("qname", SUBSET)
 def test_tpch_query(tpch_ctx, qname):
-    ctx, data = tpch_ctx
-    got = [[_norm(v) for v in row] for row in ctx.sql(QUERIES[qname]).rows()]
-    exp = [[_norm(v) for v in row] for row in expected(data, qname)]
-    assert len(got) == len(exp), (qname, len(got), len(exp))
-    for g, e in zip(got, exp):
-        assert len(g) == len(e)
-        for gv, ev in zip(g, e):
-            if isinstance(ev, float):
-                assert gv == pytest.approx(ev, rel=1e-6), (qname, g, e)
-            else:
-                assert gv == ev, (qname, g, e)
+    ctx, F = tpch_ctx
+    got = ctx.sql(QUERIES[qname]).rows()
+    assert check(qname, got, expected(F, qname)), (qname, got[:3])
 
 
 def test_tpch_q5_plan_reordered(tpch_ctx):
