@@ -71,7 +71,8 @@ def detect_format(path: str) -> str:
 
 
 _COMPRESSION_EXT = {".gz": "GZIP", ".gzip": "GZIP", ".zst": "ZSTD",
-                    ".zstd": "ZSTD", ".bz2": "BZ2", ".xz": "XZ"}
+                    ".zstd": "ZSTD", ".bz2": "BZ2", ".xz": "XZ",
+                    ".lz4": "LZ4"}
 
 
 def _compression_of(path: str, opts: FileFormatOptions) -> str:
@@ -80,10 +81,10 @@ def _compression_of(path: str, opts: FileFormatOptions) -> str:
         ext = os.path.splitext(path)[1].lower()
         detected = _COMPRESSION_EXT.get(ext, "NONE")
         return detected
-    if c in ("LZ4", "BROTLI", "SNAPPY", "DEFLATE", "RAW_DEFLATE"):
+    if c in ("BROTLI", "SNAPPY", "DEFLATE", "RAW_DEFLATE"):
         raise BadArguments(
             f"compression {c} is not available in this build; use"
-            " GZIP/ZSTD/BZ2/XZ")
+            " GZIP/ZSTD/BZ2/XZ/LZ4")
     return c
 
 
@@ -102,6 +103,23 @@ def _open_text(path: str, opts: FileFormatOptions, mode: str = "rt"):
     if c == "XZ":
         import lzma
         return lzma.open(path, mode, encoding=enc)
+    if c == "LZ4":
+        import io
+        from . import lz4
+        if "r" in mode:
+            with open(path, "rb") as f:
+                raw = lz4.decompress(f.read())
+            return io.BytesIO(raw) if "b" in mode else \
+                io.StringIO(raw.decode("utf-8"))
+
+        class _LZ4Writer(io.BytesIO):
+            def close(self_inner):
+                data = self_inner.getvalue()
+                with open(path, "wb") as f:
+                    f.write(lz4.compress(data))
+                super().close()
+        w = _LZ4Writer()
+        return w if "b" in mode else io.TextIOWrapper(w, encoding="utf-8")
     if c != "NONE":
         raise BadArguments(f"unknown compression {c!r}")
     return open(path, mode, encoding=enc)

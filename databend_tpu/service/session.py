@@ -670,13 +670,17 @@ def _stmt_create_table(s: SessionContext, st: A.CreateTable):
         st.options.update(computed_opts)
     db = st.database or s.current_database
     cluster_by = [c.name for c in st.cluster_by if isinstance(c, A.ColumnRef)]
-    if not fields and st.engine.upper() == "ICEBERG":
-        # schema comes from the iceberg metadata (reference storages/iceberg)
-        from ..storage.external import iceberg_schema
+    if not fields and st.engine.upper() in ("ICEBERG", "PAIMON"):
+        # schema comes from the table-format metadata (reference
+        # storages/iceberg, storages paimon engine)
+        from ..storage.external import iceberg_schema, paimon_schema
         loc = st.options.get("location")
         if not loc:
-            raise BadArguments("ENGINE=ICEBERG requires LOCATION='path'")
-        fields = list(iceberg_schema(loc).fields)
+            raise BadArguments(
+                f"ENGINE={st.engine.upper()} requires LOCATION='path'")
+        fn = iceberg_schema if st.engine.upper() == "ICEBERG" \
+            else paimon_schema
+        fields = list(fn(loc).fields)
     if st.as_query is not None and not fields:
         from ..sql.binder import Binder
         plan = Binder(s).bind_query(st.as_query)
@@ -800,6 +804,14 @@ def _stmt_merge(s: SessionContext, st: A.MergeInto):
 
 
 def _stmt_create_task(s: SessionContext, st: A.CreateTask):
+    if st.warehouse:
+        # task/warehouse affinity: the named warehouse must exist once any
+        # warehouse objects are defined (reference: tasks schedule onto a
+        # warehouse via cloud control)
+        got, _seq = s.meta.get(f"warehouses/{st.warehouse.lower()}")
+        has_any = any(True for _ in s.meta.list_prefix("warehouses/"))
+        if got is None and has_any:
+            raise BadArguments(f"unknown warehouse {st.warehouse!r}")
     if st.or_replace:
         s.tasks.drop(st.name, if_exists=True)
     s.tasks.create(st.name, st.schedule_secs, st.sql_text, st.if_not_exists,
@@ -1912,6 +1924,56 @@ def _stmt_update(s: SessionContext, st: A.Update):
     return _ok(n)
 
 
+def _stmt_create_warehouse(s: SessionContext, st: A.CreateWarehouse):
+    """Warehouse objects on the meta KV (reference management/warehouse +
+    ee resource_management): a named compute entity tasks/queries can be
+    pinned to. In the TPU engine a warehouse maps onto a mesh slice, so
+    the object carries size/status metadata and task affinity."""
+    s.check_privilege("SUPER", "*")
+    key = f"warehouses/{st.name.lower()}"
+    got, _seq = s.meta.get(key)
+    if got is not None:
+        if st.if_not_exists:
+            return _ok()
+        raise BadArguments(f"warehouse {st.name!r} already exists")
+    import time as _t
+    s.meta.upsert(key, {"name": st.name, "status": "Running",
+                        "size": st.options.get("warehouse_size", "Small"),
+                        "options": dict(st.options), "created_ts": _t.time()})
+    return _ok()
+
+
+def _stmt_drop_warehouse(s: SessionContext, st: A.DropWarehouse):
+    s.check_privilege("SUPER", "*")
+    key = f"warehouses/{st.name.lower()}"
+    got, _seq = s.meta.get(key)
+    if got is None:
+        if st.if_exists:
+            return _ok()
+        raise BadArguments(f"unknown warehouse {st.name!r}")
+    s.meta.delete(key)
+    return _ok()
+
+
+def _stmt_alter_warehouse(s: SessionContext, st: A.AlterWarehouse):
+    s.check_privilege("SUPER", "*")
+    key = f"warehouses/{st.name.lower()}"
+    got, seq = s.meta.get(key)
+    if got is None:
+        raise BadArguments(f"unknown warehouse {st.name!r}")
+    got["status"] = "Suspended" if st.action == "SUSPEND" else "Running"
+    s.meta.upsert(key, got)
+    return _ok()
+
+
+def _stmt_use_warehouse(s: SessionContext, st: A.UseWarehouse):
+    got, _seq = s.meta.get(f"warehouses/{st.name.lower()}")
+    if got is None:
+        raise BadArguments(f"unknown warehouse {st.name!r}")
+    s.current_warehouse = got["name"]
+    return _ok()
+
+
 def _stmt_show(s: SessionContext, st: A.ShowStmt):
     import fnmatch
     like = st.like
@@ -1941,6 +2003,17 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         names = [n for n in names if match(n)]
         return QueryResult(DataBlock(["name"], [Column.from_pylist(names, String)]),
                            [DataField("name", String)])
+    if st.what == "WAREHOUSES":
+        rows = [(v["name"], "Standard", v.get("status", "Running"),
+                 v.get("size", "Small"))
+                for _k, v, _s2 in s.meta.list_prefix("warehouses/")
+                if match(v["name"])]
+        rows.sort()
+        names = ["name", "type", "status", "size"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([r[i] for r in rows], String)
+                    for i in range(4)]),
+            [DataField(n, String) for n in names])
     if st.what == "TASKS":
         rows = [(t["name"], t["state"], str(t["schedule_secs"]), t["sql"])
                 for t in s.tasks.list()]
@@ -2168,6 +2241,10 @@ _STATEMENTS = {
     A.Delete: _stmt_delete,
     A.Update: _stmt_update,
     A.ShowStmt: _stmt_show,
+    A.CreateWarehouse: _stmt_create_warehouse,
+    A.DropWarehouse: _stmt_drop_warehouse,
+    A.AlterWarehouse: _stmt_alter_warehouse,
+    A.UseWarehouse: _stmt_use_warehouse,
     A.DescribeTable: _stmt_describe,
     A.SetSetting: _stmt_set,
     A.OptimizeTable: _stmt_optimize,

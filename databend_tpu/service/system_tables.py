@@ -510,7 +510,88 @@ def _sys_query_execution(s):
         ("duration_ms", Float64, [sp.duration_ms for sp in spans])])
 
 
+def _sys_constraints(s):
+    """Table constraints (reference constraints_table.rs; constraints are
+    not yet a DDL surface here, so the table is present but empty)."""
+    return _block([
+        ("database", String, []), ("table", String, []),
+        ("name", String, []), ("type", String, []),
+        ("expression", String, [])])
+
+
+def _sys_malloc_stats_totals(s):
+    """Allocator totals (reference malloc_stats_totals_table.rs; jemalloc
+    metrics map to the Python allocator + query MemStat totals)."""
+    import tracemalloc
+    from ..utils.memstat import current_memstat
+    ms = current_memstat()
+    cur = getattr(ms, "used", 0) if ms is not None else 0
+    rows = [("active", int(cur)), ("allocated", int(cur)),
+            ("resident", int(cur))]
+    if tracemalloc.is_tracing():
+        c, p = tracemalloc.get_traced_memory()
+        rows.append(("traced_current", int(c)))
+        rows.append(("traced_peak", int(p)))
+    return _block([
+        ("name", String, [r[0] for r in rows]),
+        ("value", Int64, [r[1] for r in rows])])
+
+
+def _sys_notifications(s):
+    """CREATE NOTIFICATION integrations (reference notifications_table.rs,
+    cloud-control notifications; stored on the meta KV)."""
+    rows = [v for _k, v, _s in s.meta.list_prefix("notifications/")]
+    return _block([
+        ("name", String, [r.get("name", "") for r in rows]),
+        ("type", String, [r.get("type", "webhook") for r in rows]),
+        ("enabled", Boolean, [bool(r.get("enabled", True)) for r in rows]),
+        ("webhook_url", String, [r.get("url", "") for r in rows]),
+        ("comment", String, [r.get("comment", "") for r in rows])])
+
+
+def _sys_notification_history(s):
+    rows = [v for _k, v, _s in s.meta.list_prefix("notification_history/")]
+    return _block([
+        ("name", String, [r.get("name", "") for r in rows]),
+        ("status", String, [r.get("status", "") for r in rows]),
+        ("message", String, [r.get("message", "") for r in rows]),
+        ("created_ts", Float64, [float(r.get("ts", 0)) for r in rows])])
+
+
+def _sys_tags(s):
+    """Object tags (reference tags_table.rs; stored on the meta KV as
+    tags/<name> -> {value, objects})."""
+    rows = [v for _k, v, _s in s.meta.list_prefix("tags/")]
+    return _block([
+        ("name", String, [r.get("name", "") for r in rows]),
+        ("value", String, [r.get("value", "") for r in rows]),
+        ("objects", String, [",".join(r.get("objects", []))
+                             for r in rows])])
+
+
+def _sys_virtual_columns(s):
+    """Virtual columns over variant data (reference
+    virtual_columns_table.rs); surfaced from table options."""
+    dbs, tbls, exprs = [], [], []
+    for d in s.catalog.list_databases():
+        for info in s.catalog.list_tables(d.name):
+            vc = (info.options or {}).get("virtual_columns")
+            if vc:
+                dbs.append(d.name)
+                tbls.append(info.name)
+                exprs.append(vc if isinstance(vc, str) else ",".join(vc))
+    return _block([
+        ("database", String, dbs), ("table", String, tbls),
+        ("virtual_columns", String, exprs)])
+
+
 SYSTEM_TABLES: Dict[str, Callable] = {
+    "constraints": _sys_constraints,
+    "malloc_stats_totals": _sys_malloc_stats_totals,
+    "notifications": _sys_notifications,
+    "notification_history": _sys_notification_history,
+    "tags": _sys_tags,
+    "virtual_columns": _sys_virtual_columns,
     "one": _sys_one,
     "databases": _sys_databases,
     "tables": _sys_tables,

@@ -974,6 +974,33 @@ class DescSequence(Statement):
     name: str
 
 
+# --------------------------------------------------------------- warehouses
+@dataclass
+class CreateWarehouse(Statement):
+    """CREATE WAREHOUSE w [WITH warehouse_size='..' ...] (reference
+    src/query/management/src/warehouse, ee resource_management)."""
+    name: str
+    options: Dict[str, str] = field(default_factory=dict)
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropWarehouse(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class AlterWarehouse(Statement):
+    name: str
+    action: str  # SUSPEND | RESUME
+
+
+@dataclass
+class UseWarehouse(Statement):
+    name: str
+
+
 # ------------------------------------------------------------------- stages
 @dataclass
 class CreateStage(Statement):

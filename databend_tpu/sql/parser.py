@@ -143,6 +143,9 @@ class Parser:
             return A.TruncateTable(name, db)
         if self.at_keyword("USE"):
             self.next()
+            if self._at_word("WAREHOUSE"):
+                self.next()
+                return A.UseWarehouse(self.ident())
             return A.UseDatabase(self.ident())
         if self.at_keyword("SHOW"):
             return self.parse_show()
@@ -480,6 +483,20 @@ class Parser:
         if self.accept_keyword("DATABASE") or self.accept_keyword("SCHEMA"):
             ine = self._if_not_exists()
             return A.CreateDatabase(self.ident(), ine or replace)
+        if self._at_word("WAREHOUSE"):
+            # CREATE WAREHOUSE w [WITH k = v ...] (reference
+            # management/src/warehouse, resource_management DDL)
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            opts = {}
+            if self.accept_keyword("WITH"):
+                while self.peek().kind in ("IDENT", "KEYWORD"):
+                    k = self.next().text.lower()
+                    self.expect_op("=")
+                    opts[k] = self.next().text
+                    self.accept_op(",")
+            return A.CreateWarehouse(name, opts, ine or replace)
         if self.at_keyword("TABLE"):
             return self.parse_create_table(replace)
         if self._at_word("TEMP", "TEMPORARY") \
@@ -999,6 +1016,10 @@ class Parser:
         if self.accept_keyword("DATABASE") or self.accept_keyword("SCHEMA"):
             ie = self._if_exists()
             return A.DropDatabase(self.ident(), ie)
+        if self._at_word("WAREHOUSE"):
+            self.next()
+            ie = self._if_exists()
+            return A.DropWarehouse(self.ident(), ie)
         if self.accept_keyword("TABLE"):
             ie = self._if_exists()
             db, name = self.qualified_name()
@@ -1148,6 +1169,13 @@ class Parser:
             if action not in ("SUSPEND", "RESUME"):
                 self.error("expected SUSPEND/RESUME")
             return A.AlterTask(name, action)
+        if self._at_word("WAREHOUSE"):
+            self.next()
+            name = self.ident()
+            action = self.next().text.upper()
+            if action not in ("SUSPEND", "RESUME"):
+                self.error("expected SUSPEND/RESUME")
+            return A.AlterWarehouse(name, action)
         if self._at_word("USER"):
             self.next()
             name = self._user_name()

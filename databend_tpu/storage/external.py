@@ -31,7 +31,7 @@ from ..expression.schema import TableSchema
 from ..utils.cache import CacheManager
 
 _FILE_ENGINES = ("PARQUET", "ORC", "CSV", "TSV", "NDJSON", "AVRO")
-EXTERNAL_ENGINES = _FILE_ENGINES + ("HIVE", "DELTA", "ICEBERG")
+EXTERNAL_ENGINES = _FILE_ENGINES + ("HIVE", "DELTA", "ICEBERG", "PAIMON")
 
 
 class ExternalBlockMeta:
@@ -86,6 +86,8 @@ class ExternalTable:
             return self._delta_files()
         if self.engine == "ICEBERG":
             return self._iceberg_files()
+        if self.engine == "PAIMON":
+            return self._paimon_files()
         exts = {"PARQUET": (".parquet", ".pq"), "ORC": (".orc",),
                 "CSV": (".csv",), "TSV": (".tsv",),
                 "NDJSON": (".ndjson", ".jsonl", ".json"),
@@ -157,6 +159,52 @@ class ExternalTable:
                 out.append(ExternalBlockMeta(
                     path, row_count=int(df.get("record_count", -1))))
         return sorted(out, key=lambda b: b.location)
+
+    # --------------------------------------------------------------- paimon
+    def _paimon_files(self) -> List[ExternalBlockMeta]:
+        """Live data files of an Apache Paimon table: snapshot/LATEST ->
+        snapshot-N JSON -> base+delta manifest lists (avro) -> manifest
+        entries (_KIND 0=add 1=delete) reconciled by file name.
+        Reference: src/query/storages (paimon external engine). Partition
+        paths are resolved through a filename index (the serialized
+        BinaryRow partition key is not re-derived)."""
+        from ..formats.avro import read_avro_records
+        snap = _paimon_latest_snapshot(self.location)
+        live: dict = {}
+        index = _paimon_file_index(self.location)
+        for key in ("baseManifestList", "deltaManifestList"):
+            ml = snap.get(key)
+            if not ml:
+                continue
+            ml_path = os.path.join(self.location, "manifest", ml)
+            if not os.path.isfile(ml_path):
+                continue
+            for m in read_avro_records(ml_path):
+                name = m.get("_FILE_NAME") or m.get("fileName")
+                if not name:
+                    continue
+                mpath = os.path.join(self.location, "manifest",
+                                     os.path.basename(name))
+                if not os.path.isfile(mpath):
+                    continue
+                for e in read_avro_records(mpath):
+                    kind = e.get("_KIND", e.get("kind", 0))
+                    f = e.get("_FILE") or e.get("file") or {}
+                    fname = f.get("_FILE_NAME") or f.get("fileName")
+                    if not fname:
+                        continue
+                    if kind == 0:
+                        path = index.get(os.path.basename(fname))
+                        if path:
+                            live[os.path.basename(fname)] = \
+                                ExternalBlockMeta(
+                                    path,
+                                    row_count=int(f.get("_ROW_COUNT",
+                                                        f.get("rowCount",
+                                                              -1))))
+                    else:
+                        live.pop(os.path.basename(fname), None)
+        return [live[k] for k in sorted(live)]
 
     # ----------------------------------------------------------------- reads
     def read_partitions(self, pushdown: Optional[PushDownInfo] = None,
@@ -290,6 +338,88 @@ def iceberg_schema(location: str) -> TableSchema:
         if not f.get("required", False) and not dtype.is_nullable():
             dtype = dtype.wrap_nullable()
         fields.append(DataField(f["name"], dtype))
+    return TableSchema(fields)
+
+
+def _paimon_latest_snapshot(location: str) -> dict:
+    snap_dir = os.path.join(location, "snapshot")
+    if not os.path.isdir(snap_dir):
+        raise StorageOther(f"{location}: no paimon snapshot directory")
+    latest = os.path.join(snap_dir, "LATEST")
+    sid = None
+    if os.path.isfile(latest):
+        try:
+            sid = int(open(latest).read().strip())
+        except ValueError:
+            sid = None
+    if sid is None:
+        nums = [int(n.split("-", 1)[1]) for n in os.listdir(snap_dir)
+                if n.startswith("snapshot-")
+                and n.split("-", 1)[1].isdigit()]
+        if not nums:
+            raise StorageOther(f"{location}: no paimon snapshots")
+        sid = max(nums)
+    with open(os.path.join(snap_dir, f"snapshot-{sid}")) as f:
+        return json.load(f)
+
+
+def _paimon_file_index(location: str) -> dict:
+    """filename -> absolute path over the table's data directories
+    (everything except the snapshot/manifest/schema control dirs)."""
+    out = {}
+    skip = {"snapshot", "manifest", "schema", "index", "statistics"}
+    for root, dirs, files in os.walk(location):
+        if root == location:
+            dirs[:] = [d for d in dirs if d not in skip]
+        for f in files:
+            if not f.startswith((".", "_")):
+                out[f] = os.path.join(root, f)
+    return out
+
+
+_PAIMON_TYPES = {
+    "INT": "INT", "INTEGER": "INT", "TINYINT": "INT", "SMALLINT": "INT",
+    "BIGINT": "BIGINT", "FLOAT": "FLOAT", "DOUBLE": "DOUBLE",
+    "BOOLEAN": "BOOLEAN", "DATE": "DATE", "STRING": "VARCHAR",
+    "BYTES": "VARCHAR", "BINARY": "VARCHAR", "VARBINARY": "VARCHAR",
+}
+
+
+def paimon_schema(location: str) -> TableSchema:
+    """Schema from the highest schema/schema-N JSON (paimon spec: fields
+    carry SQL-ish type strings, `NOT NULL` marks requiredness)."""
+    from ..expression.schema import DataField
+    from ..types import parse_type_name
+    sdir = os.path.join(location, "schema")
+    if not os.path.isdir(sdir):
+        raise StorageOther(f"{location}: no paimon schema directory")
+    nums = [int(n.split("-", 1)[1]) for n in os.listdir(sdir)
+            if n.startswith("schema-") and n.split("-", 1)[1].isdigit()]
+    if not nums:
+        raise StorageOther(f"{location}: no paimon schema files")
+    with open(os.path.join(sdir, f"schema-{max(nums)}")) as f:
+        meta = json.load(f)
+    fields = []
+    for fld in meta.get("fields", []):
+        t = fld.get("type", "STRING")
+        if not isinstance(t, str):
+            sql = "VARIANT"
+            required = False
+        else:
+            required = "NOT NULL" in t.upper()
+            base = t.upper().replace("NOT NULL", "").strip()
+            if base.startswith(("CHAR", "VARCHAR", "STRING")):
+                sql = "VARCHAR"
+            elif base.startswith("DECIMAL"):
+                sql = base.replace(" ", "")
+            elif base.startswith("TIMESTAMP"):
+                sql = "TIMESTAMP"
+            else:
+                sql = _PAIMON_TYPES.get(base.split("(")[0], "VARCHAR")
+        dtype = parse_type_name(sql)
+        if not required and not dtype.is_nullable():
+            dtype = dtype.wrap_nullable()
+        fields.append(DataField(fld["name"], dtype))
     return TableSchema(fields)
 
 

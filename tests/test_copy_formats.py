@@ -59,7 +59,7 @@ def test_copy_compressed_roundtrip(ctx, tmp_path, codec, ext):
 def test_copy_unavailable_codec_errors(ctx, tmp_path):
     with pytest.raises(DatabendError, match="not available"):
         ctx.sql(f"COPY INTO '{tmp_path}/x.csv' FROM cp"
-                " FILE_FORMAT = (TYPE = CSV COMPRESSION = LZ4)")
+                " FILE_FORMAT = (TYPE = CSV COMPRESSION = BROTLI)")
 
 
 def test_copy_ndjson(ctx, tmp_path):
