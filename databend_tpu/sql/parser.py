@@ -43,8 +43,13 @@ class Parser:
 
     def next(self) -> Token:
         t = self.tokens[self.i]
-        if t.kind != "EOF":
-            self.i += 1
+        if t.kind == "EOF":
+            # consuming past the end is always a malformed-input path;
+            # returning EOF forever turns `while not at_op(')')` loops
+            # into hangs (fuzz finding)
+            raise SyntaxException(
+                f"unexpected end of input (offset {t.pos})")
+        self.i += 1
         return t
 
     def at_keyword(self, *kws: str) -> bool:
@@ -85,6 +90,17 @@ class Parser:
         if t.kind == "KEYWORD" and t.text in NON_RESERVED:
             return self.next().text
         self.error("expected identifier")
+
+    def int_lit(self) -> int:
+        """Consume an integer literal; malformed input is a syntax error,
+        never a ValueError escaping to the caller (fuzz finding)."""
+        t = self.peek()
+        try:
+            return int(self.next().text)
+        except ValueError:
+            raise SyntaxException(
+                f"expected integer, found {t.kind} {t.text!r}"
+                f" (offset {t.pos})")
 
     def qualified_name(self) -> Tuple[Optional[str], str]:
         first = self.ident()
@@ -324,7 +340,7 @@ class Parser:
             if self._at_word("EXPIRE"):
                 self.next()
                 self.expect_op("=")
-                expire = int(self.next().text)
+                expire = self.int_lit()
             return A.PresignStage(ref, method, expire)
         self.error("expected statement")
 
@@ -644,7 +660,7 @@ class Parser:
                 elif kw.startswith("PASSWORD_"):
                     self.next()
                     self.expect_op("=")
-                    opts[kw.lower()] = int(self.next().text)
+                    opts[kw.lower()] = self.int_lit()
                 else:
                     break
             return A.CreatePasswordPolicy(name, opts, comment, ine, replace)
@@ -693,11 +709,11 @@ class Parser:
                 if kw == "START":
                     self.next()
                     self.accept_keyword("WITH") or self.accept_op("=")
-                    start = int(self.next().text)
+                    start = self.int_lit()
                 elif kw in ("INCREMENT", "STEP"):
                     self.next()
                     self.accept_keyword("BY") or self.accept_op("=")
-                    step = int(self.next().text)
+                    step = self.int_lit()
                 elif kw == "COMMENT":
                     self.next()
                     self.expect_op("=")
@@ -775,7 +791,7 @@ class Parser:
                             self.next()
                         cron = self.next().text
                         continue
-                    secs = int(self.next().text)
+                    secs = self.int_lit()
                     unit = self.next().text.upper()
                     if unit.startswith("MINUTE"):
                         secs *= 60
@@ -809,7 +825,7 @@ class Parser:
                 elif w == "SUSPEND_TASK_AFTER_NUM_FAILURES":
                     self.next()
                     self.expect_op("=")
-                    suspend_n = int(self.next().text)
+                    suspend_n = self.int_lit()
                 else:
                     self.error(f"unknown CREATE TASK option {w!r}")
             self.expect_keyword("AS")
@@ -1510,7 +1526,29 @@ class Parser:
         return A.SetSetting(name, value, is_global)
 
     # ------------------------------------------------------------------ query
+    MAX_NEST_DEPTH = 120
+
+    def _enter_nest(self):
+        """Bound parser recursion: pathological nesting must fail as a
+        clean SyntaxException, not a RecursionError (fuzz finding;
+        reference: nom's recursion limits)."""
+        self._nest = getattr(self, "_nest", 0) + 1
+        if self._nest > self.MAX_NEST_DEPTH:
+            self._nest = 0
+            raise SyntaxException(
+                f"query nesting exceeds {self.MAX_NEST_DEPTH} levels")
+
+    def _exit_nest(self):
+        self._nest = max(getattr(self, "_nest", 1) - 1, 0)
+
     def parse_query(self) -> A.Query:
+        self._enter_nest()
+        try:
+            return self._parse_query_inner()
+        finally:
+            self._exit_nest()
+
+    def _parse_query_inner(self) -> A.Query:
         ctes: List[Tuple[str, A.Query]] = []
         recursive = False
         if self.accept_keyword("WITH"):
@@ -1910,6 +1948,13 @@ class Parser:
 
     # ------------------------------------------------------------ expressions
     def parse_expr(self, min_bp: int = 0) -> A.Expr:
+        self._enter_nest()
+        try:
+            return self._parse_expr_inner(min_bp)
+        finally:
+            self._exit_nest()
+
+    def _parse_expr_inner(self, min_bp: int = 0) -> A.Expr:
         lhs = self.parse_prefix()
         while True:
             lhs2 = self.parse_postfix(lhs, min_bp)
