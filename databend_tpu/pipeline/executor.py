@@ -728,12 +728,13 @@ def _agg_index_shape(plan: AggregatePlan):
     return keys, spec
 
 
-def _try_agg_index(plan: AggregatePlan) -> Optional[DataBlock]:
-    """Answer a grouped aggregate from a matching AGGREGATING INDEX's
-    per-block materialized partials (reference agg_index pushdown,
-    catalog/src/plan/pushdown.rs:167-207): read the sidecars, merge the
-    mergeable states, finalize. Falls back when any selected block lacks
-    the sidecar."""
+def match_agg_index(plan: AggregatePlan):
+    """Plan-level AGGREGATING INDEX match (reference agg_index pushdown,
+    catalog/src/plan/pushdown.rs:167-207): returns (index_def, positions)
+    when the aggregate can be answered ENTIRELY from the index's
+    per-block partials, else None. The optimizer calls this to mark the
+    plan (EXPLAIN shows the index-only scan); execution re-checks and
+    merges the sidecars without touching any data block."""
     import json as _json
     child = plan.child
     if not plan.stats_fast_path or not plan.keys:
@@ -747,7 +748,6 @@ def _try_agg_index(plan: AggregatePlan) -> Optional[DataBlock]:
     keys, spec = _agg_index_shape(plan)
     if keys is None:
         return None
-    match = None
     for idx in child.table.info.indexes.values():
         if idx.index_type != "AGGREGATING":
             continue
@@ -763,10 +763,21 @@ def _try_agg_index(plan: AggregatePlan) -> Optional[DataBlock]:
                 ok = False
                 break
         if ok:
-            match = (idx, pos)
-            break
+            return (idx, pos)
+    return None
+
+
+def _try_agg_index(plan: AggregatePlan) -> Optional[DataBlock]:
+    """Answer a grouped aggregate from a matching AGGREGATING INDEX's
+    per-block materialized partials: read ONLY the index sidecars, merge
+    the mergeable states, finalize. Falls back when any selected block
+    lacks the sidecar."""
+    import json as _json
+    match = match_agg_index(plan)
     if match is None:
         return None
+    child = plan.child
+    pd = child.pushdown
     idx, agg_pos = match
     parts, stats = child.table.read_partitions(pd, child.snapshot_id)
     child.pruning_stats = stats

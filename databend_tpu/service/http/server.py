@@ -70,11 +70,16 @@ class HttpQuery:
             self.result = res
             self.schema = [{"name": f.name, "type": str(f.dtype)}
                            for f in res.fields]
-            rows = [[_json_value(v) for v in row] for row in res.rows()]
-            self.pages = [rows[i:i + PAGE_ROWS]
-                          for i in range(0, len(rows), PAGE_ROWS)] or [[]]
+            # STREAMED paging (reference execute_state.rs:401 semantics):
+            # the columnar result stays as-is; each page's JSON renders
+            # on demand in page_response and is never retained — a large
+            # SELECT holds one columnar block, not its (several-times
+            # larger) JSON materialization
+            n = res.block.num_rows if res.block is not None else 0
+            self.n_rows = n
+            self.n_pages = max((n + PAGE_ROWS - 1) // PAGE_ROWS, 1)
             self.stats = {
-                "rows": len(rows),
+                "rows": n,
                 "affected_rows": res.affected_rows,
                 "running_time_ms": (time.time() - self.started) * 1e3,
                 **res.profile,
@@ -89,6 +94,21 @@ class HttpQuery:
         finally:
             self.finished_at = time.time()
 
+    def _render_page(self, page_no: int) -> List[list]:
+        if self.result is None or self.result.block is None:
+            return []
+        lo = page_no * PAGE_ROWS
+        hi = min(lo + PAGE_ROWS, self.result.block.num_rows)
+        if lo >= hi:
+            return []
+        page = QueryResult(self.result.block.slice(lo, hi),
+                           self.result.fields)
+        return [[_json_value(v) for v in row] for row in page.rows()]
+
+    def release(self) -> None:
+        """Drop the columnar result once the client read the final page."""
+        self.result = None
+
     def page_response(self, page_no: int) -> Dict[str, Any]:
         body: Dict[str, Any] = {
             "id": self.id,
@@ -97,9 +117,9 @@ class HttpQuery:
             "stats": self.stats,
             "error": self.error,
         }
-        if self.state == "Succeeded" and page_no < len(self.pages):
-            body["data"] = self.pages[page_no]
-            if page_no + 1 < len(self.pages):
+        if self.state == "Succeeded" and page_no < getattr(self, "n_pages", 0):
+            body["data"] = self._render_page(page_no)
+            if page_no + 1 < self.n_pages:
                 body["next_uri"] = f"/v1/query/{self.id}/page/{page_no + 1}"
             else:
                 body["final_uri"] = f"/v1/query/{self.id}/final"

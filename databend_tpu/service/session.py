@@ -344,6 +344,11 @@ class SessionContext:
             if len(self.query_log) > QUERY_LOG_CAPACITY:
                 del self.query_log[:len(self.query_log) - QUERY_LOG_CAPACITY]
             METRICS.observe("query_seconds", time.time() - start)
+            try:
+                from ..utils.otlp import export_query_spans
+                export_query_spans(self, entry["query_id"])
+            except Exception:
+                pass  # export must never fail the query
 
     def execute_script(self, sql: str) -> List[QueryResult]:
         return [self._execute_statement(s) for s in parse_statements(sql)]

@@ -46,8 +46,25 @@ def optimize(plan: Plan, session) -> Plan:
     out = _Optimizer(session).rewrite(plan) if cbo else plan
     if cbo:
         out = _transform_post(out, _rewrite_affine_sums)
+    out = _transform_post(out, _mark_agg_index)
     prune_scan_columns(out)
     return out
+
+
+def _mark_agg_index(plan: Plan) -> Plan:
+    """Plan-level AGGREGATING INDEX rewrite marker (reference agg_index
+    pushdown, pushdown.rs:167-207): EXPLAIN surfaces the index-only scan
+    and execution answers from per-block partials without reading data
+    blocks."""
+    if isinstance(plan, AggregatePlan) and plan.agg_index is None:
+        from ...pipeline.executor import match_agg_index
+        try:
+            m = match_agg_index(plan)
+        except Exception:
+            m = None
+        if m is not None:
+            plan.agg_index = m[0].name
+    return plan
 
 
 def _transform_post(plan: Plan, f) -> Plan:

@@ -133,6 +133,9 @@ class AggregatePlan(Plan):
     # answer eligible aggregates from block statistics / the aggregating
     # index (setting enable_aggregating_index_scan)
     stats_fast_path: bool = True
+    # set by the optimizer when a matching AGGREGATING INDEX answers this
+    # aggregate from per-block partials alone (index-only scan)
+    agg_index: Optional[str] = None
 
     def children(self):
         return [self.child]
@@ -145,8 +148,11 @@ class AggregatePlan(Plan):
         return out
 
     def _explain_line(self):
-        return (f"Aggregate: keys=[{', '.join(n for n, _ in self.keys)}] "
+        line = (f"Aggregate: keys=[{', '.join(n for n, _ in self.keys)}] "
                 f"aggs=[{', '.join(n for n, _, _ in self.aggs)}]")
+        if self.agg_index:
+            line += f" from_index={self.agg_index} (index-only scan)"
+        return line
 
 
 @dataclass
