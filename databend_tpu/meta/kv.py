@@ -110,3 +110,64 @@ class MetaStore:
     def close(self):
         if self._db is not None:
             self._db.close()
+
+
+class RemoteMetaStore:
+    """MetaStore client over the standalone meta service process
+    (reference: MetaStore::Remote — the grpc meta client,
+    src/meta/store/src/lib.rs). Same interface as MetaStore; CAS
+    conflicts surface as TableVersionMismatched exactly like the
+    embedded store, so OCC retry loops work unchanged."""
+
+    def __init__(self, endpoint: str, timeout: float = 10.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.timeout = timeout
+
+    def _call(self, op: str, body: dict) -> dict:
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(
+            f"{self.endpoint}/v1/kv/{op}",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            payload = {}
+            try:
+                payload = json.loads(e.read())
+            except Exception:
+                pass
+            if e.code == 409 and payload.get("cas"):
+                raise TableVersionMismatched(payload.get("error", "CAS"))
+            raise RuntimeError(
+                f"meta service error {e.code}: {payload.get('error')}")
+
+    def get(self, key: str) -> Tuple[Optional[Any], int]:
+        out = self._call("get", {"key": key})
+        return out["value"], out["seq"]
+
+    def list_prefix(self, prefix: str) -> List[Tuple[str, Any, int]]:
+        out = self._call("list", {"prefix": prefix})
+        return [(k, v, s) for k, v, s in out["items"]]
+
+    def upsert(self, key: str, value: Any,
+               expected_seq: Optional[int] = None) -> int:
+        return self._call("upsert", {"key": key, "value": value,
+                                     "expected_seq": expected_seq})["seq"]
+
+    def delete(self, key: str, expected_seq: Optional[int] = None) -> None:
+        self._call("delete", {"key": key, "expected_seq": expected_seq})
+
+    def next_id(self, counter: str) -> int:
+        return self._call("next_id", {"counter": counter})["id"]
+
+    def status(self) -> dict:
+        import urllib.request
+        with urllib.request.urlopen(f"{self.endpoint}/v1/status",
+                                    timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    def close(self):
+        pass

@@ -134,8 +134,12 @@ class QueryServer:
     """aiohttp application hosting the query protocol over one engine."""
 
     def __init__(self, data_root: str = ".databend_tpu",
-                 max_finished: int = 256, address: str = ""):
-        self.ctx = SessionContext(data_root=data_root)
+                 max_finished: int = 256, address: str = "",
+                 meta_endpoint: Optional[str] = None,
+                 heartbeat_secs: float = 0.0,
+                 lease_ttl_secs: Optional[float] = None):
+        self.ctx = SessionContext(data_root=data_root,
+                                  meta_endpoint=meta_endpoint)
         self.queries: Dict[str, HttpQuery] = {}
         self._lock = threading.Lock()
         self._max_finished = max_finished
@@ -152,12 +156,25 @@ class QueryServer:
         # register this server process in the cluster registry
         # (reference ClusterDiscovery::register_to_metastore)
         from ...meta.cluster import ClusterDiscovery
-        self.discovery = ClusterDiscovery(self.ctx.meta)
+        kw = {"ttl_secs": lease_ttl_secs} if lease_ttl_secs else {}
+        self.discovery = ClusterDiscovery(self.ctx.meta, **kw)
         self.node = self.discovery.local_node(address=address)
         try:
             self.discovery.register(self.node)
         except Exception:
             pass
+        # lease-renewal loop (reference clusters/cluster.rs heartbeat):
+        # without it the node's registry entry expires and peers drop it
+        if heartbeat_secs > 0:
+            def _beat():
+                while True:
+                    time.sleep(heartbeat_secs)
+                    try:
+                        self.discovery.heartbeat(self.node.node_id)
+                    except Exception:
+                        pass
+            threading.Thread(target=_beat, daemon=True,
+                             name="meta-heartbeat").start()
 
     # ----------------------------------------------------------- handlers
     def _authenticate(self, request):
@@ -331,8 +348,15 @@ def main():  # pragma: no cover
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8124)
     p.add_argument("--data-root", default=".databend_tpu")
+    p.add_argument("--meta-endpoint", default=None,
+                   help="remote meta service (http://host:port)")
+    p.add_argument("--heartbeat-secs", type=float, default=0.0)
+    p.add_argument("--lease-ttl-secs", type=float, default=None)
     a = p.parse_args()
-    QueryServer(data_root=a.data_root).run(a.host, a.port)
+    QueryServer(data_root=a.data_root, address=f"{a.host}:{a.port}",
+                meta_endpoint=a.meta_endpoint,
+                heartbeat_secs=a.heartbeat_secs,
+                lease_ttl_secs=a.lease_ttl_secs).run(a.host, a.port)
 
 
 if __name__ == "__main__":  # pragma: no cover

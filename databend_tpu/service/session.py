@@ -123,11 +123,19 @@ class SessionContext:
     """Embedded engine session: ``SessionContext().sql("SELECT 1")``."""
 
     def __init__(self, data_root: str = ".databend_tpu",
-                 meta_path: Optional[str] = None):
+                 meta_path: Optional[str] = None,
+                 meta_endpoint: Optional[str] = None):
         from ..storage.operator import OPERATOR
         OPERATOR.makedirs(data_root)
         self.data_root = data_root
-        if meta_path is None and OPERATOR.is_object_store(data_root):
+        meta_endpoint = meta_endpoint or os.environ.get(
+            "DATABEND_TPU_META_ENDPOINT")
+        if meta_endpoint:
+            # remote meta service process (reference MetaStore::Remote —
+            # query nodes share one raft meta service over the network)
+            from ..meta.kv import RemoteMetaStore
+            self.meta = RemoteMetaStore(meta_endpoint)
+        elif meta_path is None and OPERATOR.is_object_store(data_root):
             # the meta service is separate from object storage in the
             # reference (raft KV, not S3); sessions over the same
             # object-store root share one process-wide embedded KV, the

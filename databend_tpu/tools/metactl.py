@@ -58,10 +58,18 @@ def main(argv: Optional[list] = None) -> int:  # pragma: no cover
     p = argparse.ArgumentParser(prog="metactl",
                                 description="meta KV export/import/status")
     p.add_argument("command", choices=["export", "import", "status"])
-    p.add_argument("--meta-path", required=True)
+    p.add_argument("--meta-path", default=None)
+    p.add_argument("--meta-endpoint", default=None,
+                   help="remote meta service (http://host:port)")
     p.add_argument("--prefix", default="")
     a = p.parse_args(argv)
-    meta = MetaStore(a.meta_path)
+    if not a.meta_path and not a.meta_endpoint:
+        p.error("one of --meta-path / --meta-endpoint is required")
+    if a.meta_endpoint:
+        from ..meta.kv import RemoteMetaStore
+        meta = RemoteMetaStore(a.meta_endpoint)
+    else:
+        meta = MetaStore(a.meta_path)
     try:
         if a.command == "export":
             export_meta(meta, sys.stdout, a.prefix)
