@@ -124,6 +124,21 @@ def main():
     print(f"device top-k(10) queued:         {pipe_ms:8.3f} ms/query   "
           f"({host_ms / pipe_ms:.1f}x vs host)")
 
+    # batched top-k: B queries per ONE sort (r2 verdict item 5) — the
+    # per-query sort that lost to host at B=1 amortizes across the batch
+    for bsz in (8, 32):
+        batches = [distinct[i:i + bsz]
+                   for i in range(0, len(distinct) - bsz + 1, bsz)]
+        bg = [[[[reader.term_id(t)] for t in q] for q in bt]
+              for bt in batches]
+        dev.top_k_batch(bg[0], 10, "OR")  # warm
+        t0 = time.perf_counter()
+        for b in bg:
+            dev.top_k_batch(b, 10, "OR")
+        batch_ms = (time.perf_counter() - t0) * 1e3 / (len(bg) * bsz)
+        print(f"device top-k(10) batch B={bsz:3d}:   {batch_ms:8.3f} "
+              f"ms/query   ({host_ms / batch_ms:.1f}x vs host)")
+
 
 if __name__ == "__main__":
     main()

@@ -125,6 +125,78 @@ def _bm25_topk_program(t: int, l: int, g: int, n_docs: int, k: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _bm25_batch_topk_program(t: int, l: int, n_docs: int, k: int, b: int):
+    """B queries per ONE sort (VERDICT r2 item 5): term posting slices
+    stack across the query batch, the sort key becomes (query*doc),
+    the segmented Hillis-Steele run-reduction is unchanged, and the
+    unique (query, doc) run-end scores scatter into a dense [B, n_docs]
+    for one batched top_k. The per-query sort that didn't amortize at
+    B=1 (13.3 ms device vs 5.7 ms host at 262k docs) serves the whole
+    batch here."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(doc_ids_full, tfs_full, doc_len, starts, lens, idf, qid, qgid,
+            need, avgdl):
+        pos = starts[:, None] + jnp.arange(l, dtype=jnp.int32)[None, :]
+        valid = (jnp.arange(l, dtype=jnp.int32)[None, :] < lens[:, None]) \
+            & (qid[:, None] >= 0)
+        safe_pos = jnp.clip(pos, 0, doc_ids_full.shape[0] - 1)
+        doc_ids = jnp.take(doc_ids_full, safe_pos)
+        tfs = jnp.take(tfs_full, safe_pos)
+        dl = jnp.take(doc_len, doc_ids)
+        denom = tfs + K1 * (1.0 - B + B * dl / avgdl)
+        elem = jnp.where(valid,
+                         idf[:, None] * tfs * (K1 + 1.0)
+                         / jnp.maximum(denom, 1e-9), 0.0)
+        span = n_docs + 1
+        safe_qid = jnp.where(qid >= 0, qid, b)
+        comp = jnp.where(valid,
+                         safe_qid[:, None] * span + doc_ids,
+                         b * span).reshape(-1)
+        el = elem.reshape(-1)
+        gg = jnp.broadcast_to(qgid[:, None], (t, l)).reshape(-1)
+        comp_s, gid_s, el_s = jax.lax.sort([comp, gg, el], num_keys=2)
+        total = el_s
+        newg = jnp.concatenate([
+            jnp.ones(1, jnp.float32),
+            ((comp_s[1:] != comp_s[:-1]) | (gid_s[1:] != gid_s[:-1]))
+            .astype(jnp.float32)])
+        cnt = newg
+        shift = 1
+        while shift < t:
+            same = jnp.concatenate([
+                jnp.zeros(shift, jnp.bool_),
+                comp_s[shift:] == comp_s[:-shift]])
+            total = total + jnp.where(
+                same, jnp.concatenate([jnp.zeros(shift, total.dtype),
+                                       total[:-shift]]), 0.0)
+            cnt = cnt + jnp.where(
+                same, jnp.concatenate([jnp.zeros(shift, cnt.dtype),
+                                       cnt[:-shift]]), 0.0)
+            shift <<= 1
+        is_end = jnp.concatenate([comp_s[1:] != comp_s[:-1],
+                                  jnp.ones(1, jnp.bool_)])
+        q_of = comp_s // span
+        need_of = jnp.take(jnp.concatenate(
+            [need, jnp.full(1, 1.0, jnp.float32)]),
+            jnp.clip(q_of, 0, b))
+        ok = is_end & (comp_s < b * span) \
+            & ((comp_s % span) < n_docs) & (cnt >= need_of)
+        # run-end (query, doc) pairs are unique -> conflict-free scatter
+        seg = jnp.where(ok, comp_s, b * span)
+        dense = jax.ops.segment_max(
+            jnp.where(ok, total, -jnp.inf), seg,
+            num_segments=b * span + 1)[:b * span]
+        dense = dense.reshape(b, span)[:, :n_docs]
+        vals, ids = jax.lax.top_k(dense, k)
+        return vals, ids
+
+    return run
+
+
 class DeviceBM25:
     """Per-block device scorer; postings upload once, queries ship scalars."""
 
@@ -211,6 +283,69 @@ class DeviceBM25:
         vals, rows = jax.device_get((out[0], out[1]))  # one fetch, one RTT
         ok = vals > -np.inf
         return rows[ok].astype(np.int64), vals[ok].astype(np.float32)
+
+    def top_k_batch(self, queries: List[List[List[int]]], k: int,
+                    operator: str = "OR"
+                    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Top-k for a BATCH of queries in one device program (one sort
+        serves all of them). ``queries[b]`` is that query's term_groups.
+        Returns [(rows, scores)] per query, same contract as top_k."""
+        r = self.reader
+        flat = []   # (term, query, global_group)
+        need = []
+        gbase = 0
+        present = []
+        for qi, tg in enumerate(queries):
+            terms = [(tid, qi, gbase + gi) for gi, group in enumerate(tg)
+                     for tid in group if tid >= 0]
+            flat.extend(terms)
+            n_present = len({g for _, _, g in terms})
+            present.append(n_present)
+            need.append(float(n_present) if operator.upper() == "AND"
+                        else 1.0)
+            gbase += len(tg)
+        bq = len(queries)
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.float32))
+        if not flat:
+            return [empty] * bq
+        t_b = _bucket(len(flat))
+        b_b = _bucket(bq, lo=2)
+        max_len = max(int(r.offsets[tid + 1] - r.offsets[tid])
+                      for tid, _, _ in flat)
+        l_b = 128
+        while l_b < max_len:
+            l_b <<= 4
+        l_b = min(l_b, _bucket(self._l_max, lo=128))
+        starts = np.zeros(t_b, np.int32)
+        lens = np.zeros(t_b, np.int32)
+        idf = np.zeros(t_b, np.float32)
+        qid = np.full(t_b, -1, np.int32)
+        qgid = np.zeros(t_b, np.int32)
+        for i, (tid, qi, gg) in enumerate(flat):
+            s, e = int(r.offsets[tid]), int(r.offsets[tid + 1])
+            starts[i], lens[i] = s, e - s
+            df = e - s
+            idf[i] = np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            qid[i] = qi
+            qgid[i] = gg
+        need_arr = np.ones(b_b, np.float32)
+        need_arr[:bq] = need
+        run = _bm25_batch_topk_program(t_b, l_b, self.n_docs,
+                                       min(k, self.n_docs), b_b)
+        vals_dev, ids_dev = run(self._doc_ids, self._tfs, self._doc_len,
+                                starts, lens, idf, qid, qgid, need_arr,
+                                np.float32(max(self.avgdl, 1e-9)))
+        import jax
+        vals, ids = jax.device_get((vals_dev, ids_dev))
+        out = []
+        for qi, tg in enumerate(queries):
+            if operator.upper() == "AND" and present[qi] < len(tg):
+                out.append(empty)
+                continue
+            ok = vals[qi] > -np.inf
+            out.append((ids[qi][ok].astype(np.int64),
+                        vals[qi][ok].astype(np.float32)))
+        return out
 
     def _dispatch_topk(self, term_groups, k: int, operator: str = "OR"):
         """Queue the device top-k without syncing; returns the device

@@ -89,3 +89,26 @@ def test_phrase_through_sql(tmp_catalog):
     rows = c.sql("SELECT id FROM pd WHERE query('body:\"quick brown\"') "
                  "ORDER BY id").rows()
     assert rows == [(1,), (3,), (4,)]
+
+
+def test_device_batch_topk_matches_host(tmp_path):
+    """VERDICT r2 item 5: B queries per one device sort."""
+    reader, _ = _build(tmp_path, 3000)
+    dev = DeviceBM25(reader)
+    queries = [["red"], ["red", "fox"], ["whale", "crab"],
+               ["green", "hill", "sea"], ["dog"], ["slow", "runs"],
+               ["blue", "whale"], ["lazy", "dog", "fox"]]
+    for op in ("OR", "AND"):
+        batch_groups = [[[reader.term_id(t)] for t in q] for q in queries]
+        outs = dev.top_k_batch(batch_groups, 10, op)
+        assert len(outs) == len(queries)
+        for q, (d_rows, d_scores) in zip(queries, outs):
+            groups = [[reader.term_id(t)] for t in q]
+            h_rows, h_scores = reader.bm25_scores(groups, op)
+            assert len(d_rows) == min(10, len(h_rows)), (q, op)
+            np.testing.assert_allclose(
+                np.sort(h_scores)[::-1][:len(d_scores)],
+                np.sort(d_scores)[::-1], rtol=1e-4)
+            smap = dict(zip(h_rows.tolist(), h_scores.tolist()))
+            for r_, s_ in zip(d_rows.tolist(), d_scores.tolist()):
+                assert r_ in smap and abs(smap[r_] - s_) < 1e-3
