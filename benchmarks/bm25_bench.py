@@ -131,7 +131,8 @@ def main():
                    for i in range(0, len(distinct) - bsz + 1, bsz)]
         bg = [[[[reader.term_id(t)] for t in q] for q in bt]
               for bt in batches]
-        dev.top_k_batch(bg[0], 10, "OR")  # warm
+        for b in bg:  # warm every bucketed shape
+            dev.top_k_batch(b, 10, "OR")
         t0 = time.perf_counter()
         for b in bg:
             dev.top_k_batch(b, 10, "OR")

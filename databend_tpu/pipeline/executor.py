@@ -494,8 +494,11 @@ def _exec_sort(plan: SortPlan):
 
 def _try_distributed_topn(plan: SortPlan, blocks):
     """Ordered merge exchange: per-shard top-n + all_gather + final select
-    (reference exchange_sorting.rs). Eligible for a single numeric
-    null-free sort key; returns the result block or None."""
+    (reference exchange_sorting.rs). Any single sort key is eligible
+    through RANK COMPRESSION: the order-preserving dense rank of each row
+    (strings through the rank-encoded comparable array, NULLs placed per
+    nulls_first) is exact in f32 up to 2^24 rows — so the device program
+    only ever selects on compact int ranks, never on raw values."""
     from ..parallel.exchange import sharded_topn
     from ..parallel.mesh import get_default_mesh
     mesh = get_default_mesh()
@@ -503,13 +506,35 @@ def _try_distributed_topn(plan: SortPlan, blocks):
         return None
     it = plan.items[0]
     merged = DataBlock.concat(blocks)
+    n = merged.num_rows
+    if n > (1 << 24):
+        return None  # rank exceeds exact f32 range
     col = merged.column(it.name)
-    if not isinstance(col.data, np.ndarray) or col.data.ndim != 1 \
-            or col.data.dtype.kind not in "iuf" or col.validity is not None:
-        return None
-    keys = col.data.astype(np.float32)
-    if col.data.dtype.kind in "iu" and np.abs(col.data).max(initial=0) > (1 << 24):
-        return None  # f32 key would lose ordering precision
+    if isinstance(col.data, np.ndarray) and col.data.ndim == 1 \
+            and col.data.dtype.kind in "iuf" and col.validity is None \
+            and not (col.data.dtype.kind in "iu"
+                     and np.abs(col.data).max(initial=0) > (1 << 24)) \
+            and not (col.data.dtype.kind == "f"
+                     and np.isnan(col.data).any()):
+        keys = col.data.astype(np.float32)
+    else:
+        arr = _comparable_array(col)
+        if not isinstance(arr, np.ndarray) or arr.dtype.kind == "O" \
+                or arr.ndim != 1:
+            return None
+        order = np.argsort(arr, kind="stable")
+        ranks = np.empty(n, np.int64)
+        ranks[order] = np.arange(n, dtype=np.int64)
+        if col.validity is not None:
+            nulls_first = it.nulls_first if it.nulls_first is not None \
+                else (not it.asc)
+            # nulls_first = first in OUTPUT order: smallest rank under
+            # ASC selection, largest under DESC
+            first_rank = -1 if it.asc else n
+            last_rank = n if it.asc else -1
+            ranks = np.where(col.validity, ranks,
+                             first_rank if nulls_first else last_rank)
+        keys = ranks.astype(np.float32)
     ids = sharded_topn(mesh, keys, int(plan.limit), asc=it.asc)
     return merged.take(ids.astype(np.int64))
 

@@ -187,8 +187,19 @@ int main(int argc, char** argv) {
 
     std::mt19937 rng(7);
     std::normal_distribution<float> N(0.f, 1.f);
+    // gaussian-mixture corpus (64 centers, the ivf_bench/bench.py shape):
+    // pure iid gaussian is the degenerate worst case for graph ANN
+    // (near-equidistant points), not a realistic SIFT-like distribution
+    const int n_centers = 64;
+    std::vector<float> centers((size_t)n_centers * DIM);
+    for (auto& v : centers) v = 4.0f * N(rng);
+    std::uniform_int_distribution<int> pickc(0, n_centers - 1);
     std::vector<float> x((size_t)n * DIM);
-    for (auto& v : x) v = N(rng);
+    for (int i = 0; i < n; i++) {
+        int c = pickc(rng);
+        for (int d = 0; d < DIM; d++)
+            x[(size_t)i * DIM + d] = centers[(size_t)c * DIM + d] + N(rng);
+    }
     std::vector<float> qs((size_t)nq * DIM);
     std::uniform_int_distribution<int> pick(0, n - 1);
     for (int i = 0; i < nq; i++) {
@@ -215,21 +226,27 @@ int main(int argc, char** argv) {
         for (int j = 0; j < k; j++) truth[i].push_back(all[j].second);
     }
 
-    t0 = std::chrono::steady_clock::now();
-    int hit = 0;
-    for (int i = 0; i < nq; i++) {
-        auto ids = h.search(&qs[(size_t)i * DIM], k, ef_s);
-        for (uint32_t id : ids)
-            for (uint32_t t : truth[i])
-                if (id == t) { hit++; break; }
+    // ef sweep: one build serves every operating point (search is cheap)
+    std::vector<int> efs;
+    if (ef_s > 0) efs = {ef_s};
+    else efs = {40, 100, 200, 400, 800, 1600};
+    for (int ef : efs) {
+        t0 = std::chrono::steady_clock::now();
+        int hit = 0;
+        for (int i = 0; i < nq; i++) {
+            auto ids = h.search(&qs[(size_t)i * DIM], k, ef);
+            for (uint32_t id : ids)
+                for (uint32_t t : truth[i])
+                    if (id == t) { hit++; break; }
+        }
+        double search_s = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        printf("{\"metric\": \"cpu_hnsw_baseline\", \"n\": %d, \"dim\": %d, "
+               "\"m\": %d, \"ef_construct\": %d, \"ef_search\": %d, "
+               "\"build_s\": %.1f, \"qps\": %.1f, \"recall_at_%d\": %.4f}\n",
+               n, DIM, m, ef_c, ef, build_s, nq / search_s, k,
+               (double)hit / (nq * k));
+        fflush(stdout);
     }
-    double search_s = std::chrono::duration<double>(
-        std::chrono::steady_clock::now() - t0).count();
-
-    printf("{\"metric\": \"cpu_hnsw_baseline\", \"n\": %d, \"dim\": %d, "
-           "\"m\": %d, \"ef_construct\": %d, \"ef_search\": %d, "
-           "\"build_s\": %.1f, \"qps\": %.1f, \"recall_at_%d\": %.4f}\n",
-           n, DIM, m, ef_c, ef_s, build_s, nq / search_s, k,
-           (double)hit / (nq * k));
     return 0;
 }

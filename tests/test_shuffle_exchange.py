@@ -125,3 +125,25 @@ def test_sql_semi_join_shuffle(sctx):
            " (SELECT events.grp FROM events WHERE events.w > 5)")
     host, dist = _both(sctx, sql)
     assert host == dist
+
+
+def test_sql_distributed_topn_string_and_null_keys(sctx):
+    # rank compression makes ANY single sort key eligible for the
+    # ordered merge exchange (strings, NULLs, wide ints)
+    c = sctx
+    c.sql("CREATE TABLE strs (s VARCHAR NULL, v BIGINT)")
+    import numpy as np
+    from databend_tpu.expression import Column, DataBlock
+    from databend_tpu.types import String
+    rng = np.random.default_rng(3)
+    n = 5000
+    vals = [None if rng.random() < 0.05 else f"w{rng.integers(0, 999):03d}"
+            for _ in range(n)]
+    c.insert_block("strs", DataBlock(
+        ["s", "v"], [Column.from_pylist(vals, String.wrap_nullable()),
+                     Column.from_numpy(np.arange(n))]))
+    for q in ("SELECT s FROM strs ORDER BY s ASC LIMIT 7",
+              "SELECT s FROM strs ORDER BY s DESC LIMIT 7",
+              "SELECT v FROM strs ORDER BY v DESC LIMIT 5"):
+        host, dist = _both(c, q)
+        assert host == dist, (q, host, dist)
