@@ -89,6 +89,25 @@ def build_column_bloom(col) -> Optional[BloomFilter]:
     from ..types import NumberType, StringType
     inner = col.dtype.remove_nullable()
     if isinstance(inner, StringType):
+        data = col.data
+        if isinstance(data, StringData):
+            full = data.codes()
+            if full is not None and len(full):
+                # dictionary path: the filter's membership set is the set
+                # of DISTINCT values — hash each unique once (no per-row
+                # decode/crc32; low-cardinality ingest goes ~100x). Rows
+                # with the same code carry identical bytes, so any
+                # representative row of a code works.
+                sel = full if col.validity is None \
+                    else full[np.asarray(col.validity, bool)]
+                if not len(sel):
+                    return BloomFilter.build(np.zeros(0, np.uint64))
+                n_u = int(full.max()) + 1
+                rep = np.empty(n_u, np.int64)
+                rep[full[::-1]] = np.arange(len(full) - 1, -1, -1)
+                uniq_vals = [data.get(int(rep[c]))
+                             for c in np.unique(sel)]
+                return BloomFilter.build(_hash_values(uniq_vals, "string"))
         vals = [v for v in col.to_pylist() if v is not None]
         return BloomFilter.build(_hash_values(vals, "string"))
     if isinstance(inner, NumberType) and inner.is_integer():

@@ -77,8 +77,23 @@ def column_stats(col: Column) -> ColumnStats:
         mn, mx = data.min(), data.max()
         return ColumnStats(_py(mn), _py(mx), nulls, col.data.nbytes)
     if isinstance(inner, StringType):
-        vals = [v for v in col.to_pylist() if v is not None]
         size = int(col.data.offsets[-1]) if isinstance(col.data, StringData) else 0
+        if isinstance(col.data, StringData):
+            full = col.data.codes()
+            if full is not None and len(full):
+                # min/max over DISTINCT values only (native factorize +
+                # decode of uniques — no per-row decode at ingest)
+                import numpy as _np
+                sel = full if valid is None else full[_np.asarray(valid, bool)]
+                if not len(sel):
+                    return ColumnStats(None, None, nulls, size)
+                n_u = int(full.max()) + 1
+                rep = _np.empty(n_u, _np.int64)
+                rep[full[::-1]] = _np.arange(len(full) - 1, -1, -1)
+                uniq = [col.data.get(int(rep[c])) for c in _np.unique(sel)]
+                return ColumnStats(min(uniq)[:64], max(uniq)[:64], nulls,
+                                   size)
+        vals = [v for v in col.to_pylist() if v is not None]
         if not vals:
             return ColumnStats(None, None, nulls, size)
         # cap stored string bounds (reference trims long stats similarly)
