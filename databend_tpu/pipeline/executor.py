@@ -447,6 +447,18 @@ def _free_tracked(nbytes: int) -> None:
 
 
 def _exec_sort(plan: SortPlan):
+    if plan.distributed and plan.limit is not None and len(plan.items) == 1:
+        # plan fragmenter: Sort(limit) over [Project ->] [HAVING ->]
+        # Aggregate fuses into ONE device program (shuffle/psum agg +
+        # HAVING + ordered merge with device-resident intermediates) —
+        # see parallel/fragmenter.py (reference fragmenter.rs:59)
+        from ..parallel import fragmenter
+        frag = fragmenter.match_agg_topn(plan)
+        if frag is not None:
+            out = frag.execute()
+            if out is not None:
+                yield out
+                return
     blocks = []
     for b in execute_plan_blocks(plan.child):
         _track_block(b)
@@ -1141,75 +1153,39 @@ def _exec_aggregate_spilled(plan: AggregatePlan, spiller: _AggSpiller):
 
 def _try_distributed_aggregate(plan: AggregatePlan, buffered, final_n: int):
     """Grouped merge exchange: per-shard segment aggregation + psum over
-    the mesh (reference Merge exchange for two-phase aggregation). Returns
-    the aggregate output columns, or None when ineligible (no mesh,
-    unsupported function, non-numeric argument). Accumulates at device
-    f32 — the flag is opt-in."""
+    the mesh (reference Merge exchange for two-phase aggregation), or the
+    all_to_all shuffle exchange at high cardinality. Compilation of the
+    aggregate list to device ops is shared with the plan fragmenter
+    (parallel/fragmenter.py). Returns the aggregate output columns, or
+    None when ineligible (no mesh, unsupported function, non-numeric
+    argument). Accumulates at device f32 — the flag is opt-in."""
     from ..parallel.exchange import sharded_grouped_agg
+    from ..parallel.fragmenter import (device_agg_plan, device_agg_values,
+                                       finalize_device_agg)
     from ..parallel.mesh import get_default_mesh
     mesh = get_default_mesh()
     if mesh is None or not buffered:
         return None
-    # device column plan: each agg contributes 1 op (avg: sum+count)
-    ops: List[str] = []
-    spec = []  # per agg: (kind, op_indices)
-    for name, fn, _ in plan.aggs:
-        if fn.distinct:
-            return None
-        nm = fn.name
-        if nm == "count":
-            spec.append(("count", [len(ops)]))
-            ops.append("count")
-        elif nm in ("sum", "min", "max"):
-            spec.append((nm, [len(ops)]))
-            ops.append(nm)
-        elif nm == "avg":
-            spec.append(("avg", [len(ops), len(ops) + 1]))
-            ops.extend(["sum", "count"])
-        else:
-            return None
+    plan_ = device_agg_plan(plan.aggs)
+    if plan_ is None:
+        return None
+    ops, spec = plan_
+    # runtime guard: argument columns must be plain 1-d numeric ndarrays
+    for gids, arg_cols in buffered:
+        for ac in arg_cols:
+            if ac is None:
+                continue
+            if len(ac) != 1:
+                return None
+            a = ac[0]
+            if not isinstance(a.data, np.ndarray) or a.data.ndim != 1 \
+                    or a.data.dtype.kind not in "iufb":
+                return None
     gid_parts, val_parts = [], []
     for gids, arg_cols in buffered:
-        vals = np.zeros((len(gids), len(ops)), np.float64)
-        j = 0
-        for ai, (name, fn, _) in enumerate(plan.aggs):
-            ac = arg_cols[ai]
-            if ac is not None and len(ac) != 1:
-                return None  # multi-arg aggregates stay on the host path
-            arg = ac[0] if ac else None
-            nm = fn.name
-            if arg is not None:
-                if not isinstance(arg.data, np.ndarray) or arg.data.ndim != 1 \
-                        or arg.data.dtype.kind not in "iufb":
-                    return None
-            if nm == "count":
-                if arg is not None and arg.validity is not None:
-                    # count(x): only non-null rows; encode by redirecting
-                    # null rows to the padding group for this column —
-                    # instead, count via sum of validity
-                    vals[:, j] = arg.validity.astype(np.float64)
-                    ops[j] = "sum"
-                else:
-                    vals[:, j] = 1.0
-                    ops[j] = "sum"
-                j += 1
-            elif nm in ("sum", "min", "max"):
-                v = arg.data.astype(np.float64)
-                if arg.validity is not None:
-                    fill = 0.0 if nm == "sum" else (
-                        np.inf if nm == "min" else -np.inf)
-                    v = np.where(arg.validity, v, fill)
-                vals[:, j] = v
-                j += 1
-            else:  # avg
-                v = arg.data.astype(np.float64)
-                ok = arg.validity
-                vals[:, j] = v if ok is None else np.where(ok, v, 0.0)
-                vals[:, j + 1] = 1.0 if ok is None else ok.astype(np.float64)
-                ops[j + 1] = "sum"
-                j += 2
         gid_parts.append(gids)
-        val_parts.append(vals)
+        val_parts.append(
+            device_agg_values(plan.aggs, spec, ops, arg_cols, len(gids)))
     gids_all = np.concatenate(gid_parts)
     vals_all = np.concatenate(val_parts)
     merged = None
@@ -1222,31 +1198,7 @@ def _try_distributed_aggregate(plan: AggregatePlan, buffered, final_n: int):
                                              final_n, ops)
     if merged is None:
         merged = sharded_grouped_agg(mesh, gids_all, vals_all, final_n, ops)
-    out_cols: List[Column] = []
-    for ai, (name, fn, _) in enumerate(plan.aggs):
-        kind, idxs = spec[ai]
-        rt = fn.return_type()
-        if kind == "count":
-            out_cols.append(Column.from_pylist(
-                [int(round(v)) for v in merged[:, idxs[0]]], rt))
-            continue
-        if kind == "avg":
-            sums = merged[:, idxs[0]]
-            cnts = merged[:, idxs[1]]
-            vals = [None if c == 0 else s / c for s, c in zip(sums, cnts)]
-            out_cols.append(Column.from_pylist(vals, rt.wrap_nullable()))
-            continue
-        col = merged[:, idxs[0]]
-        vals = []
-        for v in col:
-            if kind in ("min", "max") and not np.isfinite(v):
-                vals.append(None)
-            elif rt.remove_nullable().is_integer():
-                vals.append(int(round(v)))
-            else:
-                vals.append(float(v))
-        out_cols.append(Column.from_pylist(vals, rt.wrap_nullable()))
-    return out_cols
+    return finalize_device_agg(plan.aggs, spec, merged)
 
 
 # ------------------------------------------------------------------ distinct
