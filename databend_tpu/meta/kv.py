@@ -120,29 +120,58 @@ class RemoteMetaStore:
     embedded store, so OCC retry loops work unchanged."""
 
     def __init__(self, endpoint: str, timeout: float = 10.0):
-        self.endpoint = endpoint.rstrip("/")
+        # comma-separated endpoint list for raft deployments: the client
+        # follows 421 leader redirects and rotates on connection failure
+        # (reference: the meta grpc client's endpoint list + retry)
+        self.endpoints = [e.rstrip("/") if e.startswith("http")
+                          else "http://" + e.rstrip("/")
+                          for e in endpoint.split(",")]
+        self.endpoint = self.endpoints[0]
         self.timeout = timeout
 
     def _call(self, op: str, body: dict) -> dict:
         import urllib.error
         import urllib.request
-        req = urllib.request.Request(
-            f"{self.endpoint}/v1/kv/{op}",
-            data=json.dumps(body).encode(),
-            headers={"Content-Type": "application/json"})
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                return json.loads(r.read())
-        except urllib.error.HTTPError as e:
-            payload = {}
+        data = json.dumps(body).encode()
+        tried = 0
+        candidates = [self.endpoint] + [e for e in self.endpoints
+                                        if e != self.endpoint]
+        last_err: Optional[Exception] = None
+        while candidates and tried < 2 * len(self.endpoints) + 2:
+            ep = candidates.pop(0)
+            tried += 1
+            req = urllib.request.Request(
+                f"{ep}/v1/kv/{op}", data=data,
+                headers={"Content-Type": "application/json"})
             try:
-                payload = json.loads(e.read())
-            except Exception:
-                pass
-            if e.code == 409 and payload.get("cas"):
-                raise TableVersionMismatched(payload.get("error", "CAS"))
-            raise RuntimeError(
-                f"meta service error {e.code}: {payload.get('error')}")
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    self.endpoint = ep  # sticky leader
+                    return json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                payload = {}
+                try:
+                    payload = json.loads(e.read())
+                except Exception:
+                    pass
+                if e.code == 409 and payload.get("cas"):
+                    raise TableVersionMismatched(payload.get("error", "CAS"))
+                if e.code == 421 and payload.get("not_leader"):
+                    leader = payload.get("leader")
+                    if leader and leader.rstrip("/") != ep:
+                        candidates.insert(0, leader.rstrip("/"))
+                    else:  # election in progress: retry after a beat
+                        import time as _t
+                        _t.sleep(0.2)
+                        candidates.append(ep)
+                    last_err = RuntimeError(payload.get("error"))
+                    continue
+                raise RuntimeError(
+                    f"meta service error {e.code}: {payload.get('error')}")
+            except (urllib.error.URLError, ConnectionError, OSError) as e:
+                last_err = e
+                continue
+        raise RuntimeError(
+            f"meta service unreachable on {self.endpoints}: {last_err}")
 
     def get(self, key: str) -> Tuple[Optional[Any], int]:
         out = self._call("get", {"key": key})

@@ -1,4 +1,4 @@
-"""Standalone meta service process.
+"""Standalone meta service process, optionally raft-replicated.
 
 Reference: query nodes talk gRPC to a raft-replicated `databend-meta`
 service (Cargo.toml:170, src/meta/store/src/local.rs — MetaStore is
@@ -7,9 +7,16 @@ deployment mirrors that process boundary with a small HTTP KV service
 wrapping the same OCC `MetaStore`: query processes dial it through
 `RemoteMetaStore` when `meta_endpoint` is configured, so the cluster
 registry, leases, locks and the catalog all live in ONE shared meta
-process instead of per-process embedded KVs.
+deployment instead of per-process embedded KVs.
 
-Run: python -m databend_tpu.meta.server --port 9191 [--path meta.db]
+Single node:
+  python -m databend_tpu.meta.server --port 9191 [--path meta.db]
+
+Raft cluster (reference: the 3-replica databend-meta deployment):
+  python -m databend_tpu.meta.server --port 9191 --raft-id n1 \
+      --raft-peers n1=127.0.0.1:9191,n2=127.0.0.1:9192,n3=127.0.0.1:9193
+  (one process per peer; KV mutations replicate through the raft log,
+  followers answer 421 with the leader endpoint and clients follow)
 
 API (JSON over POST, mirroring the MetaStore methods 1:1):
   /v1/kv/get      {key}                        -> {value, seq}
@@ -17,7 +24,8 @@ API (JSON over POST, mirroring the MetaStore methods 1:1):
   /v1/kv/upsert   {key, value, expected_seq?}  -> {seq} | 409 CAS error
   /v1/kv/delete   {key, expected_seq?}         -> {} | 409
   /v1/kv/next_id  {counter}                    -> {id}
-  GET /v1/status                               -> {role, keys, uptime_s}
+  /v1/raft/request_vote | /v1/raft/append_entries   (peer RPCs)
+  GET /v1/status                               -> {role, keys, raft...}
 """
 
 from __future__ import annotations
@@ -26,18 +34,39 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Dict, Optional
 
 from ..errors import TableVersionMismatched
 from .kv import MetaStore
 
+_MUTATIONS = {"upsert", "delete", "next_id"}
+
 
 class MetaService:
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None,
+                 raft_id: Optional[str] = None,
+                 raft_peers: Optional[Dict[str, str]] = None,
+                 election_timeout=(0.4, 0.8), heartbeat: float = 0.12):
         self.store = MetaStore(path)
         self.started = time.time()
+        self.raft = None
+        self.peer_endpoints: Dict[str, str] = {}
+        if raft_id is not None:
+            from .raft import RaftNode
+            self.peer_endpoints = {
+                k: (v if v.startswith("http") else f"http://{v}")
+                for k, v in (raft_peers or {}).items()}
+            log_path = path + ".raftlog" if path else None
+            self.raft = RaftNode(
+                raft_id, self.peer_endpoints, self._apply,
+                log_path=log_path, election_timeout=election_timeout,
+                heartbeat=heartbeat)
 
-    def handle(self, op: str, body: dict):
+    def _apply(self, op: dict):
+        """Deterministic state-machine apply for replicated mutations."""
+        return self._run_local(op["op"], op["body"])
+
+    def _run_local(self, op: str, body: dict):
         if op == "get":
             value, seq = self.store.get(body["key"])
             return {"value": value, "seq": seq}
@@ -55,13 +84,41 @@ class MetaService:
             return {"id": self.store.next_id(body["counter"])}
         raise ValueError(f"unknown op {op!r}")
 
+    def handle(self, op: str, body: dict):
+        if self.raft is not None:
+            from .raft import LEADER
+            if op in _MUTATIONS:
+                return self.raft.propose({"op": op, "body": body})
+            # reads serve from the leader (see raft.py scope notes)
+            if self.raft.role != LEADER:
+                from .raft import NotLeader
+                raise NotLeader(self.raft.leader_id)
+        return self._run_local(op, body)
+
+    def leader_endpoint(self) -> Optional[str]:
+        if self.raft is None or self.raft.leader_id is None:
+            return None
+        return self.peer_endpoints.get(self.raft.leader_id)
+
     def status(self):
         n = len(self.store.list_prefix(""))
-        return {"role": "leader", "keys": n,
-                "uptime_s": time.time() - self.started}
+        out = {"role": "leader", "keys": n,
+               "uptime_s": time.time() - self.started}
+        if self.raft is not None:
+            rs = self.raft.status()
+            out["role"] = rs["role"]
+            out["raft"] = rs
+        return out
+
+    def close(self):
+        if self.raft is not None:
+            self.raft.stop()
+        self.store.close()
 
 
 def make_handler(svc: MetaService):
+    from .raft import NotLeader
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -80,14 +137,31 @@ def make_handler(svc: MetaService):
             return self._reply(404, {"error": "not found"})
 
         def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n) or b"{}"
+            if self.path.startswith("/v1/raft/"):
+                if svc.raft is None:
+                    return self._reply(400, {"error": "raft not enabled"})
+                rpc = self.path[len("/v1/raft/"):]
+                body = json.loads(raw)
+                if rpc == "request_vote":
+                    return self._reply(200,
+                                       svc.raft.handle_request_vote(body))
+                if rpc == "append_entries":
+                    return self._reply(200,
+                                       svc.raft.handle_append_entries(body))
+                return self._reply(404, {"error": "not found"})
             if not self.path.startswith("/v1/kv/"):
                 return self._reply(404, {"error": "not found"})
             op = self.path[len("/v1/kv/"):]
-            n = int(self.headers.get("Content-Length", 0))
             try:
-                body = json.loads(self.rfile.read(n) or b"{}")
+                body = json.loads(raw)
                 out = svc.handle(op, body)
                 return self._reply(200, out)
+            except NotLeader as e:
+                return self._reply(421, {
+                    "error": str(e), "not_leader": True,
+                    "leader": svc.leader_endpoint()})
             except TableVersionMismatched as e:
                 return self._reply(409, {"error": str(e), "cas": True})
             except Exception as e:
@@ -97,9 +171,14 @@ def make_handler(svc: MetaService):
 
 
 def serve(port: int, path: Optional[str] = None, host: str = "127.0.0.1",
-          in_thread: bool = False):
-    svc = MetaService(path)
+          in_thread: bool = False, raft_id: Optional[str] = None,
+          raft_peers: Optional[Dict[str, str]] = None,
+          election_timeout=(0.4, 0.8), heartbeat: float = 0.12):
+    svc = MetaService(path, raft_id=raft_id, raft_peers=raft_peers,
+                      election_timeout=election_timeout,
+                      heartbeat=heartbeat)
     httpd = ThreadingHTTPServer((host, port), make_handler(svc))
+    httpd.meta_service = svc
     if in_thread:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
@@ -114,10 +193,18 @@ def main():  # pragma: no cover
     p.add_argument("--port", type=int, default=9191)
     p.add_argument("--path", default=None,
                    help="sqlite path (default: in-memory)")
+    p.add_argument("--raft-id", default=None,
+                   help="this node's raft id (enables raft)")
+    p.add_argument("--raft-peers", default=None,
+                   help="id=host:port,... (must include --raft-id)")
     a = p.parse_args()
-    print(f"meta service on {a.host}:{a.port} "
-          f"({'sqlite ' + a.path if a.path else 'in-memory'})", flush=True)
-    serve(a.port, a.path, a.host)
+    peers = None
+    if a.raft_peers:
+        peers = dict(kv.split("=", 1) for kv in a.raft_peers.split(","))
+    mode = f"raft {a.raft_id}" if a.raft_id else "standalone"
+    print(f"meta service on {a.host}:{a.port} ({mode}, "
+          f"{'sqlite ' + a.path if a.path else 'in-memory'})", flush=True)
+    serve(a.port, a.path, a.host, raft_id=a.raft_id, raft_peers=peers)
 
 
 if __name__ == "__main__":  # pragma: no cover

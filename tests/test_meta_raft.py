@@ -1,0 +1,141 @@
+"""Raft-replicated meta service: election, replication, failover,
+restart catch-up (reference: the 3-replica databend-meta deployment;
+Cargo.toml:170)."""
+
+import socket
+import time
+
+import pytest
+
+from databend_tpu.meta.kv import RemoteMetaStore
+
+
+def _free_ports(n):
+    socks = []
+    for _ in range(n):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        socks.append(s)
+    ports = [s.getsockname()[1] for s in socks]
+    for s in socks:
+        s.close()
+    return ports
+
+
+def _wait_leader(stores, timeout=10.0):
+    """Poll node statuses until exactly one leader emerges; returns its
+    node index."""
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        leaders = []
+        for i, st in enumerate(stores):
+            try:
+                s = st.status()
+            except Exception:
+                continue
+            if s.get("role") == "leader":
+                leaders.append(i)
+        if len(leaders) == 1:
+            return leaders[0]
+        time.sleep(0.1)
+    raise AssertionError("no single raft leader elected")
+
+
+@pytest.fixture
+def cluster(tmp_path):
+    from databend_tpu.meta.server import serve
+    ports = _free_ports(3)
+    peers = {f"n{i+1}": f"127.0.0.1:{p}" for i, p in enumerate(ports)}
+    servers = {}
+
+    def boot(i):
+        servers[i] = serve(
+            ports[i], str(tmp_path / f"meta{i}.db"), in_thread=True,
+            raft_id=f"n{i+1}", raft_peers=peers,
+            election_timeout=(0.25, 0.5), heartbeat=0.08)
+
+    for i in range(3):
+        boot(i)
+    yield ports, servers, boot, tmp_path
+    for h in servers.values():
+        try:
+            h.meta_service.close()
+            h.shutdown()
+        except Exception:
+            pass
+
+
+def _stop(servers, i):
+    servers[i].meta_service.close()
+    servers[i].shutdown()
+    servers[i].server_close()
+    del servers[i]
+
+
+def test_raft_election_replication_failover(cluster):
+    ports, servers, boot, tmp = cluster
+    eps = [f"http://127.0.0.1:{p}" for p in ports]
+    stores = [RemoteMetaStore(e, timeout=2.0) for e in eps]
+    leader = _wait_leader(stores)
+
+    # write through a FOLLOWER endpoint: 421 redirect to the leader
+    follower = (leader + 1) % 3
+    seq = stores[follower].upsert("app/x", {"v": 1})
+    assert seq == 1
+    val, s = stores[follower].get("app/x")
+    assert val == {"v": 1} and s == 1
+
+    # CAS conflict surfaces as TableVersionMismatched through raft
+    from databend_tpu.errors import TableVersionMismatched
+    with pytest.raises(TableVersionMismatched):
+        stores[follower].upsert("app/x", {"v": 2}, expected_seq=99)
+    assert stores[follower].upsert("app/x", {"v": 2}, expected_seq=1) == 2
+
+    # id allocation replicates
+    assert stores[follower].next_id("tbl") == 1
+    assert stores[follower].next_id("tbl") == 2
+
+    # ---- kill the leader: a new one takes over with the data intact
+    _stop(servers, leader)
+    time.sleep(0.3)
+    # fresh per-node clients: the follower store sticky-redirected its
+    # endpoint to the (now dead) leader
+    alive = [RemoteMetaStore(e, timeout=2.0)
+             for i, e in enumerate(eps) if i != leader]
+    new_leader_pos = _wait_leader(alive)
+    client = RemoteMetaStore(",".join(e for i, e in enumerate(eps)
+                                      if i != leader), timeout=2.0)
+    val, s = client.get("app/x")
+    assert val == {"v": 2} and s == 2
+    assert client.upsert("post/failover", 42) == 1
+    assert client.next_id("tbl") == 3
+
+    # ---- restart the killed node: it catches up from its log + leader
+    boot(leader)
+    time.sleep(1.5)
+    st = RemoteMetaStore(eps[leader], timeout=2.0).status()
+    assert st["raft"]["last_applied"] >= 1
+    # and the restarted follower redirects writes to the live leader
+    assert RemoteMetaStore(",".join(eps), timeout=2.0).get(
+        "post/failover")[0] == 42
+
+
+def test_raft_minority_cannot_commit(tmp_path):
+    # a single node of a 3-peer cluster must not elect itself or accept
+    # writes (no majority)
+    from databend_tpu.meta.server import serve
+    ports = _free_ports(3)
+    peers = {f"n{i+1}": f"127.0.0.1:{p}" for i, p in enumerate(ports)}
+    h = serve(ports[0], None, in_thread=True, raft_id="n1",
+              raft_peers=peers, election_timeout=(0.2, 0.35),
+              heartbeat=0.08)
+    try:
+        st = RemoteMetaStore(f"http://127.0.0.1:{ports[0]}", timeout=1.0)
+        time.sleep(1.2)
+        assert st.status()["role"] != "leader"
+        with pytest.raises(RuntimeError):
+            st.upsert("k", 1)
+    finally:
+        h.meta_service.close()
+        h.shutdown()
+        h.server_close()
