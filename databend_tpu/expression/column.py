@@ -55,6 +55,15 @@ class StringData:
             object.__setattr__(self, "_obj_cache", cache)
         return cache
 
+    def is_ascii(self) -> bool:
+        """True when every byte is ASCII — char positions == byte
+        positions, so slicing kernels may run byte-level (cached)."""
+        cache = getattr(self, "_ascii_cache", None)
+        if cache is None:
+            cache = bool(self.data.max(initial=0) < 128)
+            object.__setattr__(self, "_ascii_cache", cache)
+        return cache
+
     def codes(self):
         """Dense int64 codes via the native factorizer (cached), or None.
         Lets per-row kernels (LIKE/regexp) run once per UNIQUE value."""
@@ -109,6 +118,10 @@ class StringData:
 
     def take(self, indices: np.ndarray) -> "StringData":
         idx = np.asarray(indices, np.int64)
+        from .. import native
+        taken = native.take_strings(self.offsets, self.data, idx)
+        if taken is not None:
+            return StringData(taken[0], taken[1])
         lens = self.offsets[1:] - self.offsets[:-1]
         new_lens = lens[idx]
         new_offsets = np.zeros(len(idx) + 1, dtype=np.int64)

@@ -33,9 +33,32 @@ def _cmp_resolver(name):
     return resolve
 
 
+def _eq_const_bytes(sd: StringData, const: str) -> np.ndarray:
+    """``col = 'const'`` without decoding: UTF-8 byte equality IS string
+    equality — filter by row length, then compare candidate byte rows in
+    one [n_cand, L] vectorized pass."""
+    b = np.frombuffer(const.encode("utf-8"), np.uint8)
+    L = len(b)
+    row_len = sd.offsets[1:] - sd.offsets[:-1]
+    out = row_len == L
+    if L and out.any():
+        cand = np.flatnonzero(out)
+        starts = sd.offsets[:-1][cand]
+        mat = sd.data[starts[:, None] + np.arange(L)]
+        out[cand] = (mat == b).all(axis=1)
+    return out
+
+
 def _register_cmp(name, op, aliases=()):
     @scalar_function(name, _cmp_resolver(name), aliases=list(aliases))
     def _k(a, b, **kw):
+        if name in ("eq", "noteq"):
+            for x, y in ((a, b), (b, a)):
+                if isinstance(x, StringData) and isinstance(y, StringData):
+                    const = getattr(y, "_const_value", None)
+                    if const is not None and len(x) >= 1024:
+                        eq = _eq_const_bytes(x, const)
+                        return eq if name == "eq" else ~eq
         a, b = _comparable(a), _comparable(b)
         if isinstance(a, np.ndarray) and isinstance(b, np.ndarray) \
                 and a.dtype.kind in "iuf" and b.dtype.kind in "iuf":

@@ -26,15 +26,26 @@ def _str_resolver(name, n_min, n_max=None, ret=String):
     return resolve
 
 
-def _register_map(name, fn, aliases=()):
+def _register_map(name, fn, aliases=(), byte_table=None):
+    """Per-row python map with an optional ASCII byte-table fast path:
+    when the column is pure ASCII, case mapping is ONE 256-entry table
+    gather over the whole byte buffer (no decode, offsets reused)."""
     @scalar_function(name, _str_resolver(name, 1), aliases=list(aliases))
     def _k(a, **kw):
+        if byte_table is not None and isinstance(a, StringData) \
+                and len(a) >= 1024 and a.is_ascii():
+            return StringData(a.offsets, byte_table[a.data])
         return StringData.from_pylist([fn(v) for v in _as_list(a)])
     return _k
 
 
-_register_map("upper", str.upper, aliases=["ucase"])
-_register_map("lower", str.lower, aliases=["lcase"])
+_UPPER_TABLE = np.arange(256, dtype=np.uint8)
+_UPPER_TABLE[ord("a"): ord("z") + 1] -= 32
+_LOWER_TABLE = np.arange(256, dtype=np.uint8)
+_LOWER_TABLE[ord("A"): ord("Z") + 1] += 32
+
+_register_map("upper", str.upper, aliases=["ucase"], byte_table=_UPPER_TABLE)
+_register_map("lower", str.lower, aliases=["lcase"], byte_table=_LOWER_TABLE)
 _register_map("trim", str.strip)
 _register_map("ltrim", str.lstrip)
 _register_map("rtrim", str.rstrip)
@@ -64,9 +75,27 @@ def _concat_ws(sep, *args, **kw):
 
 @scalar_function("substr", _str_resolver("substr", 2, 3), aliases=["substring", "mid"])
 def _substr(a, start, length=None, **kw):
-    vals = _as_list(a)
     starts = np.asarray(start).astype(np.int64)
     lens = None if length is None else np.asarray(length).astype(np.int64)
+    if isinstance(a, StringData) and a.is_ascii():
+        # byte == char for ASCII: vectorized bounds + one native slice
+        # copy (no per-row Python)
+        from ... import native
+        n = len(a)
+        row_len = a.offsets[1:] - a.offsets[:-1]
+        sv = starts if starts.ndim else np.full(n, int(starts), np.int64)
+        begin = np.where(sv > 0, sv - 1,
+                         np.where(sv < 0, np.maximum(row_len + sv, 0), 0))
+        begin = np.minimum(begin, row_len)
+        if lens is None:
+            out_len = row_len - begin
+        else:
+            lv = lens if lens.ndim else np.full(n, int(lens), np.int64)
+            out_len = np.minimum(np.maximum(lv, 0), row_len - begin)
+        res = native.copy_slices(a.data, a.offsets[:-1] + begin, out_len)
+        if res is not None:
+            return StringData(res[0], res[1])
+    vals = _as_list(a)
     out = []
     for i, v in enumerate(vals):
         s = int(starts[i] if starts.ndim else starts)

@@ -91,6 +91,21 @@ def _load() -> Optional[ctypes.CDLL]:
                 np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
                 ctypes.c_int64,
                 np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+            lib.dbtpu_copy_slices.restype = None
+            lib.dbtpu_copy_slices.argtypes = [
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+            lib.dbtpu_take_strings.restype = None
+            lib.dbtpu_take_strings.argtypes = [
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
         except AttributeError:
             pass  # stale .so without the tokenizer: csv path still works
         _lib = lib
@@ -207,6 +222,50 @@ def factorize_strings(offsets: np.ndarray, data: np.ndarray):
     offs = np.ascontiguousarray(offsets, np.int64)
     lib.dbtpu_factorize_strings(buf, offs, n, codes)
     return codes[:n]
+
+
+def take_strings(offsets: np.ndarray, data: np.ndarray, idx: np.ndarray):
+    """Gather rows of an arrow-layout binary column natively.
+
+    Returns (out_offsets, out_data) or None when the native library (or
+    this symbol, for a stale .so) is unavailable. The row-length cumsum
+    stays in numpy; the byte shuffle is one memcpy per row in C.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dbtpu_take_strings"):
+        return None
+    idx = np.ascontiguousarray(idx, np.int64)
+    offs = np.ascontiguousarray(offsets, np.int64)
+    lens = offs[1:] - offs[:-1]
+    out_offsets = np.zeros(len(idx) + 1, np.int64)
+    np.cumsum(lens[idx], out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    out_data = np.empty(max(total, 1), np.uint8)
+    lib.dbtpu_take_strings(np.ascontiguousarray(data, np.uint8), offs,
+                           idx, len(idx), out_offsets, out_data)
+    return out_offsets, out_data[:total]
+
+
+def copy_slices(data: np.ndarray, src_starts: np.ndarray,
+                out_lens: np.ndarray):
+    """Copy per-row byte slices natively: row i is
+    ``data[src_starts[i] : src_starts[i]+out_lens[i]]``.
+
+    Returns (out_offsets, out_data) or None when unavailable. Backs the
+    vectorized substr/left/right string kernels on ASCII columns.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dbtpu_copy_slices"):
+        return None
+    n = len(src_starts)
+    out_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(out_lens, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    out_data = np.empty(max(total, 1), np.uint8)
+    lib.dbtpu_copy_slices(np.ascontiguousarray(data, np.uint8),
+                          np.ascontiguousarray(src_starts, np.int64),
+                          out_offsets, n, out_data)
+    return out_offsets, out_data[:total]
 
 
 def csv_scan(data: bytes, delim: str = ",", quote: str = '"'):

@@ -124,40 +124,152 @@ def hashable_row(cols: List[Column], i: int) -> tuple:
     return tuple(out)
 
 
+def _shared_codes(bcol: Column, pcol: Column) -> Tuple[np.ndarray,
+                                                       np.ndarray, bool]:
+    """One key-column pair -> comparable 1-D arrays for build and probe
+    rows (equal values compare equal ACROSS the two arrays). Strings go
+    through the native byte-level factorizer on the concatenated column
+    (no per-row decode); mixed/object values share one pd.factorize.
+
+    The third element is True when the arrays are DENSE codes (int64 in
+    [0, n_distinct) over the union) — bincount-addressable directly."""
+    import pandas as pd
+    from ..expression.column import StringData
+    bd, pdta = bcol.data, pcol.data
+    if isinstance(bd, StringData) and isinstance(pdta, StringData):
+        cat = StringData.concat([bd, pdta])
+        codes = cat.codes()
+        if codes is not None:
+            return codes[:len(bd)], codes[len(bd):], True
+    bv, pv = key_values(bcol), key_values(pcol)
+    if bv.dtype == pv.dtype and bv.dtype != object:
+        return bv, pv, False
+    codes, _ = pd.factorize(np.concatenate([bv, pv]),
+                            use_na_sentinel=False)
+    codes = codes.astype(np.int64, copy=False)
+    return codes[:len(bv)], codes[len(bv):], True
+
+
 def match_indices(build_keys: List[Column], probe_keys: List[Column]
                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """Vectorized equi-join matching.
+    """Vectorized equi-join matching (the reference's lookup join
+    hashtable, src/common/hashtable, as a factorize + CSR gather).
 
     Returns (lidx, ridx): for every probe row with >=1 build match, one
     entry per (probe row, build row) pair, ordered by probe row (then
     build row). Rows with NULL in any key never match (SQL equality).
+
+    The build side is factorized into dense group ids and laid out as a
+    CSR run per id (stable argsort); each probe row hash-looks-up its id
+    and gathers its run — all C-speed numpy, and the output needs no
+    final sort because runs are emitted in probe-row order with
+    build-row-ascending runs.
     """
     import pandas as pd
     m = len(build_keys[0]) if build_keys else 0
     n = len(probe_keys[0]) if probe_keys else 0
-    bcols = {}
+    if m == 0 or n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     bnull = np.zeros(m, np.bool_)
-    for j, c in enumerate(build_keys):
-        bcols[f"k{j}"] = key_values(c)
+    pnull = np.zeros(n, np.bool_)
+    for c in build_keys:
         if c.validity is not None:
             bnull |= ~c.validity
-    pcols = {}
-    pnull = np.zeros(n, np.bool_)
-    for j, c in enumerate(probe_keys):
-        pcols[f"k{j}"] = key_values(c)
+    for c in probe_keys:
         if c.validity is not None:
             pnull |= ~c.validity
-    keys = list(bcols)
-    bdf = pd.DataFrame(bcols)
-    bdf["__r"] = np.arange(m, dtype=np.int64)
+
+    pairs = [_shared_codes(b, p) for b, p in zip(build_keys, probe_keys)]
+    if len(pairs) == 1:
+        bk, pk, dense = pairs[0]
+    else:
+        # pack per-column shared codes into one int64 key when ranges
+        # fit; otherwise unique over the stacked record view
+        sizes = []
+        overflow = False
+        total = 1
+        for b, p, _ in pairs:
+            if b.dtype == object or not np.issubdtype(b.dtype, np.integer):
+                overflow = True
+                break
+            hi = max(int(b.max(initial=-1)), int(p.max(initial=-1)))
+            lo = min(int(b.min(initial=0)), int(p.min(initial=0)))
+            if lo < 0:
+                overflow = True
+                break
+            sizes.append(hi + 2)
+            total *= hi + 2
+            if total > (1 << 62):
+                overflow = True
+                break
+        if not overflow:
+            bk = pairs[0][0].astype(np.int64, copy=True) + 1
+            pk = pairs[0][1].astype(np.int64, copy=True) + 1
+            for (b, p, _), s in zip(pairs[1:], sizes[1:]):
+                bk = bk * s + (b + 1)
+                pk = pk * s + (p + 1)
+            dense = False
+        else:
+            cols = [np.concatenate([b, p]).astype(np.int64)
+                    if (b.dtype != object and b.dtype == p.dtype
+                        and np.issubdtype(b.dtype, np.integer))
+                    else pd.factorize(np.concatenate([b, p]),
+                                      use_na_sentinel=False)[0]
+                    .astype(np.int64)
+                    for b, p, _ in pairs]
+            stacked = np.ascontiguousarray(np.stack(cols, axis=1))
+            rec = stacked.view([("", np.int64)] * len(cols)).reshape(m + n)
+            _, inv = np.unique(rec, return_inverse=True)
+            inv = inv.astype(np.int64, copy=False).reshape(-1)
+            bk, pk, dense = inv[:m], inv[m:], True
+
+    if not dense:
+        codes, _ = pd.factorize(np.concatenate([bk, pk]),
+                                use_na_sentinel=False)
+        codes = codes.astype(np.int64, copy=False)
+        bk, pk = codes[:m], codes[m:]
+
+    bsel = None
+    bkf = bk
     if bnull.any():
-        bdf = bdf[~bnull]
-    pdf = pd.DataFrame(pcols)
-    pdf["__l"] = np.arange(n, dtype=np.int64)
+        bsel = np.flatnonzero(~bnull)
+        bkf = bk[bsel]
+        if not len(bkf):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    g = int(max(bk.max(initial=-1), pk.max(initial=-1))) + 1
+    counts = np.bincount(bkf, minlength=g)
+    cnt_p = counts[pk]
     if pnull.any():
-        pdf = pdf[~pnull]
-    merged = pdf.merge(bdf, on=keys, how="inner")
-    lidx = merged["__l"].to_numpy(np.int64)
-    ridx = merged["__r"].to_numpy(np.int64)
-    order = np.lexsort((ridx, lidx))
-    return lidx[order], ridx[order]
+        cnt_p = np.where(pnull, 0, cnt_p)
+
+    if int(counts.max(initial=0)) <= 1:
+        # unique build keys (PK-FK joins): at most one match per probe
+        # row — direct code->row scatter map, no sort, no run expansion
+        lidx = np.flatnonzero(cnt_p)
+        if not len(lidx):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        pos_of = np.empty(g, np.int64)
+        pos_of[bkf] = (bsel if bsel is not None
+                       else np.arange(m, dtype=np.int64))
+        return lidx, pos_of[pk[lidx]]
+
+    total_pairs = int(cnt_p.sum())
+    if total_pairs == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    starts = np.zeros(g + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    try:  # O(n) counting sort (pandas groupsort_indexer)
+        from pandas.core.sorting import get_group_index_sorter
+        order = get_group_index_sorter(
+            np.ascontiguousarray(bkf, np.int64), g)
+    except Exception:
+        order = np.argsort(bkf, kind="stable")
+    lidx = np.repeat(np.arange(n, dtype=np.int64), cnt_p)
+    # rpos[j] for pair j in probe row i's run = order[starts[g_i] +
+    # (j - run_start_i)] — fold both terms into ONE repeated shift
+    csum = np.cumsum(cnt_p) - cnt_p
+    shift = starts[pk] - csum
+    rpos = order[np.repeat(shift, cnt_p)
+                 + np.arange(total_pairs, dtype=np.int64)]
+    ridx = bsel[rpos] if bsel is not None else rpos
+    return lidx, ridx.astype(np.int64, copy=False)

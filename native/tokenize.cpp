@@ -253,4 +253,34 @@ int64_t dbtpu_factorize_strings(const char* data, const int64_t* offsets,
     return (int64_t)seen.size();
 }
 
+// ---------------------------------------------------------------------------
+// String-column gather (Column.take over arrow-layout binary data): one
+// memcpy per row, no row-length index temporaries — the byte-shuffle half
+// of the reference's take kernels (src/query/expression kernels/take).
+
+void dbtpu_take_strings(const char* data, const int64_t* offsets,
+                        const int64_t* idx, int64_t n_idx,
+                        const int64_t* out_offsets, char* out_data) {
+    for (int64_t i = 0; i < n_idx; ++i) {
+        const int64_t j = idx[i];
+        const int64_t len = offsets[j + 1] - offsets[j];
+        if (len)
+            memcpy(out_data + out_offsets[i], data + offsets[j],
+                   (size_t)len);
+    }
+}
+
+// Generic slice copy: row i = data[src_starts[i] : src_starts[i] +
+// (out_offsets[i+1]-out_offsets[i])]. Backs vectorized substr/left/right.
+void dbtpu_copy_slices(const char* data, const int64_t* src_starts,
+                       const int64_t* out_offsets, int64_t n,
+                       char* out_data) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t len = out_offsets[i + 1] - out_offsets[i];
+        if (len)
+            memcpy(out_data + out_offsets[i], data + src_starts[i],
+                   (size_t)len);
+    }
+}
+
 }  // extern "C"
