@@ -183,14 +183,20 @@ class _MinMaxAgg(AggregateFunction):
                     # C-level minimum.at over int ranks; the per-group
                     # merge loop runs over groups, not rows
                     g = np.asarray(group_ids, np.int64)
+                    codes_all = codes
                     if validity is not None:
                         keep = np.asarray(validity, bool)
                         g, codes = g[keep], codes[keep]
                     if not len(g):
                         return
                     n_u = int(codes.max()) + 1
-                    rep = np.empty(n_u, np.int64)
-                    rep[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+                    # representative ORIGINAL row per code (same code =
+                    # same bytes, so a null row's representative is fine
+                    # for codes that also occur valid); zero-init so
+                    # codes seen only in null rows don't leave garbage
+                    rep = np.zeros(n_u, np.int64)
+                    m = codes_all < n_u
+                    rep[codes_all[m][::-1]] = np.flatnonzero(m)[::-1]
                     uniq = [payload.get(int(i)) for i in rep]
                     order = np.argsort(np.array(uniq, object))
                     rank = np.empty(n_u, np.int64)

@@ -91,6 +91,23 @@ def _load() -> Optional[ctypes.CDLL]:
                 np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
                 ctypes.c_int64,
                 np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+            lib.dbtpu_string_index_new.restype = ctypes.c_void_p
+            lib.dbtpu_string_index_new.argtypes = [
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+            lib.dbtpu_string_index_size.restype = ctypes.c_int64
+            lib.dbtpu_string_index_size.argtypes = [ctypes.c_void_p]
+            lib.dbtpu_string_index_lookup.restype = None
+            lib.dbtpu_string_index_lookup.argtypes = [
+                ctypes.c_void_p,
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+            lib.dbtpu_string_index_free.restype = None
+            lib.dbtpu_string_index_free.argtypes = [ctypes.c_void_p]
             lib.dbtpu_copy_slices.restype = None
             lib.dbtpu_copy_slices.argtypes = [
                 np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
@@ -222,6 +239,50 @@ def factorize_strings(offsets: np.ndarray, data: np.ndarray):
     offs = np.ascontiguousarray(offsets, np.int64)
     lib.dbtpu_factorize_strings(buf, offs, n, codes)
     return codes[:n]
+
+
+class StringIndex:
+    """Persistent byte-level string->code hash index (the join build
+    hashtable). ``codes`` holds the build rows' dense codes; ``lookup``
+    maps probe rows to build codes (-1 = absent) without decoding."""
+
+    def __init__(self, handle, codes: np.ndarray, lib):
+        self._handle = handle
+        self._lib = lib
+        self.codes = codes
+        self.n_distinct = int(lib.dbtpu_string_index_size(handle))
+
+    def lookup(self, offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
+        n = len(offsets) - 1
+        out = np.empty(max(n, 1), np.int64)
+        self._lib.dbtpu_string_index_lookup(
+            self._handle, np.ascontiguousarray(data, np.uint8),
+            np.ascontiguousarray(offsets, np.int64), n, out)
+        return out[:n]
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            if self._handle:
+                self._lib.dbtpu_string_index_free(self._handle)
+                self._handle = None
+        except Exception:
+            pass
+
+
+def string_index(offsets: np.ndarray, data: np.ndarray):
+    """Build a StringIndex over a string column, or None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dbtpu_string_index_new"):
+        return None
+    n = len(offsets) - 1
+    codes = np.empty(max(n, 1), np.int64)
+    handle = lib.dbtpu_string_index_new(
+        np.ascontiguousarray(data, np.uint8),
+        np.ascontiguousarray(offsets, np.int64), n, codes)
+    if not handle:
+        return None
+    return StringIndex(handle, codes[:n], lib)
 
 
 def take_strings(offsets: np.ndarray, data: np.ndarray, idx: np.ndarray):

@@ -569,6 +569,12 @@ def device_agg_plan(aggs):
             j = len(ops)
             ops.extend(["sum", "sum"])
             spec.append(("avg", [j, j + 1], j + 1))
+        elif nm in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            # moments layout: sum(v), sum(v^2), count (reference:
+            # aggregate_unary.rs variance states)
+            j = len(ops)
+            ops.extend(["sum", "sum", "sum"])
+            spec.append((nm, [j, j + 1, j + 2], j + 2))
         else:
             return None
     return ops, spec
@@ -594,6 +600,12 @@ def device_agg_values(aggs, spec, ops, arg_cols_all, n_rows: int
         if kind == "avg":
             vals[:, idxs[0]] = v if ok is None else np.where(ok, v, 0.0)
             vals[:, idxs[1]] = 1.0 if ok is None else ok.astype(np.float64)
+            continue
+        if kind in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            vv = v if ok is None else np.where(ok, v, 0.0)
+            vals[:, idxs[0]] = vv
+            vals[:, idxs[1]] = vv * vv
+            vals[:, idxs[2]] = 1.0 if ok is None else ok.astype(np.float64)
             continue
         if ok is not None:
             fill = 0.0 if kind == "sum" else (
@@ -623,6 +635,25 @@ def finalize_device_agg(aggs, spec, merged) -> list:
             sums = merged[:, idxs[0]]
             cnts = merged[:, idxs[1]]
             vals = [None if c == 0 else s / c for s, c in zip(sums, cnts)]
+            out_cols.append(Column.from_pylist(vals, rt.wrap_nullable()))
+            continue
+        if kind in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            sums = merged[:, idxs[0]]
+            sqs = merged[:, idxs[1]]
+            cnts = np.round(merged[:, idxs[2]])
+            vals = []
+            need = 2 if kind.endswith("_samp") else 1
+            for s, ss, c in zip(sums, sqs, cnts):
+                if c < need:
+                    vals.append(None)
+                    continue
+                if kind.endswith("_samp"):
+                    var = (ss - s * s / c) / (c - 1)
+                else:
+                    var = ss / c - (s / c) ** 2
+                var = max(float(var), 0.0)  # f32 rounding can dip below 0
+                vals.append(float(np.sqrt(var))
+                            if kind.startswith("stddev") else var)
             out_cols.append(Column.from_pylist(vals, rt.wrap_nullable()))
             continue
         col = merged[:, idxs[0]]

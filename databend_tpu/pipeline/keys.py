@@ -150,6 +150,151 @@ def _shared_codes(bcol: Column, pcol: Column) -> Tuple[np.ndarray,
     return codes[:len(bv)], codes[len(bv):], True
 
 
+class _ColLookup:
+    """Per-key-column build-side code mapping with probe lookup.
+
+    Strings use the persistent native byte-hash index; everything else a
+    pandas factorize + Index (C hashtables both ways)."""
+
+    def __init__(self, col: Column):
+        from ..expression.column import StringData
+        self._si = None
+        self._index = None
+        data = col.data
+        if isinstance(data, StringData):
+            from .. import native
+            si = native.string_index(data.offsets, data.data)
+            if si is not None:
+                self._si = si
+                self.codes = si.codes
+                self.n_distinct = si.n_distinct
+                return
+        import pandas as pd
+        vals = key_values(col)
+        codes, uniq = pd.factorize(vals, use_na_sentinel=False)
+        self.codes = codes.astype(np.int64, copy=False)
+        self.n_distinct = len(uniq)
+        self._index = pd.Index(uniq)
+
+    def lookup(self, col: Column):
+        """Probe codes (-1 = absent from build), or None when this probe
+        column's representation can't ride the built structure."""
+        from ..expression.column import StringData
+        if self._si is not None:
+            if not isinstance(col.data, StringData):
+                return None
+            return self._si.lookup(col.data.offsets, col.data.data)
+        return self._index.get_indexer(key_values(col))
+
+
+class JoinMatcher:
+    """Build-once equi-join hash state, probed per streaming block
+    (reference: the join hashtable built in the build phase and probed
+    per block, src/common/hashtable). Unlike ``match_indices`` the build
+    side is factorized and CSR-laid-out ONCE; each probe block pays only
+    its own hash lookups."""
+
+    def __init__(self, build_keys: List[Column]):
+        import pandas as pd
+        self.build_keys = list(build_keys)
+        m = len(build_keys[0]) if build_keys else 0
+        self.m = m
+        bnull = np.zeros(m, np.bool_)
+        for c in build_keys:
+            if c.validity is not None:
+                bnull |= ~c.validity
+        self._lookups = [_ColLookup(c) for c in build_keys]
+        d_b = self._lookups[0].codes
+        u = self._lookups[0].n_distinct
+        self._steps = []  # (multiplier, pd.Index of packed) per extra col
+        for lk in self._lookups[1:]:
+            mult = lk.n_distinct + 1
+            packed = d_b * mult + lk.codes
+            codes, uniqs = pd.factorize(packed)
+            d_b = codes.astype(np.int64, copy=False)
+            self._steps.append((mult, pd.Index(uniqs)))
+            u = len(uniqs)
+        self.g = max(u, 1)
+        bsel = None
+        bkf = d_b
+        if bnull.any():
+            bsel = np.flatnonzero(~bnull)
+            bkf = d_b[bsel]
+        self._bsel = bsel
+        counts = np.bincount(bkf, minlength=self.g) if len(bkf) \
+            else np.zeros(self.g, np.int64)
+        self._counts = counts
+        self._unique = int(counts.max(initial=0)) <= 1
+        if self._unique:
+            pos_of = np.zeros(self.g, np.int64)
+            if len(bkf):
+                pos_of[bkf] = bsel if bsel is not None \
+                    else np.arange(m, dtype=np.int64)
+            self._pos_of = pos_of
+        else:
+            starts = np.zeros(self.g + 1, np.int64)
+            np.cumsum(counts, out=starts[1:])
+            try:  # O(n) counting sort
+                from pandas.core.sorting import get_group_index_sorter
+                order = get_group_index_sorter(
+                    np.ascontiguousarray(bkf, np.int64), self.g)
+            except Exception:
+                order = np.argsort(bkf, kind="stable")
+            self._starts = starts
+            self._order = order
+            self._bkf_len = len(bkf)
+
+    @staticmethod
+    def build(build_keys):
+        if not build_keys or not len(build_keys[0]):
+            return None
+        try:
+            return JoinMatcher(build_keys)
+        except Exception:
+            return None
+
+    def probe(self, probe_keys: List[Column]
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(probe_keys[0]) if probe_keys else 0
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        if self.m == 0 or n == 0:
+            return empty
+        d_p = self._lookups[0].lookup(probe_keys[0])
+        if d_p is None:
+            return match_indices(self.build_keys, probe_keys)
+        invalid = d_p < 0
+        for (mult, index), lk, col in zip(self._steps, self._lookups[1:],
+                                          probe_keys[1:]):
+            cp = lk.lookup(col)
+            if cp is None:
+                return match_indices(self.build_keys, probe_keys)
+            invalid = invalid | (cp < 0)
+            packed = np.where(d_p < 0, 0, d_p) * mult \
+                + np.where(cp < 0, 0, cp)
+            d_p = index.get_indexer(packed)
+            invalid = invalid | (d_p < 0)
+        for c in probe_keys:
+            if c.validity is not None:
+                invalid = invalid | ~c.validity
+        safe = np.where(d_p < 0, 0, d_p)
+        cnt_p = np.where(invalid, 0, self._counts[safe])
+        if self._unique:
+            lidx = np.flatnonzero(cnt_p)
+            if not len(lidx):
+                return empty
+            return lidx, self._pos_of[safe[lidx]]
+        total_pairs = int(cnt_p.sum())
+        if total_pairs == 0:
+            return empty
+        lidx = np.repeat(np.arange(n, dtype=np.int64), cnt_p)
+        csum = np.cumsum(cnt_p) - cnt_p
+        shift = self._starts[safe] - csum
+        rpos = self._order[np.repeat(shift, cnt_p)
+                           + np.arange(total_pairs, dtype=np.int64)]
+        ridx = self._bsel[rpos] if self._bsel is not None else rpos
+        return lidx, ridx.astype(np.int64, copy=False)
+
+
 def match_indices(build_keys: List[Column], probe_keys: List[Column]
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Vectorized equi-join matching (the reference's lookup join

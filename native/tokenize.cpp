@@ -270,6 +270,54 @@ void dbtpu_take_strings(const char* data, const int64_t* offsets,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Persistent string hash index: the join build-side hashtable
+// (reference: src/common/hashtable short-string specialization). Built
+// once per join; probe blocks look up codes without re-hashing the
+// build side.
+
+struct StringIndex {
+    std::unordered_map<std::string, int64_t> map;
+};
+
+void* dbtpu_string_index_new(const char* data, const int64_t* offsets,
+                             int64_t n, int64_t* codes_out) {
+    auto* si = new StringIndex();
+    si->map.reserve((size_t)n * 2);
+    std::string key;
+    for (int64_t i = 0; i < n; ++i) {
+        key.assign(data + offsets[i], offsets[i + 1] - offsets[i]);
+        auto it = si->map.find(key);
+        if (it == si->map.end()) {
+            const int64_t code = (int64_t)si->map.size();
+            si->map.emplace(std::move(key), code);
+            codes_out[i] = code;
+        } else {
+            codes_out[i] = it->second;
+        }
+    }
+    return si;
+}
+
+int64_t dbtpu_string_index_size(void* h) {
+    return (int64_t)((StringIndex*)h)->map.size();
+}
+
+// codes_out[i] = build code of probe row i, or -1 when absent.
+void dbtpu_string_index_lookup(void* h, const char* data,
+                               const int64_t* offsets, int64_t n,
+                               int64_t* codes_out) {
+    auto* si = (StringIndex*)h;
+    std::string key;
+    for (int64_t i = 0; i < n; ++i) {
+        key.assign(data + offsets[i], offsets[i + 1] - offsets[i]);
+        auto it = si->map.find(key);
+        codes_out[i] = (it == si->map.end()) ? -1 : it->second;
+    }
+}
+
+void dbtpu_string_index_free(void* h) { delete (StringIndex*)h; }
+
 // Generic slice copy: row i = data[src_starts[i] : src_starts[i] +
 // (out_offsets[i+1]-out_offsets[i])]. Backs vectorized substr/left/right.
 void dbtpu_copy_slices(const char* data, const int64_t* src_starts,

@@ -102,3 +102,82 @@ def test_sqllogic_base_suites_distributed(tmp_path):
         c = SessionContext(data_root=str(tmp_path / os.path.basename(path)))
         c.sql("SET GLOBAL enable_distributed_execution = 1")
         run_file(c, path)
+
+
+def _both_asserting_device(c, sql, monkeypatch):
+    """Like _both, but assert the distributed device-agg path actually ran
+    (no silent host fallback)."""
+    from databend_tpu.pipeline import executor as ex
+    hits = []
+    orig = ex._try_distributed_aggregate
+
+    def spy(plan, buffered, final_n):
+        out = orig(plan, buffered, final_n)
+        hits.append(out is not None)
+        return out
+
+    monkeypatch.setattr(ex, "_try_distributed_aggregate", spy)
+    host, dist = _both(c, sql)
+    assert any(hits), "distributed aggregate path never engaged"
+    assert hits[-1], "distributed aggregate fell back to host"
+    return host, dist
+
+
+def test_distributed_variance_family(dctx, monkeypatch):
+    host, dist = _both_asserting_device(
+        dctx, "SELECT grp, var_pop(v), var_samp(v), stddev_pop(v),"
+              " stddev_samp(v) FROM m GROUP BY grp ORDER BY grp",
+        monkeypatch)
+    assert len(host) == len(dist) == 40
+    for h, d in zip(host, dist):
+        for j in (1, 2, 3, 4):
+            assert d[j] == pytest.approx(h[j], rel=1e-3)
+
+
+def test_distributed_distinct_aggregates(dctx, monkeypatch):
+    dctx.sql("CREATE TABLE dd (grp BIGINT, x BIGINT)")
+    rng = np.random.default_rng(3)
+    n = 20_000
+    dctx.insert_block("dd", DataBlock(
+        ["grp", "x"],
+        [Column.from_numpy(rng.integers(0, 25, n)),
+         Column.from_numpy(rng.integers(0, 200, n))]))
+    host, dist = _both_asserting_device(
+        dctx, "SELECT grp, count(DISTINCT x), sum(DISTINCT x),"
+              " avg(DISTINCT x), min(x), max(x) FROM dd GROUP BY grp"
+              " ORDER BY grp", monkeypatch)
+    assert len(host) == len(dist) == 25
+    for h, d in zip(host, dist):
+        assert d[0] == h[0] and d[1] == h[1]
+        assert d[2] == pytest.approx(h[2], rel=1e-4)
+        assert d[3] == pytest.approx(h[3], rel=1e-4)
+        assert (d[4], d[5]) == (h[4], h[5])
+
+
+def test_distributed_string_minmax(dctx, monkeypatch):
+    dctx.sql("CREATE TABLE ds (grp BIGINT, s VARCHAR)")
+    rng = np.random.default_rng(7)
+    n = 10_000
+    words = np.array(["w%04d" % i for i in range(400)], object)
+    vals = words[rng.integers(0, 400, n)]
+    validity = rng.random(n) > 0.05
+    from databend_tpu.types import String
+    vals_list = [v if ok else None for v, ok in zip(vals, validity)]
+    dctx.insert_block("ds", DataBlock(
+        ["grp", "s"],
+        [Column.from_numpy(rng.integers(0, 25, n)),
+         Column.from_pylist(vals_list, String.wrap_nullable())]))
+    host, dist = _both_asserting_device(
+        dctx, "SELECT grp, min(s), max(s) FROM ds GROUP BY grp"
+              " ORDER BY grp", monkeypatch)
+    assert host == dist
+
+
+def test_distributed_mixed_plain_and_special(dctx, monkeypatch):
+    # Plain sum/count next to DISTINCT in one aggregate plan
+    host, dist = _both_asserting_device(
+        dctx, "SELECT grp, sum(v), count(DISTINCT k) FROM m GROUP BY grp"
+              " ORDER BY grp", monkeypatch)
+    for h, d in zip(host, dist):
+        assert d[0] == h[0] and d[2] == h[2]
+        assert d[1] == pytest.approx(h[1], rel=1e-4)
