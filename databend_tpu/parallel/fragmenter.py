@@ -325,6 +325,9 @@ def _freeze(code):
 #                -> Aggregate(keys)
 
 
+_JOIN_FUSE_INELIGIBLE = object()  # sentinel: fall through to generic path
+
+
 class AggTopNFragment:
     """A matched fused fragment; ``execute()`` returns the final
     DataBlock (projected, sorted, limited) or None when the runtime
@@ -378,6 +381,16 @@ class AggTopNFragment:
         if fast is not None:
             return self._host_finish(fast)
 
+        # join fusion: when the aggregate input is an INNER equi-join,
+        # skip the join-output materialization entirely (see
+        # _execute_join_fused)
+        try:
+            out = self._execute_join_fused(mesh)
+        except Exception:
+            out = _JOIN_FUSE_INELIGIBLE
+        if out is not _JOIN_FUSE_INELIGIBLE:
+            return out
+
         # buffer + factorize the aggregate input (the host prep every
         # grouped path shares; strings need host factorization)
         threshold = agg.spill_threshold_rows
@@ -423,6 +436,222 @@ class AggTopNFragment:
 
         sel_rows = rep_idx[top_gids]
         out_cols = [c.take(sel_rows) for c in key_cols_all]
+        out_cols += finalize_device_agg(agg.aggs, self.spec, rows)
+        names = [n for n, _ in agg.keys] + [n for n, _, _ in agg.aggs]
+        block = DataBlock(names, out_cols, len(top_gids))
+        if self.project is not None:
+            ev = Evaluator(block)
+            cols = [ev.run(e) for _, e in self.project.items]
+            block = DataBlock([n for n, _ in self.project.items], cols,
+                              block.num_rows)
+        return block
+
+    def _execute_join_fused(self, mesh):
+        """Fuse an INNER equi-join into the aggregate fragment: the join
+        output is NEVER materialized as a block. The probe side streams
+        through the build-once JoinMatcher; per matched pair only the
+        composite group id (probe-side gid x build-side gid) and the
+        agg-arg value matrix are built, and those feed the same fused
+        device program (psum or all_to_all shuffle variant). A hidden
+        "seen" count column masks (probe-group, build-group) combinations
+        that never co-occur, riding the HAVING machinery.
+
+        Reference: the fragmenter keeps the join and its downstream
+        aggregation in one fragment streaming block-to-block
+        (schedulers/fragments/fragmenter.rs:59); the TPU-native fusion is
+        stronger — one device program, no intermediate rows at all.
+
+        Returns a DataBlock, None (eligible but the host must finish,
+        e.g. spill scale), or _JOIN_FUSE_INELIGIBLE.
+        """
+        from ..expression import Column, DataBlock
+        from ..expression.evaluator import Evaluator
+        from ..expression.expr import BoundColumn
+        from ..pipeline import executor as ex
+        from ..pipeline.keys import (JoinMatcher, composite_group,
+                                     factorize_column)
+        from ..sql.plans import JoinPlan
+
+        agg = self.agg
+        join = agg.child
+        if not isinstance(join, JoinPlan) or join.kind != "INNER" \
+                or join.residual is not None or not join.right_keys:
+            return _JOIN_FUSE_INELIGIBLE
+        nl = len(join.left.output_fields())
+        out_names = [f.name for f in join.fields]
+        if len(set(out_names)) != len(out_names):
+            return _JOIN_FUSE_INELIGIBLE
+        lnames, rnames = set(out_names[:nl]), set(out_names[nl:])
+
+        def side_of(e):
+            refs = {x.name for x in e.walk() if isinstance(x, BoundColumn)}
+            if refs <= lnames:
+                return "L"
+            if refs <= rnames:
+                return "R"
+            return None
+
+        key_sides = [side_of(e) for _, e in agg.keys]
+        if None in key_sides:
+            return _JOIN_FUSE_INELIGIBLE
+        agg_sides = []
+        for _, _, aes in agg.aggs:
+            if not aes:
+                agg_sides.append("L")  # count(*): one per pair
+                continue
+            ss = {side_of(e) for e in aes}
+            if len(ss) != 1 or None in ss:
+                return _JOIN_FUSE_INELIGIBLE
+            agg_sides.append(ss.pop())
+
+        # ---- build side: buffer fully (the broadcast-exchange side)
+        jthreshold = join.spill_threshold_rows
+        rblocks, rtotal = [], 0
+        for rb in ex.execute_plan_blocks(join.right):
+            rblocks.append(rb)
+            rtotal += rb.num_rows
+            if jthreshold and rtotal > jthreshold:
+                return None  # grace-join scale: host path
+        right = DataBlock.concat(rblocks) if rblocks else None
+        nb_rows = right.num_rows if right is not None else 0
+        matcher = None
+        if nb_rows:
+            rkeys = [Evaluator(right).run(k) for k in join.right_keys]
+            matcher = JoinMatcher.build(rkeys)
+            if matcher is None:
+                return _JOIN_FUSE_INELIGIBLE
+            if join.runtime_filter:
+                ex._push_join_runtime_filter(join, right)
+
+        # build-side group codes + per-entry agg value matrices
+        rview = rev = None
+        if nb_rows:
+            rview = DataBlock(out_names[nl:], list(right.columns), nb_rows)
+            rev = Evaluator(rview)
+        r_key_cols = {}
+        b_codes = []
+        for ki, (_, e) in enumerate(agg.keys):
+            if key_sides[ki] == "R" and rev is not None:
+                col = rev.run(e)
+                r_key_cols[ki] = col
+                b_codes.append(factorize_column(col))
+        if b_codes:
+            gid_b, rep_b = composite_group(b_codes)
+            nb = len(rep_b)
+        else:
+            gid_b = np.zeros(nb_rows, np.int64)
+            rep_b = np.zeros(1, np.int64)
+            nb = 1
+        widths = []
+        for entry in agg.aggs:
+            sub = device_agg_plan([entry])
+            widths.append(len(sub[0]))
+        offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+        m = int(offs[-1])
+        bmats = {}
+        for ai, (entry, side) in enumerate(zip(agg.aggs, agg_sides)):
+            if side == "R" and rev is not None:
+                sub_ops, sub_spec = device_agg_plan([entry])
+                cols = [rev.run(e) for e in entry[2]]
+                bmats[ai] = device_agg_values([entry], sub_spec, sub_ops,
+                                              [cols], nb_rows)
+
+        # ---- probe side streams; keep only matched-pair projections
+        athreshold = agg.spill_threshold_rows
+        l_key_parts = {ki: [] for ki, s in enumerate(key_sides) if s == "L"}
+        l_arg_parts = {ai: [] for ai, s in enumerate(agg_sides)
+                       if s == "L" and agg.aggs[ai][2]}
+        pair_r_parts, count_parts = [], []
+        total_pairs = 0
+        for lblock in ex.execute_plan_blocks(join.left):
+            if lblock.num_rows == 0 or matcher is None:
+                continue
+            lev0 = Evaluator(lblock)
+            lkeys = [lev0.run(k) for k in join.left_keys]
+            lidx, ridx = matcher.probe(lkeys)
+            if not len(lidx):
+                continue
+            total_pairs += len(lidx)
+            if athreshold and total_pairs > athreshold:
+                return None  # spill scale: host grace-partition path
+            lview = DataBlock(out_names[:nl], list(lblock.columns),
+                              lblock.num_rows)
+            lev = Evaluator(lview)
+            for ki in l_key_parts:
+                l_key_parts[ki].append(lev.run(agg.keys[ki][1]).take(lidx))
+            for ai in l_arg_parts:
+                l_arg_parts[ai].append(
+                    [lev.run(e).take(lidx) for e in agg.aggs[ai][2]])
+            pair_r_parts.append(ridx)
+            count_parts.append(len(lidx))
+
+        def cat(parts):
+            return parts[0] if len(parts) == 1 else Column.concat(parts)
+
+        P = total_pairs
+        it = self.sort_plan.items[0]
+        nulls_first = it.nulls_first if it.nulls_first is not None \
+            else (not it.asc)
+        if P == 0:
+            top_gids = np.zeros(0, np.int64)
+            rows = np.zeros((0, m), np.float32)
+            gid_p_win = gid_b_win = np.zeros(0, np.int64)
+        else:
+            ridx_all = np.concatenate(pair_r_parts)
+            l_key_cols = {ki: cat(ps) for ki, ps in l_key_parts.items()}
+            p_codes = [factorize_column(l_key_cols[ki])
+                       for ki in sorted(l_key_cols)]
+            if p_codes:
+                gid_p, rep_p = composite_group(p_codes)
+                np_ = len(rep_p)
+            else:
+                gid_p = np.zeros(P, np.int64)
+                rep_p = np.zeros(1, np.int64)
+                np_ = 1
+            final_n = np_ * nb
+            if final_n > (1 << 21):
+                return None  # padded group state would not fit HBM budget
+            gids = gid_p * nb + gid_b[ridx_all]
+
+            vals = np.zeros((P, m + 1), np.float64)
+            vals[:, m] = 1.0  # hidden "seen" count column
+            for ai, side in enumerate(agg_sides):
+                lo, hi = offs[ai], offs[ai + 1]
+                if side == "R":
+                    vals[:, lo:hi] = bmats[ai][ridx_all]
+                else:
+                    entry = agg.aggs[ai]
+                    sub_ops, sub_spec = device_agg_plan([entry])
+                    cols = ([cat([p[t] for p in l_arg_parts[ai]])
+                             for t in range(len(entry[2]))]
+                            if entry[2] else None)
+                    vals[:, lo:hi] = device_agg_values(
+                        [entry], sub_spec, sub_ops, [cols], P)
+
+            seen_pred = ("gt", ("leaf", ("col", m, -1)), ("const", 0.0))
+            hcode2 = seen_pred if self.hcode is None \
+                else ("and", seen_pred, self.hcode)
+            top_gids, rows = sharded_grouped_agg_topn(
+                mesh, gids, vals, final_n, list(self.ops) + ["sum"],
+                self.key, int(self.sort_plan.limit), it.asc, nulls_first,
+                hcode2)
+            rows = rows[:, :m]
+            gid_p_win = top_gids // nb
+            gid_b_win = top_gids % nb
+
+        out_cols = []
+        for ki, (name, e) in enumerate(agg.keys):
+            if key_sides[ki] == "L":
+                if P == 0:
+                    out_cols.append(Column.from_pylist([], e.dtype))
+                else:
+                    out_cols.append(
+                        l_key_cols[ki].take(rep_p[gid_p_win]))
+            else:
+                if nb_rows == 0 or P == 0:
+                    out_cols.append(Column.from_pylist([], e.dtype))
+                else:
+                    out_cols.append(r_key_cols[ki].take(rep_b[gid_b_win]))
         out_cols += finalize_device_agg(agg.aggs, self.spec, rows)
         names = [n for n, _ in agg.keys] + [n for n, _, _ in agg.aggs]
         block = DataBlock(names, out_cols, len(top_gids))

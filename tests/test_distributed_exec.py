@@ -181,3 +181,89 @@ def test_distributed_mixed_plain_and_special(dctx, monkeypatch):
     for h, d in zip(host, dist):
         assert d[0] == h[0] and d[2] == h[2]
         assert d[1] == pytest.approx(h[1], rel=1e-4)
+
+
+def _both_asserting_join_fused(c, sql, monkeypatch):
+    """Assert the join-fused aggregate fragment actually ran (the join
+    output never materialized) and matches the host path."""
+    from databend_tpu.parallel import fragmenter as fr
+    hits = []
+    orig = fr.AggTopNFragment._execute_join_fused
+
+    def spy(self, mesh):
+        out = orig(self, mesh)
+        hits.append(out is not fr._JOIN_FUSE_INELIGIBLE and out is not None)
+        return out
+
+    monkeypatch.setattr(fr.AggTopNFragment, "_execute_join_fused", spy)
+    host, dist = _both(c, sql)
+    assert hits and hits[-1], "join-fused fragment did not engage"
+    return host, dist
+
+
+def _rows_close(host, dist, rel=1e-5):
+    assert len(host) == len(dist)
+    for h, d in zip(host, dist):
+        for a, b in zip(h, d):
+            if isinstance(a, float):
+                assert b == pytest.approx(a, rel=rel)
+            else:
+                assert a == b
+
+
+@pytest.fixture
+def jctx(dctx):
+    rng = np.random.default_rng(5)
+    dctx.sql("CREATE TABLE dimw (grp BIGINT, tag BIGINT, w DOUBLE)")
+    dctx.insert_block("dimw", DataBlock(
+        ["grp", "tag", "w"],
+        [Column.from_numpy(np.arange(40)),
+         Column.from_numpy(np.arange(40) % 7),
+         Column.from_numpy(rng.random(40))]))
+    dctx.sql("CREATE TABLE dupd (grp BIGINT, u DOUBLE)")
+    dctx.insert_block("dupd", DataBlock(
+        ["grp", "u"],
+        [Column.from_numpy(np.repeat(np.arange(20), 3)),
+         Column.from_numpy(rng.random(60))]))
+    return dctx
+
+
+def test_join_fused_build_side_keys(jctx, monkeypatch):
+    host, dist = _both_asserting_join_fused(
+        jctx, "SELECT tag, sum(v) AS s, count(*) AS c FROM m"
+              " JOIN dimw ON m.grp = dimw.grp GROUP BY tag"
+              " ORDER BY s DESC LIMIT 5", monkeypatch)
+    _rows_close(host, dist)
+
+
+def test_join_fused_mixed_keys_and_build_arg(jctx, monkeypatch):
+    host, dist = _both_asserting_join_fused(
+        jctx, "SELECT tag, m.grp, sum(w) AS sw, avg(v) AS av FROM m"
+              " JOIN dimw ON m.grp = dimw.grp GROUP BY tag, m.grp"
+              " ORDER BY av DESC LIMIT 7", monkeypatch)
+    _rows_close(host, dist)
+
+
+def test_join_fused_having(jctx, monkeypatch):
+    host, dist = _both_asserting_join_fused(
+        jctx, "SELECT tag, count(*) AS c FROM m"
+              " JOIN dimw ON m.grp = dimw.grp GROUP BY tag"
+              " HAVING count(*) > 5000 ORDER BY c LIMIT 4", monkeypatch)
+    _rows_close(host, dist)
+
+
+def test_join_fused_nonunique_build(jctx, monkeypatch):
+    # each probe row matches 3 build rows: the pair expansion path
+    host, dist = _both_asserting_join_fused(
+        jctx, "SELECT m.grp, sum(u) AS su, count(*) AS c FROM m"
+              " JOIN dupd ON m.grp = dupd.grp GROUP BY m.grp"
+              " ORDER BY su DESC LIMIT 6", monkeypatch)
+    _rows_close(host, dist)
+
+
+def test_join_fused_minmax_and_filter(jctx, monkeypatch):
+    host, dist = _both_asserting_join_fused(
+        jctx, "SELECT tag, min(v) AS mn, max(v) AS mx FROM m"
+              " JOIN dimw ON m.grp = dimw.grp WHERE m.grp < 10"
+              " GROUP BY tag ORDER BY mn LIMIT 3", monkeypatch)
+    _rows_close(host, dist)
