@@ -186,25 +186,23 @@ def serve(port: int, path: Optional[str] = None, host: str = "127.0.0.1",
     httpd.serve_forever()
 
 
-def main():  # pragma: no cover
-    import argparse
-    p = argparse.ArgumentParser(description="databend_tpu meta service")
-    p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--port", type=int, default=9191)
-    p.add_argument("--path", default=None,
-                   help="sqlite path (default: in-memory)")
-    p.add_argument("--raft-id", default=None,
-                   help="this node's raft id (enables raft)")
-    p.add_argument("--raft-peers", default=None,
-                   help="id=host:port,... (must include --raft-id)")
-    a = p.parse_args()
-    peers = None
-    if a.raft_peers:
-        peers = dict(kv.split("=", 1) for kv in a.raft_peers.split(","))
-    mode = f"raft {a.raft_id}" if a.raft_id else "standalone"
-    print(f"meta service on {a.host}:{a.port} ({mode}, "
-          f"{'sqlite ' + a.path if a.path else 'in-memory'})", flush=True)
-    serve(a.port, a.path, a.host, raft_id=a.raft_id, raft_peers=peers)
+def main(argv=None):  # pragma: no cover
+    """Layered config (defaults < toml < env < CLI), mirroring the
+    reference databend-meta binary (src/meta/cli-config)."""
+    import sys
+
+    from .cli_config import MetaServerConfig
+    cfg = MetaServerConfig.load(sys.argv[1:] if argv is None else argv)
+    peers = cfg.raft_peers or None
+    mode = f"raft {cfg.raft_id}" if cfg.raft_id else "standalone"
+    print(f"meta service on {cfg.host}:{cfg.port} ({mode}, "
+          f"{'sqlite ' + cfg.path if cfg.path else 'in-memory'})",
+          flush=True)
+    serve(cfg.port, cfg.path, cfg.host, raft_id=cfg.raft_id,
+          raft_peers=peers,
+          election_timeout=(cfg.election_timeout_min,
+                            cfg.election_timeout_max),
+          heartbeat=cfg.heartbeat_interval)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -319,6 +319,27 @@ class QueryServer:
                             "engine": info.engine})
         return web.json_response({"tables": out})
 
+    async def handle_admin_flamegraph(self, request):
+        """On-demand process-wide flamegraph: sample every live thread
+        for ``?seconds=`` (default 2, max 30) and return the SVG inline.
+        Reference analog: the on-demand perf capture in
+        src/common/base/src/runtime/perf/query_perf.rs."""
+        import asyncio
+
+        from aiohttp import web
+
+        from ...utils.perf import SamplingProfiler, render_flamegraph_svg
+        try:
+            seconds = min(30.0, max(0.1, float(
+                request.query.get("seconds", "2"))))
+        except ValueError:
+            seconds = 2.0
+        prof = SamplingProfiler().start()
+        await asyncio.sleep(seconds)
+        prof.stop()
+        return web.Response(text=render_flamegraph_svg(prof.folded),
+                            content_type="image/svg+xml")
+
     # --------------------------------------------------------------- app
     def make_app(self):
         from aiohttp import web
@@ -335,6 +356,8 @@ class QueryServer:
         app.router.add_get("/v1/admin/cluster", self.handle_admin_cluster)
         app.router.add_get("/v1/admin/processes", self.handle_admin_processes)
         app.router.add_get("/v1/admin/tables", self.handle_admin_tables)
+        app.router.add_get("/v1/admin/flamegraph",
+                           self.handle_admin_flamegraph)
         return app
 
     def run(self, host: str = "127.0.0.1", port: int = 8124):  # pragma: no cover

@@ -522,6 +522,22 @@ class SessionContext:
             col = Column.from_pylist(lines, String)
             return QueryResult(DataBlock(["explain"], [col]),
                                [DataField("explain", String)])
+        if stmt.kind == "PERF":
+            # reference EXPLAIN PERF: run the statement under a sampling
+            # profiler and return ONE HTML row embedding a flamegraph
+            # (interpreter_explain_perf.rs:85-122, query_perf.rs:72-115)
+            from ..utils.perf import (profile_call, render_flamegraph_svg,
+                                      render_perf_html)
+            _, prof = profile_call(
+                lambda: self._execute_statement_inner(stmt.inner))
+            svg = render_flamegraph_svg(prof.folded)
+            import os
+            import socket
+            node_id = f"{socket.gethostname()}-{os.getpid()}"
+            page = render_perf_html([(node_id, svg)])
+            col = Column.from_pylist([page], String)
+            return QueryResult(DataBlock(["result"], [col], 1),
+                               [DataField("result", String)])
         if not isinstance(stmt.inner, A.QueryStmt):
             raise SemanticError("EXPLAIN supports queries only")
         from ..sql.optimizer import optimize

@@ -124,6 +124,9 @@ class Parser:
             elif self._at_word("PIPELINE"):
                 self.next()
                 kind = "PIPELINE"
+            elif self._at_word("PERF"):
+                self.next()
+                kind = "PERF"
             elif self._at_word("PLAN"):
                 self.next()
             return A.ExplainStmt(self.parse_statement(), kind == "ANALYZE",
