@@ -55,6 +55,60 @@ def shard_rows_padded(mesh, arr: np.ndarray, fill=0):
     return jax.device_put(padded, NamedSharding(mesh, spec)), n
 
 
+# ----------------------------------------------------- pipe width resize
+
+@functools.lru_cache(maxsize=64)
+def _resize_program(mesh, rows_in: int, rows_out: int, ndim: int, fill):
+    spec = P(SHARD_AXIS) if ndim == 1 else P(SHARD_AXIS,
+                                             *([None] * (ndim - 1)))
+    sh = NamedSharding(mesh, spec)
+
+    def f(x):
+        if rows_out <= rows_in:
+            y = x[:rows_out]
+        else:
+            pad = [(0, rows_out - rows_in)] + [(0, 0)] * (x.ndim - 1)
+            y = jnp.pad(x, pad, constant_values=fill)
+        return y
+
+    return jax.jit(f, out_shardings=sh)
+
+
+def resize_width(mesh, x, n_valid: int, width: int, fill=0):
+    """``Pipeline::resize`` analog (reference src/query/pipeline/src/core/
+    pipeline.rs resize pipes): change an operator chain's parallel width
+    mid-pipeline. A row-sharded device array whose valid rows are a
+    global prefix is re-packed so that prefix occupies exactly ``width``
+    of the mesh's shard slots (the remaining shards hold only fill);
+    widening re-spreads it back. The data never returns to host — XLA
+    inserts the cross-device copy for the new layout.
+
+    Returns ``(y, rows_per_shard)``: ``y`` keeps the ``P(shard)``
+    sharding so downstream shard_map stages just run at the new width
+    (slots >= width see only fill and must mask, exactly like the
+    reference's dummy ports on a narrowed pipe).
+    """
+    s = mesh.shape[SHARD_AXIS]
+    if not 1 <= width <= s:
+        raise ValueError(f"width {width} not in [1, {s}]")
+    if x.shape[0] % s:
+        raise ValueError("input rows must already be mesh-divisible")
+    cap = -(-max(int(n_valid), 1) // width)
+    rows_out = s * cap
+    prog = _resize_program(mesh, int(x.shape[0]), rows_out, x.ndim,
+                           fill if not isinstance(fill, np.ndarray)
+                           else float(fill))
+    return prog(x), cap
+
+
+def rebalance(mesh, x, n_valid: int, fill=0):
+    """Full-width resize: even out per-shard load after an upstream stage
+    changed the row count (the reference resizes after filters for the
+    same reason)."""
+    return resize_width(mesh, x, n_valid, mesh.shape[SHARD_AXIS],
+                        fill=fill)
+
+
 # ------------------------------------------------- grouped merge aggregate
 
 @functools.lru_cache(maxsize=64)

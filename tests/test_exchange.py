@@ -84,3 +84,73 @@ def test_shuffle_by_key_copartitions(mesh, rng):
         sums_out[k] = sums_out.get(k, 0.0) + v
     for k in sums_in:
         assert sums_out[k] == pytest.approx(sums_in[k], rel=1e-4)
+
+
+# ----------------------------------------------------- pipe width resize
+# (reference: Pipeline::resize pipes, src/query/pipeline/src/core/pipeline.rs)
+
+def test_resize_width_narrows_and_masks(mesh, rng):
+    import jax
+    from databend_tpu.parallel.exchange import resize_width
+
+    n = 800
+    x = np.arange(n, dtype=np.float32)
+    x_dev, n_valid = shard_rows_padded(mesh, x, fill=-1.0)
+    assert n_valid == n
+    y, cap = resize_width(mesh, x_dev, n, width=2, fill=-1.0)
+    # cap rows per shard; the n-row prefix occupies exactly 2 shards
+    assert cap == 400 and y.shape[0] == 8 * cap
+    host = np.asarray(y)
+    np.testing.assert_array_equal(host[:n], x)
+    assert (host[n:] == -1.0).all()
+    # data physically lives on only the first two devices
+    nonempty = [i for i, sh in enumerate(
+        sorted(y.addressable_shards, key=lambda s: s.index[0].start))
+        if (np.asarray(sh.data) != -1.0).any()]
+    assert nonempty == [0, 1]
+
+
+def test_resize_width_widen_roundtrip(mesh, rng):
+    from databend_tpu.parallel.exchange import rebalance, resize_width
+
+    n = 600
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    x_dev, _ = shard_rows_padded(mesh, x)
+    narrow, cap1 = resize_width(mesh, x_dev, n, width=3)
+    wide, cap2 = rebalance(mesh, narrow, n)
+    assert cap2 == 75  # 600 rows back across all 8 shards
+    np.testing.assert_allclose(np.asarray(wide)[:n], x, rtol=1e-6)
+
+
+def test_resize_composes_with_downstream_shard_map(mesh, rng):
+    """A narrowed pipe feeds a width-aware downstream stage: slots past
+    the new width see only fill and are masked, like the reference's
+    dummy output ports on a narrowed pipe."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from databend_tpu.parallel.exchange import SHARD_AXIS, resize_width
+
+    n, width = 1000, 4
+    x = rng.random(n).astype(np.float32)
+    x_dev, _ = shard_rows_padded(mesh, x, fill=0.0)
+    y, cap = resize_width(mesh, x_dev, n, width=width, fill=0.0)
+
+    def local(chunk):
+        return jax.lax.psum(jnp.sum(chunk), SHARD_AXIS)[None]
+
+    total = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(SHARD_AXIS),), out_specs=P(SHARD_AXIS),
+        check_vma=False))(y)
+    np.testing.assert_allclose(float(np.asarray(total)[0]), x.sum(),
+                               rtol=1e-4)
+
+
+def test_resize_width_validates(mesh):
+    from databend_tpu.parallel.exchange import resize_width
+    x_dev, _ = shard_rows_padded(mesh, np.arange(16, dtype=np.float32))
+    with pytest.raises(ValueError):
+        resize_width(mesh, x_dev, 16, width=0)
+    with pytest.raises(ValueError):
+        resize_width(mesh, x_dev, 16, width=9)
