@@ -52,7 +52,15 @@ class HnswGraph:
             i.nbytes for i in self.level_ids if i is not None)
 
     # ------------------------------------------------------------- serialize
-    def to_bytes(self) -> bytes:
+    def to_bytes(self, format: str = "plain") -> bytes:
+        """``plain`` = dense padded int32 per level (the HBM layout,
+        zero decode); ``compressed`` = per-level bitpacked sorted-
+        neighbor deltas — the analog of the reference's
+        ``GraphLinksFormat::Compressed`` (graph_links/serializer.rs:38,
+        bitpacking_links.rs). Both decode back to the same dense padded
+        arrays the TPU kernels gather from."""
+        if format not in ("plain", "compressed"):
+            raise ValueError(f"unknown graph links format {format!r}")
         buf = io.BytesIO()
         payload = {
             "meta": np.array([self.m, self.ef_construct, self.num_levels],
@@ -61,7 +69,14 @@ class HnswGraph:
             "entry_points": self.entry_points.astype(np.int32),
         }
         for l, arr in enumerate(self.links):
-            payload[f"links_{l}"] = arr.astype(np.int32)
+            if format == "compressed":
+                counts, bits, packed = _pack_links(arr)
+                payload[f"clinks_{l}_counts"] = counts
+                payload[f"clinks_{l}_meta"] = np.array(
+                    [bits, arr.shape[0], arr.shape[1]], np.int64)
+                payload[f"clinks_{l}_packed"] = packed
+            else:
+                payload[f"links_{l}"] = arr.astype(np.int32)
         for l, ids in enumerate(self.level_ids):
             if ids is not None:
                 payload[f"ids_{l}"] = ids.astype(np.int32)
@@ -73,7 +88,15 @@ class HnswGraph:
         z = np.load(io.BytesIO(data))
         m, ef_construct, num_levels = z["meta"].tolist()
         metric = z["metric"].tobytes().decode()
-        links = [z[f"links_{l}"] for l in range(num_levels)]
+        links = []
+        for l in range(num_levels):
+            if f"links_{l}" in z:
+                links.append(z[f"links_{l}"])
+            else:
+                bits, n, width = z[f"clinks_{l}_meta"].tolist()
+                links.append(_unpack_links(
+                    z[f"clinks_{l}_counts"], int(bits),
+                    z[f"clinks_{l}_packed"], int(n), int(width)))
         level_ids: List[Optional[np.ndarray]] = [None] * num_levels
         for l in range(1, num_levels):
             if f"ids_{l}" in z:
@@ -81,9 +104,9 @@ class HnswGraph:
         return HnswGraph(metric, int(m), int(ef_construct),
                          z["entry_points"], links, level_ids)
 
-    def save(self, path: str) -> int:
+    def save(self, path: str, format: str = "plain") -> int:
         from ...storage.operator import OPERATOR
-        data = self.to_bytes()
+        data = self.to_bytes(format)
         OPERATOR.write_bytes(path, data)
         return len(data)
 
@@ -91,3 +114,55 @@ class HnswGraph:
     def load(path: str) -> "HnswGraph":
         from ...storage.operator import OPERATOR
         return HnswGraph.from_bytes(OPERATOR.read_bytes(path))
+
+
+# --------------------------------------------------- bitpacked link lists
+# Vectorized bitpacking of per-row sorted neighbor deltas (the reference
+# packs per-point link lists the same way, common/bitpacking.rs +
+# bitpacking_links.rs; decode always rebuilds the dense padded arrays the
+# TPU gather kernels want, so compression is a storage concern only).
+
+def _pack_links(arr: np.ndarray):
+    """[n, w] int32 with -1 padding -> (counts u16, bits, packed u8)."""
+    a = arr.astype(np.int64)
+    big = np.where(a < 0, np.iinfo(np.int64).max, a)
+    srt = np.sort(big, axis=1)
+    counts = (a >= 0).sum(axis=1).astype(np.uint16)
+    w = arr.shape[1]
+    col = np.arange(w)[None, :]
+    valid = col < counts[:, None].astype(np.int64)
+    prev = np.concatenate(
+        [np.full((srt.shape[0], 1), -1, np.int64), srt[:, :-1]], axis=1)
+    deltas = np.where(valid, srt - prev, 0)
+    flat = deltas[valid]
+    if flat.size == 0:
+        return counts, 1, np.zeros(0, np.uint8)
+    bits = max(1, int(flat.max()).bit_length())
+    # value -> [total, bits] little-endian bit matrix -> packbits
+    bitmat = ((flat[:, None] >> np.arange(bits)[None, :]) & 1
+              ).astype(np.uint8)
+    return counts, bits, np.packbits(bitmat.reshape(-1))
+
+
+def _unpack_links(counts: np.ndarray, bits: int, packed: np.ndarray,
+                  n: int, width: int) -> np.ndarray:
+    out = np.full((n, width), -1, np.int32)
+    total = int(counts.astype(np.int64).sum())
+    if total == 0:
+        return out
+    bitvec = np.unpackbits(packed)[: total * bits]
+    vals = (bitvec.reshape(total, bits).astype(np.int64)
+            << np.arange(bits)[None, :]).sum(axis=1)
+    # un-delta within each row: neighbor_i = (running sum of the row's
+    # deltas through i) - 1, because the first delta was taken vs -1
+    row_of = np.repeat(np.arange(n), counts.astype(np.int64))
+    csum = np.cumsum(vals)
+    starts = np.concatenate(
+        [[0], np.cumsum(counts.astype(np.int64))])[:-1]
+    nonzero = counts.astype(np.int64) > 0
+    prior = np.zeros(n, np.int64)  # cumsum before each row's first delta
+    prior[nonzero] = csum[starts[nonzero]] - vals[starts[nonzero]]
+    neighbors = csum - prior[row_of] - 1
+    col = np.arange(total) - starts[row_of]
+    out[row_of, col] = neighbors.astype(np.int32)
+    return out

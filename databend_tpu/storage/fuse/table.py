@@ -359,10 +359,15 @@ class FuseTable:
         import json as _json
         size = len(_json.dumps(entry["stats"]))
         if want_graphs:
+            # links_format='compressed' bitpacks neighbor deltas (the
+            # reference GraphLinksFormat::Compressed analog); decode
+            # rebuilds the dense HBM layout, so search is unaffected
+            links_format = str(idx.options.get("links_format",
+                                               "plain")).lower()
             for metric in metrics:
                 g = build_hnsw(vectors, m=m, ef_construct=efc, metric=metric)
                 rel = f"_i/{uid}.{idx.name}.{metric}.hnsw"
-                size += g.save(self.abs_path(rel))
+                size += g.save(self.abs_path(rel), format=links_format)
                 entry["graphs"][metric] = rel
         entry["size"] = size
         meta.vector_indexes[idx.name] = entry

@@ -104,3 +104,54 @@ class TestSearchRecall:
         # self match: cosine distance ~ 0
         np.testing.assert_allclose(scores[:, 0], 0.0, atol=1e-3)
         assert (scores >= -1e-3).all() and (scores <= 2.001).all()
+
+
+class TestCompressedLinks:
+    """Bitpacked delta link serialization (reference
+    GraphLinksFormat::Compressed, graph_links/serializer.rs:38)."""
+
+    def _rows_as_sets(self, arr):
+        return [frozenset(int(v) for v in row if v >= 0) for row in arr]
+
+    def test_roundtrip_matches_plain(self, corpus, tmp_path):
+        g = build_hnsw(corpus[:800], m=8, ef_construct=32, metric="l2",
+                       seed=3)
+        data_c = g.to_bytes("compressed")
+        g2 = HnswGraph.from_bytes(data_c)
+        assert g2.metric == g.metric and g2.m == g.m
+        # decode canonicalizes neighbor order (sorted); compare as sets
+        for l in range(g.num_levels):
+            assert self._rows_as_sets(g2.links[l]) == \
+                self._rows_as_sets(g.links[l])
+            if l and g.level_ids[l] is not None:
+                np.testing.assert_array_equal(g2.level_ids[l],
+                                              g.level_ids[l])
+
+    def test_compressed_is_smaller(self, corpus):
+        g = build_hnsw(corpus[:800], m=8, ef_construct=32, metric="l2",
+                       seed=3)
+        plain = len(g.to_bytes("plain"))
+        comp = len(g.to_bytes("compressed"))
+        assert comp < plain, (comp, plain)
+
+    def test_search_from_compressed(self, corpus):
+        x = corpus[:800]
+        g = build_hnsw(x, m=8, ef_construct=48, metric="l2", seed=4)
+        g2 = HnswGraph.from_bytes(g.to_bytes("compressed"))
+        q = x[:8] + 0.01
+        x_dev = jnp.asarray(x)
+        d1, i1 = hnsw_search(g, x_dev, q, k=5, ef=64)
+        d2, i2 = hnsw_search(g2, x_dev, q, k=5, ef=64)
+        # identical graphs (modulo row order) must agree on the top hit
+        assert (np.asarray(i1)[:, 0] == np.asarray(i2)[:, 0]).all()
+
+    def test_empty_rows(self):
+        g = HnswGraph("l2", 4, 16, np.array([0], np.int32),
+                      [np.full((3, 8), -1, np.int32)], [None])
+        g2 = HnswGraph.from_bytes(g.to_bytes("compressed"))
+        assert (g2.links[0] == -1).all()
+
+    def test_unknown_format_rejected(self, corpus):
+        g = build_hnsw(corpus[:100], m=4, metric="l2")
+        with pytest.raises(ValueError):
+            g.to_bytes("bitrot")

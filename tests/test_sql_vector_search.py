@@ -149,3 +149,23 @@ class TestSearchSQL:
         got = [x[0] for x in r.rows()]
         assert got[0] == 10
         assert all(i % 5 == 0 for i in got)
+
+
+def test_links_format_compressed_through_sql(ctx):
+    """links_format='compressed' stores bitpacked graph links; search
+    results are unchanged (reference GraphLinksFormat::Compressed)."""
+    import numpy as np
+    ctx.sql("CREATE TABLE clf (id BIGINT, emb VECTOR(8))")
+    ctx.sql("CREATE VECTOR INDEX cli ON clf(emb) m=8 ef_construct=32"
+            " distance='l2' graphs='always' links_format='compressed'")
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(60, 8)).astype(np.float32)
+    rows = ", ".join(
+        f"({i}, [{', '.join(str(float(v)) for v in emb[i])}])"
+        for i in range(60))
+    ctx.sql(f"INSERT INTO clf VALUES {rows}")
+    q = emb[13] + 0.001
+    qs = "[" + ", ".join(str(float(v)) for v in q) + "]"
+    out = ctx.sql(f"SELECT id FROM clf ORDER BY l2_distance(emb, {qs})"
+                  " LIMIT 3").rows()
+    assert out[0][0] == 13
