@@ -1524,7 +1524,8 @@ def _stmt_desc_sequence(s: SessionContext, st: A.DescSequence):
 def _stmt_create_stage(s: SessionContext, st: A.CreateStage):
     s.check_privilege("SUPER", "*")
     s.stages.create(st.name, st.url, st.file_format, st.comment,
-                    st.if_not_exists, st.or_replace)
+                    st.if_not_exists, st.or_replace,
+                    connection=st.connection)
     return _ok()
 
 
@@ -1536,10 +1537,12 @@ def _stmt_drop_stage(s: SessionContext, st: A.DropStage):
 
 def _stmt_desc_stage(s: SessionContext, st: A.DescStage):
     info = s.stages.get(st.name)
-    names = ["name", "stage_type", "url", "file_format", "comment"]
+    names = ["name", "stage_type", "url", "file_format", "connection",
+             "comment"]
     import json as _json
     vals = [info.name, info.stage_type, info.url,
-            _json.dumps(info.file_format), info.comment]
+            _json.dumps(info.file_format), _redact_conn(info.connection),
+            info.comment]
     return QueryResult(
         DataBlock(names, [Column.from_pylist([v], String) for v in vals], 1),
         [DataField(n, String) for n in names])

@@ -1004,13 +1004,15 @@ class UseWarehouse(Statement):
 # ------------------------------------------------------------------- stages
 @dataclass
 class CreateStage(Statement):
-    """CREATE STAGE s [URL='...'] [FILE_FORMAT=(...)] [COMMENT='...']"""
+    """CREATE STAGE s [URL='...'] [CONNECTION=(...)] [FILE_FORMAT=(...)]
+    [COMMENT='...']"""
     name: str
     url: Optional[str] = None
     file_format: Dict[str, str] = field(default_factory=dict)
     comment: str = ""
     if_not_exists: bool = False
     or_replace: bool = False
+    connection: Dict[str, str] = field(default_factory=dict)
 
 
 @dataclass

@@ -730,6 +730,7 @@ class Parser:
             name = self.ident()
             url = None
             fmt: dict = {}
+            conn: dict = {}
             comment = ""
             while self.peek().kind in ("IDENT", "KEYWORD"):
                 kw = self.peek().text.upper()
@@ -737,6 +738,16 @@ class Parser:
                     self.next()
                     self.expect_op("=")
                     url = self.next().text
+                elif kw == "CONNECTION":
+                    self.next()
+                    self.expect_op("=")
+                    self.expect_op("(")
+                    while not self.at_op(")"):
+                        k = self.next().text
+                        self.expect_op("=")
+                        conn[k.lower()] = self.next().text
+                        self.accept_op(",")
+                    self.expect_op(")")
                 elif kw == "FILE_FORMAT":
                     self.next()
                     self.expect_op("=")
@@ -753,7 +764,8 @@ class Parser:
                     comment = self.next().text
                 else:
                     break
-            return A.CreateStage(name, url, fmt, comment, ine, replace)
+            return A.CreateStage(name, url, fmt, comment, ine, replace,
+                                 connection=conn)
         if self.at_keyword("STREAM"):
             self.next()
             ine = self._if_not_exists()

@@ -145,11 +145,28 @@ class MemoryBackend(Backend):
 
 
 class S3Backend(Backend):
-    """Real S3 via boto3 (when installed). Paths are s3://bucket/key."""
+    """Real S3 via boto3 (when installed). Paths are s3://bucket/key.
 
-    def __init__(self):
+    ``params`` carries connection-scoped credentials (reference:
+    src/meta/app-storage StorageS3Config — access_key_id,
+    secret_access_key, session_token, endpoint_url, region); absent
+    keys fall back to the ambient boto3 chain."""
+
+    def __init__(self, params: Optional[Dict[str, str]] = None):
         import boto3  # gated: raise cleanly when unavailable
-        self._s3 = boto3.client("s3")
+        kw = {}
+        p = params or {}
+        if p.get("access_key_id"):
+            kw["aws_access_key_id"] = p["access_key_id"]
+        if p.get("secret_access_key"):
+            kw["aws_secret_access_key"] = p["secret_access_key"]
+        if p.get("session_token"):
+            kw["aws_session_token"] = p["session_token"]
+        if p.get("endpoint_url"):
+            kw["endpoint_url"] = p["endpoint_url"]
+        if p.get("region"):
+            kw["region_name"] = p["region"]
+        self._s3 = boto3.client("s3", **kw)
 
     @staticmethod
     def _split(path: str) -> Tuple[str, str]:
@@ -210,6 +227,33 @@ class DataOperator:
         if path.startswith("s3://"):
             return self._cached("s3")
         return self._fs
+
+    def scoped(self, params: Optional[Dict[str, str]]) -> "DataOperator":
+        """An operator view whose s3 backend authenticates with the given
+        connection parameters instead of the ambient chain (reference:
+        per-stage/连接 storage params, src/meta/app-storage). Falls back
+        to this operator when no credential keys are present. Scoped
+        backends are cached per credential set."""
+        keys = ("access_key_id", "secret_access_key", "session_token",
+                "endpoint_url", "region")
+        p = {k: v for k, v in (params or {}).items() if k in keys and v}
+        if not p:
+            return self
+        cache_key = "s3:" + "\x1f".join(f"{k}={p[k]}" for k in sorted(p))
+        b = self._backends.get(cache_key)
+        if b is None:
+            try:
+                b = S3Backend(p)
+            except Exception:
+                # no boto3: the in-memory double, namespaced per cred set
+                # so scoped writes stay isolated in tests
+                b = MemoryBackend(cache_key)
+            self._backends[cache_key] = b
+        view = DataOperator.__new__(DataOperator)
+        view._fs = self._fs
+        view._backends = dict(self._backends)
+        view._backends["s3"] = b
+        return view
 
     def _cached(self, scheme: str) -> Backend:
         b = self._backends.get(scheme)

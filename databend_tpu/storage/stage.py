@@ -37,17 +37,20 @@ class StageInfo:
     comment: str = ""
     created_ts: float = 0.0
     number_of_files: int = -1  # filled on demand
+    connection: Dict[str, str] = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return {"name": self.name, "stage_type": self.stage_type,
                 "url": self.url, "file_format": dict(self.file_format),
-                "comment": self.comment, "created_ts": self.created_ts}
+                "comment": self.comment, "created_ts": self.created_ts,
+                "connection": dict(self.connection)}
 
     @staticmethod
     def from_dict(d: dict) -> "StageInfo":
         return StageInfo(d["name"], d["stage_type"], d["url"],
                          dict(d.get("file_format") or {}),
-                         d.get("comment", ""), d.get("created_ts", 0.0))
+                         d.get("comment", ""), d.get("created_ts", 0.0),
+                         connection=dict(d.get("connection") or {}))
 
 
 def _safe_rel(rel: str) -> str:
@@ -88,7 +91,8 @@ class StageManager:
     def create(self, name: str, url: Optional[str] = None,
                file_format: Optional[Dict[str, str]] = None,
                comment: str = "", if_not_exists: bool = False,
-               or_replace: bool = False) -> StageInfo:
+               or_replace: bool = False,
+               connection: Optional[Dict[str, str]] = None) -> StageInfo:
         key = _META_PREFIX + name
         existing, _seq = self.meta.get(key)
         if existing is not None and not or_replace:
@@ -101,7 +105,8 @@ class StageManager:
         else:
             stage_type = "External"
         info = StageInfo(name, stage_type, url, dict(file_format or {}),
-                         comment, time.time())
+                         comment, time.time(),
+                         connection=dict(connection or {}))
         self.meta.upsert(key, info.to_dict())
         return info
 
@@ -155,10 +160,26 @@ class StageManager:
         return self.get(name), _safe_rel(rel)
 
     # ------------------------------------------------------------ file ops
+    def _op(self, info: StageInfo):
+        """The stage's data-plane operator: connection-scoped credentials
+        when the stage carries CONNECTION params (inline or by
+        connection_name), the ambient chain otherwise (reference:
+        per-stage storage params, src/meta/app-storage)."""
+        params = dict(info.connection)
+        cname = params.pop("connection_name", None)
+        if cname:
+            got, _seq = self.meta.get(f"connections/{cname.lower()}")
+            if got is None:
+                raise BadArguments(f"unknown connection {cname!r}")
+            merged = dict(got.get("params") or {})
+            merged.update(params)
+            params = merged
+        return OPERATOR.scoped(params)
+
     def _list_keys(self, info: StageInfo, rel: str) -> List[str]:
         prefix = _join(info.url, rel)
         if OPERATOR.is_object_store(info.url):
-            return sorted(OPERATOR.list(prefix))
+            return sorted(self._op(info).list(prefix))
         # fs: prefix may be a directory, a file, or a glob-ish path head
         if os.path.isdir(prefix):
             out = []
@@ -179,7 +200,7 @@ class StageManager:
             name = key[len(base):] if key.startswith(base) else posixpath.basename(key)
             if pattern and not fnmatch.fnmatch(name, pattern):
                 continue
-            out.append((name, OPERATOR.size(key)))
+            out.append((name, self._op(info).size(key)))
         return out
 
     def remove(self, ref: str, pattern: Optional[str] = None) -> int:
@@ -190,7 +211,7 @@ class StageManager:
             name = key[len(base):] if key.startswith(base) else posixpath.basename(key)
             if pattern and not fnmatch.fnmatch(name, pattern):
                 continue
-            OPERATOR.delete(key)
+            self._op(info).delete(key)
             n += 1
         return n
 
@@ -200,7 +221,7 @@ class StageManager:
         key = _join(info.url, posixpath.join(rel, rel_name) if rel else rel_name)
         if not OPERATOR.is_object_store(key):
             os.makedirs(os.path.dirname(key), exist_ok=True)
-        OPERATOR.write_bytes(key, data)
+        self._op(info).write_bytes(key, data)
         return key
 
     def presign(self, ref: str, method: str = "DOWNLOAD",
@@ -217,7 +238,7 @@ class StageManager:
         headers: Dict[str, str] = {}
         if OPERATOR.is_object_store(key) and key.startswith("s3://"):
             try:
-                backend = OPERATOR.backend_for(key)
+                backend = self._op(info).backend_for(key)
                 bucket, obj = backend._split(key)
                 op = ("get_object" if method.upper() == "DOWNLOAD"
                       else "put_object")
@@ -239,7 +260,7 @@ class StageManager:
         fd, local = tempfile.mkstemp(dir=scratch_dir,
                                      suffix="_" + posixpath.basename(key))
         with os.fdopen(fd, "wb") as f:
-            f.write(OPERATOR.read_bytes(key))
+            f.write(self._op(info).read_bytes(key))
         return local
 
     def scan_block(self, ref: str, options: Dict[str, str],

@@ -153,3 +153,54 @@ def test_system_stages_table(ctx):
     ctx.stages.put_bytes("@sysst", "x.csv", b"1\n")
     rows = ctx.sql("SELECT name, stage_type, number_of_files FROM system.stages").rows()
     assert ("sysst", "Internal", 1) in rows
+
+
+# ------------------------------------------ connection-scoped data plane
+# (reference: per-stage storage params, src/meta/app-storage; the stage
+# operator authenticates with the stage's CONNECTION instead of the
+# ambient chain)
+
+def test_stage_with_inline_connection_isolated(ctx):
+    from databend_tpu.storage.operator import OPERATOR
+    ctx.sql("CREATE STAGE cs1 URL='s3://connbucket/a'"
+            " CONNECTION=(access_key_id='AK1' secret_access_key='SK1')")
+    ctx.sql("CREATE STAGE cs2 URL='s3://connbucket/a'"
+            " CONNECTION=(access_key_id='AK2' secret_access_key='SK2')")
+    info1, _ = ctx.stages.resolve("@cs1")
+    ctx.stages.put_bytes("@cs1", "f.csv", b"1\n")
+    # same URL, different credentials -> different (scoped) backends:
+    # the second connection must NOT see the first connection's object
+    assert ctx.stages.list_files("@cs1") == [("f.csv", 2)]
+    assert ctx.stages.list_files("@cs2") == []
+    # and the ambient operator doesn't see it either
+    assert OPERATOR.list("s3://connbucket/a") == []
+
+
+def test_stage_with_named_connection(ctx):
+    ctx.sql("CREATE CONNECTION nc STORAGE_TYPE='s3'"
+            " access_key_id='NAK' secret_access_key='NSK'")
+    ctx.sql("CREATE STAGE ncs URL='s3://connbucket/b'"
+            " CONNECTION=(connection_name='nc')")
+    ctx.stages.put_bytes("@ncs", "g.csv", b"2,3\n")
+    assert ctx.stages.list_files("@ncs") == [("g.csv", 4)]
+    # an equivalent inline-credential stage resolves to the same backend
+    ctx.sql("CREATE STAGE ncs2 URL='s3://connbucket/b'"
+            " CONNECTION=(access_key_id='NAK' secret_access_key='NSK')")
+    assert ctx.stages.list_files("@ncs2") == [("g.csv", 4)]
+
+
+def test_stage_unknown_named_connection_errors(ctx):
+    from databend_tpu.errors import BadArguments
+    ctx.sql("CREATE STAGE badc URL='s3://connbucket/c'"
+            " CONNECTION=(connection_name='nope')")
+    with pytest.raises(BadArguments):
+        ctx.stages.list_files("@badc")
+
+
+def test_desc_stage_redacts_connection_secrets(ctx):
+    ctx.sql("CREATE STAGE reds URL='s3://connbucket/d'"
+            " CONNECTION=(access_key_id='VISIBLE'"
+            " secret_access_key='HIDEME')")
+    row = ctx.sql("DESC STAGE reds").rows()[0]
+    joined = " ".join(str(v) for v in row)
+    assert "VISIBLE" in joined and "HIDEME" not in joined
