@@ -12,6 +12,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 from ..errors import (DatabaseAlreadyExists, IndexAlreadyExists,
+                      TableVersionMismatched,
                       TableAlreadyExists, UnknownDatabase, UnknownIndex,
                       UnknownTable)
 from ..expression.schema import TableSchema
@@ -100,7 +101,15 @@ class Catalog:
             if if_not_exists:
                 return
             raise DatabaseAlreadyExists(f"database {name!r} already exists")
-        self.meta.upsert(key, {"name": name, "db_id": self.meta.next_id("db")}, 0)
+        try:
+            self.meta.upsert(
+                key, {"name": name, "db_id": self.meta.next_id("db")}, 0)
+        except TableVersionMismatched:
+            # a concurrent session created it between our check and CAS
+            # (e.g. two sessions bootstrapping 'default' on a fresh root)
+            if not if_not_exists:
+                raise DatabaseAlreadyExists(
+                    f"database {name!r} already exists")
 
     def drop_database(self, name: str, if_exists: bool = False) -> None:
         key = f"db_meta/{name.lower()}"
@@ -139,7 +148,14 @@ class Catalog:
             raise TableAlreadyExists(f"table {info.name!r} already exists")
         if info.table_id == 0:
             info.table_id = self.meta.next_id("table")
-        self.meta.upsert(key, info.to_dict(), 0)
+        try:
+            self.meta.upsert(key, info.to_dict(), 0)
+        except TableVersionMismatched:
+            # lost the create race to a concurrent session
+            if if_not_exists:
+                val, _ = self.meta.get(key)
+                return TableInfo.from_dict(val)
+            raise TableAlreadyExists(f"table {info.name!r} already exists")
         return info
 
     def get_table(self, db: str, name: str) -> TableInfo:

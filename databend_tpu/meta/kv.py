@@ -70,42 +70,99 @@ class MetaStore:
 
     # ----------------------------------------------------------------- writes
     def upsert(self, key: str, value: Any, expected_seq: Optional[int] = None) -> int:
+        """CAS must hold across *instances* too: several sessions (or
+        processes) can open the same sqlite file, so the check-and-set is
+        one guarded SQL statement under an immediate transaction, not a
+        read-then-write under the in-process lock (a lost update here
+        silently drops a committed snapshot — found by
+        tests/test_concurrency_stress.py)."""
         raw = json.dumps(value)
         with self._lock:
-            _, cur_seq = self.get(key)
-            if expected_seq is not None and cur_seq != expected_seq:
-                raise TableVersionMismatched(
-                    f"meta CAS failed on {key!r}: expected seq {expected_seq}, found {cur_seq}")
-            new_seq = cur_seq + 1
             if self._mem is not None:
+                _, cur_seq = self.get(key)
+                if expected_seq is not None and cur_seq != expected_seq:
+                    raise TableVersionMismatched(
+                        f"meta CAS failed on {key!r}: expected seq "
+                        f"{expected_seq}, found {cur_seq}")
+                new_seq = cur_seq + 1
                 self._mem[key] = (new_seq, raw)
-            else:
-                self._db.execute(
-                    "INSERT INTO kv (key, seq, value) VALUES (?, ?, ?) "
-                    "ON CONFLICT(key) DO UPDATE SET seq=?, value=?",
-                    (key, new_seq, raw, new_seq, raw))
-                self._db.commit()
-            return new_seq
+                return new_seq
+            for _ in range(64):  # sqlite busy retries under contention
+                try:
+                    self._db.execute("BEGIN IMMEDIATE")
+                except sqlite3.OperationalError:
+                    import time as _t
+                    _t.sleep(0.005)
+                    continue
+                try:
+                    row = self._db.execute(
+                        "SELECT seq FROM kv WHERE key=?", (key,)).fetchone()
+                    cur_seq = row[0] if row else 0
+                    if expected_seq is not None and cur_seq != expected_seq:
+                        raise TableVersionMismatched(
+                            f"meta CAS failed on {key!r}: expected seq "
+                            f"{expected_seq}, found {cur_seq}")
+                    new_seq = cur_seq + 1
+                    self._db.execute(
+                        "INSERT INTO kv (key, seq, value) VALUES (?, ?, ?) "
+                        "ON CONFLICT(key) DO UPDATE SET seq=?, value=?",
+                        (key, new_seq, raw, new_seq, raw))
+                    self._db.commit()
+                    return new_seq
+                except BaseException:
+                    self._db.rollback()
+                    raise
+            raise TableVersionMismatched(
+                f"meta busy: could not lock {key!r} for CAS")
 
     def delete(self, key: str, expected_seq: Optional[int] = None) -> None:
         with self._lock:
-            _, cur_seq = self.get(key)
-            if expected_seq is not None and cur_seq != expected_seq:
-                raise TableVersionMismatched(
-                    f"meta CAS failed on {key!r}: expected seq {expected_seq}, found {cur_seq}")
             if self._mem is not None:
+                _, cur_seq = self.get(key)
+                if expected_seq is not None and cur_seq != expected_seq:
+                    raise TableVersionMismatched(
+                        f"meta CAS failed on {key!r}: expected seq "
+                        f"{expected_seq}, found {cur_seq}")
                 self._mem.pop(key, None)
-            else:
-                self._db.execute("DELETE FROM kv WHERE key=?", (key,))
-                self._db.commit()
+                return
+            for _ in range(64):
+                try:
+                    self._db.execute("BEGIN IMMEDIATE")
+                except sqlite3.OperationalError:
+                    import time as _t
+                    _t.sleep(0.005)
+                    continue
+                try:
+                    row = self._db.execute(
+                        "SELECT seq FROM kv WHERE key=?", (key,)).fetchone()
+                    cur_seq = row[0] if row else 0
+                    if expected_seq is not None and cur_seq != expected_seq:
+                        raise TableVersionMismatched(
+                            f"meta CAS failed on {key!r}: expected seq "
+                            f"{expected_seq}, found {cur_seq}")
+                    self._db.execute("DELETE FROM kv WHERE key=?", (key,))
+                    self._db.commit()
+                    return
+                except BaseException:
+                    self._db.rollback()
+                    raise
+            raise TableVersionMismatched(
+                f"meta busy: could not lock {key!r} for delete")
 
     def next_id(self, counter: str) -> int:
-        """Atomic id allocator (table ids, index ids)."""
-        with self._lock:
+        """Atomic id allocator (table ids, index ids). CAS-retried so
+        concurrent allocators (other instances on the same sqlite file)
+        never hand out the same id."""
+        for _ in range(256):
             val, seq = self.get(f"__id/{counter}")
             nxt = (val or 0) + 1
-            self.upsert(f"__id/{counter}", nxt, seq)
-            return nxt
+            try:
+                self.upsert(f"__id/{counter}", nxt, seq)
+                return nxt
+            except TableVersionMismatched:
+                continue
+        raise TableVersionMismatched(
+            f"id allocator {counter!r}: CAS kept failing")
 
     def close(self):
         if self._db is not None:
