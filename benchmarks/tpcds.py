@@ -198,6 +198,14 @@ def generate(sf: float, seed: int = 7):
         "s_company_name": np.array(["Unknown"] * n_store),
         "s_market_id": ssk % 10 + 1,
         "s_gmt_offset": np.full(n_store, -5.0),
+        "s_street_number": np.array(
+            [str(100 + 37 * j) for j in ssk]),
+        "s_street_name": np.array(
+            ["Main", "Oak", "Elm", "Park", "Lake", "Hill", "Maple",
+             "Cedar", "Pine", "Walnut", "First", "Second"])[ssk % 12],
+        "s_street_type": np.array(
+            ["Street", "Ave", "Blvd", "Way", "Ct", "Dr"])[ssk % 6],
+        "s_suite_number": np.array([f"Suite {j * 10}" for j in ssk]),
     }
 
     # ---------------------------------------------------------- warehouse
@@ -236,6 +244,8 @@ def generate(sf: float, seed: int = 7):
              "Cedar", "Pine", "Walnut"], n_addr),
         "ca_suite_number": np.array(
             [f"Suite {v}" for v in rng.integers(0, 500, n_addr)]),
+        "ca_street_type": rng.choice(
+            ["Street", "Ave", "Blvd", "Way", "Ct", "Dr", "Ln"], n_addr),
     }
 
     # ------------------------------------------------ customer_demographics
@@ -294,6 +304,7 @@ def generate(sf: float, seed: int = 7):
         "c_login": np.array([""] * n_cust),
         "c_first_sales_date_sk": rng.integers(0, N_DATES, n_cust),
         "c_first_shipto_date_sk": rng.integers(0, N_DATES, n_cust),
+        "c_last_review_date_sk": rng.integers(0, N_DATES, n_cust),
     }
 
     # ----------------------------------------------------------- promotion
@@ -376,7 +387,7 @@ def generate(sf: float, seed: int = 7):
     qty = rng.integers(1, 101, n_ss).astype(np.float64)
     whole = _money(rng, 1, 100, n_ss)
     lst = np.round(whole * rng.uniform(1.0, 1.5, n_ss), 2)
-    price = np.round(lst * rng.uniform(0.0, 1.0, n_ss), 2)
+    price = np.round(lst * rng.uniform(0.02, 1.0, n_ss), 2)
     ext_sales = np.round(price * qty, 2)
     ext_whole = np.round(whole * qty, 2)
     ext_list = np.round(lst * qty, 2)
@@ -447,7 +458,7 @@ def generate(sf: float, seed: int = 7):
     qty_c = rng.integers(1, 101, n_cs).astype(np.float64)
     whole_c = _money(rng, 1, 100, n_cs)
     lst_c = np.round(whole_c * rng.uniform(1.0, 1.5, n_cs), 2)
-    price_c = np.round(lst_c * rng.uniform(0.0, 1.0, n_cs), 2)
+    price_c = np.round(lst_c * rng.uniform(0.02, 1.0, n_cs), 2)
     ext_sales_c = np.round(price_c * qty_c, 2)
     ext_whole_c = np.round(whole_c * qty_c, 2)
     coupon_c = np.where(rng.random(n_cs) < 0.1,
@@ -513,9 +524,14 @@ def generate(sf: float, seed: int = 7):
             "cs_call_center_sk"][cr_idx],
         "cr_catalog_page_sk": data["catalog_sales"][
             "cs_catalog_page_sk"][cr_idx],
+        "cr_returning_addr_sk": rng.integers(0, n_addr, len(cr_idx)),
         "cr_return_quantity": cr_qty,
         "cr_return_amount": cr_amt,
         "cr_return_amt_inc_tax": np.round(cr_amt * 1.06, 2),
+        "cr_refunded_cash": np.round(
+            cr_amt * rng.uniform(0, 1, len(cr_idx)), 2),
+        "cr_reversed_charge": _money(rng, 0, 50, len(cr_idx)),
+        "cr_store_credit": _money(rng, 0, 50, len(cr_idx)),
         "cr_net_loss": _money(rng, 0.5, 1000, len(cr_idx)),
     }
 
@@ -528,7 +544,7 @@ def generate(sf: float, seed: int = 7):
     qty_w = rng.integers(1, 101, n_ws).astype(np.float64)
     whole_w = _money(rng, 1, 100, n_ws)
     lst_w = np.round(whole_w * rng.uniform(1.0, 1.5, n_ws), 2)
-    price_w = np.round(lst_w * rng.uniform(0.0, 1.0, n_ws), 2)
+    price_w = np.round(lst_w * rng.uniform(0.02, 1.0, n_ws), 2)
     ext_sales_w = np.round(price_w * qty_w, 2)
     ext_whole_w = np.round(whole_w * qty_w, 2)
     net_paid_w = ext_sales_w
@@ -542,6 +558,7 @@ def generate(sf: float, seed: int = 7):
         "ws_bill_customer_sk": wo_cust[worder_of],
         "ws_bill_cdemo_sk": rng.integers(0, n_cd, n_ws),
         "ws_bill_hdemo_sk": rng.integers(0, n_hd, n_ws),
+        "ws_ship_hdemo_sk": rng.integers(0, n_hd, n_ws),
         "ws_bill_addr_sk": rng.integers(0, n_addr, n_ws),
         "ws_ship_customer_sk": np.where(
             rng.random(n_ws) < 0.85, wo_cust[worder_of],
@@ -593,6 +610,8 @@ def generate(sf: float, seed: int = 7):
             "ws_bill_addr_sk"][wr_idx],
         "wr_returning_cdemo_sk": data["web_sales"][
             "ws_bill_cdemo_sk"][wr_idx],
+        "wr_returning_addr_sk": data["web_sales"][
+            "ws_bill_addr_sk"][wr_idx],
         "wr_web_page_sk": data["web_sales"]["ws_web_page_sk"][wr_idx],
         "wr_reason_sk": rng.integers(0, 35, len(wr_idx)),
         "wr_return_quantity": wr_qty,
@@ -660,6 +679,7 @@ def load(ctx, data):
                 out.append(Column(Int64, arr.astype(np.int64), None))
         n = len(next(iter(cols.values())))
         ctx.insert_block(tname, DataBlock(list(cols), out, n))
+        ctx.sql(f"ANALYZE TABLE {tname}")
 
 
 def frames(data):

@@ -174,14 +174,15 @@ class Evaluator:
         return Column.from_pylist(out, expr.dtype)
 
     def _run_case(self, expr: CaseExpr) -> Column:
+        """CASE with masked branch evaluation: each THEN/ELSE expression
+        only ever sees the rows its guard selects (reference if_then_else
+        selection-vector semantics) — `CASE WHEN d > 0 THEN x/d END` must
+        not raise for rows where d = 0."""
         n = self.block.num_rows
         target = expr.dtype
-        if expr.else_result is not None:
-            acc = cast_column(self.run(expr.else_result), target, False)
-        else:
-            acc = Column(target.remove_nullable(),
-                         constant_column(None, target.wrap_nullable(), n).data,
-                         np.zeros(n, np.bool_))
+        acc = Column(target.remove_nullable(),
+                     constant_column(None, target.wrap_nullable(), n).data,
+                     np.zeros(n, np.bool_))
         decided = np.zeros(n, np.bool_)
         for cond_e, res_e in zip(expr.conditions, expr.results):
             cond = self.run(cond_e)
@@ -191,10 +192,22 @@ class Evaluator:
             mask &= ~decided
             if not mask.any():
                 continue
-            res = cast_column(self.run(res_e), target, False)
-            acc = _select_columns(mask, res, acc)
+            acc = self._case_fill(acc, mask, res_e, target)
             decided |= mask
+        if expr.else_result is not None and not decided.all():
+            acc = self._case_fill(acc, ~decided, expr.else_result, target)
         return acc
+
+    def _case_fill(self, acc: Column, mask: np.ndarray, res_e,
+                   target) -> Column:
+        """acc[mask] = eval(res_e) over only the masked rows."""
+        if mask.all():
+            return cast_column(self.run(res_e), target, False)
+        sub = Evaluator(self.block.filter(mask)).run(res_e)
+        sub = cast_column(sub, target, False)
+        pos = np.cumsum(mask) - 1          # row -> its index within sub
+        up = sub.take(np.where(mask, pos, 0))
+        return _select_columns(mask, up, acc)
 
 
 def _select_columns(mask: np.ndarray, a: Column, b: Column) -> Column:

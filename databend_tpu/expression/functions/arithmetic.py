@@ -45,28 +45,46 @@ scalar_function("minus", _numeric_binary_resolver("minus"))(_with_out_dtype(np.s
 scalar_function("multiply", _numeric_binary_resolver("multiply"))(_with_out_dtype(np.multiply))
 
 
-def _check_zero(b):
-    b = np.asarray(b)
-    if (b == 0).any():
-        raise BadArguments("divided by zero")  # reference error text
-    return b
+def _valid_both(validities, n):
+    """AND of arg validities (True where the row is actually computed)."""
+    valid = None
+    for v in validities:
+        if v is not None:
+            valid = v if valid is None else (valid & v)
+    return valid if valid is not None else np.ones(n, np.bool_)
 
 
-@scalar_function("divide", _div_resolver)
-def _divide(a, b, **kw):
-    b = _check_zero(np.asarray(b, dtype=np.float64))
-    return np.asarray(a, dtype=np.float64) / b
+def _division_kernel(name, op, resolve_out):
+    """divide/mod/div with NULL-aware zero checks: a zero divisor only
+    errors on rows where BOTH args are valid — NULL payload slots are
+    zero-filled and must not trip the check (reference error text)."""
+    def kernel(payloads, validities, arg_types=None, n_rows=0, **kw):
+        a = np.asarray(payloads[0])
+        b = np.asarray(payloads[1])
+        valid = _valid_both(validities, n_rows)
+        if ((b == 0) & valid).any():
+            raise BadArguments("divided by zero")  # reference error text
+        out_np = resolve_out(arg_types).remove_nullable().numpy_dtype()
+        bsafe = np.where(b == 0, 1, b)
+        out = op(a.astype(out_np), bsafe.astype(out_np)).astype(out_np)
+        v = None
+        for x in validities:
+            if x is not None:
+                v = x.copy() if v is None else (v & x)
+        return out, v
+    return kernel
 
 
-@scalar_function("modulo", _numeric_binary_resolver("modulo"), aliases=["mod"])
-def _modulo(a, b, out_dtype=None, **kw):
-    return np.mod(a, _check_zero(b)).astype(out_dtype.numpy_dtype())
-
-
-@scalar_function("div", _numeric_binary_resolver("div"),
-                 aliases=["intdiv"])
-def _intdiv(a, b, out_dtype=None, **kw):
-    return np.floor_divide(a, _check_zero(b)).astype(out_dtype.numpy_dtype())
+scalar_function("divide", _div_resolver, null_policy="custom")(
+    _division_kernel("divide", np.divide, _div_resolver))
+scalar_function("modulo", _numeric_binary_resolver("modulo"),
+                null_policy="custom", aliases=["mod"])(
+    _division_kernel("modulo", np.mod,
+                     _numeric_binary_resolver("modulo")))
+scalar_function("div", _numeric_binary_resolver("div"),
+                null_policy="custom", aliases=["intdiv"])(
+    _division_kernel("div", np.floor_divide,
+                     _numeric_binary_resolver("div")))
 
 
 # bit operations (reference scalars/arithmetic.rs bit_* family)

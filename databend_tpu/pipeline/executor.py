@@ -314,46 +314,58 @@ def _exec_union(plan: UnionAllPlan):
 
 def _exec_setop(plan):
     """INTERSECT/EXCEPT with DISTINCT output, plus the ALL (multiset)
-    variants (reference set operators): hash the right side's rows, stream
-    the left with membership (+ dedup, or per-match count consumption)."""
-    from .keys import hashable_row
+    variants (reference set operators). Vectorized: both sides are
+    factorized into one shared code space (NULLs compare equal, set-op
+    semantics), then membership/rank tests are numpy masks — no per-row
+    Python (the old hash loop was the q14/q38 bottleneck)."""
+    from .keys import composite_group, factorize_column
     is_all = plan.op.endswith(" ALL")
-    base_op = plan.op.split()[0]
-    right_counts = {}
-    for block in execute_plan_blocks(plan.right):
-        cols = list(block.columns)
-        for i in range(block.num_rows):
-            k = hashable_row(cols, i)
-            right_counts[k] = right_counts.get(k, 0) + 1
-    want_member = base_op == "INTERSECT"
-    seen = set()
-    for block in execute_plan_blocks(plan.left):
-        cols = list(block.columns)
-        keep = np.zeros(block.num_rows, np.bool_)
-        for i in range(block.num_rows):
-            k = hashable_row(cols, i)
+    want_member = plan.op.split()[0] == "INTERSECT"
+    left = execute_plan(plan.left)
+    right = execute_plan(plan.right)
+    nl, nr = left.num_rows, right.num_rows
+    if nl == 0:
+        return
+    if nr == 0:
+        if not want_member:   # EXCEPT [ALL] with empty right
             if is_all:
-                # multiset: INTERSECT ALL emits min(l,r) copies; EXCEPT ALL
-                # emits max(l-r, 0) copies
-                n = right_counts.get(k, 0)
-                if want_member:
-                    if n > 0:
-                        right_counts[k] = n - 1
-                        keep[i] = True
-                else:
-                    if n > 0:
-                        right_counts[k] = n - 1
-                    else:
-                        keep[i] = True
-                continue
-            if k in seen:
-                continue
-            seen.add(k)
-            if (k in right_counts) == want_member:
-                keep[i] = True
-        out = block.filter(keep)
-        if out.num_rows:
-            yield out
+                yield left
+            else:
+                first = np.zeros(nl, np.bool_)
+                gids, rep = composite_group(
+                    [factorize_column(c) for c in left.columns])
+                first[rep] = True
+                out = left.filter(first)
+                if out.num_rows:
+                    yield out
+        return
+    both = DataBlock.concat([left, right])
+    gids, _ = composite_group([factorize_column(c) for c in both.columns])
+    lg, rg = gids[:nl], gids[nl:]
+    n_groups = int(gids.max()) + 1
+    if is_all:
+        rcount = np.bincount(rg, minlength=n_groups)
+        # rank of each left row within its group, in stream order
+        order = np.argsort(lg, kind="stable")
+        sg = lg[order]
+        starts = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+        lens = np.diff(np.r_[starts, nl])
+        runpos = np.arange(nl, dtype=np.int64) - np.repeat(starts, lens)
+        rank = np.empty(nl, np.int64)
+        rank[order] = runpos
+        if want_member:   # INTERSECT ALL: min(l, r) copies per key
+            keep = rank < rcount[lg]
+        else:             # EXCEPT ALL: max(l - r, 0) copies per key
+            keep = rank >= rcount[lg]
+    else:
+        in_right = np.zeros(n_groups, np.bool_)
+        in_right[rg] = True
+        first = np.zeros(nl, np.bool_)
+        first[np.unique(lg, return_index=True)[1]] = True
+        keep = first & (in_right[lg] == want_member)
+    out = left.filter(keep)
+    if out.num_rows:
+        yield out
 
 
 # ---------------------------------------------------------------------- sort

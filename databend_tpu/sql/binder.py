@@ -296,9 +296,33 @@ class Binder:
         lf, rf = left.output_fields(), right.output_fields()
         if len(lf) != len(rf):
             raise SemanticError("UNION inputs must have the same number of columns")
-        # align right's column names to left's
-        right = ProjectPlan(right, [
-            (lf[i].name, BoundColumn(rf[i].name, rf[i].dtype)) for i in range(len(lf))])
+        # unify column types across the arms (reference: set-op type
+        # unification in the type checker — NULL literals, decimal+float,
+        # int widths all settle on the common super type)
+        from ..types import common_super_type
+        targets = []
+        for i in range(len(lf)):
+            try:
+                targets.append(common_super_type(lf[i].dtype, rf[i].dtype))
+            except Exception:
+                targets.append(lf[i].dtype)
+        from ..expression.expr import CastExpr
+
+        def _aligned(plan, fields, out_names):
+            items, changed = [], False
+            for i, f in enumerate(fields):
+                e: ScalarExpr = BoundColumn(f.name, f.dtype)
+                if f.dtype != targets[i]:
+                    e = CastExpr(e, targets[i], False)
+                    changed = True
+                if f.name != out_names[i]:
+                    changed = True
+                items.append((out_names[i], e))
+            return ProjectPlan(plan, items) if changed else plan
+
+        names = [f.name for f in lf]
+        left = _aligned(left, lf, names)
+        right = _aligned(right, rf, names)
         if s.op == "UNION ALL":
             return UnionAllPlan([left, right])
         if s.op == "UNION":
@@ -327,6 +351,8 @@ class Binder:
         import copy as _copy
         all_keys = {repr(e) for s in sel.group_sets for e in s}
 
+        import dataclasses as _dc
+
         def subst(e, absent):
             if isinstance(e, A.FunctionCall):
                 name = e.name.lower()
@@ -336,21 +362,59 @@ class Binder:
                     return A.Literal(1 if repr(e.args[0]) in absent else 0)
                 e2 = _copy.copy(e)
                 e2.args = [subst(a, absent) for a in e.args]
+                if e2.window is not None:   # grouping() in OVER (q70/q86)
+                    w = _copy.copy(e2.window)
+                    if getattr(w, "partition_by", None):
+                        w.partition_by = [subst(x, absent)
+                                          for x in w.partition_by]
+                    if getattr(w, "order_by", None):
+                        ob = []
+                        for o in w.order_by:
+                            o2 = _copy.copy(o)
+                            o2.expr = subst(o2.expr, absent)
+                            ob.append(o2)
+                        w.order_by = ob
+                    e2.window = w
                 return e2
             if repr(e) in absent:
                 return A.Literal(None)
-            for attr in ("left", "right", "operand", "expr", "low", "high"):
-                if hasattr(e, attr) and isinstance(getattr(e, attr), A.Expr):
-                    e = _copy.copy(e)
-                    setattr(e, attr, subst(getattr(e, attr), absent))
+            # generic dataclass walk (covers CASE condition/result lists,
+            # BETWEEN bounds, IN lists, ...)
+            if _dc.is_dataclass(e) and isinstance(e, A.Expr) \
+                    and not isinstance(e, A.Query):
+                e = _copy.copy(e)
+                for f in _dc.fields(e):
+                    v = getattr(e, f.name)
+                    if isinstance(v, A.Expr):
+                        setattr(e, f.name, subst(v, absent))
+                    elif isinstance(v, list) and any(
+                            isinstance(x, A.Expr) for x in v):
+                        setattr(e, f.name,
+                                [subst(x, absent) if isinstance(x, A.Expr)
+                                 else x for x in v])
             return e
+
+        # ORDER BY expressions that aren't plain output references (e.g.
+        # `CASE WHEN grouping(a)=0 THEN a END`, q70/q86) ride as hidden
+        # select items so grouping() folds per branch; projected away after
+        # the sort.
+        n_visible = len(sel.items)
+        sel_items = list(sel.items)
+        ob_hidden: list = []
+        for i, ob in enumerate(order_by or []):
+            if isinstance(ob.expr, A.ColumnRef):
+                ob_hidden.append(None)
+            else:
+                name = f"__gsob{i}"
+                sel_items.append(A.SelectItem(ob.expr, name))
+                ob_hidden.append(name)
 
         plans = []
         for gset in sel.group_sets:
             present = {repr(e) for e in gset}
             absent = all_keys - present
             items = []
-            for i, it in enumerate(sel.items):
+            for i, it in enumerate(sel_items):
                 new_expr = subst(it.expr, absent)
                 # NULL-substituted items keep their original output name so
                 # every branch's columns line up for the UNION
@@ -386,15 +450,20 @@ class Binder:
         if order_by:
             out_names = {f.name.lower() for f in plan.output_fields()}
             items = []
-            for ob in order_by:
-                if isinstance(ob.expr, A.ColumnRef) \
-                        and ob.expr.name.lower() in out_names:
+            for ob, hname in zip(order_by, ob_hidden):
+                if hname is not None:
+                    items.append(SortItem(hname, ob.asc, ob.nulls_first))
+                elif ob.expr.name.lower() in out_names:
                     items.append(SortItem(ob.expr.name, ob.asc, ob.nulls_first))
                 else:
                     raise SemanticError(
                         "ORDER BY over GROUPING SETS must reference output"
                         " columns")
             plan = SortPlan(plan, items)
+            if any(h is not None for h in ob_hidden):
+                fields = plan.output_fields()[:n_visible]
+                plan = ProjectPlan(plan, [
+                    (f.name, BoundColumn(f.name, f.dtype)) for f in fields])
         if limit is not None or offset is not None:
             plan = LimitPlan(plan, _const_int(limit), _const_int(offset) or 0)
         return plan

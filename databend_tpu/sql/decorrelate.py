@@ -147,6 +147,139 @@ def decorrelate_where(sel: A.SelectStmt, counter: List[int],
         if not handled:
             keep.append(conj)
     sel.where = and_join(keep)
+    if sel.where is not None:
+        sel.where = _rewrite_nested_exists(sel.where, resolver)
+
+
+def _rewrite_nested_exists(e: A.Expr, resolver) -> A.Expr:
+    """EXISTS under OR (or any boolean context the conjunct pass cannot
+    reach, TPC-DS q10/q35 shape): a correlated EXISTS whose only outer
+    references are equality correlations on ONE outer expression becomes
+    the uncorrelated membership test
+    `outer IN (SELECT inner FROM ... WHERE inner-conjs)` — exact for a
+    positive EXISTS (NULL inner keys never satisfy the equality either
+    way). Negated EXISTS is left alone (three-valued NOT IN differs)."""
+    if isinstance(e, A.BinaryOp) and e.op in ("AND", "OR"):
+        e.left = _rewrite_nested_exists(e.left, resolver)
+        e.right = _rewrite_nested_exists(e.right, resolver)
+        return e
+    if isinstance(e, A.UnaryOp) and e.op == "NOT":
+        e.operand = _rewrite_nested_exists(e.operand, resolver)
+        return e
+    if not isinstance(e, A.Exists) or e.negated:
+        return e
+    q = e.query
+    body = q.body
+    if not isinstance(body, A.SelectStmt) or body.from_ is None:
+        return e
+    if q.limit is not None or body.group_by or body.group_sets \
+            or body.having is not None:
+        return e
+    inner_names = _from_names(body.from_)
+    inner_cols = _inner_col_set(body.from_, resolver)
+    inner_conjs: List[A.Expr] = []
+    corr: List[Tuple[A.Expr, A.Expr]] = []
+    for c in split_conjuncts(_factor_common_or(body.where)):
+        kind = _classify(c, inner_names, inner_cols)
+        if kind == "inner":
+            inner_conjs.append(c)
+        elif isinstance(kind, tuple) and kind[0] == "corr":
+            corr.append((kind[1], kind[2]))
+        else:
+            return e
+    if len(corr) != 1:
+        return e   # multi-key membership needs tuple IN; keep as-is
+    inner_expr, outer_expr = corr[0]
+    inner_sel = A.SelectStmt([A.SelectItem(inner_expr, "__ek")],
+                             body.from_, and_join(inner_conjs))
+    return A.InSubquery(outer_expr, A.Query(inner_sel), False)
+
+
+def _factor_common_or(e: Optional[A.Expr]) -> Optional[A.Expr]:
+    """(A AND x) OR (A AND y) -> A AND (x OR y): hoist conjuncts present
+    in every OR disjunct (matched by repr), recursively. Makes the
+    correlation equality in TPC-DS q41's `(corr AND ...) OR (corr AND
+    ...)` classifiable."""
+    if e is None or not isinstance(e, A.BinaryOp):
+        return e
+    if e.op == "AND":
+        e.left = _factor_common_or(e.left)
+        e.right = _factor_common_or(e.right)
+        return e
+    if e.op != "OR":
+        return e
+    disj: List[A.Expr] = []
+
+    def flat(x):
+        if isinstance(x, A.BinaryOp) and x.op == "OR":
+            flat(x.left)
+            flat(x.right)
+        else:
+            disj.append(_factor_common_or(x))
+
+    flat(e.left)
+    flat(e.right)
+    sets = [{repr(c): c for c in split_conjuncts(d)} for d in disj]
+    common_keys = set(sets[0])
+    for s in sets[1:]:
+        common_keys &= set(s)
+    if not common_keys:
+        out = disj[0]
+        for d in disj[1:]:
+            out = A.BinaryOp("OR", out, d)
+        return out
+    common = [sets[0][k] for k in sorted(common_keys)]
+    rests = []
+    for d in disj:
+        rest = [c for c in split_conjuncts(d) if repr(c) not in common_keys]
+        rests.append(and_join(rest) or A.Literal(True))
+    or_expr = rests[0]
+    for r in rests[1:]:
+        or_expr = A.BinaryOp("OR", or_expr, r)
+    return and_join(common + [or_expr])
+
+
+def _find_scalar_subs(e: A.Expr) -> List[A.ScalarSubquery]:
+    """All ScalarSubquery nodes in an expression (not descending into
+    them)."""
+    import dataclasses
+    out: List[A.ScalarSubquery] = []
+
+    def walk(x):
+        if isinstance(x, A.ScalarSubquery):
+            out.append(x)
+            return
+        if not dataclasses.is_dataclass(x) or isinstance(x, A.Query):
+            return
+        for f in dataclasses.fields(x):
+            v = getattr(x, f.name)
+            for y in (v if isinstance(v, (list, tuple)) else [v]):
+                if isinstance(y, A.Expr):
+                    walk(y)
+
+    walk(e)
+    return out
+
+
+def _replace_node(e: A.Expr, old: A.Expr, new: A.Expr) -> A.Expr:
+    """Copy `e` with the (identity-matched) node `old` replaced by
+    `new`."""
+    import copy as _copy
+    import dataclasses
+    if e is old:
+        return new
+    if not dataclasses.is_dataclass(e) or isinstance(e, A.Query):
+        return e
+    e2 = _copy.copy(e)
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, A.Expr):
+            setattr(e2, f.name, _replace_node(v, old, new))
+        elif isinstance(v, list):
+            setattr(e2, f.name,
+                    [_replace_node(y, old, new) if isinstance(y, A.Expr)
+                     else y for y in v])
+    return e2
 
 
 def _try_scalar_agg(sel: A.SelectStmt, conj: A.BinaryOp,
@@ -156,13 +289,15 @@ def _try_scalar_agg(sel: A.SelectStmt, conj: A.BinaryOp,
     an INNER join against the GROUP BY corr-keys aggregate (TPC-H q2/
     q17/q20 shape; reference: scalar-subquery-to-join rule). A missing
     group yields scalar NULL -> comparison UNKNOWN -> row filtered, which
-    the inner join reproduces exactly for a positive WHERE conjunct."""
-    sub_left = isinstance(conj.left, A.ScalarSubquery)
-    sub = conj.left if sub_left else conj.right
-    other = conj.right if sub_left else conj.left
-    if not isinstance(sub, A.ScalarSubquery) \
-            or isinstance(other, A.ScalarSubquery):
+    the inner join reproduces exactly for a positive WHERE conjunct.
+
+    The subquery may sit under arithmetic (`price > 1.2 * (SELECT avg..)`,
+    TPC-DS q1/q6/q30 shape) — NULL propagates through the arithmetic, so
+    the missing-group semantics are unchanged."""
+    subs = _find_scalar_subs(conj)
+    if len(subs) != 1:
         return None
+    sub = subs[0]
     q = sub.query
     body = q.body
     if not isinstance(body, A.SelectStmt) or body.from_ is None:
@@ -176,7 +311,7 @@ def _try_scalar_agg(sel: A.SelectStmt, conj: A.BinaryOp,
     inner_cols = _inner_col_set(body.from_, resolver)
     inner_conjs: List[A.Expr] = []
     corr: List[Tuple[A.Expr, A.Expr]] = []
-    for c in split_conjuncts(body.where):
+    for c in split_conjuncts(_factor_common_or(body.where)):
         kind = _classify(c, inner_names, inner_cols)
         if kind == "inner":
             inner_conjs.append(c)
@@ -196,9 +331,7 @@ def _try_scalar_agg(sel: A.SelectStmt, conj: A.BinaryOp,
                    for i, (_, outer) in enumerate(corr)])
     sel.from_ = A.Join("INNER", sel.from_,
                        A.SubqueryRef(A.Query(grouped), alias), on)
-    v = A.ColumnRef("__v", alias)
-    return A.BinaryOp(conj.op, v, other) if sub_left \
-        else A.BinaryOp(conj.op, other, v)
+    return _replace_node(conj, sub, A.ColumnRef("__v", alias))
 
 
 _AGG_NAMES = {"sum", "avg", "min", "max", "count", "count_distinct",
@@ -234,7 +367,7 @@ def _try_rewrite(sel: A.SelectStmt, target, negated: bool,
     inner_conjs: List[A.Expr] = []
     corr: List[Tuple[A.Expr, A.Expr]] = []
     resids: List[Tuple[str, A.Expr, A.Expr, bool]] = []
-    for c in split_conjuncts(body.where):
+    for c in split_conjuncts(_factor_common_or(body.where)):
         kind = _classify(c, inner_names, inner_cols)
         if kind == "inner":
             inner_conjs.append(c)

@@ -124,8 +124,10 @@ class ExprBinder:
             return self._bind_in_list(e)
         if isinstance(e, A.Between):
             x = self.bind(e.expr)
-            low = self._func("gte", [x, self.bind(e.low)])
-            high = self._func("lte", [x, self.bind(e.high)])
+            xl, lo = self._coerce_comparison(x, self.bind(e.low))
+            xh, hi = self._coerce_comparison(x, self.bind(e.high))
+            low = self._func("gte", [xl, lo])
+            high = self._func("lte", [xh, hi])
             both = self._func("and", [low, high])
             return self._func("not", [both]) if e.negated else both
         if isinstance(e, A.IsNull):
@@ -208,6 +210,23 @@ class ExprBinder:
                 return self._bind_interval_add(self.bind(e.right), n, unit)
         left = self.bind(e.left)
         right = self.bind(e.right)
+        if name in ("plus", "minus"):
+            # DATE ± <int> = date shifted by days (reference: date + 5 is
+            # DATEADD(day, ...); TPC-DS q72 `d1.d_date + 5`)
+            from ..types import Int32
+            date_t = parse_type_name("DATE")
+            lt = left.dtype.remove_nullable()
+            rt = right.dtype.remove_nullable()
+            if lt == date_t and rt.is_numeric():
+                nullable = left.dtype.is_nullable() or right.dtype.is_nullable()
+                days = self._func(
+                    name, [CastExpr(left, Int32.wrap_nullable()
+                                    if left.dtype.is_nullable() else Int32,
+                                    False), right])
+                return CastExpr(days, date_t.wrap_nullable()
+                                if nullable else date_t, False)
+            if name == "plus" and rt == date_t and lt.is_numeric():
+                return self._bind_binary(A.BinaryOp("+", e.right, e.left))
         if name in _CMP_FNS:
             left, right = self._coerce_comparison(left, right)
         if name == "concat":

@@ -43,6 +43,10 @@ def optimize(plan: Plan, session) -> Plan:
         cbo = bool(session.settings.get("enable_cbo"))
     except Exception:
         pass
+    # Undo any pruning a PREVIOUS optimize() left on shared subtrees (a
+    # CTE referenced by a bind-time-folded scalar subquery, TPC-H q15)
+    # BEFORE region extraction reads output_fields().
+    _restore_pruned(plan, set())
     out = _Optimizer(session).rewrite(plan) if cbo else plan
     if cbo:
         out = _transform_post(out, _rewrite_affine_sums)
@@ -169,10 +173,41 @@ def prune_scan_columns(plan: Plan) -> None:
     post-order re-alignment of positional join output fields. A node
     type without a rule falls back to "all columns" (always correct).
     Qualified names ('f.k') match schema names by suffix."""
+    # Plans can be SHARED across optimize() calls (a CTE referenced both
+    # by the main query and by a bind-time-folded scalar subquery, TPC-H
+    # q15). Pruning is destructive, so first restore any node this pass
+    # might re-prune to its pre-prune state — each call then prunes from
+    # the full column set for ITS requirements.
+    _restore_pruned(plan, set())
     reqs: Dict[int, Optional[Set[str]]] = {}
     scans: Dict[int, Scan] = {}
     joins: List[Tuple[JoinPlan, list, list]] = []
-    _collect_reqs(plan, None, reqs, scans, joins)
+    projs: Dict[int, tuple] = {}
+    _collect_reqs(plan, None, reqs, scans, joins, projs)
+    # prune unused projection items (the binder's explicit-JOIN output
+    # projections re-materialize every column; TPC-DS q72 carried 110
+    # columns through a multi-million-row join chain). Requirements were
+    # UNIONED per Project object first — CTE plans are shared.
+    pruned_any = False
+    for pid, (pp, preq) in projs.items():
+        if preq is None or len(pp.items) <= 1:
+            continue
+        suffixes = {q.rsplit(".", 1)[-1] for q in preq}
+        kept = [(n, e) for n, e in pp.items
+                if n.lower() in preq
+                or n.lower().rsplit(".", 1)[-1] in suffixes]
+        if not kept:
+            kept = pp.items[:1]
+        if len(kept) < len(pp.items):
+            pp._pruned_items_orig = pp.items
+            pp.items = kept
+            pruned_any = True
+    if pruned_any:   # recollect scan requirements with narrowed projects.
+        # NOTE: keep the FIRST collect's `joins` — its before-field lists
+        # are positionally aligned with each join's original `fields`,
+        # which is what the realignment mask below zips against.
+        reqs, scans = {}, {}
+        _collect_reqs(plan, None, reqs, scans, [], None)
     for sid, scan in scans.items():
         req = reqs[sid]
         if req is None:
@@ -186,6 +221,7 @@ def prune_scan_columns(plan: Plan) -> None:
         if not keep:  # zero-column blocks lose their row count: keep one
             keep = [scan.table.schema.fields[0].name]
         if len(keep) < len(scan.table.schema.fields):
+            scan._columns_pruned = True
             scan.columns = keep
     # joins were appended top-down; reversed = children realign first
     seen_joins: Set[int] = set()
@@ -200,11 +236,42 @@ def prune_scan_columns(plan: Plan) -> None:
         mask = [f.name in lkeep for f in lf_before] + \
                [f.name in rkeep for f in rf_before]
         if jp.all_fields is not None:  # SEMI/ANTI: fields = left side only
+            jp._all_fields_orig = jp.all_fields
+            jp._fields_orig = jp.fields
             jp.all_fields = [f for f, k in zip(jp.all_fields, mask) if k]
             jp.fields = [f for f, k in
                          zip(jp.fields, mask[:len(lf_before)]) if k]
         else:
+            jp._fields_orig = jp.fields
             jp.fields = [f for f, k in zip(jp.fields, mask) if k]
+
+
+def _restore_pruned(plan: Plan, seen: Set[int]) -> None:
+    """Undo a previous prune_scan_columns pass on this (possibly shared)
+    plan tree so the current pass starts from full column sets."""
+    if id(plan) in seen:
+        return
+    seen.add(id(plan))
+    if isinstance(plan, ProjectPlan):
+        orig = getattr(plan, "_pruned_items_orig", None)
+        if orig is not None:
+            plan.items = orig
+            plan._pruned_items_orig = None
+    elif isinstance(plan, Scan):
+        if getattr(plan, "_columns_pruned", False):
+            plan.columns = None
+            plan._columns_pruned = False
+    elif isinstance(plan, JoinPlan):
+        orig = getattr(plan, "_fields_orig", None)
+        if orig is not None:
+            plan.fields = orig
+            plan._fields_orig = None
+        orig = getattr(plan, "_all_fields_orig", None)
+        if orig is not None:
+            plan.all_fields = orig
+            plan._all_fields_orig = None
+    for ch in plan.children():
+        _restore_pruned(ch, seen)
 
 
 def _names_of(exprs) -> Set[str]:
@@ -228,67 +295,78 @@ def _merge_req(reqs, scans, scan: Scan, req: Optional[Set[str]]) -> None:
 
 
 def _collect_reqs(plan: Plan, req: Optional[Set[str]], reqs, scans,
-                  joins) -> None:
+                  joins, projs=None) -> None:
     from ..plans import LateralFlattenPlan
     if isinstance(plan, Scan):
         _merge_req(reqs, scans, plan, req)
         return
     if isinstance(plan, ProjectPlan):
+        if projs is not None:
+            pid = id(plan)
+            prev = projs.get(pid)
+            if prev is not None and prev[1] is None:
+                pass                      # already "keep all"
+            elif req is None:
+                projs[pid] = (plan, None)
+            elif prev is None:
+                projs[pid] = (plan, set(req))
+            else:
+                projs[pid] = (plan, prev[1] | req)
         _collect_reqs(plan.child, _names_of(e for _, e in plan.items),
-                      reqs, scans, joins)
+                      reqs, scans, joins, projs)
         return
     if isinstance(plan, FilterPlan):
         _collect_reqs(plan.child,
                       None if req is None else req | column_names(plan.expr),
-                      reqs, scans, joins)
+                      reqs, scans, joins, projs)
         return
     if isinstance(plan, AggregatePlan):
         need = _names_of(e for _, e in plan.keys)
         for _n, _f, args in plan.aggs:
             need |= _names_of(args)
-        _collect_reqs(plan.child, need, reqs, scans, joins)
+        _collect_reqs(plan.child, need, reqs, scans, joins, projs)
         return
     if isinstance(plan, SortPlan):
         _collect_reqs(plan.child, None if req is None
                       else req | {i.name.lower() for i in plan.items},
-                      reqs, scans, joins)
+                      reqs, scans, joins, projs)
         return
     if isinstance(plan, LimitPlan):
-        _collect_reqs(plan.child, req, reqs, scans, joins)
+        _collect_reqs(plan.child, req, reqs, scans, joins, projs)
         return
     if isinstance(plan, JoinPlan):
         if req is None:
-            _collect_reqs(plan.left, None, reqs, scans, joins)
-            _collect_reqs(plan.right, None, reqs, scans, joins)
+            _collect_reqs(plan.left, None, reqs, scans, joins, projs)
+            _collect_reqs(plan.right, None, reqs, scans, joins, projs)
             return
         need = (req | _names_of(plan.left_keys)
                 | _names_of(plan.right_keys)
                 | _names_of([plan.residual]))
         joins.append((plan, plan.left.output_fields(),
                       plan.right.output_fields()))
-        _collect_reqs(plan.left, need, reqs, scans, joins)
-        _collect_reqs(plan.right, need, reqs, scans, joins)
+        _collect_reqs(plan.left, need, reqs, scans, joins, projs)
+        _collect_reqs(plan.right, need, reqs, scans, joins, projs)
         return
     if isinstance(plan, WindowPlan):
         if req is None:
-            _collect_reqs(plan.child, None, reqs, scans, joins)
+            _collect_reqs(plan.child, None, reqs, scans, joins, projs)
             return
         need = set(req)
         for it in plan.items:
             need |= _names_of(it.args)
             need |= _names_of(it.partition_by)
             need |= _names_of(e for e, _a, _nf in it.order_by)
-        _collect_reqs(plan.child, need, reqs, scans, joins)
+        _collect_reqs(plan.child, need, reqs, scans, joins, projs)
         return
     if isinstance(plan, LateralFlattenPlan):
         _collect_reqs(plan.child, None if req is None
                       else req | column_names(plan.input_expr),
-                      reqs, scans, joins)
+                      reqs, scans, joins, projs)
         return
     # DistinctPlan, UnionAllPlan, SetOpPlan, unknown nodes: the full child
     # output is semantically significant (dedup / positional union)
     for ch in plan.children():
-        _collect_reqs(ch, None, reqs, scans, joins)
+        _collect_reqs(ch, None, reqs, scans, joins, projs)
 
 
 # ----------------------------------------------------------- expression utils
@@ -442,6 +520,11 @@ class _Optimizer:
             plan.inputs = [self.rewrite(c) for c in plan.inputs]
             return plan
         if isinstance(plan, JoinPlan):  # non-inner join: sides independently
+            plan.left = self.rewrite(plan.left)
+            plan.right = self.rewrite(plan.right)
+            return plan
+        from ..plans import SetOpPlan
+        if isinstance(plan, SetOpPlan):  # INTERSECT/EXCEPT arms
             plan.left = self.rewrite(plan.left)
             plan.right = self.rewrite(plan.right)
             return plan

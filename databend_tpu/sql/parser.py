@@ -1959,6 +1959,12 @@ class Parser:
         if self.peek().kind == "IDENT" \
                 and self.peek().text.upper() not in self._ALIAS_STOP:
             return self.next().text
+        # AT is non-reserved: `(...) AT` is an alias unless it opens a
+        # travel point `AT (` (TPC-DS q90 aliases a derived table "at")
+        if self.peek().kind == "KEYWORD" and self.peek().text.upper() == "AT" \
+                and not (self.peek(1).kind == "OP"
+                         and self.peek(1).text == "("):
+            return self.next().text
         return None
 
     # ------------------------------------------------------------ expressions
