@@ -188,6 +188,27 @@ def expected(F, q):
     raise KeyError(q)
 
 
+def _sort_rows(rows, specs):
+    """SQL multi-key sort: specs = [(col_idx, asc, nulls_first|None)].
+    None nulls_first = engine default (NULL compares largest: last for
+    ASC, first for DESC)."""
+    out = list(rows)
+    for idx, asc, nf in reversed(specs):
+        if nf is None:
+            nf = not asc
+        reverse = not asc
+        if not reverse:
+            rn, rv = (0, 1) if nf else (1, 0)
+        else:
+            rn, rv = (1, 0) if nf else (0, 1)
+        sample = next((r[idx] for r in out if r[idx] is not None), 0)
+        sent = type(sample)("" if isinstance(sample, str) else 0) \
+            if not isinstance(sample, bool) else False
+        out = sorted(out, key=lambda r: (rn, sent) if r[idx] is None
+                     else (rv, r[idx]), reverse=reverse)
+    return out
+
+
 # ------------------------------------------------------------ batch 1
 
 def _nsum(s):
@@ -483,6 +504,377 @@ def _q17(F):
     return rows[:100]
 
 
+# ------------------------------------------------------------ batch 2
+
+@exp("q9")
+def _q9(F):
+    ss = F["store_sales"]
+    out = []
+    for lo, hi, thr in ((1, 20, 74129), (21, 40, 122840), (41, 60, 56580),
+                        (61, 80, 10097), (81, 100, 165306)):
+        b = ss[(ss.ss_quantity >= lo) & (ss.ss_quantity <= hi)]
+        v = b.ss_ext_discount_amt.mean() if len(b) > thr \
+            else b.ss_net_paid.mean()
+        out.append(_r2(v))
+    return [tuple(out)]
+
+
+@exp("q16")
+def _q16(F):
+    cs = F["catalog_sales"]
+    m = (cs.merge(F["date_dim"], left_on="cs_ship_date_sk",
+                  right_on="d_date_sk")
+         .merge(F["customer_address"], left_on="cs_ship_addr_sk",
+                right_on="ca_address_sk")
+         .merge(F["call_center"], left_on="cs_call_center_sk",
+                right_on="cc_call_center_sk"))
+    m = m[(m.d_date >= _d("2002-02-01")) & (m.d_date <= _d("2002-04-02"))
+          & (m.ca_state == "GA") & (m.cc_county == "Williamson County")]
+    multi_wh = set(cs.groupby("cs_order_number").cs_warehouse_sk
+                   .nunique().pipe(lambda s: s[s > 1]).index)
+    returned = set(F["catalog_returns"].cr_order_number)
+    m = m[m.cs_order_number.isin(multi_wh)
+          & ~m.cs_order_number.isin(returned)]
+    return [(int(m.cs_order_number.nunique()),
+             _r2(_nsum(m.cs_ext_ship_cost)), _r2(_nsum(m.cs_net_profit)))]
+
+
+@exp("q22")
+def _q22(F):
+    m = (F["inventory"]
+         .merge(F["date_dim"], left_on="inv_date_sk", right_on="d_date_sk")
+         .merge(F["item"], left_on="inv_item_sk", right_on="i_item_sk"))
+    m = m[(m.d_month_seq >= 1200) & (m.d_month_seq <= 1211)]
+    keys = ["i_product_name", "i_brand", "i_class", "i_category"]
+    rows = []
+    for depth in (4, 3, 2, 1, 0):
+        if depth == 0:
+            rows.append((None, None, None, None,
+                         _r2(m.inv_quantity_on_hand.mean())))
+            continue
+        g = m.groupby(keys[:depth]).inv_quantity_on_hand.mean()
+        for k, v in g.items():
+            k = k if isinstance(k, tuple) else (k,)
+            rows.append((*k, *([None] * (4 - depth)), _r2(v)))
+    rows = _sort_rows(rows, [(4, True, True), (0, True, True),
+                             (1, True, True), (2, True, True),
+                             (3, True, True)])
+    return rows[:100]
+
+
+@exp("q28")
+def _q28(F):
+    ss = F["store_sales"]
+    out = []
+    for qlo, lp, cp, wc in ((0, 8, 459, 57), (6, 90, 2323, 31),
+                            (11, 142, 12214, 79), (16, 135, 6071, 38),
+                            (21, 122, 836, 17), (26, 154, 7326, 7)):
+        b = ss[ss.ss_quantity.between(qlo, qlo + 4 if qlo else 5)
+               & (ss.ss_list_price.between(lp, lp + 10)
+                  | ss.ss_coupon_amt.between(cp, cp + 1000)
+                  | ss.ss_wholesale_cost.between(wc, wc + 20))]
+        out += [_r2(b.ss_list_price.mean()), int(b.ss_list_price.count()),
+                int(b.ss_list_price.nunique())]
+    return [tuple(out)]
+
+
+def _q32_family(F, fact, pre, manuf):
+    f = F[fact]
+    dd = F["date_dim"]
+    win = dd[(dd.d_date >= _d("2000-01-27"))
+             & (dd.d_date <= _d("2000-04-26"))][["d_date_sk"]]
+    fw = f.merge(win, left_on=f"{pre}_sold_date_sk", right_on="d_date_sk")
+    avg_by_item = fw.groupby(f"{pre}_item_sk")[
+        f"{pre}_ext_discount_amt"].mean()
+    it = F["item"]
+    m = fw.merge(it[it.i_manufact_id == manuf], left_on=f"{pre}_item_sk",
+                 right_on="i_item_sk")
+    thr = m[f"{pre}_item_sk"].map(avg_by_item) * 1.3
+    m = m[m[f"{pre}_ext_discount_amt"] > thr]
+    return [(_r2(_nsum(m[f"{pre}_ext_discount_amt"])),)]
+
+
+@exp("q32")
+def _q32(F):
+    return _q32_family(F, "catalog_sales", "cs", 977)
+
+
+@exp("q92")
+def _q92(F):
+    return _q32_family(F, "web_sales", "ws", 350)
+
+
+@exp("q33")
+def _q33(F):
+    manufs = set(F["item"][F["item"].i_category == "Electronics"]
+                 .i_manufact_id)
+    parts = []
+    for fact, pre, addr in (("store_sales", "ss", "ss_addr_sk"),
+                            ("catalog_sales", "cs", "cs_bill_addr_sk"),
+                            ("web_sales", "ws", "ws_bill_addr_sk")):
+        m = (F[fact]
+             .merge(F["date_dim"], left_on=f"{pre}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(F["customer_address"], left_on=addr,
+                    right_on="ca_address_sk")
+             .merge(F["item"], left_on=f"{pre}_item_sk",
+                    right_on="i_item_sk"))
+        m = m[m.i_manufact_id.isin(manufs) & (m.d_year == 1998)
+              & (m.d_moy == 5) & (m.ca_gmt_offset == -5)]
+        parts.append(m.groupby("i_manufact_id")[
+            f"{pre}_ext_sales_price"].sum())
+    import pandas as pd
+    tot = pd.concat(parts).groupby(level=0).sum()
+    rows = sorted(((int(k), _r2(v)) for k, v in tot.items()),
+                  key=lambda r: r[1])
+    return rows[:100]
+
+
+@exp("q36")
+def _q36(F):
+    m = (F["store_sales"]
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    m = m[(m.d_year == 2001) & (m.s_state == "TN")]
+    rows = []
+    base = m.groupby(["i_category", "i_class"]).agg(
+        np_=("ss_net_profit", "sum"), sp=("ss_ext_sales_price", "sum"))
+    for (cat, cls), r in base.iterrows():
+        rows.append([r.np_ / r.sp, cat, cls, 0, 0, 0])
+    g1 = m.groupby("i_category").agg(np_=("ss_net_profit", "sum"),
+                                     sp=("ss_ext_sales_price", "sum"))
+    for cat, r in g1.iterrows():
+        rows.append([r.np_ / r.sp, cat, None, 0, 1, 1])
+    rows.append([m.ss_net_profit.sum() / m.ss_ext_sales_price.sum(),
+                 None, None, 1, 1, 2])
+    # rank within (lochierarchy, CASE t_class=0 THEN category)
+    from collections import defaultdict
+    parts = defaultdict(list)
+    for r in rows:
+        pk = (r[5], r[1] if r[4] == 0 else None)
+        parts[pk].append(r)
+    ranked = []
+    for pk, rs in parts.items():
+        rs.sort(key=lambda r: r[0])
+        for i, r in enumerate(rs):
+            rank = 1 + sum(1 for o in rs if o[0] < r[0])
+            ranked.append((_r2(r[0]), r[1], r[2], r[5], rank))
+    def case_key(r):
+        return r[1] if r[3] == 0 else None
+    rows2 = [(r, case_key(r)) for r in ranked]
+    rows3 = _sort_rows([(r[0], r[1], r[2], r[3], r[4], ck)
+                        for r, ck in rows2],
+                       [(3, False, True), (5, True, True), (4, True, True)])
+    return [r[:5] for r in rows3[:100]]
+
+
+@exp("q39")
+def _q39(F):
+    m = (F["inventory"]
+         .merge(F["item"], left_on="inv_item_sk", right_on="i_item_sk")
+         .merge(F["warehouse"], left_on="inv_warehouse_sk",
+                right_on="w_warehouse_sk")
+         .merge(F["date_dim"], left_on="inv_date_sk", right_on="d_date_sk"))
+    m = m[m.d_year == 2001]
+    g = m.groupby(["w_warehouse_name", "w_warehouse_sk", "i_item_sk",
+                   "d_moy"]).inv_quantity_on_hand.agg(["std", "mean"])
+    inv = []
+    for (wn, wsk, isk, moy), r in g.iterrows():
+        std = r["std"]
+        mean = r["mean"]
+        if not (std == std):   # NaN std (single sample)
+            continue
+        covf = 0 if mean == 0 else std / mean
+        if not covf > 1:
+            continue
+        cov = None if mean == 0 else std / mean
+        inv.append((int(wsk), int(isk), int(moy), mean, cov))
+    i1 = [r for r in inv if r[2] == 1]
+    i2 = [r for r in inv if r[2] == 2]
+    rows = []
+    for a in i1:
+        for b in i2:
+            if a[0] == b[0] and a[1] == b[1]:
+                rows.append((a[0], a[1], a[2], _r2(a[3]),
+                             None if a[4] is None else round(a[4], 3),
+                             b[0], b[1], b[2], _r2(b[3]),
+                             None if b[4] is None else round(b[4], 3)))
+    return _sort_rows(rows, [(0, True, True), (1, True, True),
+                             (2, True, True), (3, True, True),
+                             (4, True, True), (7, True, True),
+                             (8, True, True), (9, True, True)])
+
+
+@exp("q40")
+def _q40(F):
+    cs = F["catalog_sales"].merge(
+        F["catalog_returns"][["cr_order_number", "cr_item_sk",
+                              "cr_refunded_cash"]],
+        left_on=["cs_order_number", "cs_item_sk"],
+        right_on=["cr_order_number", "cr_item_sk"], how="left")
+    it = F["item"]
+    m = (cs.merge(F["warehouse"], left_on="cs_warehouse_sk",
+                  right_on="w_warehouse_sk")
+         .merge(it[(it.i_current_price >= 0.99)
+                   & (it.i_current_price <= 1.49)],
+                left_on="cs_item_sk", right_on="i_item_sk")
+         .merge(F["date_dim"], left_on="cs_sold_date_sk",
+                right_on="d_date_sk"))
+    m = m[(m.d_date >= _d("2000-02-10")) & (m.d_date <= _d("2000-04-10"))]
+    cut = _d("2000-03-11")
+    val = m.cs_sales_price - m.cr_refunded_cash.fillna(0)
+    m = m.assign(before=np.where(m.d_date < cut, val, 0.0),
+                 after=np.where(m.d_date >= cut, val, 0.0))
+    g = (m.groupby(["w_state", "i_item_id"])[["before", "after"]]
+         .sum().reset_index().sort_values(["w_state", "i_item_id"]))
+    return [(r.w_state, r.i_item_id, _r2(r.before), _r2(r.after))
+            for r in g.itertuples()][:100]
+
+
+@exp("q41")
+def _q41(F):
+    it = F["item"]
+
+    def band(cat, colors, units, sizes):
+        return (it.i_category.eq(cat) & it.i_color.isin(colors)
+                & it.i_units.isin(units) & it.i_size.isin(sizes))
+
+    f = (band("Women", ["powder", "khaki"], ["Ounce", "Oz"],
+              ["medium", "extra large"])
+         | band("Women", ["brown", "honeydew"], ["Bunch", "Ton"],
+                ["N/A", "small"])
+         | band("Men", ["floral", "deep"], ["N/A", "Dozen"],
+                ["petite"])
+         | band("Men", ["light", "cornflower"], ["Box", "Pound"],
+                ["medium", "extra large"])
+         | band("Women", ["midnight", "snow"], ["Pallet", "Gross"],
+                ["medium", "extra large"])
+         | band("Women", ["cyan", "papaya"], ["Cup", "Dram"],
+                ["N/A", "small"])
+         | band("Men", ["orange", "frosted"], ["Each", "Tbl"],
+                ["petite"])
+         | band("Men", ["forest", "ghost"], ["Lb", "Bundle"],
+                ["medium", "extra large"]))
+    ok_manufs = set(it[f].i_manufact)
+    i1 = it[it.i_manufact_id.between(738, 778)
+            & it.i_manufact.isin(ok_manufs)]
+    names = sorted(set(i1.i_product_name))
+    return [(n,) for n in names[:100]]
+
+
+def _q88_slot(F, hour, half_lo):
+    m = (F["store_sales"]
+         .merge(F["household_demographics"], left_on="ss_hdemo_sk",
+                right_on="hd_demo_sk")
+         .merge(F["time_dim"], left_on="ss_sold_time_sk",
+                right_on="t_time_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    hd = (((m.hd_dep_count == 4) & (m.hd_vehicle_count <= 6))
+          | ((m.hd_dep_count == 2) & (m.hd_vehicle_count <= 4))
+          | ((m.hd_dep_count == 0) & (m.hd_vehicle_count <= 2)))
+    tm = (m.t_hour == hour) & ((m.t_minute >= 30) if half_lo
+                               else (m.t_minute < 30))
+    return int((hd & tm & (m.s_store_name == "ese")).sum())
+
+
+@exp("q88")
+def _q88(F):
+    return [(
+        _q88_slot(F, 8, True), _q88_slot(F, 9, False),
+        _q88_slot(F, 9, True), _q88_slot(F, 10, False),
+        _q88_slot(F, 10, True), _q88_slot(F, 11, False),
+        _q88_slot(F, 11, True), _q88_slot(F, 12, False))]
+
+
+@exp("q90")
+def _q90(F):
+    m = (F["web_sales"]
+         .merge(F["household_demographics"], left_on="ws_ship_hdemo_sk",
+                right_on="hd_demo_sk")
+         .merge(F["time_dim"], left_on="ws_sold_time_sk",
+                right_on="t_time_sk")
+         .merge(F["web_page"], left_on="ws_web_page_sk",
+                right_on="wp_web_page_sk"))
+    m = m[(m.hd_dep_count == 6) & m.wp_char_count.between(5000, 5200)]
+    amc = int(m.t_hour.between(8, 9).sum())
+    pmc = int(m.t_hour.between(19, 20).sum())
+    return [(None if pmc == 0 else _r2(amc / pmc),)]
+
+
+@exp("q93")
+def _q93(F):
+    m = (F["store_sales"]
+         .merge(F["store_returns"], left_on=["ss_item_sk",
+                                             "ss_ticket_number"],
+                right_on=["sr_item_sk", "sr_ticket_number"])
+         .merge(F["reason"], left_on="sr_reason_sk",
+                right_on="r_reason_sk"))
+    m = m[m.r_reason_desc == "reason 28"]
+    act = np.where(m.sr_return_quantity.notna(),
+                   (m.ss_quantity - m.sr_return_quantity)
+                   * m.ss_sales_price,
+                   m.ss_quantity * m.ss_sales_price)
+    g = (m.assign(act=act).groupby("ss_customer_sk").act.sum()
+         .reset_index())
+    rows = [(int(r.ss_customer_sk), _r2(r.act)) for r in g.itertuples()]
+    return _sort_rows(rows, [(1, True, True), (0, True, True)])[:100]
+
+
+def _q94_web_base(F):
+    ws = F["web_sales"]
+    m = (ws.merge(F["date_dim"], left_on="ws_ship_date_sk",
+                  right_on="d_date_sk")
+         .merge(F["customer_address"], left_on="ws_ship_addr_sk",
+                right_on="ca_address_sk")
+         .merge(F["web_site"], left_on="ws_web_site_sk",
+                right_on="web_site_sk"))
+    return m[(m.d_date >= _d("1999-02-01")) & (m.d_date <= _d("1999-04-02"))
+             & (m.ca_state == "IL") & (m.web_company_name == "pri")]
+
+
+@exp("q94")
+def _q94(F):
+    ws = F["web_sales"]
+    m = _q94_web_base(F)
+    multi_wh = set(ws.groupby("ws_order_number").ws_warehouse_sk
+                   .nunique().pipe(lambda s: s[s > 1]).index)
+    returned = set(F["web_returns"].wr_order_number)
+    m = m[m.ws_order_number.isin(multi_wh)
+          & ~m.ws_order_number.isin(returned)]
+    return [(int(m.ws_order_number.nunique()),
+             _r2(_nsum(m.ws_ext_ship_cost)), _r2(_nsum(m.ws_net_profit)))]
+
+
+@exp("q95")
+def _q95(F):
+    ws = F["web_sales"]
+    m = _q94_web_base(F)
+    multi_wh = set(ws.groupby("ws_order_number").ws_warehouse_sk
+                   .nunique().pipe(lambda s: s[s > 1]).index)
+    ret = set(F["web_returns"].wr_order_number) & multi_wh
+    m = m[m.ws_order_number.isin(multi_wh) & m.ws_order_number.isin(ret)]
+    return [(int(m.ws_order_number.nunique()),
+             _r2(_nsum(m.ws_ext_ship_cost)), _r2(_nsum(m.ws_net_profit)))]
+
+
+@exp("q97")
+def _q97(F):
+    dd = F["date_dim"]
+    win = dd[(dd.d_month_seq >= 1200)
+             & (dd.d_month_seq <= 1211)][["d_date_sk"]]
+    sspairs = (F["store_sales"].merge(win, left_on="ss_sold_date_sk",
+                                      right_on="d_date_sk")
+               [["ss_customer_sk", "ss_item_sk"]].drop_duplicates())
+    cspairs = (F["catalog_sales"].merge(win, left_on="cs_sold_date_sk",
+                                        right_on="d_date_sk")
+               [["cs_bill_customer_sk", "cs_item_sk"]].drop_duplicates())
+    sset = set(zip(sspairs.ss_customer_sk, sspairs.ss_item_sk))
+    cset = set(zip(cspairs.cs_bill_customer_sk, cspairs.cs_item_sk))
+    return [(len(sset - cset), len(cset - sset), len(sset & cset))]
+
+
 # The float (money/avg) column positions per query's output row
 _FLOAT_COLS = {
     "q3": {3}, "q7": {1, 2, 3, 4}, "q19": {4}, "q26": {1, 2, 3, 4},
@@ -497,6 +889,18 @@ _FLOAT_COLS = {
     "q25": {4: 1.0, 5: 1.0, 6: 1.0},
     "q17": {4: 0.05, 5: 0.05, 6: 0.05, 8: 0.05, 9: 0.05, 10: 0.05,
             12: 0.05, 13: 0.05, 14: 0.05},
+    "q9": {i: 0.05 for i in range(5)},
+    "q16": {1: 1.0, 2: 1.0},
+    "q22": {4: 0.05},
+    "q28": {0: 0.05, 3: 0.05, 6: 0.05, 9: 0.05, 12: 0.05, 15: 0.05},
+    "q32": {0: 1.0}, "q92": {0: 1.0},
+    "q33": {1: 1.0},
+    "q36": {0: 0.02},
+    "q39": {3: 0.05, 4: 0.01, 8: 0.05, 9: 0.01},
+    "q40": {2: 1.0, 3: 1.0},
+    "q90": {0: 0.02},
+    "q93": {1: 1.0},
+    "q94": {1: 1.0, 2: 1.0}, "q95": {1: 1.0, 2: 1.0},
 }
 # Money *sums* accumulate rounding differences; widen their tolerance
 _SUM_TOL = {"q3": 1.0, "q19": 1.0, "q42": 1.0, "q52": 1.0, "q55": 1.0}

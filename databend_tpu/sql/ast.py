@@ -65,7 +65,10 @@ class FunctionCall(Expr):
     window: Optional["WindowSpec"] = None
 
     def __repr__(self):
-        return f"{self.name}({', '.join(map(repr, self.args))})"
+        # DISTINCT must be part of the repr: the binder dedups aggregates
+        # by AST repr, and count(x) != count(DISTINCT x)
+        d = "DISTINCT " if self.distinct else ""
+        return f"{self.name}({d}{', '.join(map(repr, self.args))})"
 
 
 @dataclass

@@ -274,6 +274,12 @@ def _restore_pruned(plan: Plan, seen: Set[int]) -> None:
         _restore_pruned(ch, seen)
 
 
+def _node_ids(plan: Plan, acc: Set[int]) -> None:
+    acc.add(id(plan))
+    for ch in plan.children():
+        _node_ids(ch, acc)
+
+
 def _names_of(exprs) -> Set[str]:
     out: Set[str] = set()
     for e in exprs:
@@ -589,12 +595,31 @@ class _Optimizer:
         region.rels = [self.rewrite(r) for r in region.rels]
         self._finalize_predicates(region)
 
-        # push single-relation filters into their relation
+        # push single-relation filters into their relation. A relation
+        # whose subtree shares nodes with another relation (a CTE
+        # referenced twice, TPC-DS q39's inv1/inv2) must NOT be mutated —
+        # pushing inv1's d_moy=1 into the shared plan would also filter
+        # inv2; wrap those in a FilterPlan instead.
+        id_sets = []
+        for r in region.rels:
+            s: Set[int] = set()
+            _node_ids(r, s)
+            id_sets.append(s)
+        shared_rels: Set[int] = set()
+        for i in range(len(id_sets)):
+            for j in range(i + 1, len(id_sets)):
+                if id_sets[i] & id_sets[j]:
+                    shared_rels.add(i)
+                    shared_rels.add(j)
         remaining: List[FilterPred] = []
         for f in region.filters:
             if len(f.rels) == 1:
                 (i,) = tuple(f.rels)
-                region.rels[i] = self._push_filter(region.rels[i], f.expr)
+                if i in shared_rels:
+                    region.rels[i] = FilterPlan(region.rels[i], f.expr)
+                else:
+                    region.rels[i] = self._push_filter(region.rels[i],
+                                                       f.expr)
             else:
                 remaining.append(f)
         region.filters = remaining
