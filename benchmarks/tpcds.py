@@ -36,25 +36,35 @@ CATEGORIES = ["Books", "Children", "Electronics", "Home", "Jewelry",
               "Men", "Music", "Shoes", "Sports", "Women"]
 CLASSES = ["accent", "bedding", "blinds", "curtains", "decor", "flatware",
            "furniture", "glassware", "kids", "lighting", "mattresses",
-           "paint", "rugs", "tables", "wallpaper", "accessories"]
+           "paint", "rugs", "tables", "wallpaper", "accessories",
+           "personal", "portable", "reference", "self-help",
+           "classical", "fragrances", "pants", "computers", "stereo",
+           "football", "shirts", "birdal", "dresses", "maternity"]
 COLORS = ["aquamarine", "azure", "beige", "black", "blue", "brown",
           "burlywood", "chartreuse", "chiffon", "chocolate", "coral",
           "cornflower", "cream", "cyan", "dark", "dim", "dodger", "drab",
           "firebrick", "floral", "forest", "frosted", "gainsboro", "ghost",
           "goldenrod", "green", "grey", "honeydew", "hot", "indian",
           "ivory", "khaki", "lace", "lavender", "lawn", "lemon", "light",
-          "lime", "linen", "magenta"]
+          "lime", "linen", "magenta", "deep", "medium", "midnight",
+          "orange", "papaya", "peach", "powder", "purple", "snow",
+          "spring", "slate", "blanched", "burnished"]
 UNITS = ["Bunch", "Bundle", "Box", "Carton", "Case", "Cup", "Dozen",
          "Dram", "Each", "Gram", "Gross", "Lb", "N/A", "Ounce", "Oz",
          "Pallet", "Pound", "Tbl", "Ton", "Tsp", "Unknown"]
 SIZES = ["N/A", "economy", "extra large", "large", "medium", "petite",
          "small"]
-STATES = ["TN", "SC", "AL", "GA", "KY", "VA", "NC", "MS", "FL", "TX"]
+STATES = ["TN", "SC", "AL", "GA", "KY", "VA", "NC", "MS", "FL", "TX",
+          "AR", "CA", "CO", "CT", "IA", "IL", "IN", "LA", "MN", "ND",
+          "NJ", "NM", "OH", "OK", "OR", "WA"]
 COUNTIES = ["Williamson County", "Ziebach County", "Walker County",
             "Daviess County", "Barrow County", "Fairfield County",
             "Bronx County", "Franklin Parish", "Mobile County",
-            "Luce County"]
+            "Luce County", "Orange County", "Rush County",
+            "Toole County", "Jefferson County", "Dona Ana County",
+            "La Porte County"]
 CITIES = ["Midway", "Fairview", "Oak Grove", "Five Points", "Oakland",
+          "Edgewood",
           "Riverside", "Salem", "Georgetown", "Centerville", "Liberty",
           "Greenfield", "Oakdale", "Glenwood", "Union", "Wilson",
           "Greenwood", "Franklin", "Springfield", "Marion", "Bethel"]
@@ -83,6 +93,21 @@ PROMO_NAMES = ["ought", "able", "pri", "ese", "anti", "cally", "ation",
                "eing", "n st", "bar"]
 STORE_NAMES = ["ought", "able", "ese", "anti", "cally", "ation", "eing",
                "bar", "pri", "n st"]
+BRANDS = ["scholaramalgamalg #14", "scholaramalgamalg #7",
+          "exportiunivamalg #9", "scholaramalgamalg #9",
+          "amalgimporto #1", "edu packscholar #1",
+          "exportiimporto #1", "importoamalg #1", "amalgamalg #2",
+          "edu packamalg #1", "exportischolar #1", "importoscholar #2",
+          "corpunivamalg #6", "univmaxi #5", "amalgnameless #3",
+          "exportiexporti #1", "brandbrand #4", "corpcorp #2",
+          "maxinameless #8", "univbrand #3", "importounivamalg #11",
+          "scholarbrand #5", "edu packexporti #2", "amalgexporti #1",
+          "brandcorp #7", "namelesscorp #9", "univamalgamalg #12",
+          "maxibrand #6", "corpmaxi #10", "edu packbrand #4",
+          "importobrand #2", "scholarmaxi #8", "namelessbrand #5",
+          "amalgcorp #8", "univunivamalg #4", "exportibrand #3",
+          "corpbrand #1", "maxicorp #7", "namelessunivamalg #13",
+          "edu packmaxi #11"]
 
 
 def _date_sk(s: str) -> int:
@@ -152,7 +177,7 @@ def generate(sf: float, seed: int = 7):
     # ---------------------------------------------------------------- item
     isk = np.arange(n_item)
     cat_id = rng.integers(1, 11, n_item)
-    class_id = rng.integers(1, 17, n_item)
+    class_id = rng.integers(1, len(CLASSES) + 1, n_item)
     brand_id = cat_id * 1_000_000 + class_id * 1_000 + rng.integers(
         1, 11, n_item)
     manufact_id = rng.integers(1, 201, n_item)
@@ -170,7 +195,10 @@ def generate(sf: float, seed: int = 7):
         "i_class_id": class_id,
         "i_class": np.array(CLASSES)[class_id - 1],
         "i_brand_id": brand_id,
-        "i_brand": np.array([f"brand{b % 53} #{b % 10}" for b in brand_id]),
+        # Knuth-hash the brand_id so all BRANDS appear (brand_id's
+        # 1e6/1e3 components are multiples of len(BRANDS))
+        "i_brand": np.array(BRANDS)[
+            (brand_id * 2654435761) % (2**32) % len(BRANDS)],
         "i_manufact_id": manufact_id,
         "i_manufact": np.array([f"manufact{m}" for m in manufact_id]),
         "i_manager_id": manager_id,
@@ -708,8 +736,11 @@ def main():
                           len(data["store_sales"]["ss_item_sk"])}),
           flush=True)
 
+    from tpcds_expected import EXPECTED, _FLOAT_COLS
+    implemented = [q for q in QUERIES
+                   if q in EXPECTED or q in _FLOAT_COLS]
     names = ([q.strip() for q in a.queries.split(",") if q.strip()]
-             or list(QUERIES))
+             or sorted(implemented, key=lambda n: int(n[1:])))
     failures = []
     for name in names:
         sql = QUERIES[name]

@@ -875,6 +875,506 @@ def _q97(F):
     return [(len(sset - cset), len(cset - sset), len(sset & cset))]
 
 
+# ------------------------------------------------------------ batch 3
+
+def _ctr_family(F, fact, pre, datec, addrc, amtc, year, by_state):
+    """q1/q30/q81 shape: per-(customer, store|state) return totals,
+    keep those above 1.2x the group average."""
+    m = F[fact].merge(F["date_dim"], left_on=datec, right_on="d_date_sk")
+    m = m[m.d_year == year]
+    if by_state:
+        m = m.merge(F["customer_address"], left_on=addrc,
+                    right_on="ca_address_sk")
+        key2 = "ca_state"
+    else:
+        key2 = f"{pre}_store_sk"
+    cust = f"{pre}_returning_customer_sk" if by_state \
+        else f"{pre}_customer_sk"
+    ctr = (m.groupby([cust, key2])[amtc].sum().reset_index()
+           .rename(columns={cust: "cust", key2: "k2", amtc: "total"}))
+    avg = ctr.groupby("k2").total.transform("mean")
+    return ctr[ctr.total > 1.2 * avg]
+
+
+@exp("q1")
+def _q1(F):
+    ctr = _ctr_family(F, "store_returns", "sr", "sr_returned_date_sk",
+                      None, "sr_return_amt", 2000, False)
+    st = F["store"]
+    ctr = ctr[ctr.k2.isin(st[st.s_state == "TN"].s_store_sk)]
+    m = ctr.merge(F["customer"], left_on="cust",
+                  right_on="c_customer_sk")
+    ids = sorted(m.c_customer_id)
+    return [(i,) for i in ids[:100]]
+
+
+def _q30_q81(F, fact, pre, amtc, year, cols):
+    ctr = _ctr_family(F, fact, pre, f"{pre}_returned_date_sk",
+                      f"{pre}_returning_addr_sk", amtc, year, True)
+    c = F["customer"].merge(F["customer_address"],
+                            left_on="c_current_addr_sk",
+                            right_on="ca_address_sk")
+    c = c[c.ca_state == "GA"]
+    m = ctr.merge(c, left_on="cust", right_on="c_customer_sk")
+    rows = []
+    for r in m.itertuples():
+        row = [getattr(r, col) for col in cols]
+        row = [int(v) if isinstance(v, np.integer) else v for v in row]
+        rows.append((*row, _r2(r.total)))
+    rows = _sort_rows(rows, [(i, True, True) for i in range(len(cols) + 1)])
+    return rows[:100]
+
+
+@exp("q30")
+def _q30(F):
+    return _q30_q81(F, "web_returns", "wr", "wr_return_amt", 2002,
+                    ["c_customer_id", "c_salutation", "c_first_name",
+                     "c_last_name", "c_preferred_cust_flag", "c_birth_day",
+                     "c_birth_month", "c_birth_year", "c_birth_country",
+                     "c_login", "c_email_address", "c_last_review_date_sk"])
+
+
+@exp("q81")
+def _q81(F):
+    return _q30_q81(F, "catalog_returns", "cr", "cr_return_amt_inc_tax",
+                    2000,
+                    ["c_customer_id", "c_salutation", "c_first_name",
+                     "c_last_name", "ca_street_number", "ca_street_name",
+                     "ca_street_type", "ca_suite_number", "ca_city",
+                     "ca_county", "ca_state", "ca_zip", "ca_country",
+                     "ca_gmt_offset", "ca_location_type"])
+
+
+def _q34_q73(F, dom_lo, dom_hi, dom_or, potentials, ratio, counties,
+             cnt_lo, cnt_hi):
+    m = (F["store_sales"]
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(F["household_demographics"], left_on="ss_hdemo_sk",
+                right_on="hd_demo_sk"))
+    dom = m.d_dom.between(dom_lo, dom_hi)
+    if dom_or is not None:
+        dom |= m.d_dom.between(*dom_or)
+    veh = m.hd_vehicle_count
+    m = m[dom & m.hd_buy_potential.isin(potentials) & (veh > 0)
+          & np.where(veh > 0, m.hd_dep_count / np.where(veh > 0, veh, 1),
+                     np.nan).__gt__(ratio)
+          & m.d_year.isin([1999, 2000, 2001])
+          & m.s_county.isin(counties)]
+    g = (m.groupby(["ss_ticket_number", "ss_customer_sk"]).size()
+         .reset_index(name="cnt"))
+    g = g[g.cnt.between(cnt_lo, cnt_hi)]
+    j = g.merge(F["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+    return [(r.c_last_name, r.c_first_name, r.c_salutation,
+             r.c_preferred_cust_flag, int(r.ss_ticket_number), int(r.cnt))
+            for r in j.itertuples()]
+
+
+@exp("q34")
+def _q34(F):
+    rows = _q34_q73(F, 1, 3, (25, 28), [">10000", "Unknown"], 1.2,
+                    ["Williamson County"], 15, 20)
+    return _sort_rows(rows, [(0, True, True), (1, True, True),
+                             (2, True, True), (3, False, True),
+                             (4, True, True)])
+
+
+@exp("q73")
+def _q73(F):
+    rows = _q34_q73(F, 1, 2, None, ["Unknown", ">10000"], 1.0,
+                    ["Orange County", "Bronx County", "Franklin Parish",
+                     "Williamson County"], 1, 5)
+    return _sort_rows(rows, [(5, False, None), (0, True, None)])
+
+
+def _q46_q68(F, filt, sums):
+    m = (F["store_sales"]
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(F["household_demographics"], left_on="ss_hdemo_sk",
+                right_on="hd_demo_sk")
+         .merge(F["customer_address"], left_on="ss_addr_sk",
+                right_on="ca_address_sk"))
+    m = m[((m.hd_dep_count == 4) | (m.hd_vehicle_count == 3))
+          & m.d_year.isin([1999, 2000, 2001])
+          & m.s_city.isin(["Fairview", "Midway"]) & filt(m)]
+    g = (m.groupby(["ss_ticket_number", "ss_customer_sk", "ss_addr_sk",
+                    "ca_city"])[list(sums)].sum().reset_index())
+    j = (g.merge(F["customer"], left_on="ss_customer_sk",
+                 right_on="c_customer_sk")
+         .merge(F["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk", suffixes=("", "_cur")))
+    return j[j.ca_city_cur != j.ca_city]
+
+
+@exp("q46")
+def _q46(F):
+    j = _q46_q68(F, lambda m: m.d_dow.isin([6, 0]),
+                 ["ss_coupon_amt", "ss_net_profit"])
+    rows = [(r.c_last_name, r.c_first_name, r.ca_city_cur, r.ca_city,
+             int(r.ss_ticket_number), _r2(r.ss_coupon_amt),
+             _r2(r.ss_net_profit)) for r in j.itertuples()]
+    return _sort_rows(rows, [(0, True, True), (1, True, True),
+                             (2, True, True), (3, True, True),
+                             (4, True, True)])[:100]
+
+
+@exp("q68")
+def _q68(F):
+    j = _q46_q68(F, lambda m: m.d_dom.between(1, 2),
+                 ["ss_ext_sales_price", "ss_ext_list_price", "ss_ext_tax"])
+    rows = [(r.c_last_name, r.c_first_name, r.ca_city_cur, r.ca_city,
+             int(r.ss_ticket_number), _r2(r.ss_ext_sales_price),
+             _r2(r.ss_ext_tax), _r2(r.ss_ext_list_price))
+            for r in j.itertuples()]
+    return _sort_rows(rows, [(0, True, True), (4, True, True)])[:100]
+
+
+# ----------------------------------------- batch 4: year-over-year family
+
+_DAYS_ORDER = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+               "Friday", "Saturday"]
+
+
+def _week_day_sums(F, fact_df, date_col, price_col):
+    m = fact_df.merge(F["date_dim"], left_on=date_col,
+                      right_on="d_date_sk")
+    out = {}
+    for (w,), grp in m.groupby(["d_week_seq"]):
+        out[int(w)] = [_nsum(grp[price_col][grp.d_day_name == d])
+                       for d in _DAYS_ORDER]
+    return out
+
+
+def _div(a, b):
+    if a is None or b is None or b == 0:
+        return None
+    return a / b
+
+
+@exp("q2")
+def _q2(F):
+    import pandas as pd
+    ws = F["web_sales"][["ws_sold_date_sk", "ws_ext_sales_price"]].rename(
+        columns={"ws_sold_date_sk": "dsk", "ws_ext_sales_price": "p"})
+    cs = F["catalog_sales"][
+        ["cs_sold_date_sk", "cs_ext_sales_price"]].rename(
+        columns={"cs_sold_date_sk": "dsk", "cs_ext_sales_price": "p"})
+    wscs = pd.concat([ws, cs])
+    sums = _week_day_sums(F, wscs, "dsk", "p")
+    dd = F["date_dim"]
+    cnt1 = dd[dd.d_year == 2001].groupby("d_week_seq").size()
+    cnt2 = dd[dd.d_year == 2002].groupby("d_week_seq").size()
+    rows = []
+    for w1 in sorted(set(cnt1.index)):
+        w2 = w1 + 53
+        if w2 not in cnt2.index or w1 not in sums or w2 not in sums:
+            continue
+        s1, s2 = sums[w1], sums[w2]
+        row = (int(w1), *[None if (x := _div(a, b)) is None
+                          else round(x, 2)
+                          for a, b in zip(s1, s2)])
+        rows += [row] * int(cnt1[w1] * cnt2[w2])
+    return rows
+
+
+@exp("q59")
+def _q59(F):
+    m = F["store_sales"].merge(F["date_dim"],
+                               left_on="ss_sold_date_sk",
+                               right_on="d_date_sk")
+    wss = {}
+    for (w, s), grp in m.groupby(["d_week_seq", "ss_store_sk"]):
+        wss[(int(w), int(s))] = [
+            _nsum(grp.ss_sales_price[grp.d_day_name == d])
+            for d in _DAYS_ORDER]
+    dd = F["date_dim"]
+    cnt1 = dd[dd.d_month_seq.between(1212, 1223)].groupby(
+        "d_week_seq").size()
+    cnt2 = dd[dd.d_month_seq.between(1224, 1235)].groupby(
+        "d_week_seq").size()
+    st = F["store"].set_index("s_store_sk")
+    rows = []
+    for (w1, s) in wss:
+        w2 = w1 + 52
+        if w1 not in cnt1.index or w2 not in cnt2.index \
+                or (w2, s) not in wss:
+            continue
+        a, b = wss[(w1, s)], wss[(w2, s)]
+        row = (st.s_store_name[s], st.s_store_id[s], w1,
+               *[_r2(_div(x, y)) for x, y in zip(a, b)])
+        rows += [row] * int(cnt1[w1] * cnt2[w2])
+    rows = _sort_rows(rows, [(0, True, True), (1, True, True),
+                             (2, True, True)])
+    return rows[:100]
+
+
+def _year_totals(F, channels, value_fn, years):
+    """(cid, sale_type, year) -> total; plus cid -> attr tuple."""
+    import pandas as pd
+    cust = F["customer"]
+    totals = {}
+    for st, fact, custk, datek, pre in channels:
+        f = F[fact].merge(cust, left_on=custk, right_on="c_customer_sk") \
+            .merge(F["date_dim"], left_on=datek, right_on="d_date_sk")
+        if years is not None:
+            f = f[f.d_year.isin(years)]
+        f = f.assign(val=value_fn(f, pre))
+        g = f.groupby(["c_customer_id", "d_year"]).val.sum()
+        for (cid, y), v in g.items():
+            totals[(cid, st, int(y))] = v
+    attrs = {r.c_customer_id: r for r in cust.itertuples()}
+    return totals, attrs
+
+
+@exp("q4")
+def _q4(F):
+    def val(f, p):
+        return ((f[f"{p}_ext_list_price"] - f[f"{p}_ext_wholesale_cost"]
+                 - f[f"{p}_ext_discount_amt"])
+                + f[f"{p}_ext_sales_price"]) / 2
+    t, attrs = _year_totals(
+        F, [("s", "store_sales", "ss_customer_sk", "ss_sold_date_sk", "ss"),
+            ("c", "catalog_sales", "cs_bill_customer_sk",
+             "cs_sold_date_sk", "cs"),
+            ("w", "web_sales", "ws_bill_customer_sk",
+             "ws_sold_date_sk", "ws")], val, None)
+    rows = []
+    for cid in sorted(attrs):
+        need = [(cid, s, y) for s in "scw" for y in (2001, 2002)]
+        if any(k not in t for k in need):
+            continue
+        s1, s2 = t[(cid, "s", 2001)], t[(cid, "s", 2002)]
+        c1, c2 = t[(cid, "c", 2001)], t[(cid, "c", 2002)]
+        w1, w2 = t[(cid, "w", 2001)], t[(cid, "w", 2002)]
+        if not (s1 > 0 and c1 > 0 and w1 > 0):
+            continue
+        if c2 / c1 > s2 / s1 and c2 / c1 > w2 / w1:
+            a = attrs[cid]
+            rows.append((cid, a.c_first_name, a.c_last_name,
+                         a.c_preferred_cust_flag))
+    return rows[:100]
+
+
+@exp("q11")
+def _q11(F):
+    def val(f, p):
+        return f[f"{p}_ext_list_price"] - f[f"{p}_ext_discount_amt"]
+    t, attrs = _year_totals(
+        F, [("s", "store_sales", "ss_customer_sk", "ss_sold_date_sk", "ss"),
+            ("w", "web_sales", "ws_bill_customer_sk",
+             "ws_sold_date_sk", "ws")], val, None)
+    rows = []
+    for cid in sorted(attrs):
+        need = [(cid, s, y) for s in "sw" for y in (2001, 2002)]
+        if any(k not in t for k in need):
+            continue
+        s1, s2 = t[(cid, "s", 2001)], t[(cid, "s", 2002)]
+        w1, w2 = t[(cid, "w", 2001)], t[(cid, "w", 2002)]
+        if not (s1 > 0 and w1 > 0):
+            continue
+        if (w2 / w1 if w1 > 0 else 0.0) > (s2 / s1 if s1 > 0 else 0.0):
+            a = attrs[cid]
+            rows.append((cid, a.c_first_name, a.c_last_name,
+                         a.c_preferred_cust_flag))
+    return rows[:100]
+
+
+@exp("q74")
+def _q74(F):
+    def val(f, p):
+        return f[f"{p}_net_paid"]
+    t, attrs = _year_totals(
+        F, [("s", "store_sales", "ss_customer_sk", "ss_sold_date_sk", "ss"),
+            ("w", "web_sales", "ws_bill_customer_sk",
+             "ws_sold_date_sk", "ws")], val, [2001, 2002])
+    rows = []
+    for cid in sorted(attrs):
+        need = [(cid, s, y) for s in "sw" for y in (2001, 2002)]
+        if any(k not in t for k in need):
+            continue
+        s1, s2 = t[(cid, "s", 2001)], t[(cid, "s", 2002)]
+        w1, w2 = t[(cid, "w", 2001)], t[(cid, "w", 2002)]
+        if not (s1 > 0 and w1 > 0):
+            continue
+        r_w = w2 / w1 if w1 > 0 else None
+        r_s = s2 / s1 if s1 > 0 else None
+        if r_w is not None and r_s is not None and r_w > r_s:
+            a = attrs[cid]
+            rows.append((cid, a.c_first_name, a.c_last_name))
+    return rows[:100]
+
+
+@exp("q31")
+def _q31(F):
+    def chan(fact, pre, addrk):
+        m = (F[fact].merge(F["date_dim"], left_on=f"{pre}_sold_date_sk",
+                           right_on="d_date_sk")
+             .merge(F["customer_address"], left_on=addrk,
+                    right_on="ca_address_sk"))
+        m = m[(m.d_year == 2000) & m.d_qoy.isin([1, 2, 3])]
+        return m.groupby(["ca_county", "d_qoy"])[
+            f"{pre}_ext_sales_price"].sum()
+    ss = chan("store_sales", "ss", "ss_addr_sk")
+    ws = chan("web_sales", "ws", "ws_bill_addr_sk")
+    rows = []
+    counties = sorted({k[0] for k in ss.index} & {k[0] for k in ws.index})
+    for c in counties:
+        try:
+            s1, s2, s3 = ss[(c, 1)], ss[(c, 2)], ss[(c, 3)]
+            w1, w2, w3 = ws[(c, 1)], ws[(c, 2)], ws[(c, 3)]
+        except KeyError:
+            continue
+        wq12 = w2 / w1 if w1 > 0 else None
+        sq12 = s2 / s1 if s1 > 0 else None
+        wq23 = w3 / w2 if w2 > 0 else None
+        sq23 = s3 / s2 if s2 > 0 else None
+        if None in (wq12, sq12, wq23, sq23):
+            continue
+        if wq12 > sq12 and wq23 > sq23:
+            rows.append((c, 2000, _r2(wq12), _r2(sq12), _r2(wq23),
+                         _r2(sq23)))
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+# ------------------------------------------- batch 5: window-rank family
+
+_Q53_BAND_A = dict(cats=["Books", "Children", "Electronics"],
+                   classes=["personal", "portable", "reference",
+                            "self-help"],
+                   brands=["scholaramalgamalg #14", "scholaramalgamalg #7",
+                           "exportiunivamalg #9", "scholaramalgamalg #9"])
+_Q53_BAND_B = dict(cats=["Women", "Music", "Men"],
+                   classes=["accessories", "classical", "fragrances",
+                            "pants"],
+                   brands=["amalgimporto #1", "edu packscholar #1",
+                           "exportiimporto #1", "importoamalg #1"])
+
+
+def _band_mask(m, band):
+    return (m.i_category.isin(band["cats"])
+            & m.i_class.isin(band["classes"])
+            & m.i_brand.isin(band["brands"]))
+
+
+def _q47_57(F, fact, pre, dim, dimk, factdimk, dims):
+    m = (F[fact]
+         .merge(F["item"], left_on=f"{pre}_item_sk", right_on="i_item_sk")
+         .merge(F["date_dim"], left_on=f"{pre}_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F[dim], left_on=factdimk, right_on=dimk))
+    m = m[(m.d_year == 1999) | ((m.d_year == 1998) & (m.d_moy == 12))
+          | ((m.d_year == 2000) & (m.d_moy == 1))]
+    g = (m.groupby(dims + ["d_year", "d_moy"])[f"{pre}_sales_price"]
+         .sum().reset_index().rename(
+             columns={f"{pre}_sales_price": "sum_sales"}))
+    g["avg_m"] = g.groupby(dims + ["d_year"]).sum_sales.transform("mean")
+    g = g.sort_values(dims + ["d_year", "d_moy"])
+    g["rn"] = g.groupby(dims).cumcount() + 1
+    lag = g[dims + ["rn", "sum_sales"]].copy()
+    lag["rn"] += 1
+    lead = g[dims + ["rn", "sum_sales"]].copy()
+    lead["rn"] -= 1
+    v2 = (g.merge(lag, on=dims + ["rn"], suffixes=("", "_lag"))
+           .merge(lead, on=dims + ["rn"], suffixes=("", "_lead")))
+    v2 = v2[(v2.d_year == 1999) & (v2.avg_m > 0)
+            & ((v2.sum_sales - v2.avg_m).abs() / v2.avg_m > 0.1)]
+    rows = []
+    for r in v2.itertuples():
+        rows.append((*[getattr(r, d) for d in dims], int(r.d_year),
+                     int(r.d_moy), _r2(r.avg_m), _r2(r.sum_sales),
+                     _r2(r.sum_sales_lag), _r2(r.sum_sales_lead),
+                     round(r.sum_sales - r.avg_m, 6)))
+    nd = len(dims)
+    rows = _sort_rows(rows, [(nd + 6, True, None)]
+                      + [(i, True, None) for i in range(nd + 6)])
+    return [r[:-1] for r in rows[:100]]
+
+
+@exp("q47")
+def _q47(F):
+    return _q47_57(F, "store_sales", "ss", "store", "s_store_sk",
+                   "ss_store_sk",
+                   ["i_category", "i_brand", "s_store_name",
+                    "s_company_name"])
+
+
+@exp("q57")
+def _q57(F):
+    return _q47_57(F, "catalog_sales", "cs", "call_center",
+                   "cc_call_center_sk", "cs_call_center_sk",
+                   ["i_category", "i_brand", "cc_name"])
+
+
+def _q53_63(F, key, second):
+    m = (F["store_sales"]
+         .merge(F["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    m = m[m.d_month_seq.between(1200, 1211)
+          & (_band_mask(m, _Q53_BAND_A) | _band_mask(m, _Q53_BAND_B))]
+    g = (m.groupby([key, second]).ss_sales_price.sum().reset_index()
+         .rename(columns={"ss_sales_price": "sum_sales"}))
+    g["avg_s"] = g.groupby(key).sum_sales.transform("mean")
+    g = g[np.where(g.avg_s > 0,
+                   (g.sum_sales - g.avg_s).abs()
+                   / np.where(g.avg_s > 0, g.avg_s, 1), np.nan) > 0.1]
+    return [(int(r[0]), _r2(r.sum_sales), _r2(r.avg_s))
+            for r in g.itertuples(index=False)]
+
+
+@exp("q53")
+def _q53(F):
+    rows = _q53_63(F, "i_manufact_id", "d_qoy")
+    return _sort_rows(rows, [(2, True, None), (1, True, None),
+                             (0, True, None)])[:100]
+
+
+@exp("q63")
+def _q63(F):
+    rows = _q53_63(F, "i_manager_id", "d_moy")
+    return _sort_rows(rows, [(0, True, None), (2, True, None),
+                             (1, True, None)])[:100]
+
+
+@exp("q89")
+def _q89(F):
+    m = (F["store_sales"]
+         .merge(F["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    m = m[(m.d_year == 1999)
+          & ((m.i_category.isin(["Books", "Electronics", "Sports"])
+              & m.i_class.isin(["computers", "stereo", "football"]))
+             | (m.i_category.isin(["Men", "Jewelry", "Women"])
+                & m.i_class.isin(["shirts", "birdal", "dresses"])))]
+    dims = ["i_category", "i_class", "i_brand", "s_store_name",
+            "s_company_name"]
+    g = (m.groupby(dims + ["d_moy"]).ss_sales_price.sum().reset_index()
+         .rename(columns={"ss_sales_price": "sum_sales"}))
+    g["avg_m"] = g.groupby(["i_category", "i_brand", "s_store_name",
+                            "s_company_name"]).sum_sales.transform("mean")
+    g = g[np.where(g.avg_m != 0,
+                   (g.sum_sales - g.avg_m).abs()
+                   / np.where(g.avg_m != 0, g.avg_m, 1), np.nan) > 0.1]
+    rows = [(r.i_category, r.i_class, r.i_brand, r.s_store_name,
+             r.s_company_name, int(r.d_moy), _r2(r.sum_sales),
+             _r2(r.avg_m), round(r.sum_sales - r.avg_m, 6))
+            for r in g.itertuples()]
+    rows = _sort_rows(rows, [(8, True, None), (3, True, None),
+                             (0, True, None), (1, True, None),
+                             (2, True, None), (4, True, None),
+                             (5, True, None), (6, True, None),
+                             (7, True, None)])
+    return [r[:-1] for r in rows[:100]]
+
+
 # The float (money/avg) column positions per query's output row
 _FLOAT_COLS = {
     "q3": {3}, "q7": {1, 2, 3, 4}, "q19": {4}, "q26": {1, 2, 3, 4},
@@ -901,7 +1401,21 @@ _FLOAT_COLS = {
     "q90": {0: 0.02},
     "q93": {1: 1.0},
     "q94": {1: 1.0, 2: 1.0}, "q95": {1: 1.0, 2: 1.0},
+    "q30": {12: 0.05}, "q81": {13: 0.02, 15: 0.05},
+    "q46": {5: 0.05, 6: 0.05},
+    "q68": {5: 0.05, 6: 0.05, 7: 0.05},
+    "q2": {i: 0.02 for i in range(1, 8)},
+    "q59": {i: 0.02 for i in range(3, 10)},
+    "q31": {2: 0.02, 3: 0.02, 4: 0.02, 5: 0.02},
+    "q47": {6: 0.05, 7: 0.05, 8: 0.05, 9: 0.05},
+    "q57": {5: 0.05, 6: 0.05, 7: 0.05, 8: 0.05},
+    "q53": {1: 0.05, 2: 0.05},
+    "q63": {1: 0.05, 2: 0.05},
+    "q89": {6: 0.05, 7: 0.05},
 }
+# Queries whose ORDER BY doesn't fully determine row order: compare as
+# fully-sorted row lists on both sides.
+_FULL_SORT = {"q73"}
 # Money *sums* accumulate rounding differences; widen their tolerance
 _SUM_TOL = {"q3": 1.0, "q19": 1.0, "q42": 1.0, "q52": 1.0, "q55": 1.0}
 
@@ -910,5 +1424,9 @@ def check_query(F, q, got):
     want = expected(F, q)
     got_t = [tuple(int(v) if isinstance(v, (bool, np.integer)) else v
                    for v in r) for r in got]
+    if q in _FULL_SORT:
+        key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+        got_t = sorted(got_t, key=key)
+        want = sorted(want, key=key)
     return _rows_close(got_t, want, _FLOAT_COLS.get(q, set()),
                        tol=_SUM_TOL.get(q, 0.02))
