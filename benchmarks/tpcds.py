@@ -431,7 +431,8 @@ def generate(sf: float, seed: int = 7):
         "ss_customer_sk": t_cust[ticket_of],
         "ss_cdemo_sk": rng.integers(0, n_cd, n_ss),
         "ss_hdemo_sk": t_hdemo[ticket_of],
-        "ss_addr_sk": t_addr[ticket_of],
+        "ss_addr_sk": np.ma.masked_array(
+            t_addr[ticket_of], rng.random(n_ss) < 0.02),
         "ss_store_sk": t_store[ticket_of],
         "ss_promo_sk": rng.integers(0, n_promo, n_ss),
         "ss_ticket_number": ticket_of,
@@ -695,6 +696,10 @@ def load(ctx, data):
         ctx.sql(f"CREATE TABLE {tname} ({fields})")
         out = []
         for c, a in cols.items():
+            if isinstance(a, np.ma.MaskedArray):   # nullable fk (dsdgen)
+                out.append(Column(Int64, a.filled(0).astype(np.int64),
+                                  ~np.ma.getmaskarray(a)))
+                continue
             arr = np.asarray(a)
             if _sql_type(c, arr) == "DATE":
                 out.append(Column(Date, arr.astype(np.int32), None))
@@ -712,7 +717,14 @@ def load(ctx, data):
 
 def frames(data):
     import pandas as pd
-    return {t: pd.DataFrame(cols) for t, cols in data.items()}
+    out = {}
+    for t, cols in data.items():
+        conv = {c: (np.where(np.ma.getmaskarray(a), np.nan,
+                             a.filled(0).astype(np.float64))
+                    if isinstance(a, np.ma.MaskedArray) else a)
+                for c, a in cols.items()}
+        out[t] = pd.DataFrame(conv)
+    return out
 
 
 def main():

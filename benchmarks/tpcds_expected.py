@@ -1375,6 +1375,312 @@ def _q89(F):
     return [r[:-1] for r in rows[:100]]
 
 
+# ------------------------------------------------------------ batch 6
+
+@exp("q5")
+def _q5(F):
+    import pandas as pd
+    d0, d1 = _d("2000-08-23"), _d("2000-09-06")
+    dd = F["date_dim"]
+    win = dd[(dd.d_date >= d0) & (dd.d_date <= d1)][["d_date_sk"]]
+
+    def channel(sales, s_datec, s_keyc, s_price, s_profit,
+                rets, r_datec, r_keyc, r_amt, r_loss, dim, dimk, dim_id):
+        a = F[sales].merge(win, left_on=s_datec, right_on="d_date_sk")
+        b = rets.merge(win, left_on=r_datec, right_on="d_date_sk")
+        ga = a.groupby(s_keyc).agg(sales=(s_price, "sum"),
+                                   profit=(s_profit, "sum"))
+        gb = b.groupby(r_keyc).agg(returns_=(r_amt, "sum"),
+                                   loss=(r_loss, "sum"))
+        g = ga.join(gb, how="outer").fillna(0.0)
+        g = g.join(F[dim].set_index(dimk)[[dim_id]], how="inner")
+        g["profit"] = g.profit - g.loss
+        return g.groupby(dim_id)[["sales", "returns_", "profit"]].sum()
+
+    ssr = channel("store_sales", "ss_sold_date_sk", "ss_store_sk",
+                  "ss_ext_sales_price", "ss_net_profit",
+                  F["store_returns"], "sr_returned_date_sk", "sr_store_sk",
+                  "sr_return_amt", "sr_net_loss",
+                  "store", "s_store_sk", "s_store_id")
+    csr = channel("catalog_sales", "cs_sold_date_sk", "cs_catalog_page_sk",
+                  "cs_ext_sales_price", "cs_net_profit",
+                  F["catalog_returns"], "cr_returned_date_sk",
+                  "cr_catalog_page_sk", "cr_return_amount", "cr_net_loss",
+                  "catalog_page", "cp_catalog_page_sk",
+                  "cp_catalog_page_id")
+    wr = F["web_returns"].merge(
+        F["web_sales"][["ws_item_sk", "ws_order_number",
+                        "ws_web_site_sk"]],
+        left_on=["wr_item_sk", "wr_order_number"],
+        right_on=["ws_item_sk", "ws_order_number"], how="left")
+    wsr = channel("web_sales", "ws_sold_date_sk", "ws_web_site_sk",
+                  "ws_ext_sales_price", "ws_net_profit",
+                  wr, "wr_returned_date_sk", "ws_web_site_sk",
+                  "wr_return_amt", "wr_net_loss",
+                  "web_site", "web_site_sk", "web_site_id")
+    details = []
+    for ch, pre, g in (("store channel", "store", ssr),
+                       ("catalog channel", "catalog_page", csr),
+                       ("web channel", "web_site", wsr)):
+        for k, r in g.iterrows():
+            details.append((ch, pre + k, r.sales, r.returns_, r.profit))
+    df = pd.DataFrame(details, columns=["ch", "id", "s", "r", "p"])
+    rows = [(r.ch, r.id, _r2(r.s), _r2(r.r), _r2(r.p))
+            for r in df.itertuples()]
+    for ch, grp in df.groupby("ch"):
+        rows.append((ch, None, _r2(grp.s.sum()), _r2(grp.r.sum()),
+                     _r2(grp.p.sum())))
+    rows.append((None, None, _r2(df.s.sum()), _r2(df.r.sum()),
+                 _r2(df.p.sum())))
+    rows = _sort_rows(rows, [(0, True, True), (1, True, True)])
+    return rows[:100]
+
+
+@exp("q6")
+def _q6(F):
+    dd = F["date_dim"]
+    mseq = dd[(dd.d_year == 2001) & (dd.d_moy == 1)].d_month_seq.iloc[0]
+    it = F["item"]
+    cat_avg = it.groupby("i_category").i_current_price.transform("mean")
+    hot = it[it.i_current_price > 1.2 * cat_avg]
+    m = (F["store_sales"]
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(hot[["i_item_sk"]], left_on="ss_item_sk",
+                right_on="i_item_sk")
+         .merge(F["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+         .merge(F["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk"))
+    m = m[m.d_month_seq == mseq]
+    g = m.groupby("ca_state").size().reset_index(name="cnt")
+    g = g[g.cnt >= 10]
+    rows = [(r.ca_state, int(r.cnt)) for r in g.itertuples()]
+    return _sort_rows(rows, [(1, True, True), (0, True, True)])[:100]
+
+
+_Q8_ZIPS = None
+
+
+def _q8_zip_list():
+    global _Q8_ZIPS
+    if _Q8_ZIPS is None:
+        import re
+        import tpcds_queries
+        body = tpcds_queries.QUERIES["q8"]
+        _Q8_ZIPS = set(re.findall(r"'(\d{5})'", body))
+    return _Q8_ZIPS
+
+
+@exp("q8")
+def _q8(F):
+    from collections import Counter
+    ca = F["customer_address"]
+    zips5 = _q8_zip_list()
+    pref = (ca.merge(F["customer"], left_on="ca_address_sk",
+                     right_on="c_current_addr_sk"))
+    pref = pref[pref.c_preferred_cust_flag == "Y"]
+    a1 = pref.groupby(pref.ca_zip.str[:5]).size()
+    a1 = set(a1[a1 > 10].index)
+    v1 = (set(z for z in ca.ca_zip.str[:5] if z in zips5)) & a1
+    mult = Counter(z[:2] for z in v1)
+    m = (F["store_sales"]
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    m = m[(m.d_qoy == 2) & (m.d_year == 1998)]
+    m = m.assign(k=m.s_zip.str[:2].map(mult).fillna(0))
+    g = (m.assign(v=m.ss_net_profit * m.k).groupby("s_store_name")
+         .v.sum().reset_index())
+    g = g[g.v != 0]
+    rows = [(r.s_store_name, _r2(r.v)) for r in g.itertuples()]
+    rows.sort(key=lambda r: r[0])
+    return rows[:100]
+
+
+def _q10_q35_base(F, date_filter):
+    dd = F["date_dim"]
+    win = dd[date_filter(dd)][["d_date_sk"]]
+    ss_c = set(F["store_sales"].merge(
+        win, left_on="ss_sold_date_sk",
+        right_on="d_date_sk").ss_customer_sk)
+    ws_c = set(F["web_sales"].merge(
+        win, left_on="ws_sold_date_sk",
+        right_on="d_date_sk").ws_bill_customer_sk)
+    cs_c = set(F["catalog_sales"].merge(
+        win, left_on="cs_sold_date_sk",
+        right_on="d_date_sk").cs_ship_customer_sk)
+    m = (F["customer"]
+         .merge(F["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(F["customer_demographics"], left_on="c_current_cdemo_sk",
+                right_on="cd_demo_sk"))
+    return m[m.c_customer_sk.isin(ss_c)
+             & (m.c_customer_sk.isin(ws_c) | m.c_customer_sk.isin(cs_c))]
+
+
+@exp("q10")
+def _q10(F):
+    m = _q10_q35_base(
+        F, lambda d: (d.d_year == 2002) & d.d_moy.between(1, 4))
+    m = m[m.ca_county.isin(["Rush County", "Toole County",
+                            "Jefferson County", "Dona Ana County",
+                            "La Porte County"])]
+    keys = ["cd_gender", "cd_marital_status", "cd_education_status",
+            "cd_purchase_estimate", "cd_credit_rating", "cd_dep_count",
+            "cd_dep_employed_count", "cd_dep_college_count"]
+    g = m.groupby(keys).size().reset_index(name="cnt")
+    g = g.sort_values(keys)
+    rows = []
+    for r in g.itertuples():
+        c = int(r.cnt)
+        rows.append((r.cd_gender, r.cd_marital_status,
+                     r.cd_education_status, c, int(r.cd_purchase_estimate),
+                     c, r.cd_credit_rating, c, int(r.cd_dep_count), c,
+                     int(r.cd_dep_employed_count), c,
+                     int(r.cd_dep_college_count), c))
+    return rows[:100]
+
+
+@exp("q35")
+def _q35(F):
+    m = _q10_q35_base(F, lambda d: (d.d_year == 2002) & (d.d_qoy < 4))
+    keys = ["ca_state", "cd_gender", "cd_marital_status", "cd_dep_count",
+            "cd_dep_employed_count", "cd_dep_college_count"]
+    g = m.groupby(keys).size().reset_index(name="cnt")
+    rows = []
+    for r in g.itertuples():
+        c = int(r.cnt)
+        d1, d2, d3 = (int(r.cd_dep_count), int(r.cd_dep_employed_count),
+                      int(r.cd_dep_college_count))
+        rows.append((r.ca_state, r.cd_gender, r.cd_marital_status,
+                     d1, c, d1, d1, float(d1),
+                     d2, c, d2, d2, float(d2),
+                     d3, c, d3, d3, float(d3)))
+    rows = _sort_rows(rows, [(0, True, True), (1, True, True),
+                             (2, True, True), (3, True, True),
+                             (8, True, True), (13, True, True)])
+    return rows[:100]
+
+
+@exp("q27")
+def _q27(F):
+    m = (F["store_sales"]
+         .merge(F["customer_demographics"], left_on="ss_cdemo_sk",
+                right_on="cd_demo_sk")
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(F["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    m = m[(m.cd_gender == "M") & (m.cd_marital_status == "S")
+          & (m.cd_education_status == "College") & (m.d_year == 2002)
+          & (m.s_state == "TN")]
+    aggs = ["ss_quantity", "ss_list_price", "ss_coupon_amt",
+            "ss_sales_price"]
+    rows = []
+    for (iid, st), grp in m.groupby(["i_item_id", "s_state"]):
+        rows.append((iid, st, 0, *[_r2(grp[a].mean()) for a in aggs]))
+    for iid, grp in m.groupby("i_item_id"):
+        rows.append((iid, None, 1, *[_r2(grp[a].mean()) for a in aggs]))
+    rows.append((None, None, 1, *[_r2(m[a].mean()) for a in aggs]))
+    rows = _sort_rows(rows, [(0, True, True), (1, True, True)])
+    return rows[:100]
+
+
+def _q38_q87_sets(F):
+    dd = F["date_dim"]
+    win = dd[dd.d_month_seq.between(1200, 1211)][["d_date_sk", "d_date"]]
+    out = []
+    for fact, datec, custc in (
+            ("store_sales", "ss_sold_date_sk", "ss_customer_sk"),
+            ("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk"),
+            ("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk")):
+        m = (F[fact].merge(win, left_on=datec, right_on="d_date_sk")
+             .merge(F["customer"], left_on=custc,
+                    right_on="c_customer_sk"))
+        out.append(set(zip(m.c_last_name, m.c_first_name, m.d_date)))
+    return out
+
+
+@exp("q38")
+def _q38(F):
+    s, c, w = _q38_q87_sets(F)
+    return [(len(s & c & w),)]
+
+
+@exp("q87")
+def _q87(F):
+    s, c, w = _q38_q87_sets(F)
+    return [(len(s - c - w),)]
+
+
+@exp("q44")
+def _q44(F):
+    ss = F["store_sales"]
+    s4 = ss[ss.ss_store_sk == 4]
+    base = s4[s4.ss_addr_sk.isna()].ss_net_profit.mean()
+    g = s4.groupby("ss_item_sk").ss_net_profit.mean()
+    g = g[g > 0.9 * base]
+    asc = g.sort_values().index[:10]
+    desc = g.sort_values(ascending=False).index[:10]
+    names = F["item"].set_index("i_item_sk").i_product_name
+    return [(i + 1, names[a], names[b])
+            for i, (a, b) in enumerate(zip(asc, desc))]
+
+
+@exp("q45")
+def _q45(F):
+    zips = {"85669", "86197", "88274", "83405", "86475", "85392",
+            "85460", "80348", "81792"}
+    hot_ids = set(F["item"][F["item"].i_item_sk.isin(
+        [2, 3, 5, 7, 11, 13, 17, 19, 23, 29])].i_item_id)
+    m = (F["web_sales"]
+         .merge(F["customer"], left_on="ws_bill_customer_sk",
+                right_on="c_customer_sk")
+         .merge(F["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(F["item"], left_on="ws_item_sk", right_on="i_item_sk")
+         .merge(F["date_dim"], left_on="ws_sold_date_sk",
+                right_on="d_date_sk"))
+    m = m[(m.ca_zip.str[:5].isin(zips) | m.i_item_id.isin(hot_ids))
+          & (m.d_qoy == 2) & (m.d_year == 2001)]
+    g = (m.groupby(["ca_zip", "ca_city"]).ws_sales_price.sum()
+         .reset_index().sort_values(["ca_zip", "ca_city"]))
+    return [(r.ca_zip, r.ca_city, _r2(r.ws_sales_price))
+            for r in g.itertuples()][:100]
+
+
+@exp("q48")
+def _q48(F):
+    m = (F["store_sales"]
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(F["customer_demographics"], left_on="ss_cdemo_sk",
+                right_on="cd_demo_sk")
+         .merge(F["customer_address"], left_on="ss_addr_sk",
+                right_on="ca_address_sk")
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk"))
+    m = m[m.d_year == 2000]
+    demo = (((m.cd_marital_status == "M")
+             & (m.cd_education_status == "4 yr Degree")
+             & m.ss_sales_price.between(100.0, 150.0))
+            | ((m.cd_marital_status == "D")
+               & (m.cd_education_status == "2 yr Degree")
+               & m.ss_sales_price.between(50.0, 100.0))
+            | ((m.cd_marital_status == "S")
+               & (m.cd_education_status == "College")
+               & m.ss_sales_price.between(150.0, 200.0)))
+    addr = ((m.ca_country == "United States")
+            & ((m.ca_state.isin(["CO", "OH", "TX"])
+                & m.ss_net_profit.between(0, 2000))
+               | (m.ca_state.isin(["OR", "MN", "KY"])
+                  & m.ss_net_profit.between(150, 3000))
+               | (m.ca_state.isin(["VA", "CA", "MS"])
+                  & m.ss_net_profit.between(50, 25000))))
+    v = m[demo & addr].ss_quantity.sum()
+    return [(None if not len(m[demo & addr]) else int(v),)]
+
+
 # The float (money/avg) column positions per query's output row
 _FLOAT_COLS = {
     "q3": {3}, "q7": {1, 2, 3, 4}, "q19": {4}, "q26": {1, 2, 3, 4},
@@ -1412,6 +1718,11 @@ _FLOAT_COLS = {
     "q53": {1: 0.05, 2: 0.05},
     "q63": {1: 0.05, 2: 0.05},
     "q89": {6: 0.05, 7: 0.05},
+    "q5": {2: 1.0, 3: 1.0, 4: 1.0},
+    "q8": {1: 1.0},
+    "q27": {3: 0.05, 4: 0.05, 5: 0.05, 6: 0.05},
+    "q35": {7: 0.02, 12: 0.02, 17: 0.02},
+    "q45": {2: 1.0},
 }
 # Queries whose ORDER BY doesn't fully determine row order: compare as
 # fully-sorted row lists on both sides.
