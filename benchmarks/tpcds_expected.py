@@ -201,9 +201,14 @@ def _sort_rows(rows, specs):
             rn, rv = (0, 1) if nf else (1, 0)
         else:
             rn, rv = (1, 0) if nf else (0, 1)
+        if all(r[idx] is not None for r in out):
+            out = sorted(out, key=lambda r: r[idx], reverse=reverse)
+            continue
         sample = next((r[idx] for r in out if r[idx] is not None), 0)
-        sent = type(sample)("" if isinstance(sample, str) else 0) \
-            if not isinstance(sample, bool) else False
+        sent = "" if isinstance(sample, str) else \
+            (sample if not isinstance(sample, (int, float, bool))
+             else type(sample)(0) if not isinstance(sample, bool)
+             else False)
         out = sorted(out, key=lambda r: (rn, sent) if r[idx] is None
                      else (rv, r[idx]), reverse=reverse)
     return out
@@ -1681,6 +1686,262 @@ def _q48(F):
     return [(None if not len(m[demo & addr]) else int(v),)]
 
 
+# ------------------------------------------------------------ batch 7
+
+def _rank_min(vals):
+    """SQL rank(): 1 + number of strictly-smaller values."""
+    order = sorted(vals)
+    import bisect
+    return [1 + bisect.bisect_left(order, v) for v in vals]
+
+
+@exp("q49")
+def _q49(F):
+    out = []
+    chans = [
+        ("web", "web_sales", "ws", F["web_returns"], "wr",
+         "wr_return_amt"),
+        ("catalog", "catalog_sales", "cs", F["catalog_returns"], "cr",
+         "cr_return_amount"),
+        ("store", "store_sales", "ss", F["store_returns"], "sr",
+         "sr_return_amt"),
+    ]
+    for ch, fact, p, rets, rp, amtc in chans:
+        keys = {"ss": ["ss_ticket_number", "ss_item_sk"],
+                "sr": ["sr_ticket_number", "sr_item_sk"]}
+        if p == "ss":
+            lk, rk = keys["ss"], keys["sr"]
+        else:
+            lk = [f"{p}_order_number", f"{p}_item_sk"]
+            rk = [f"{rp}_order_number", f"{rp}_item_sk"]
+        cols = [c for c in (f"{rp}_return_quantity", amtc) ]
+        m = F[fact].merge(rets[rk + cols], left_on=lk, right_on=rk,
+                          how="left")
+        m = m.merge(F["date_dim"], left_on=f"{p}_sold_date_sk",
+                    right_on="d_date_sk")
+        m = m[(m[amtc] > 10000) & (m[f"{p}_net_profit"] > 1)
+              & (m[f"{p}_net_paid"] > 0) & (m[f"{p}_quantity"] > 0)
+              & (m.d_year == 2001) & (m.d_moy == 12)]
+        if not len(m):
+            continue
+        g = m.groupby(f"{p}_item_sk").agg(
+            rq=(f"{rp}_return_quantity", lambda s: s.fillna(0).sum()),
+            q=(f"{p}_quantity", "sum"),
+            ra=(amtc, lambda s: s.fillna(0).sum()),
+            np_=(f"{p}_net_paid", "sum"))
+        rr = (g.rq / g.q).tolist()
+        cr = (g.ra / g.np_).tolist()
+        rrank = _rank_min(rr)
+        crank = _rank_min(cr)
+        for item, a, b, r1, r2_ in zip(g.index, rr, cr, rrank, crank):
+            if r1 <= 10 or r2_ <= 10:
+                out.append((ch, int(item), round(a, 4), r1, r2_))
+    out = list(dict.fromkeys(out))   # UNION distinct
+    return _sort_rows(out, [(0, True, True), (3, True, True),
+                            (4, True, True), (1, True, True)])[:100]
+
+
+@exp("q50")
+def _q50(F):
+    m = (F["store_sales"]
+         .merge(F["store_returns"],
+                left_on=["ss_ticket_number", "ss_item_sk",
+                         "ss_customer_sk"],
+                right_on=["sr_ticket_number", "sr_item_sk",
+                          "sr_customer_sk"])
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(F["date_dim"], left_on="sr_returned_date_sk",
+                right_on="d_date_sk"))
+    m = m[(m.d_year == 2001) & (m.d_moy == 8)]
+    lag = m.sr_returned_date_sk - m.ss_sold_date_sk
+    m = m.assign(b1=(lag <= 30).astype(int),
+                 b2=((lag > 30) & (lag <= 60)).astype(int),
+                 b3=((lag > 60) & (lag <= 90)).astype(int),
+                 b4=((lag > 90) & (lag <= 120)).astype(int),
+                 b5=(lag > 120).astype(int))
+    keys = ["s_store_name", "s_company_id", "s_street_number",
+            "s_street_name", "s_street_type", "s_suite_number", "s_city",
+            "s_county", "s_state", "s_zip"]
+    g = m.groupby(keys)[["b1", "b2", "b3", "b4", "b5"]].sum().reset_index()
+    g = g.sort_values(keys)
+    return [(r.s_store_name, int(r.s_company_id), r.s_street_number,
+             r.s_street_name, r.s_street_type, r.s_suite_number, r.s_city,
+             r.s_county, r.s_state, r.s_zip, int(r.b1), int(r.b2),
+             int(r.b3), int(r.b4), int(r.b5))
+            for r in g.itertuples()][:100]
+
+
+@exp("q51")
+def _q51(F):
+    import pandas as pd
+    dd = F["date_dim"]
+    win = dd[dd.d_month_seq.between(1200, 1211)][["d_date_sk", "d_date"]]
+
+    def cume(fact, p):
+        m = F[fact].merge(win, left_on=f"{p}_sold_date_sk",
+                          right_on="d_date_sk")
+        g = (m.groupby([f"{p}_item_sk", "d_date"])[f"{p}_sales_price"]
+             .sum().reset_index()
+             .rename(columns={f"{p}_item_sk": "item_sk",
+                              f"{p}_sales_price": "s"}))
+        g = g.sort_values(["item_sk", "d_date"])
+        g["cume"] = g.groupby("item_sk").s.cumsum()
+        return g[["item_sk", "d_date", "cume"]]
+
+    web = cume("web_sales", "ws").rename(columns={"cume": "web"})
+    st = cume("store_sales", "ss").rename(columns={"cume": "store"})
+    x = web.merge(st, on=["item_sk", "d_date"], how="outer")
+    x = x.sort_values(["item_sk", "d_date"])
+    # SQL max() OVER ignores NULL rows but carries the running max past
+    # them; pandas cummax leaves NaN at NaN inputs -> ffill within group
+    x["web_c"] = x.groupby("item_sk").web.cummax()
+    x["web_c"] = x.groupby("item_sk").web_c.ffill()
+    x["store_c"] = x.groupby("item_sk").store.cummax()
+    x["store_c"] = x.groupby("item_sk").store_c.ffill()
+    y = x[x.web_c > x.store_c]
+    rows = [(int(r.item_sk),
+             _EPOCH + _dt.timedelta(days=int(r.d_date)),
+             None if pd.isna(r.web) else _r2(r.web),
+             None if pd.isna(r.store) else _r2(r.store),
+             _r2(r.web_c), _r2(r.store_c)) for r in y.itertuples()]
+    return _sort_rows(rows, [(0, True, True), (1, True, True)])[:100]
+
+
+@exp("q54")
+def _q54(F):
+    import pandas as pd
+    dd = F["date_dim"]
+    base_seq = int(dd[(dd.d_year == 1998)
+                      & (dd.d_moy == 12)].d_month_seq.iloc[0])
+    cs = F["catalog_sales"][["cs_sold_date_sk", "cs_bill_customer_sk",
+                             "cs_item_sk"]].rename(columns=dict(
+        cs_sold_date_sk="dsk", cs_bill_customer_sk="cust",
+        cs_item_sk="isk"))
+    ws = F["web_sales"][["ws_sold_date_sk", "ws_bill_customer_sk",
+                         "ws_item_sk"]].rename(columns=dict(
+        ws_sold_date_sk="dsk", ws_bill_customer_sk="cust",
+        ws_item_sk="isk"))
+    u = pd.concat([cs, ws])
+    it = F["item"]
+    mat = it[(it.i_category == "Women") & (it.i_class == "maternity")]
+    m = (u.merge(mat[["i_item_sk"]], left_on="isk", right_on="i_item_sk")
+         .merge(dd[(dd.d_moy == 12) & (dd.d_year == 1998)][["d_date_sk"]],
+                left_on="dsk", right_on="d_date_sk")
+         .merge(F["customer"], left_on="cust", right_on="c_customer_sk"))
+    my_cust = m[["c_customer_sk", "c_current_addr_sk"]].drop_duplicates()
+    rev = (my_cust
+           .merge(F["customer_address"], left_on="c_current_addr_sk",
+                  right_on="ca_address_sk")
+           .merge(F["store"], left_on=["ca_county", "ca_state"],
+                  right_on=["s_county", "s_state"])
+           .merge(F["store_sales"], left_on="c_customer_sk",
+                  right_on="ss_customer_sk")
+           .merge(dd[dd.d_month_seq.between(base_seq + 1, base_seq + 3)]
+                  [["d_date_sk"]], left_on="ss_sold_date_sk",
+                  right_on="d_date_sk"))
+    # NOTE: the store join can fan out (several stores share county+state)
+    g = rev.groupby(["c_customer_sk"]).ss_ext_sales_price.sum()
+    seg = [int(np.sign(v / 50) * np.floor(abs(v / 50) + 0.5))
+           for v in g.values]
+    from collections import Counter
+    c = Counter(seg)
+    rows = [(s, n, s * 50) for s, n in sorted(c.items())]
+    return _sort_rows(rows, [(0, True, True), (1, True, True),
+                             (2, True, None)])[:100]
+
+
+def _q33_family(F, item_filter, year, moy, order):
+    """Three-channel gmt-offset -5 monthly totals by item attribute."""
+    ids = set(F["item"][item_filter(F["item"])].i_item_id)
+    parts = []
+    for fact, pre, addr in (("store_sales", "ss", "ss_addr_sk"),
+                            ("catalog_sales", "cs", "cs_bill_addr_sk"),
+                            ("web_sales", "ws", "ws_bill_addr_sk")):
+        m = (F[fact]
+             .merge(F["date_dim"], left_on=f"{pre}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(F["customer_address"], left_on=addr,
+                    right_on="ca_address_sk")
+             .merge(F["item"], left_on=f"{pre}_item_sk",
+                    right_on="i_item_sk"))
+        m = m[m.i_item_id.isin(ids) & (m.d_year == year)
+              & (m.d_moy == moy) & (m.ca_gmt_offset == -5)]
+        parts.append(m.groupby("i_item_id")[
+            f"{pre}_ext_sales_price"].sum())
+    import pandas as pd
+    tot = pd.concat(parts).groupby(level=0).sum()
+    rows = [(k, _r2(v)) for k, v in tot.items()]
+    return _sort_rows(rows, order)[:100]
+
+
+@exp("q56")
+def _q56(F):
+    return _q33_family(
+        F, lambda it: it.i_color.isin(["slate", "blanched", "burnished"]),
+        2001, 2, [(1, True, True), (0, True, True)])
+
+
+@exp("q60")
+def _q60(F):
+    return _q33_family(F, lambda it: it.i_category == "Music",
+                       1998, 9, [(0, True, None), (1, True, None)])
+
+
+@exp("q58")
+def _q58(F):
+    dd = F["date_dim"]
+    wk = int(dd[dd.d_date == _d("2000-01-03")].d_week_seq.iloc[0])
+    days = dd[dd.d_week_seq == wk][["d_date_sk"]]
+    revs = {}
+    for fact, pre in (("store_sales", "ss"), ("catalog_sales", "cs"),
+                      ("web_sales", "ws")):
+        m = (F[fact].merge(days, left_on=f"{pre}_sold_date_sk",
+                           right_on="d_date_sk")
+             .merge(F["item"], left_on=f"{pre}_item_sk",
+                    right_on="i_item_sk"))
+        revs[pre] = m.groupby("i_item_id")[f"{pre}_ext_sales_price"].sum()
+    rows = []
+    common = set(revs["ss"].index) & set(revs["cs"].index) \
+        & set(revs["ws"].index)
+    for iid in sorted(common):
+        s, c, w = revs["ss"][iid], revs["cs"][iid], revs["ws"][iid]
+        if not (0.9 * c <= s <= 1.1 * c and 0.9 * w <= s <= 1.1 * w
+                and 0.9 * s <= c <= 1.1 * s and 0.9 * w <= c <= 1.1 * w
+                and 0.9 * s <= w <= 1.1 * s and 0.9 * c <= w <= 1.1 * c):
+            continue
+        avg = (s + c + w) / 3
+        rows.append((iid, _r2(s), _r2(s / avg * 100), _r2(c),
+                     _r2(c / avg * 100), _r2(w), _r2(w / avg * 100),
+                     _r2(avg)))
+    return rows[:100]
+
+
+@exp("q61")
+def _q61(F):
+    base = (F["store_sales"]
+            .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                   right_on="d_date_sk")
+            .merge(F["store"], left_on="ss_store_sk",
+                   right_on="s_store_sk")
+            .merge(F["customer"], left_on="ss_customer_sk",
+                   right_on="c_customer_sk")
+            .merge(F["customer_address"], left_on="c_current_addr_sk",
+                   right_on="ca_address_sk")
+            .merge(F["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    base = base[(base.ca_gmt_offset == -5) & (base.i_category == "Jewelry")
+                & (base.s_gmt_offset == -5) & (base.d_year == 1998)
+                & (base.d_moy == 11)]
+    promo = base.merge(F["promotion"], left_on="ss_promo_sk",
+                       right_on="p_promo_sk")
+    promo = promo[(promo.p_channel_dmail == "Y")
+                  | (promo.p_channel_email == "Y")
+                  | (promo.p_channel_tv == "Y")]
+    p = _nsum(promo.ss_ext_sales_price)
+    t = _nsum(base.ss_ext_sales_price)
+    ratio = None if (p is None or t is None or t == 0) else p / t * 100
+    return [(_r2(p), _r2(t), _r2(ratio))]
+
+
 # The float (money/avg) column positions per query's output row
 _FLOAT_COLS = {
     "q3": {3}, "q7": {1, 2, 3, 4}, "q19": {4}, "q26": {1, 2, 3, 4},
@@ -1723,6 +1984,11 @@ _FLOAT_COLS = {
     "q27": {3: 0.05, 4: 0.05, 5: 0.05, 6: 0.05},
     "q35": {7: 0.02, 12: 0.02, 17: 0.02},
     "q45": {2: 1.0},
+    "q49": {2: 0.001},
+    "q51": {2: 1.0, 3: 1.0, 4: 1.0, 5: 1.0},
+    "q56": {1: 1.0}, "q60": {1: 1.0},
+    "q58": {i: 1.0 for i in range(1, 8)},
+    "q61": {0: 1.0, 1: 1.0, 2: 0.05},
 }
 # Queries whose ORDER BY doesn't fully determine row order: compare as
 # fully-sorted row lists on both sides.

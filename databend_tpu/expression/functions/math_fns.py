@@ -67,11 +67,13 @@ def _round_resolver(arg_types):
 
 @scalar_function("round", _round_resolver)
 def _round(a, digits=None, **kw):
+    # half-away-from-zero (reference semantics: Rust f64::round), NOT
+    # numpy's banker's rounding — round(2.5) = 3, round(-2.5) = -3
     a = np.asarray(a, np.float64)
-    if digits is None:
-        return np.round(a)
-    d = int(np.asarray(digits).flat[0])
-    return np.round(a, d)
+    d = 0 if digits is None else int(np.asarray(digits).flat[0])
+    scale = 10.0 ** d
+    scaled = a * scale
+    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / scale
 
 
 @scalar_function("truncate", _round_resolver)
