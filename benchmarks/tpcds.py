@@ -433,7 +433,8 @@ def generate(sf: float, seed: int = 7):
         "ss_hdemo_sk": t_hdemo[ticket_of],
         "ss_addr_sk": np.ma.masked_array(
             t_addr[ticket_of], rng.random(n_ss) < 0.02),
-        "ss_store_sk": t_store[ticket_of],
+        "ss_store_sk": np.ma.masked_array(
+            t_store[ticket_of], rng.random(n_ss) < 0.01),
         "ss_promo_sk": rng.integers(0, n_promo, n_ss),
         "ss_ticket_number": ticket_of,
         "ss_quantity": qty,
@@ -508,7 +509,8 @@ def generate(sf: float, seed: int = 7):
         "cs_ship_customer_sk": np.where(
             rng.random(n_cs) < 0.85, o_cust[order_of],
             rng.integers(0, n_cust, n_cs)),
-        "cs_ship_addr_sk": rng.integers(0, n_addr, n_cs),
+        "cs_ship_addr_sk": np.ma.masked_array(
+            rng.integers(0, n_addr, n_cs), rng.random(n_cs) < 0.01),
         "cs_ship_mode_sk": rng.integers(0, 20, n_cs),
         "cs_call_center_sk": rng.integers(0, n_cc, n_cs),
         "cs_warehouse_sk": rng.integers(0, n_wh, n_cs),
@@ -589,9 +591,10 @@ def generate(sf: float, seed: int = 7):
         "ws_bill_hdemo_sk": rng.integers(0, n_hd, n_ws),
         "ws_ship_hdemo_sk": rng.integers(0, n_hd, n_ws),
         "ws_bill_addr_sk": rng.integers(0, n_addr, n_ws),
-        "ws_ship_customer_sk": np.where(
-            rng.random(n_ws) < 0.85, wo_cust[worder_of],
-            rng.integers(0, n_cust, n_ws)),
+        "ws_ship_customer_sk": np.ma.masked_array(
+            np.where(rng.random(n_ws) < 0.85, wo_cust[worder_of],
+                     rng.integers(0, n_cust, n_ws)),
+            rng.random(n_ws) < 0.01),
         "ws_ship_addr_sk": rng.integers(0, n_addr, n_ws),
         "ws_web_page_sk": rng.integers(0, n_web_page, n_ws),
         "ws_web_site_sk": rng.integers(0, n_web_site, n_ws),

@@ -1942,6 +1942,231 @@ def _q61(F):
     return [(_r2(p), _r2(t), _r2(ratio))]
 
 
+# ------------------------------------------------------------ batch 8
+
+@exp("q65")
+def _q65(F):
+    m = F["store_sales"].merge(F["date_dim"],
+                               left_on="ss_sold_date_sk",
+                               right_on="d_date_sk")
+    m = m[m.d_month_seq.between(1176, 1187)]
+    sc = (m.groupby(["ss_store_sk", "ss_item_sk"]).ss_sales_price.sum()
+          .reset_index().rename(columns={"ss_sales_price": "revenue"}))
+    ave = sc.groupby("ss_store_sk").revenue.transform("mean")
+    keep = sc[sc.revenue <= 0.1 * ave]
+    j = (keep.merge(F["store"], left_on="ss_store_sk",
+                    right_on="s_store_sk")
+         .merge(F["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    rows = [(r.s_store_name, r.i_item_desc, _r2(r.revenue),
+             _r2(r.i_current_price), _r2(r.i_wholesale_cost), r.i_brand)
+            for r in j.itertuples()]
+    return _sort_rows(rows, [(0, True, True), (1, True, True)])[:100]
+
+
+@exp("q66")
+def _q66(F):
+    import pandas as pd
+    frames_ = []
+    for fact, pre, price, net in (
+            ("web_sales", "ws", "ws_ext_sales_price", "ws_net_paid"),
+            ("catalog_sales", "cs", "cs_sales_price",
+             "cs_net_paid_inc_tax")):
+        m = (F[fact]
+             .merge(F["warehouse"], left_on=f"{pre}_warehouse_sk",
+                    right_on="w_warehouse_sk")
+             .merge(F["date_dim"], left_on=f"{pre}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(F["time_dim"], left_on=f"{pre}_sold_time_sk",
+                    right_on="t_time_sk")
+             .merge(F["ship_mode"], left_on=f"{pre}_ship_mode_sk",
+                    right_on="sm_ship_mode_sk"))
+        m = m[(m.d_year == 2001) & m.t_time.between(30838, 30838 + 28800)
+              & m.sm_carrier.isin(["DHL", "BARIAN"])]
+        qty = m[f"{pre}_quantity"]
+        cols = {}
+        for mo in range(1, 13):
+            cols[f"s{mo}"] = np.where(m.d_moy == mo, m[price] * qty, 0.0)
+            cols[f"n{mo}"] = np.where(m.d_moy == mo, m[net] * qty, 0.0)
+        g = (m.assign(**cols)
+             .groupby(["w_warehouse_name", "w_warehouse_sq_ft", "w_city",
+                       "w_county", "w_state", "w_country", "d_year"])
+             [[f"s{mo}" for mo in range(1, 13)]
+              + [f"n{mo}" for mo in range(1, 13)]].sum().reset_index())
+        frames_.append(g)
+    u = pd.concat(frames_)
+    keys = ["w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county",
+            "w_state", "w_country", "d_year"]
+    g = u.groupby(keys).sum().reset_index()
+    rows = []
+    for r in g.itertuples():
+        sales = [getattr(r, f"s{mo}") for mo in range(1, 13)]
+        nets = [getattr(r, f"n{mo}") for mo in range(1, 13)]
+        per = [s / r.w_warehouse_sq_ft for s in sales]
+        rows.append((r.w_warehouse_name, int(r.w_warehouse_sq_ft),
+                     r.w_city, r.w_county, r.w_state, r.w_country,
+                     "DHL,BARIAN", int(r.d_year),
+                     *[_r2(v) for v in sales], *[_r2(v) for v in per],
+                     *[_r2(v) for v in nets]))
+    rows.sort(key=lambda x: x[0])
+    return rows[:100]
+
+
+@exp("q69")
+def _q69(F):
+    dd = F["date_dim"]
+    win = dd[(dd.d_year == 2001)
+             & dd.d_moy.between(4, 6)][["d_date_sk"]]
+    ss_c = set(F["store_sales"].merge(
+        win, left_on="ss_sold_date_sk",
+        right_on="d_date_sk").ss_customer_sk)
+    ws_c = set(F["web_sales"].merge(
+        win, left_on="ws_sold_date_sk",
+        right_on="d_date_sk").ws_bill_customer_sk)
+    cs_c = set(F["catalog_sales"].merge(
+        win, left_on="cs_sold_date_sk",
+        right_on="d_date_sk").cs_ship_customer_sk)
+    m = (F["customer"]
+         .merge(F["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(F["customer_demographics"], left_on="c_current_cdemo_sk",
+                right_on="cd_demo_sk"))
+    m = m[m.ca_state.isin(["KY", "GA", "NM"])
+          & m.c_customer_sk.isin(ss_c)
+          & ~m.c_customer_sk.isin(ws_c) & ~m.c_customer_sk.isin(cs_c)]
+    keys = ["cd_gender", "cd_marital_status", "cd_education_status",
+            "cd_purchase_estimate", "cd_credit_rating"]
+    g = m.groupby(keys).size().reset_index(name="cnt").sort_values(keys)
+    return [(r.cd_gender, r.cd_marital_status, r.cd_education_status,
+             int(r.cnt), int(r.cd_purchase_estimate), int(r.cnt),
+             r.cd_credit_rating, int(r.cnt))
+            for r in g.itertuples()][:100]
+
+
+@exp("q71")
+def _q71(F):
+    import pandas as pd
+    parts = []
+    for fact, pre in (("web_sales", "ws"), ("catalog_sales", "cs"),
+                      ("store_sales", "ss")):
+        m = F[fact].merge(F["date_dim"], left_on=f"{pre}_sold_date_sk",
+                          right_on="d_date_sk")
+        m = m[(m.d_moy == 11) & (m.d_year == 1999)]
+        parts.append(pd.DataFrame({
+            "ext_price": m[f"{pre}_ext_sales_price"].values,
+            "isk": m[f"{pre}_item_sk"].values,
+            "tsk": m[f"{pre}_sold_time_sk"].values}))
+    u = pd.concat(parts)
+    it = F["item"]
+    m = (u.merge(it[it.i_manager_id == 1], left_on="isk",
+                 right_on="i_item_sk")
+         .merge(F["time_dim"], left_on="tsk", right_on="t_time_sk"))
+    m = m[m.t_meal_time.isin(["breakfast", "dinner"])]
+    g = (m.groupby(["i_brand", "i_brand_id", "t_hour", "t_minute"])
+         .ext_price.sum().reset_index())
+    rows = [(int(r.i_brand_id), r.i_brand, int(r.t_hour),
+             int(r.t_minute), _r2(r.ext_price)) for r in g.itertuples()]
+    return _sort_rows(rows, [(4, False, True), (0, True, True),
+                             (2, True, True)])
+
+
+@exp("q75")
+def _q75(F):
+    import pandas as pd
+    parts = []
+    chans = [("catalog_sales", "cs", F["catalog_returns"], "cr",
+              ["cs_order_number", "cs_item_sk"],
+              ["cr_order_number", "cr_item_sk"], "cr_return_amount"),
+             ("store_sales", "ss", F["store_returns"], "sr",
+              ["ss_ticket_number", "ss_item_sk"],
+              ["sr_ticket_number", "sr_item_sk"], "sr_return_amt"),
+             ("web_sales", "ws", F["web_returns"], "wr",
+              ["ws_order_number", "ws_item_sk"],
+              ["wr_order_number", "wr_item_sk"], "wr_return_amt")]
+    it = F["item"]
+    books = it[it.i_category == "Books"]
+    for fact, p, rets, rp, lk, rk, amtc in chans:
+        m = (F[fact]
+             .merge(books[["i_item_sk", "i_brand_id", "i_class_id",
+                           "i_category_id", "i_manufact_id"]],
+                    left_on=f"{p}_item_sk", right_on="i_item_sk")
+             .merge(F["date_dim"], left_on=f"{p}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(rets[rk + [f"{rp}_return_quantity", amtc]],
+                    left_on=lk, right_on=rk, how="left"))
+        parts.append(pd.DataFrame({
+            "d_year": m.d_year.values,
+            "b": m.i_brand_id.values, "c": m.i_class_id.values,
+            "cat": m.i_category_id.values, "man": m.i_manufact_id.values,
+            "cnt": (m[f"{p}_quantity"]
+                    - m[f"{rp}_return_quantity"].fillna(0)).values,
+            "amt": (m[f"{p}_ext_sales_price"]
+                    - m[amtc].fillna(0.0)).values}))
+    u = pd.concat(parts).drop_duplicates()
+    g = (u.groupby(["d_year", "b", "c", "cat", "man"])[["cnt", "amt"]]
+         .sum().reset_index())
+    cur = g[g.d_year == 2002].set_index(["b", "c", "cat", "man"])
+    prv = g[g.d_year == 2001].set_index(["b", "c", "cat", "man"])
+    rows = []
+    for k in cur.index.intersection(prv.index):
+        c2, a2 = cur.loc[k, "cnt"], cur.loc[k, "amt"]
+        c1, a1 = prv.loc[k, "cnt"], prv.loc[k, "amt"]
+        if c1 and c2 / c1 < 0.9:
+            rows.append((2001, 2002, int(k[0]), int(k[1]), int(k[2]),
+                         int(k[3]), int(c1), int(c2), int(c2 - c1),
+                         _r2(a2 - a1)))
+    return _sort_rows(rows, [(8, True, None), (9, True, None)])[:100]
+
+
+@exp("q76")
+def _q76(F):
+    import pandas as pd
+    parts = []
+    for ch, coln, fact, p, nullc in (
+            ("store", "ss_store_sk", "store_sales", "ss", "ss_store_sk"),
+            ("web", "ws_ship_customer_sk", "web_sales", "ws",
+             "ws_ship_customer_sk"),
+            ("catalog", "cs_ship_addr_sk", "catalog_sales", "cs",
+             "cs_ship_addr_sk")):
+        f = F[fact]
+        m = (f[f[nullc].isna()]
+             .merge(F["date_dim"], left_on=f"{p}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(F["item"], left_on=f"{p}_item_sk",
+                    right_on="i_item_sk"))
+        g = (m.groupby(["d_year", "d_qoy", "i_category"])
+             [f"{p}_ext_sales_price"].agg(["size", "sum"]).reset_index())
+        for r in g.itertuples():
+            parts.append((ch, coln, int(r.d_year), int(r.d_qoy),
+                          r.i_category, int(r.size), _r2(r.sum)))
+    return _sort_rows(parts, [(0, True, True), (1, True, True),
+                              (2, True, True), (3, True, True),
+                              (4, True, True)])[:100]
+
+
+@exp("q79")
+def _q79(F):
+    m = (F["store_sales"]
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(F["household_demographics"], left_on="ss_hdemo_sk",
+                right_on="hd_demo_sk"))
+    m = m[((m.hd_dep_count == 6) | (m.hd_vehicle_count > 2))
+          & (m.d_dow == 1) & m.d_year.isin([1999, 2000, 2001])
+          & m.s_number_employees.between(200, 295)]
+    g = (m.groupby(["ss_ticket_number", "ss_customer_sk", "ss_addr_sk",
+                    "s_city"], dropna=False)
+         [["ss_coupon_amt", "ss_net_profit"]].sum().reset_index())
+    j = g.merge(F["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+    rows = [(r.c_last_name, r.c_first_name, r.s_city[:30],
+             int(r.ss_ticket_number), _r2(r.ss_coupon_amt),
+             _r2(r.ss_net_profit)) for r in j.itertuples()]
+    return _sort_rows(rows, [(0, True, True), (1, True, True),
+                             (2, True, True), (5, True, True),
+                             (3, True, None)])[:100]
+
+
 # The float (money/avg) column positions per query's output row
 _FLOAT_COLS = {
     "q3": {3}, "q7": {1, 2, 3, 4}, "q19": {4}, "q26": {1, 2, 3, 4},
@@ -1989,10 +2214,21 @@ _FLOAT_COLS = {
     "q56": {1: 1.0}, "q60": {1: 1.0},
     "q58": {i: 1.0 for i in range(1, 8)},
     "q61": {0: 1.0, 1: 1.0, 2: 0.05},
+    "q65": {2: 0.05, 3: 0.02, 4: 0.02},
+    "q66": {i: 2.0 for i in range(8, 44)},
+    "q71": {4: 0.05},
+    "q75": {9: 1.0},
+    "q76": {6: 1.0},
+    "q79": {4: 0.05, 5: 0.05},
 }
 # Queries whose ORDER BY doesn't fully determine row order: compare as
 # fully-sorted row lists on both sides.
-_FULL_SORT = {"q73"}
+_FULL_SORT = {"q73", "q65"}
+# LIMIT cuts through a tie group of the (non-unique) ORDER BY prefix:
+# {query: n_prefix_cols}. Rows tying with the boundary row on that prefix
+# are dropped from BOTH sides before comparing (either subset is a
+# correct answer).
+_BOUNDARY_KEYS = {"q65": 2}
 # Money *sums* accumulate rounding differences; widen their tolerance
 _SUM_TOL = {"q3": 1.0, "q19": 1.0, "q42": 1.0, "q52": 1.0, "q55": 1.0}
 
@@ -2001,6 +2237,11 @@ def check_query(F, q, got):
     want = expected(F, q)
     got_t = [tuple(int(v) if isinstance(v, (bool, np.integer)) else v
                    for v in r) for r in got]
+    if q in _BOUNDARY_KEYS and got_t and want:
+        k = _BOUNDARY_KEYS[q]
+        cut = {tuple(got_t[-1][:k]), tuple(want[-1][:k])}
+        got_t = [r for r in got_t if tuple(r[:k]) not in cut]
+        want = [r for r in want if tuple(r[:k]) not in cut]
     if q in _FULL_SORT:
         key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
         got_t = sorted(got_t, key=key)
