@@ -2167,6 +2167,294 @@ def _q79(F):
                              (3, True, None)])[:100]
 
 
+def _rollup_channel(rows):
+    """ROLLUP (channel, id) over (channel, id, sales, returns, profit)."""
+    import pandas as pd
+    df = pd.DataFrame(rows, columns=["ch", "id", "s", "r", "p"])
+    det = df.groupby(["ch", "id"]).sum().reset_index()
+    out = [(r.ch, r.id, _r2(r.s), _r2(r.r), _r2(r.p))
+           for r in det.itertuples()]
+    for ch, grp in df.groupby("ch"):
+        out.append((ch, None, _r2(grp.s.sum()), _r2(grp.r.sum()),
+                    _r2(grp.p.sum())))
+    out.append((None, None, _r2(df.s.sum()), _r2(df.r.sum()),
+                _r2(df.p.sum())))
+    return out
+
+
+@exp("q77")
+def _q77(F):
+    dd = F["date_dim"]
+    d0, d1 = _d("2000-08-23"), _d("2000-09-22")
+    win = dd[(dd.d_date >= d0) & (dd.d_date <= d1)][["d_date_sk"]]
+
+    def agg(fact, datec, keyc, a, b, dim=None, dimk=None):
+        m = F[fact].merge(win, left_on=datec, right_on="d_date_sk")
+        if dim is not None:   # inner join against the dimension
+            m = m.merge(F[dim][[dimk]], left_on=keyc, right_on=dimk)
+        return m.groupby(keyc)[[a, b]].sum()
+
+    ss = agg("store_sales", "ss_sold_date_sk", "ss_store_sk",
+             "ss_ext_sales_price", "ss_net_profit", "store", "s_store_sk")
+    sr = agg("store_returns", "sr_returned_date_sk", "sr_store_sk",
+             "sr_return_amt", "sr_net_loss", "store", "s_store_sk")
+    cs = agg("catalog_sales", "cs_sold_date_sk", "cs_call_center_sk",
+             "cs_ext_sales_price", "cs_net_profit")
+    cr = agg("catalog_returns", "cr_returned_date_sk",
+             "cr_call_center_sk", "cr_return_amount", "cr_net_loss")
+    ws = agg("web_sales", "ws_sold_date_sk", "ws_web_page_sk",
+             "ws_ext_sales_price", "ws_net_profit", "web_page",
+             "wp_web_page_sk")
+    wr = agg("web_returns", "wr_returned_date_sk", "wr_web_page_sk",
+             "wr_return_amt", "wr_net_loss", "web_page", "wp_web_page_sk")
+    rows = []
+    j = ss.join(sr, how="left")
+    for k, r in j.iterrows():
+        rows.append(("store channel", int(k), r.ss_ext_sales_price,
+                     0.0 if r.isna().sr_return_amt else r.sr_return_amt,
+                     r.ss_net_profit
+                     - (0.0 if r.isna().sr_net_loss else r.sr_net_loss)))
+    for k1, r1 in cs.iterrows():      # cross join (reference shape)
+        for k2, r2 in cr.iterrows():
+            rows.append(("catalog channel", int(k1),
+                         r1.cs_ext_sales_price, r2.cr_return_amount,
+                         r1.cs_net_profit - r2.cr_net_loss))
+    jw = ws.join(wr, how="left")
+    for k, r in jw.iterrows():
+        rows.append(("web channel", int(k), r.ws_ext_sales_price,
+                     0.0 if r.isna().wr_return_amt else r.wr_return_amt,
+                     r.ws_net_profit
+                     - (0.0 if r.isna().wr_net_loss else r.wr_net_loss)))
+    out = _rollup_channel(rows)
+    return _sort_rows(out, [(0, True, True), (1, True, True),
+                            (3, False, None)])[:100]
+
+
+@exp("q80")
+def _q80(F):
+    dd = F["date_dim"]
+    d0, d1 = _d("2000-08-23"), _d("2000-09-22")
+    win = dd[(dd.d_date >= d0) & (dd.d_date <= d1)][["d_date_sk"]]
+    it = F["item"]
+    promo = F["promotion"]
+    rows = []
+    chans = [("store_sales", "ss", F["store_returns"], "sr",
+              ["ss_item_sk", "ss_ticket_number"],
+              ["sr_item_sk", "sr_ticket_number"], "sr_return_amt",
+              "sr_net_loss", "store", "s_store_sk", "ss_store_sk",
+              "s_store_id", "store channel", "store"),
+             ("catalog_sales", "cs", F["catalog_returns"], "cr",
+              ["cs_item_sk", "cs_order_number"],
+              ["cr_item_sk", "cr_order_number"], "cr_return_amount",
+              "cr_net_loss", "catalog_page", "cp_catalog_page_sk",
+              "cs_catalog_page_sk", "cp_catalog_page_id",
+              "catalog channel", "catalog_page"),
+             ("web_sales", "ws", F["web_returns"], "wr",
+              ["ws_item_sk", "ws_order_number"],
+              ["wr_item_sk", "wr_order_number"], "wr_return_amt",
+              "wr_net_loss", "web_site", "web_site_sk", "ws_web_site_sk",
+              "web_site_id", "web channel", "web_site")]
+    for (fact, p, rets, rp, lk, rk, amtc, lossc, dim, dimk, fdimk,
+         dim_id, ch, pre) in chans:
+        m = (F[fact]
+             .merge(rets[rk + [amtc, lossc]], left_on=lk, right_on=rk,
+                    how="left")
+             .merge(win, left_on=f"{p}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(F[dim][[dimk, dim_id]], left_on=fdimk,
+                    right_on=dimk)
+             .merge(it[it.i_current_price > 50][["i_item_sk"]],
+                    left_on=f"{p}_item_sk", right_on="i_item_sk")
+             .merge(promo[promo.p_channel_tv == "N"][["p_promo_sk"]],
+                    left_on=f"{p}_promo_sk", right_on="p_promo_sk"))
+        g = m.groupby(dim_id).agg(
+            s=(f"{p}_ext_sales_price", "sum"),
+            r=(amtc, lambda x: x.fillna(0).sum()),
+            loss=(lossc, lambda x: x.fillna(0).sum()),
+            np_=(f"{p}_net_profit", "sum"))
+        for k, r in g.iterrows():
+            rows.append((ch, pre + k, r.s, r.r, r.np_ - r.loss))
+    out = _rollup_channel(rows)
+    return _sort_rows(out, [(0, True, True), (1, True, True)])[:100]
+
+
+@exp("q78")
+def _q78(F):
+    def chan(fact, p, rets, rordc, ritemc, lordc):
+        m = F[fact].merge(
+            rets[[rordc, ritemc]].drop_duplicates(),
+            left_on=[lordc, f"{p}_item_sk"], right_on=[rordc, ritemc],
+            how="left")
+        m = m[m[rordc].isna()]
+        m = m.merge(F["date_dim"], left_on=f"{p}_sold_date_sk",
+                    right_on="d_date_sk")
+        cust = "ss_customer_sk" if p == "ss" else f"{p}_bill_customer_sk"
+        return m.groupby(["d_year", f"{p}_item_sk", cust]).agg(
+            qty=(f"{p}_quantity", "sum"),
+            wc=(f"{p}_wholesale_cost", "sum"),
+            sp=(f"{p}_sales_price", "sum"))
+
+    ss = chan("store_sales", "ss", F["store_returns"],
+              "sr_ticket_number", "sr_item_sk", "ss_ticket_number")
+    ws = chan("web_sales", "ws", F["web_returns"],
+              "wr_order_number", "wr_item_sk", "ws_order_number")
+    cs = chan("catalog_sales", "cs", F["catalog_returns"],
+              "cr_order_number", "cr_item_sk", "cs_order_number")
+    rows = []
+    for (y, isk, csk), r in ss.iterrows():
+        if y != 2000:
+            continue
+        k = (y, isk, csk)
+        w = ws.loc[k] if k in ws.index else None
+        c = cs.loc[k] if k in cs.index else None
+        oq = (0 if w is None else w.qty) + (0 if c is None else c.qty)
+        if oq <= 0:
+            continue
+        owc = (0 if w is None else w.wc) + (0 if c is None else c.wc)
+        osp = (0 if w is None else w.sp) + (0 if c is None else c.sp)
+        ratio = np.floor(abs(r.qty / oq) * 100 + 0.5) / 100 \
+            * np.sign(r.qty / oq)
+        rows.append((int(y), int(isk), int(csk), round(float(ratio), 2),
+                     int(r.qty), _r2(r.wc), _r2(r.sp), int(oq), _r2(owc),
+                     _r2(osp)))
+    rows = _sort_rows(rows, [(0, True, None), (1, True, None),
+                             (2, True, None), (4, False, None),
+                             (5, False, None), (6, False, None),
+                             (7, True, None), (8, True, None),
+                             (9, True, None), (3, True, None)])
+    return rows[:100]
+
+
+@exp("q83")
+def _q83(F):
+    dd = F["date_dim"]
+    wks = set(dd[dd.d_date.isin([_d("2000-06-30"), _d("2000-09-27"),
+                                 _d("2000-11-17")])].d_week_seq)
+    days = dd[dd.d_week_seq.isin(wks)][["d_date_sk"]]
+    qty = {}
+    for fact, p in (("store_returns", "sr"), ("catalog_returns", "cr"),
+                    ("web_returns", "wr")):
+        m = (F[fact].merge(days, left_on=f"{p}_returned_date_sk",
+                           right_on="d_date_sk")
+             .merge(F["item"], left_on=f"{p}_item_sk",
+                    right_on="i_item_sk"))
+        qty[p] = m.groupby("i_item_id")[f"{p}_return_quantity"].sum()
+    rows = []
+    common = (set(qty["sr"].index) & set(qty["cr"].index)
+              & set(qty["wr"].index))
+    for iid in sorted(common):
+        s, c, w = qty["sr"][iid], qty["cr"][iid], qty["wr"][iid]
+        tot = s + c + w
+        rows.append((iid, int(s), _r2(s / tot / 3 * 100), int(c),
+                     _r2(c / tot / 3 * 100), int(w),
+                     _r2(w / tot / 3 * 100), _r2(tot / 3)))
+    rows = _sort_rows(rows, [(0, True, True), (1, True, True)])
+    return rows[:100]
+
+
+@exp("q84")
+def _q84(F):
+    ib = F["income_band"]
+    ib = ib[(ib.ib_lower_bound >= 38128)
+            & (ib.ib_upper_bound <= 38128 + 50000)]
+    ca = F["customer_address"]
+    m = (F["customer"]
+         .merge(ca[ca.ca_city == "Edgewood"][["ca_address_sk"]],
+                left_on="c_current_addr_sk", right_on="ca_address_sk")
+         .merge(F["customer_demographics"][["cd_demo_sk"]],
+                left_on="c_current_cdemo_sk", right_on="cd_demo_sk")
+         .merge(F["household_demographics"], left_on="c_current_hdemo_sk",
+                right_on="hd_demo_sk")
+         .merge(ib[["ib_income_band_sk"]], left_on="hd_income_band_sk",
+                right_on="ib_income_band_sk")
+         .merge(F["store_returns"][["sr_cdemo_sk"]],
+                left_on="cd_demo_sk", right_on="sr_cdemo_sk"))
+    rows = [(r.c_customer_id,
+             f"{r.c_last_name or ''}, {r.c_first_name or ''}")
+            for r in m.itertuples()]
+    rows = _sort_rows(rows, [(0, True, True)])
+    return rows[:100]
+
+
+@exp("q85")
+def _q85(F):
+    m = (F["web_sales"]
+         .merge(F["web_returns"],
+                left_on=["ws_item_sk", "ws_order_number"],
+                right_on=["wr_item_sk", "wr_order_number"])
+         .merge(F["web_page"][["wp_web_page_sk"]],
+                left_on="ws_web_page_sk", right_on="wp_web_page_sk")
+         .merge(F["customer_demographics"].add_prefix("c1_"),
+                left_on="wr_refunded_cdemo_sk", right_on="c1_cd_demo_sk")
+         .merge(F["customer_demographics"].add_prefix("c2_"),
+                left_on="wr_returning_cdemo_sk",
+                right_on="c2_cd_demo_sk")
+         .merge(F["customer_address"], left_on="wr_refunded_addr_sk",
+                right_on="ca_address_sk")
+         .merge(F["date_dim"], left_on="ws_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["reason"], left_on="wr_reason_sk",
+                right_on="r_reason_sk"))
+    m = m[m.d_year == 2000]
+    same = ((m.c1_cd_marital_status == m.c2_cd_marital_status)
+            & (m.c1_cd_education_status == m.c2_cd_education_status))
+    demo = same & (
+        ((m.c1_cd_marital_status == "M")
+         & (m.c1_cd_education_status == "Advanced Degree")
+         & m.ws_sales_price.between(100.0, 150.0))
+        | ((m.c1_cd_marital_status == "S")
+           & (m.c1_cd_education_status == "College")
+           & m.ws_sales_price.between(50.0, 100.0))
+        | ((m.c1_cd_marital_status == "W")
+           & (m.c1_cd_education_status == "2 yr Degree")
+           & m.ws_sales_price.between(150.0, 200.0)))
+    addr = ((m.ca_country == "United States")
+            & ((m.ca_state.isin(["IN", "OH", "NJ"])
+                & m.ws_net_profit.between(100, 200))
+               | (m.ca_state.isin(["WI", "CT", "KY"])
+                  & m.ws_net_profit.between(150, 300))
+               | (m.ca_state.isin(["LA", "IA", "AR"])
+                  & m.ws_net_profit.between(50, 250))))
+    m = m[demo & addr]
+    rows = []
+    for desc, grp in m.groupby("r_reason_desc"):
+        rows.append((desc[:20], _r2(grp.ws_quantity.mean()),
+                     _r2(grp.wr_refunded_cash.mean()),
+                     _r2(grp.wr_fee.mean())))
+    return _sort_rows(rows, [(0, True, None), (1, True, None),
+                             (2, True, None), (3, True, None)])[:100]
+
+
+@exp("q91")
+def _q91(F):
+    m = (F["catalog_returns"]
+         .merge(F["call_center"], left_on="cr_call_center_sk",
+                right_on="cc_call_center_sk")
+         .merge(F["date_dim"], left_on="cr_returned_date_sk",
+                right_on="d_date_sk")
+         .merge(F["customer"], left_on="cr_returning_customer_sk",
+                right_on="c_customer_sk")
+         .merge(F["customer_demographics"], left_on="c_current_cdemo_sk",
+                right_on="cd_demo_sk")
+         .merge(F["household_demographics"], left_on="c_current_hdemo_sk",
+                right_on="hd_demo_sk")
+         .merge(F["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk"))
+    m = m[(m.d_year == 1998) & (m.d_moy == 11)
+          & (((m.cd_marital_status == "M")
+              & (m.cd_education_status == "Unknown"))
+             | ((m.cd_marital_status == "W")
+                & (m.cd_education_status == "Advanced Degree")))
+          & m.hd_buy_potential.str.startswith("Unknown")
+          & (m.ca_gmt_offset == -7)]
+    g = (m.groupby(["cc_call_center_id", "cc_name", "cc_manager",
+                    "cd_marital_status", "cd_education_status"])
+         .cr_net_loss.sum().reset_index())
+    rows = [(r.cc_call_center_id, r.cc_name, r.cc_manager,
+             _r2(r.cr_net_loss)) for r in g.itertuples()]
+    return _sort_rows(rows, [(3, False, None)])
+
+
 # The float (money/avg) column positions per query's output row
 _FLOAT_COLS = {
     "q3": {3}, "q7": {1, 2, 3, 4}, "q19": {4}, "q26": {1, 2, 3, 4},
@@ -2220,6 +2508,12 @@ _FLOAT_COLS = {
     "q75": {9: 1.0},
     "q76": {6: 1.0},
     "q79": {4: 0.05, 5: 0.05},
+    "q77": {2: 2.0, 3: 2.0, 4: 2.0},
+    "q80": {2: 2.0, 3: 2.0, 4: 2.0},
+    "q78": {3: 0.02, 5: 0.05, 6: 0.05, 8: 0.05, 9: 0.05},
+    "q83": {2: 0.05, 4: 0.05, 6: 0.05, 7: 0.05},
+    "q85": {1: 0.05, 2: 0.05, 3: 0.05},
+    "q91": {3: 0.05},
 }
 # Queries whose ORDER BY doesn't fully determine row order: compare as
 # fully-sorted row lists on both sides.
