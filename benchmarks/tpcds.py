@@ -258,8 +258,14 @@ def generate(sf: float, seed: int = 7):
         "ca_county": np.array(COUNTIES)[
             rng.integers(0, len(COUNTIES), n_addr)],
         "ca_city": np.array(CITIES)[rng.integers(0, len(CITIES), n_addr)],
-        "ca_zip": np.array([f"{z:05d}" for z in
-                            rng.integers(10000, 99999, n_addr)]),
+        # ~20% of addresses share a store zip (q24's s_zip = ca_zip
+        # join; dsdgen towns host both stores and customers)
+        "ca_zip": np.where(
+            rng.random(n_addr) < 0.2,
+            np.array([f"{35000 + 137 * j % 65000:05d}"
+                      for j in rng.integers(0, 12, n_addr)]),
+            np.array([f"{z:05d}" for z in
+                      rng.integers(10000, 99999, n_addr)])),
         "ca_country": np.array(["United States"] * n_addr),
         "ca_gmt_offset": rng.choice([-5.0, -6.0, -7.0, -8.0], n_addr,
                                     p=[0.55, 0.25, 0.12, 0.08]),
@@ -516,7 +522,8 @@ def generate(sf: float, seed: int = 7):
         "cs_warehouse_sk": rng.integers(0, n_wh, n_cs),
         "cs_catalog_page_sk": rng.integers(0, n_cp, n_cs),
         "cs_item_sk": rng.integers(0, n_item, n_cs),
-        "cs_promo_sk": rng.integers(0, n_promo, n_cs),
+        "cs_promo_sk": np.ma.masked_array(
+            rng.integers(0, n_promo, n_cs), rng.random(n_cs) < 0.03),
         "cs_order_number": order_of,
         "cs_quantity": qty_c,
         "cs_wholesale_cost": whole_c,

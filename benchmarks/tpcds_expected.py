@@ -2455,6 +2455,390 @@ def _q91(F):
     return _sort_rows(rows, [(3, False, None)])
 
 
+# ------------------------------------------- batch 10: the big rollups
+
+def _rollup_levels(df, keys, val_fn):
+    """All ROLLUP levels of `keys`: rows of (*key_values_padded_with_None,
+    *val_fn(group))."""
+    rows = []
+    for depth in range(len(keys), 0, -1):
+        for k, grp in df.groupby(keys[:depth], dropna=False):
+            k = k if isinstance(k, tuple) else (k,)
+            rows.append(tuple(k) + tuple([None] * (len(keys) - depth))
+                        + tuple(val_fn(grp)))
+    rows.append(tuple([None] * len(keys)) + tuple(val_fn(df)))
+    return rows
+
+
+@exp("q14")
+def _q14(F):
+    import pandas as pd
+    dd = F["date_dim"]
+    win3 = dd[dd.d_year.between(1999, 2001)][["d_date_sk"]]
+    triples = []
+    for fact, p in (("store_sales", "ss"), ("catalog_sales", "cs"),
+                    ("web_sales", "ws")):
+        m = (F[fact].merge(win3, left_on=f"{p}_sold_date_sk",
+                           right_on="d_date_sk")
+             .merge(F["item"], left_on=f"{p}_item_sk",
+                    right_on="i_item_sk"))
+        triples.append(set(zip(m.i_brand_id, m.i_class_id,
+                               m.i_category_id)))
+    cross = triples[0] & triples[1] & triples[2]
+    it = F["item"]
+    cross_items = set(it[[tuple(t) in cross for t in
+                          zip(it.i_brand_id, it.i_class_id,
+                              it.i_category_id)]].i_item_sk)
+    vals = []
+    for fact, p in (("store_sales", "ss"), ("catalog_sales", "cs"),
+                    ("web_sales", "ws")):
+        m = F[fact].merge(win3, left_on=f"{p}_sold_date_sk",
+                          right_on="d_date_sk")
+        vals.append(m[f"{p}_quantity"] * m[f"{p}_list_price"])
+    avg_sales = float(pd.concat(vals).mean())
+    details = []
+    for ch, fact, p in (("store", "store_sales", "ss"),
+                        ("catalog", "catalog_sales", "cs"),
+                        ("web", "web_sales", "ws")):
+        m = (F[fact].merge(F["item"], left_on=f"{p}_item_sk",
+                           right_on="i_item_sk")
+             .merge(dd[(dd.d_year == 2001)
+                       & (dd.d_moy == 11)][["d_date_sk"]],
+                    left_on=f"{p}_sold_date_sk", right_on="d_date_sk"))
+        m = m[m[f"{p}_item_sk"].isin(cross_items)]
+        g = (m.assign(v=m[f"{p}_quantity"] * m[f"{p}_list_price"])
+             .groupby(["i_brand_id", "i_class_id", "i_category_id"])
+             .agg(sales=("v", "sum"), n=("v", "size")).reset_index())
+        g = g[g.sales > avg_sales]
+        for r in g.itertuples():
+            details.append((ch, int(r.i_brand_id), int(r.i_class_id),
+                            int(r.i_category_id), r.sales, int(r.n)))
+    df = pd.DataFrame(details, columns=["ch", "b", "c", "cat", "s", "n"])
+    rows = _rollup_levels(df, ["ch", "b", "c", "cat"],
+                          lambda g: (_r2(g.s.sum()), int(g.n.sum())))
+    rows = _sort_rows(rows, [(0, True, True), (1, True, True),
+                             (2, True, True), (3, True, True)])
+    return rows[:100]
+
+
+@exp("q18")
+def _q18(F):
+    m = (F["catalog_sales"]
+         .merge(F["customer_demographics"].add_prefix("c1_"),
+                left_on="cs_bill_cdemo_sk", right_on="c1_cd_demo_sk")
+         .merge(F["customer"], left_on="cs_bill_customer_sk",
+                right_on="c_customer_sk")
+         .merge(F["customer_demographics"].add_prefix("c2_"),
+                left_on="c_current_cdemo_sk", right_on="c2_cd_demo_sk")
+         .merge(F["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(F["date_dim"], left_on="cs_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["item"], left_on="cs_item_sk", right_on="i_item_sk"))
+    m = m[(m.c1_cd_gender == "F") & (m.c1_cd_education_status == "Unknown")
+          & m.c_birth_month.isin([1, 6, 8, 9, 12, 2]) & (m.d_year == 1998)
+          & m.ca_state.isin(["MS", "IN", "ND", "OK", "NM", "VA"])]
+
+    def aggs(g):
+        return (_r2(g.cs_quantity.mean()), _r2(g.cs_list_price.mean()),
+                _r2(g.cs_coupon_amt.mean()), _r2(g.cs_sales_price.mean()),
+                _r2(g.cs_net_profit.mean()), _r2(g.c_birth_year.mean()),
+                _r2(g.c1_cd_dep_count.mean()))
+
+    rows = _rollup_levels(m, ["i_item_id", "ca_country", "ca_state",
+                              "ca_county"], aggs)
+    rows = _sort_rows(rows, [(1, True, True), (2, True, True),
+                             (3, True, True), (0, True, True)])
+    return rows[:100]
+
+
+@exp("q23")
+def _q23(F):
+    import pandas as pd
+    dd = F["date_dim"]
+    win = dd[dd.d_year.between(2000, 2003)][["d_date_sk", "d_date"]]
+    ssd = F["store_sales"].merge(win, left_on="ss_sold_date_sk",
+                                 right_on="d_date_sk")
+    it = F["item"]
+    m = ssd.merge(it[["i_item_sk", "i_item_desc"]],
+                  left_on="ss_item_sk", right_on="i_item_sk")
+    m = m.assign(itemdesc=m.i_item_desc.str[:30])
+    cnt = m.groupby(["itemdesc", "ss_item_sk", "d_date"]).size()
+    freq_items = set(cnt[cnt > 4].reset_index().ss_item_sk)
+    cust_sales = (ssd.assign(v=ssd.ss_quantity * ssd.ss_sales_price)
+                  .groupby("ss_customer_sk").v.sum())
+    cmax = cust_sales.max()
+    all_cust = (F["store_sales"]
+                .assign(v=lambda d: d.ss_quantity * d.ss_sales_price)
+                .groupby("ss_customer_sk").v.sum())
+    best_cust = set(all_cust[all_cust > 0.5 * cmax].index)
+    rows = []
+    for fact, p, custc in (("catalog_sales", "cs", "cs_bill_customer_sk"),
+                           ("web_sales", "ws", "ws_bill_customer_sk")):
+        m = F[fact].merge(dd[(dd.d_year == 2000)
+                             & (dd.d_moy == 2)][["d_date_sk"]],
+                          left_on=f"{p}_sold_date_sk",
+                          right_on="d_date_sk")
+        m = m[m[f"{p}_item_sk"].isin(freq_items)
+              & m[custc].isin(best_cust)]
+        if not len(m):
+            continue
+        m = m.merge(F["customer"], left_on=custc,
+                    right_on="c_customer_sk")
+        g = (m.assign(v=m[f"{p}_quantity"] * m[f"{p}_list_price"])
+             .groupby(["c_last_name", "c_first_name"]).v.sum()
+             .reset_index())
+        rows += [(r.c_last_name, r.c_first_name, _r2(r.v))
+                 for r in g.itertuples()]
+    return _sort_rows(rows, [(0, True, True), (1, True, True),
+                             (2, True, True)])[:100]
+
+
+@exp("q24")
+def _q24(F):
+    m = (F["store_sales"]
+         .merge(F["store_returns"],
+                left_on=["ss_ticket_number", "ss_item_sk"],
+                right_on=["sr_ticket_number", "sr_item_sk"])
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(F["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(F["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+         .merge(F["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk"))
+    m = m[(m.c_birth_country != m.ca_country.str.upper())
+          & (m.s_zip == m.ca_zip) & (m.s_market_id == 8)]
+    ssales = (m.groupby(["c_last_name", "c_first_name", "s_store_name",
+                         "ca_state", "s_state", "i_color",
+                         "i_current_price", "i_manager_id", "i_units",
+                         "i_size"]).ss_net_paid.sum().reset_index())
+    thr = 0.05 * ssales.ss_net_paid.mean()
+    p = ssales[ssales.i_color == "peach"]
+    g = (p.groupby(["c_last_name", "c_first_name", "s_store_name"])
+         .ss_net_paid.sum().reset_index())
+    g = g[g.ss_net_paid > thr]
+    rows = [(r.c_last_name, r.c_first_name, r.s_store_name,
+             _r2(r.ss_net_paid)) for r in g.itertuples()]
+    return _sort_rows(rows, [(0, True, None), (1, True, None),
+                             (2, True, None)])
+
+
+@exp("q64")
+def _q64(F):
+    cr = F["catalog_returns"]
+    csui = (F["catalog_sales"]
+            .merge(cr[["cr_item_sk", "cr_order_number",
+                       "cr_refunded_cash", "cr_reversed_charge",
+                       "cr_store_credit"]],
+                   left_on=["cs_item_sk", "cs_order_number"],
+                   right_on=["cr_item_sk", "cr_order_number"]))
+    g = csui.groupby("cs_item_sk").agg(
+        sale=("cs_ext_list_price", "sum"),
+        rc=("cr_refunded_cash", "sum"),
+        rv=("cr_reversed_charge", "sum"),
+        sc=("cr_store_credit", "sum"))
+    cs_ui_items = set(g[g.sale > 2 * (g.rc + g.rv + g.sc)].index)
+    it = F["item"]
+    it_f = it[it.i_color.isin(["purple", "burlywood", "indian", "spring",
+                               "floral", "medium"])
+              & it.i_current_price.between(65, 74)]
+    dd = F["date_dim"][["d_date_sk", "d_year"]]
+    m = (F["store_sales"]
+         .merge(F["store_returns"][["sr_item_sk", "sr_ticket_number"]],
+                left_on=["ss_item_sk", "ss_ticket_number"],
+                right_on=["sr_item_sk", "sr_ticket_number"])
+         .merge(it_f[["i_item_sk", "i_product_name"]],
+                left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(F["store"][["s_store_sk", "s_store_name", "s_zip"]],
+                left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(dd.rename(columns={"d_date_sk": "dd1",
+                                   "d_year": "syear"}),
+                left_on="ss_sold_date_sk", right_on="dd1")
+         .merge(F["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+         .merge(F["customer_demographics"].add_prefix("c1_"),
+                left_on="ss_cdemo_sk", right_on="c1_cd_demo_sk")
+         .merge(F["customer_demographics"].add_prefix("c2_"),
+                left_on="c_current_cdemo_sk", right_on="c2_cd_demo_sk")
+         .merge(F["promotion"][["p_promo_sk"]], left_on="ss_promo_sk",
+                right_on="p_promo_sk")
+         .merge(F["household_demographics"].add_prefix("h1_"),
+                left_on="ss_hdemo_sk", right_on="h1_hd_demo_sk")
+         .merge(F["household_demographics"].add_prefix("h2_"),
+                left_on="c_current_hdemo_sk", right_on="h2_hd_demo_sk")
+         .merge(F["customer_address"].add_prefix("a1_"),
+                left_on="ss_addr_sk", right_on="a1_ca_address_sk")
+         .merge(F["customer_address"].add_prefix("a2_"),
+                left_on="c_current_addr_sk", right_on="a2_ca_address_sk")
+         .merge(dd.rename(columns={"d_date_sk": "dd2",
+                                   "d_year": "fsyear"}),
+                left_on="c_first_sales_date_sk", right_on="dd2")
+         .merge(dd.rename(columns={"d_date_sk": "dd3",
+                                   "d_year": "s2year"}),
+                left_on="c_first_shipto_date_sk", right_on="dd3"))
+    m = m[m.ss_item_sk.isin(cs_ui_items)
+          & (m.c1_cd_marital_status != m.c2_cd_marital_status)]
+    keys = ["i_product_name", "ss_item_sk", "s_store_name", "s_zip",
+            "a1_ca_street_number", "a1_ca_street_name", "a1_ca_city",
+            "a1_ca_zip", "a2_ca_street_number", "a2_ca_street_name",
+            "a2_ca_city", "a2_ca_zip", "syear", "fsyear", "s2year"]
+    cs_ = m.groupby(keys).agg(cnt=("ss_wholesale_cost", "size"),
+                              s1=("ss_wholesale_cost", "sum"),
+                              s2=("ss_list_price", "sum"),
+                              s3=("ss_coupon_amt", "sum")).reset_index()
+    c1 = cs_[cs_.syear == 1999]
+    c2 = cs_[cs_.syear == 2000]
+    j = c1.merge(c2, on=["ss_item_sk", "s_store_name", "s_zip"],
+                 suffixes=("", "_2"))
+    j = j[j.cnt_2 <= j.cnt]
+    rows = [(r.i_product_name, r.s_store_name, r.s_zip,
+             r.a1_ca_street_number, r.a1_ca_street_name, r.a1_ca_city,
+             r.a1_ca_zip, r.a2_ca_street_number, r.a2_ca_street_name,
+             r.a2_ca_city, r.a2_ca_zip, int(r.syear), int(r.cnt),
+             _r2(r.s1), _r2(r.s2), _r2(r.s3), _r2(r.s1_2), _r2(r.s2_2),
+             _r2(r.s3_2), int(r.syear_2), int(r.cnt_2))
+            for r in j.itertuples()]
+    return _sort_rows(rows, [(0, True, None), (1, True, None),
+                             (20, True, None), (13, True, None),
+                             (16, True, None)])
+
+
+@exp("q67")
+def _q67(F):
+    m = (F["store_sales"]
+         .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(F["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(F["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    m = m[m.d_month_seq.between(1200, 1211)]
+    m = m.assign(v=(m.ss_sales_price * m.ss_quantity).fillna(0.0))
+    keys = ["i_category", "i_class", "i_brand", "i_product_name",
+            "d_year", "d_qoy", "d_moy", "s_store_id"]
+    rows = _rollup_levels(m, keys, lambda g: (g.v.sum(),))
+    # rank within i_category (None = the all-categories rollup rows)
+    from collections import defaultdict
+    parts = defaultdict(list)
+    for r in rows:
+        parts[r[0]].append(r)
+    out = []
+    for cat, rs in parts.items():
+        vals = [-r[8] for r in rs]   # DESC
+        ranks = _rank_min(vals)
+        for r, rk in zip(rs, ranks):
+            if rk <= 100:
+                out.append((*r[:8], _r2(r[8]), rk))
+    out = _sort_rows(out, [(i, True, True) for i in range(10)])
+    return out[:100]
+
+
+def _q70_q86(F, fact, p, dimjoin, k1, k2, extra_filter):
+    m = dimjoin(F[fact].merge(F["date_dim"],
+                              left_on=f"{p}_sold_date_sk",
+                              right_on="d_date_sk"))
+    m = m[m.d_month_seq.between(1200, 1211)]
+    if extra_filter is not None:
+        m = extra_filter(m)
+    val = {"ss": "ss_net_profit", "ws": "ws_net_paid"}[p]
+    rows = []
+    for (a, b), g in m.groupby([k1, k2]):
+        rows.append([g[val].sum(), a, b, 0])
+    for a, g in m.groupby(k1):
+        rows.append([g[val].sum(), a, None, 1])
+    rows.append([m[val].sum(), None, None, 2])
+    from collections import defaultdict
+    parts = defaultdict(list)
+    for r in rows:
+        pk = (r[3], r[1] if r[3] == 0 else None)
+        parts[pk].append(r)
+    out = []
+    for pk, rs in parts.items():
+        ranks = _rank_min([-r[0] for r in rs])
+        for r, rk in zip(rs, ranks):
+            out.append((_r2(r[0]), r[1], r[2], r[3], rk))
+    out2 = [(r, r[1] if r[3] == 0 else None) for r in out]
+    rows3 = _sort_rows([(a[0], a[1], a[2], a[3], a[4], ck)
+                        for a, ck in out2],
+                       [(3, False, None), (5, True, None),
+                        (4, True, None)])
+    return [r[:5] for r in rows3[:100]]
+
+
+@exp("q70")
+def _q70(F):
+    def dimjoin(m):
+        return m.merge(F["store"], left_on="ss_store_sk",
+                       right_on="s_store_sk")
+
+    def extra(m):
+        # s_state IN (top-5 profit-ranked states over the same window)
+        base = (F["store_sales"]
+                .merge(F["date_dim"], left_on="ss_sold_date_sk",
+                       right_on="d_date_sk")
+                .merge(F["store"], left_on="ss_store_sk",
+                       right_on="s_store_sk"))
+        base = base[base.d_month_seq.between(1200, 1211)]
+        g = base.groupby("s_state").ss_net_profit.sum()
+        # rank() OVER (PARTITION BY s_state ...) ranks within each state,
+        # so every state gets rank 1 and survives ranking <= 5
+        states = set(g.index)
+        return m[m.s_state.isin(states)]
+
+    return _q70_q86(F, "store_sales", "ss", dimjoin, "s_state",
+                    "s_county", extra)
+
+
+@exp("q86")
+def _q86(F):
+    def dimjoin(m):
+        return m.merge(F["item"], left_on="ws_item_sk",
+                       right_on="i_item_sk")
+
+    return _q70_q86(F, "web_sales", "ws", dimjoin, "i_category",
+                    "i_class", None)
+
+
+@exp("q72")
+def _q72(F):
+    m = (F["catalog_sales"]
+         .merge(F["inventory"], left_on="cs_item_sk",
+                right_on="inv_item_sk")
+         .merge(F["warehouse"], left_on="inv_warehouse_sk",
+                right_on="w_warehouse_sk")
+         .merge(F["item"][["i_item_sk", "i_item_desc"]],
+                left_on="cs_item_sk", right_on="i_item_sk")
+         .merge(F["customer_demographics"][["cd_demo_sk",
+                                            "cd_marital_status"]],
+                left_on="cs_bill_cdemo_sk", right_on="cd_demo_sk")
+         .merge(F["household_demographics"][["hd_demo_sk",
+                                             "hd_buy_potential"]],
+                left_on="cs_bill_hdemo_sk", right_on="hd_demo_sk")
+         .merge(F["date_dim"].add_prefix("d1_"),
+                left_on="cs_sold_date_sk", right_on="d1_d_date_sk")
+         .merge(F["date_dim"][["d_date_sk", "d_week_seq"]]
+                .add_prefix("d2_"), left_on="inv_date_sk",
+                right_on="d2_d_date_sk")
+         .merge(F["date_dim"][["d_date_sk", "d_date"]].add_prefix("d3_"),
+                left_on="cs_ship_date_sk", right_on="d3_d_date_sk"))
+    m = m[(m.d1_d_week_seq == m.d2_d_week_seq)
+          & (m.inv_quantity_on_hand < m.cs_quantity)
+          & (m.d3_d_date > m.d1_d_date + 5)
+          & (m.hd_buy_potential == ">10000") & (m.d1_d_year == 1999)
+          & (m.cd_marital_status == "D")]
+    m = m.merge(F["promotion"][["p_promo_sk"]], left_on="cs_promo_sk",
+                right_on="p_promo_sk", how="left")
+    promo_ok = m.p_promo_sk.notna()
+    g = (m.assign(promo=promo_ok.astype(int),
+                  nopromo=(~promo_ok).astype(int))
+         .groupby(["i_item_desc", "w_warehouse_name", "d1_d_week_seq"])
+         .agg(no_promo=("nopromo", "sum"), promo=("promo", "sum"),
+              total_cnt=("promo", "size")).reset_index())
+    rows = [(r.i_item_desc, r.w_warehouse_name, int(r.d1_d_week_seq),
+             int(r.no_promo), int(r.promo), int(r.total_cnt))
+            for r in g.itertuples()]
+    return _sort_rows(rows, [(5, False, True), (0, True, True),
+                             (1, True, True), (2, True, True)])[:100]
+
+
 # The float (money/avg) column positions per query's output row
 _FLOAT_COLS = {
     "q3": {3}, "q7": {1, 2, 3, 4}, "q19": {4}, "q26": {1, 2, 3, 4},
@@ -2514,10 +2898,22 @@ _FLOAT_COLS = {
     "q83": {2: 0.05, 4: 0.05, 6: 0.05, 7: 0.05},
     "q85": {1: 0.05, 2: 0.05, 3: 0.05},
     "q91": {3: 0.05},
+    "q14": {4: 2.0},
+    "q18": {i: 0.05 for i in range(4, 11)},
+    "q23": {2: 1.0},
+    "q24": {3: 1.0},
+    "q64": {i: 1.0 for i in range(13, 19)},
+    "q67": {8: 1.0},
+    "q70": {0: 2.0},
+    "q86": {0: 2.0},
 }
 # Queries whose ORDER BY doesn't fully determine row order: compare as
 # fully-sorted row lists on both sides.
-_FULL_SORT = {"q73", "q65"}
+_FULL_SORT = {"q73", "q65",
+              # sorted on `sum_sales - avg_monthly_sales`: engine/pandas
+              # float summation orders differ in the last ulps, swapping
+              # adjacent rows
+              "q47", "q57", "q89"}
 # LIMIT cuts through a tie group of the (non-unique) ORDER BY prefix:
 # {query: n_prefix_cols}. Rows tying with the boundary row on that prefix
 # are dropped from BOTH sides before comparing (either subset is a

@@ -598,6 +598,10 @@ class Binder:
             kb = SelectExprBinder(ctx, state, None, subquery_handler)
             ge = kb.bind(g)
             name = _suggest_name(g) or f"__key_{len(group_keys)}"
+            if any(n == name for n, _ in group_keys):
+                # same bare column name from different aliases (GROUP BY
+                # d1.d_year, d2.d_year, TPC-DS q64): keep keys distinct
+                name = f"{name}__k{len(group_keys)}"
             group_keys.append((name, ge))
             group_key_asts.append(_ast_repr(g))
 
