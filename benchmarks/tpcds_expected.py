@@ -2799,31 +2799,29 @@ def _q86(F):
 
 @exp("q72")
 def _q72(F):
-    m = (F["catalog_sales"]
-         .merge(F["inventory"], left_on="cs_item_sk",
-                right_on="inv_item_sk")
-         .merge(F["warehouse"], left_on="inv_warehouse_sk",
-                right_on="w_warehouse_sk")
-         .merge(F["item"][["i_item_sk", "i_item_desc"]],
+    cd = F["customer_demographics"]
+    hd = F["household_demographics"]
+    cs = (F["catalog_sales"]
+          .merge(cd[cd.cd_marital_status == "D"][["cd_demo_sk"]],
+                 left_on="cs_bill_cdemo_sk", right_on="cd_demo_sk")
+          .merge(hd[hd.hd_buy_potential == ">10000"][["hd_demo_sk"]],
+                 left_on="cs_bill_hdemo_sk", right_on="hd_demo_sk")
+          .merge(F["date_dim"].add_prefix("d1_"),
+                 left_on="cs_sold_date_sk", right_on="d1_d_date_sk")
+          .merge(F["date_dim"][["d_date_sk", "d_date"]].add_prefix("d3_"),
+                 left_on="cs_ship_date_sk", right_on="d3_d_date_sk"))
+    cs = cs[(cs.d1_d_year == 1999) & (cs.d3_d_date > cs.d1_d_date + 5)]
+    inv = (F["inventory"]
+           .merge(F["date_dim"][["d_date_sk", "d_week_seq"]]
+                  .add_prefix("d2_"), left_on="inv_date_sk",
+                  right_on="d2_d_date_sk")
+           .merge(F["warehouse"], left_on="inv_warehouse_sk",
+                  right_on="w_warehouse_sk"))
+    m = cs.merge(inv, left_on=["cs_item_sk", "d1_d_week_seq"],
+                 right_on=["inv_item_sk", "d2_d_week_seq"])
+    m = m[m.inv_quantity_on_hand < m.cs_quantity]
+    m = m.merge(F["item"][["i_item_sk", "i_item_desc"]],
                 left_on="cs_item_sk", right_on="i_item_sk")
-         .merge(F["customer_demographics"][["cd_demo_sk",
-                                            "cd_marital_status"]],
-                left_on="cs_bill_cdemo_sk", right_on="cd_demo_sk")
-         .merge(F["household_demographics"][["hd_demo_sk",
-                                             "hd_buy_potential"]],
-                left_on="cs_bill_hdemo_sk", right_on="hd_demo_sk")
-         .merge(F["date_dim"].add_prefix("d1_"),
-                left_on="cs_sold_date_sk", right_on="d1_d_date_sk")
-         .merge(F["date_dim"][["d_date_sk", "d_week_seq"]]
-                .add_prefix("d2_"), left_on="inv_date_sk",
-                right_on="d2_d_date_sk")
-         .merge(F["date_dim"][["d_date_sk", "d_date"]].add_prefix("d3_"),
-                left_on="cs_ship_date_sk", right_on="d3_d_date_sk"))
-    m = m[(m.d1_d_week_seq == m.d2_d_week_seq)
-          & (m.inv_quantity_on_hand < m.cs_quantity)
-          & (m.d3_d_date > m.d1_d_date + 5)
-          & (m.hd_buy_potential == ">10000") & (m.d1_d_year == 1999)
-          & (m.cd_marital_status == "D")]
     m = m.merge(F["promotion"][["p_promo_sk"]], left_on="cs_promo_sk",
                 right_on="p_promo_sk", how="left")
     promo_ok = m.p_promo_sk.notna()
