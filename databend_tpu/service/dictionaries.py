@@ -105,10 +105,10 @@ class DictionaryManager:
         if attr.lower() not in {c[0].lower() for c in info.columns}:
             raise BadArguments(
                 f"dictionary {name!r} has no attribute {attr!r}")
-        if info.source_kind in ("MYSQL", "REDIS"):
-            raise UnsupportedFeature(
-                f"dictionary source {info.source_kind} needs network egress"
-                " unavailable in this build; use SOURCE(TABLE(name=...))")
+        if info.source_kind == "MYSQL":
+            return self._load_mysql(info, attr)
+        if info.source_kind == "REDIS":
+            return self._load_redis(info, attr)
         if info.source_kind != "TABLE":
             raise BadArguments(f"unknown dictionary source {info.source_kind!r}")
         tname = info.source_opts.get("name")
@@ -123,3 +123,65 @@ class DictionaryManager:
         keys = block.column(info.primary_key).to_pylist()
         vals = block.column(attr).to_pylist()
         return dict(zip(keys, vals))
+
+    def _coerce_key(self, info: DictionaryInfo, raw: List):
+        """Dictionary keys arrive as protocol strings; cast to the
+        declared primary-key type so dict_get probe values match."""
+        kt = next((t for n, t in info.columns
+                   if n.lower() == info.primary_key.lower()), "STRING")
+        kt = kt.upper()
+        if any(x in kt for x in ("INT", "SERIAL")):
+            return [None if v is None else int(v) for v in raw]
+        if any(x in kt for x in ("FLOAT", "DOUBLE", "REAL")):
+            return [None if v is None else float(v) for v in raw]
+        return raw
+
+    def _coerce_attr(self, info: DictionaryInfo, attr: str, raw: List):
+        at = next((t for n, t in info.columns
+                   if n.lower() == attr.lower()), "STRING").upper()
+        if any(x in at for x in ("INT", "SERIAL")):
+            return [None if v is None else int(v) for v in raw]
+        if any(x in at for x in ("FLOAT", "DOUBLE", "REAL")):
+            return [None if v is None else float(v) for v in raw]
+        return raw
+
+    def _load_mysql(self, info: DictionaryInfo, attr: str) -> Dict:
+        """MYSQL source: one SELECT over the wire per bind (reference:
+        sqlx MySQL connector behind dict_get; src/query/service
+        dictionary lookups). Works against any MySQL-wire endpoint —
+        including another databend_tpu node's MySQL front end."""
+        from .mysql.client import MySQLClient
+        o = info.source_opts
+        host = o.get("host", "127.0.0.1")
+        port = int(o.get("port", "3306"))
+        table = o.get("table") or o.get("name")
+        if not table:
+            raise BadArguments("MYSQL source requires table='<table>'")
+        db = o.get("db") or o.get("database") or ""
+        cli = MySQLClient(host, port, o.get("username", "root"),
+                          o.get("password", ""), db)
+        try:
+            _, rows = cli.query(
+                f"SELECT {info.primary_key}, {attr} FROM {table}")
+        finally:
+            cli.close()
+        keys = self._coerce_key(info, [r[0] for r in rows])
+        vals = self._coerce_attr(info, attr, [r[1] for r in rows])
+        return dict(zip(keys, vals))
+
+    def _load_redis(self, info: DictionaryInfo, attr: str) -> Dict:
+        """REDIS source: the keyspace IS the mapping — key -> value
+        strings (reference: redis dictionary source is fixed at two
+        STRING columns)."""
+        from .redis_client import RedisClient
+        o = info.source_opts
+        cli = RedisClient(o.get("host", "127.0.0.1"),
+                          int(o.get("port", "6379")))
+        try:
+            keys = cli.scan_all()
+            vals = cli.mget(keys)
+        finally:
+            cli.close()
+        ck = self._coerce_key(info, keys)
+        cv = self._coerce_attr(info, attr, vals)
+        return dict(zip(ck, cv))
