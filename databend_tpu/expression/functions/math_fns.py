@@ -104,3 +104,23 @@ def _atan2(a, b, **kw):
 @scalar_function("pi", lambda arg_types: Float64)
 def _pi(n_rows=None, **kw):
     return np.full(n_rows, np.pi, np.float64)
+
+
+def _sleep_resolver(arg_types):
+    if len(arg_types) != 1 or not arg_types[0].remove_nullable().is_numeric():
+        raise SemanticError("sleep expects one numeric argument")
+    return Int64
+
+
+@scalar_function("sleep", _sleep_resolver)
+def _sleep(a, out_dtype=None, n_rows=1, **kw):
+    """Blocks the query for N seconds, once (not per row) — reference
+    scalars/other.rs sleep(), capped at 300s like the reference."""
+    import time as _time
+    secs = float(np.asarray(a).flat[0]) if np.asarray(a).size else 0.0
+    if secs < 0 or secs > 300:
+        from ...errors import BadArguments
+        raise BadArguments("sleep seconds must be in [0, 300]")
+    _time.sleep(secs)
+    return np.zeros(max(int(n_rows), 1), np.int64)[:int(n_rows)] \
+        if n_rows else np.zeros(1, np.int64)

@@ -30,6 +30,7 @@ FEATURES = {
     "stream",
     "storage_encryption",
     "license_info",
+    "workload_group",
 }
 
 _DEV_LICENSE = "builtin-dev"  # grants every feature (OSS/dev build default)

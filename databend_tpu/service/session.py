@@ -282,9 +282,25 @@ class SessionContext:
         # buffering operators charge this stat; exceeding max_memory_usage
         # fails the query, never the process
         from ..utils.memstat import MemStat, reset_memstat, set_memstat
-        mem = MemStat(int(self.settings.get("max_memory_usage") or 0),
-                      entry["query_id"])
+        mem_limit = int(self.settings.get("max_memory_usage") or 0)
+        # workload-group quotas (reference ee resource_management): the
+        # current warehouse's group caps memory/timeout and admits the
+        # query through the group's concurrency slot
+        _wg_queue = None
+        _wg_timeout = 0.0
+        from .workload import effective_group, group_queue, parse_bytes
+        _wg = effective_group(self)
+        if _wg is not None:
+            o = _wg.get("options", {})
+            if o.get("memory_quota"):
+                q = parse_bytes(o["memory_quota"])
+                mem_limit = min(mem_limit, q) if mem_limit else q
+            _wg_timeout = float(o.get("query_timeout") or 0.0)
+            _wg_queue = group_queue(_wg)
+        mem = MemStat(mem_limit, entry["query_id"])
         _mem_token = set_memstat(mem)
+        if _wg_queue is not None:
+            _wg_queue.acquire()
         try:
             if m is not None:
                 entry["query_kind"] = "Script"
@@ -311,6 +327,9 @@ class SessionContext:
                 entry["query_kind"] = type(stmt).__name__.replace("Stmt", "")
                 timeout = int(self.settings.get(
                     "max_execute_time_in_seconds") or 0)
+                if _wg_timeout:
+                    timeout = min(timeout, _wg_timeout) if timeout \
+                        else _wg_timeout
                 from ..pipeline.executor import set_deadline
                 _dl_token = set_deadline(
                     time.monotonic() + timeout if timeout else None)
@@ -345,6 +364,8 @@ class SessionContext:
             METRICS.inc("queries_failed")
             raise
         finally:
+            if _wg_queue is not None:
+                _wg_queue.release()
             reset_memstat(_mem_token)
             entry["peak_memory_bytes"] = mem.peak
             entry["duration_ms"] = (time.time() - start) * 1e3
@@ -1975,6 +1996,34 @@ def _stmt_create_warehouse(s: SessionContext, st: A.CreateWarehouse):
     return _ok()
 
 
+def _stmt_create_workload_group(s: SessionContext,
+                                st: A.CreateWorkloadGroup):
+    """Workload groups (reference ee resource_management): quota bundles
+    (max_concurrency / memory_quota / query_timeout) that warehouses
+    attach via `CREATE WAREHOUSE w WITH workload_group='g'`."""
+    from ..license import check_feature
+    check_feature(s, "workload_group")
+    s.check_privilege("SUPER", "*")
+    from .workload import WorkloadManager
+    WorkloadManager(s).create(st.name, st.options, st.if_not_exists)
+    return _ok()
+
+
+def _stmt_alter_workload_group(s: SessionContext,
+                               st: A.AlterWorkloadGroup):
+    s.check_privilege("SUPER", "*")
+    from .workload import WorkloadManager
+    WorkloadManager(s).alter(st.name, st.options)
+    return _ok()
+
+
+def _stmt_drop_workload_group(s: SessionContext, st: A.DropWorkloadGroup):
+    s.check_privilege("SUPER", "*")
+    from .workload import WorkloadManager
+    WorkloadManager(s).drop(st.name, st.if_exists)
+    return _ok()
+
+
 def _stmt_drop_warehouse(s: SessionContext, st: A.DropWarehouse):
     s.check_privilege("SUPER", "*")
     key = f"warehouses/{st.name.lower()}"
@@ -2045,6 +2094,20 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
         return QueryResult(DataBlock(
             names, [Column.from_pylist([r[i] for r in rows], String)
                     for i in range(4)]),
+            [DataField(n, String) for n in names])
+    if st.what == "WORKLOAD_GROUPS":
+        from .workload import WorkloadManager
+        rows = [(g["name"],
+                 g["options"].get("max_concurrency", ""),
+                 g["options"].get("memory_quota", ""),
+                 g["options"].get("query_timeout", ""),
+                 g["options"].get("cpu_quota", ""))
+                for g in WorkloadManager(s).list() if match(g["name"])]
+        names = ["name", "max_concurrency", "memory_quota",
+                 "query_timeout", "cpu_quota"]
+        return QueryResult(DataBlock(
+            names, [Column.from_pylist([str(r[i]) for r in rows], String)
+                    for i in range(5)]),
             [DataField(n, String) for n in names])
     if st.what == "TASKS":
         rows = [(t["name"], t["state"], str(t["schedule_secs"]), t["sql"])
@@ -2276,6 +2339,9 @@ _STATEMENTS = {
     A.CreateWarehouse: _stmt_create_warehouse,
     A.DropWarehouse: _stmt_drop_warehouse,
     A.AlterWarehouse: _stmt_alter_warehouse,
+    A.CreateWorkloadGroup: _stmt_create_workload_group,
+    A.AlterWorkloadGroup: _stmt_alter_workload_group,
+    A.DropWorkloadGroup: _stmt_drop_workload_group,
     A.UseWarehouse: _stmt_use_warehouse,
     A.DescribeTable: _stmt_describe,
     A.SetSetting: _stmt_set,

@@ -377,6 +377,21 @@ def _sys_password_policies(s):
         ("comment", String, [p.get("comment", "") for p in infos])])
 
 
+def _sys_workload_groups(s):
+    from .workload import WorkloadManager
+    gs = WorkloadManager(s).list()
+    return _block([
+        ("name", String, [g["name"] for g in gs]),
+        ("max_concurrency", String,
+         [str(g["options"].get("max_concurrency", "")) for g in gs]),
+        ("memory_quota", String,
+         [str(g["options"].get("memory_quota", "")) for g in gs]),
+        ("query_timeout", String,
+         [str(g["options"].get("query_timeout", "")) for g in gs]),
+        ("cpu_quota", String,
+         [str(g["options"].get("cpu_quota", "")) for g in gs])])
+
+
 def _sys_masking_policies(s):
     infos = s.policies.list_masking()
     return _block([
@@ -625,6 +640,7 @@ SYSTEM_TABLES: Dict[str, Callable] = {
     "temp_tables": _sys_temp_tables,
     "dictionaries": _sys_dictionaries,
     "masking_policies": _sys_masking_policies,
+    "workload_groups": _sys_workload_groups,
     "row_access_policies": _sys_row_access_policies,
     "network_policies": _sys_network_policies,
     "password_policies": _sys_password_policies,

@@ -988,6 +988,28 @@ class CreateWarehouse(Statement):
 
 
 @dataclass
+class CreateWorkloadGroup(Statement):
+    """CREATE WORKLOAD GROUP g [WITH max_concurrency=.. memory_quota=..
+    query_timeout=..] (reference: ee resource_management workload
+    groups)."""
+    name: str
+    options: Dict[str, str] = field(default_factory=dict)
+    if_not_exists: bool = False
+
+
+@dataclass
+class AlterWorkloadGroup(Statement):
+    name: str
+    options: Dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class DropWorkloadGroup(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
 class DropWarehouse(Statement):
     name: str
     if_exists: bool = False

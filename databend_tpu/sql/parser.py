@@ -516,6 +516,23 @@ class Parser:
                     opts[k] = self.next().text
                     self.accept_op(",")
             return A.CreateWarehouse(name, opts, ine or replace)
+        if self._at_word("WORKLOAD"):
+            # CREATE WORKLOAD GROUP g [WITH k = v ...] (reference ee
+            # resource_management workload groups)
+            self.next()
+            if not self._at_word("GROUP"):
+                self.error("expected GROUP after WORKLOAD")
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            opts = {}
+            if self.accept_keyword("WITH"):
+                while self.peek().kind in ("IDENT", "KEYWORD"):
+                    k = self.next().text.lower()
+                    self.expect_op("=")
+                    opts[k] = self.next().text
+                    self.accept_op(",")
+            return A.CreateWorkloadGroup(name, opts, ine or replace)
         if self.at_keyword("TABLE"):
             return self.parse_create_table(replace)
         if self._at_word("TEMP", "TEMPORARY") \
@@ -1051,6 +1068,13 @@ class Parser:
             self.next()
             ie = self._if_exists()
             return A.DropWarehouse(self.ident(), ie)
+        if self._at_word("WORKLOAD"):
+            self.next()
+            if not self._at_word("GROUP"):
+                self.error("expected GROUP after WORKLOAD")
+            self.next()
+            ie = self._if_exists()
+            return A.DropWorkloadGroup(self.ident(), ie)
         if self.accept_keyword("TABLE"):
             ie = self._if_exists()
             db, name = self.qualified_name()
@@ -1207,6 +1231,20 @@ class Parser:
             if action not in ("SUSPEND", "RESUME"):
                 self.error("expected SUSPEND/RESUME")
             return A.AlterWarehouse(name, action)
+        if self._at_word("WORKLOAD"):
+            self.next()
+            if not self._at_word("GROUP"):
+                self.error("expected GROUP after WORKLOAD")
+            self.next()
+            name = self.ident()
+            self.expect_keyword("SET")
+            opts = {}
+            while self.peek().kind in ("IDENT", "KEYWORD"):
+                k = self.next().text.lower()
+                self.expect_op("=")
+                opts[k] = self.next().text
+                self.accept_op(",")
+            return A.AlterWorkloadGroup(name, opts)
         if self._at_word("USER"):
             self.next()
             name = self._user_name()
@@ -1468,6 +1506,11 @@ class Parser:
             w = self.next().text.upper()
             self.next()
             return A.ShowStmt(w + "_POLICIES", None, self._opt_like())
+        if self._at_word("WORKLOAD") \
+                and self.peek(1).text.upper() == "GROUPS":
+            self.next()
+            self.next()
+            return A.ShowStmt("WORKLOAD_GROUPS", None, self._opt_like())
         if self._at_word("ROW") and self.peek(1).text.upper() == "ACCESS":
             self.next()
             self.next()
