@@ -25,7 +25,10 @@ import jax.numpy as jnp
 
 from .distance import pairwise_distance
 
-INF = jnp.float32(jnp.inf)
+# plain float, NOT jnp.float32(...): a module-scope eager jnp op would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in multi-host processes
+INF = float("inf")
 
 
 def topk_smallest(dists: jax.Array, k: int, ids: Optional[jax.Array] = None,

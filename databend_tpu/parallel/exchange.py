@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import DP_AXIS, SHARD_AXIS, corpus_sharding, make_mesh, replicated
+from .mesh import (DP_AXIS, SHARD_AXIS, corpus_sharding, make_mesh,
+                   put_sharded, replicated)
 
 # --------------------------------------------------------------- helpers
 
@@ -52,7 +53,7 @@ def shard_rows_padded(mesh, arr: np.ndarray, fill=0):
     padded, n = pad_rows(arr, s, fill)
     spec = P(SHARD_AXIS) if padded.ndim == 1 else P(
         SHARD_AXIS, *([None] * (padded.ndim - 1)))
-    return jax.device_put(padded, NamedSharding(mesh, spec)), n
+    return put_sharded(padded, mesh, spec), n
 
 
 # ----------------------------------------------------- pipe width resize
@@ -234,8 +235,8 @@ def broadcast_lookup_join(mesh, probe_codes: np.ndarray,
     build_sorted = build_codes[order].astype(np.int64)
     probe_dev, n = shard_rows_padded(
         mesh, probe_codes.astype(np.int64), fill=-1)
-    bs = jax.device_put(build_sorted, replicated(mesh))
-    bp = jax.device_put(order, replicated(mesh))
+    bs = put_sharded(build_sorted, mesh, P())
+    bp = put_sharded(order, mesh, P())
     out = np.asarray(_broadcast_lookup_program(mesh)(probe_dev, bs, bp))
     return out[:n]
 
@@ -499,9 +500,8 @@ class ShuffleJoin:
             codes_pad[sh, :k] = codes_s[run]
             ids_pad[sh, :k] = order[run]
         self.build_ids = ids_pad            # host: for range expansion
-        self.build_dev = jax.device_put(
-            codes_pad.reshape(-1),
-            NamedSharding(mesh, P(SHARD_AXIS)))
+        self.build_dev = put_sharded(
+            codes_pad.reshape(-1), mesh, P(SHARD_AXIS))
 
     def probe(self, probe_codes: np.ndarray
               ) -> Tuple[np.ndarray, np.ndarray]:

@@ -59,6 +59,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices owned by other jax processes
+    (multi-host over DCN; reference: the multi-node cluster case)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def put_sharded(host_array: np.ndarray, mesh: Mesh,
+                spec: P) -> jax.Array:
+    """Place a host array onto the mesh under ``spec``.
+
+    Single-process: plain ``device_put``. Multi-process (DCN) meshes:
+    every process holds the SAME full host array (SPMD at the SQL level —
+    each query node scanned the same shared storage), so each builds its
+    addressable shards via ``make_array_from_callback``; ``device_put``
+    to non-addressable shardings is not supported."""
+    sh = NamedSharding(mesh, spec)
+    if mesh_spans_processes(mesh):
+        return jax.make_array_from_callback(
+            host_array.shape, sh, lambda idx: host_array[idx])
+    return jax.device_put(host_array, sh)
+
+
 def shard_rows(x: np.ndarray, mesh: Mesh, pad_value: float = 1e18) -> Tuple[jax.Array, int]:
     """Place a host `[N, d]` corpus onto the mesh row-sharded.
 
@@ -71,7 +94,7 @@ def shard_rows(x: np.ndarray, mesh: Mesh, pad_value: float = 1e18) -> Tuple[jax.
     if rem:
         pad = np.full((rem, x.shape[1]), pad_value, dtype=np.asarray(x).dtype)
         x = np.concatenate([np.asarray(x), pad], axis=0)
-    return jax.device_put(x, corpus_sharding(mesh)), n
+    return put_sharded(np.asarray(x), mesh, P(SHARD_AXIS, None)), n
 
 
 _DEFAULT_MESH = None

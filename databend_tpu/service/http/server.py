@@ -51,9 +51,11 @@ def _json_value(v):
 class HttpQuery:
     """One tracked query (reference HttpQueryManager + ExecuteState)."""
 
-    def __init__(self, qid: str, sql: str):
+    def __init__(self, qid: str, sql: str, params=None, prepared=None):
         self.id = qid
         self.sql = sql
+        self.params = params          # positional `?` bindings, or None
+        self.prepared = prepared      # cached PreparedStatement, or None
         self.state = "Starting"
         self.error: Optional[Dict[str, Any]] = None
         self.result: Optional[QueryResult] = None
@@ -66,7 +68,10 @@ class HttpQuery:
     def run(self, ctx: SessionContext) -> None:
         self.state = "Running"
         try:
-            res = ctx.sql(self.sql)
+            if self.prepared is not None:
+                res = self.prepared.execute(*(self.params or []))
+            else:
+                res = ctx.sql(self.sql)
             self.result = res
             self.schema = [{"name": f.name, "type": str(f.dtype)}
                            for f in res.fields]
@@ -153,6 +158,11 @@ class QueryServer:
         except Exception:
             limit, timeout = 0, 60.0
         self._queue = QueryQueue(limit, timeout)
+        # server-side prepared-plan cache keyed by (user, sql): parameterized
+        # requests bind once; the KNN shape then serves from the resident
+        # corpus (reference has no analog — execute_state.rs re-plans)
+        self._prep_cache: Dict[tuple, object] = {}
+        self._prep_lock = threading.Lock()
         # register this server process in the cluster registry
         # (reference ClusterDiscovery::register_to_metastore)
         from ...meta.cluster import ClusterDiscovery
@@ -175,6 +185,20 @@ class QueryServer:
                         pass
             threading.Thread(target=_beat, daemon=True,
                              name="meta-heartbeat").start()
+
+    def _prepared_for(self, session, user_key: str, sql: str):
+        """Bind-once cache for parameterized requests (per user + sql);
+        bound to a session view carrying the request's authenticated user
+        so privilege checks apply on the generic path."""
+        key = (user_key, sql)
+        with self._prep_lock:
+            ps = self._prep_cache.get(key)
+            if ps is None:
+                ps = session.prepare(sql)
+                self._prep_cache[key] = ps
+                if len(self._prep_cache) > 256:
+                    self._prep_cache.pop(next(iter(self._prep_cache)))
+        return ps
 
     # ----------------------------------------------------------- handlers
     def _authenticate(self, request):
@@ -217,7 +241,50 @@ class QueryServer:
             return web.json_response(
                 {"error": {"code": 1002, "message": "missing 'sql'"}},
                 status=400)
-        q = HttpQuery(uuid.uuid4().hex, sql)
+        params = payload.get("params")
+        batch = payload.get("params_batch")
+        user_key = getattr(user, "name", "root")
+        psession = (self.ctx.for_user(user)
+                    if (params is not None or batch is not None) else None)
+        if batch is not None:
+            # batched prepared execution: B parameter sets -> ONE device
+            # program for the KNN shape; results come back in one response
+            # (no paging), the serving analog of the kernel batch.
+            # format=block returns ONE result set with a query_index
+            # column (the bulk-serving shape, zero per-query overhead)
+            try:
+                ps = self._prepared_for(psession, user_key, sql)
+                exact = bool(payload.get("exact", True))
+                if payload.get("format") == "block":
+                    res = await asyncio.get_event_loop().run_in_executor(
+                        None, lambda: ps.execute_batch_block(batch, exact))
+                    return web.json_response({
+                        "schema": [{"name": f.name, "type": str(f.dtype)}
+                                   for f in res.fields],
+                        "data": [[_json_value(v) for v in row]
+                                 for row in res.rows()],
+                    })
+                outs = await asyncio.get_event_loop().run_in_executor(
+                    None, lambda: ps.execute_batch(batch, exact))
+                return web.json_response({
+                    "schema": [{"name": f.name, "type": str(f.dtype)}
+                               for f in outs[0].fields] if outs else [],
+                    "results": [[[_json_value(v) for v in row]
+                                 for row in r.rows()] for r in outs],
+                })
+            except DatabendError as e:
+                return web.json_response(
+                    {"error": {"code": getattr(e, "code", 1000),
+                               "message": str(e)}}, status=400)
+        prepared = None
+        if params is not None:
+            try:
+                prepared = self._prepared_for(psession, user_key, sql)
+            except DatabendError as e:
+                return web.json_response(
+                    {"error": {"code": getattr(e, "code", 1000),
+                               "message": str(e)}}, status=400)
+        q = HttpQuery(uuid.uuid4().hex, sql, params, prepared)
         with self._lock:
             self.queries[q.id] = q
             self._gc_locked()

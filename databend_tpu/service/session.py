@@ -164,6 +164,9 @@ class SessionContext:
         # (sql, snapshots) -> (ts, QueryResult); active when
         # query_result_cache_ttl_secs > 0
         self._result_cache: Dict[tuple, tuple] = {}
+        # PREPARE name FROM '...' registry (session-scoped, like the
+        # reference's per-session state)
+        self._prepared: Dict[str, object] = {}
         from ..users import UserManager
         self.users = UserManager(self.meta)
         self.current_user = self.users.get_user("root")
@@ -265,6 +268,13 @@ class SessionContext:
             return t
         info = self.catalog.get_table(database or self.current_database, name)
         return self.open_table(info)
+
+    def prepare(self, sql: str):
+        """Parse/bind a parameterized statement once; returns a
+        ``PreparedStatement`` with ``execute(*params)`` /
+        ``execute_batch(param_sets)`` (the batched KNN serving path)."""
+        from .prepared import PreparedStatement
+        return PreparedStatement(self, sql)
 
     def sql(self, sql: str) -> QueryResult:
         start = time.time()
@@ -2293,7 +2303,42 @@ def _stmt_vacuum(s: SessionContext, st: A.VacuumTable):
     return _ok(removed)
 
 
+def _stmt_prepare(s: SessionContext, st: A.PrepareStmt):
+    from .prepared import PreparedStatement
+    s._prepared[st.name.lower()] = PreparedStatement(s, st.sql)
+    return _ok()
+
+
+def _prepared_param_value(e: A.Expr):
+    """Constant-fold an EXECUTE ... USING argument."""
+    if isinstance(e, A.Literal):
+        return e.value
+    if isinstance(e, A.UnaryOp) and e.op == "-" \
+            and isinstance(e.operand, A.Literal):
+        return -e.operand.value
+    from ..errors import BadArguments
+    raise BadArguments("EXECUTE parameters must be constants")
+
+
+def _stmt_execute_prepared(s: SessionContext, st: A.ExecutePrepared):
+    ps = s._prepared.get(st.name.lower())
+    if ps is None:
+        from ..errors import BadArguments
+        raise BadArguments(f"unknown prepared statement {st.name!r}")
+    return ps.execute(*[_prepared_param_value(p) for p in st.params])
+
+
+def _stmt_deallocate(s: SessionContext, st: A.DeallocateStmt):
+    if s._prepared.pop(st.name.lower(), None) is None:
+        from ..errors import BadArguments
+        raise BadArguments(f"unknown prepared statement {st.name!r}")
+    return _ok()
+
+
 _STATEMENTS = {
+    A.PrepareStmt: _stmt_prepare,
+    A.ExecutePrepared: _stmt_execute_prepared,
+    A.DeallocateStmt: _stmt_deallocate,
     A.CreateDatabase: _stmt_create_database,
     A.DropDatabase: _stmt_drop_database,
     A.UseDatabase: _stmt_use,

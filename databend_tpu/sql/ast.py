@@ -24,6 +24,15 @@ class Literal(Expr):
 
 
 @dataclass
+class Placeholder(Expr):
+    """Positional `?` parameter of a prepared statement (0-based)."""
+    index: int
+
+    def __repr__(self):
+        return f"Param(?{self.index})"
+
+
+@dataclass
 class ColumnRef(Expr):
     name: str
     table: Optional[str] = None
@@ -904,6 +913,27 @@ class KillStmt(Statement):
     """KILL [QUERY|CONNECTION] <id>"""
     target: str  # QUERY | CONNECTION
     object_id: str = ""
+
+
+# ---------------------------------------------------- prepared statements
+@dataclass
+class PrepareStmt(Statement):
+    """PREPARE name FROM '<sql with ? placeholders>'"""
+    name: str
+    sql: str
+
+
+@dataclass
+class ExecutePrepared(Statement):
+    """EXECUTE name [USING (p1, p2, ...)]"""
+    name: str
+    params: List[Expr] = field(default_factory=list)
+
+
+@dataclass
+class DeallocateStmt(Statement):
+    """DEALLOCATE [PREPARE] name"""
+    name: str
 
 
 # ---------------------------------------------------------------- procedures

@@ -36,6 +36,7 @@ class Parser:
         self.sql = sql
         self.tokens = tokenize(sql)
         self.i = 0
+        self.param_count = 0  # `?` placeholders seen (prepared statements)
 
     # ------------------------------------------------------------- primitives
     def peek(self, ahead: int = 0) -> Token:
@@ -166,6 +167,39 @@ class Parser:
                 self.next()
                 return A.UseWarehouse(self.ident())
             return A.UseDatabase(self.ident())
+        if self._at_word("PREPARE"):
+            # PREPARE name FROM '<sql with ? placeholders>'
+            self.next()
+            name = self.ident()
+            self.expect_keyword("FROM")
+            t = self.next()
+            if t.kind != "STRING":
+                self.error("PREPARE expects a quoted SQL string")
+            return A.PrepareStmt(name, t.text)
+        if self._at_word("EXECUTE") \
+                and self.peek(1).text.upper() not in ("IMMEDIATE", "TASK"):
+            # EXECUTE name [USING (p1, ...)] — EXECUTE IMMEDIATE is the
+            # script-block form handled before parsing
+            self.next()
+            name = self.ident()
+            params: List[A.Expr] = []
+            if self._at_word("USING") or self.at_keyword("USING") \
+                    or self.at_op("("):
+                if not self.at_op("("):
+                    self.next()  # USING
+                paren = self.accept_op("(")
+                if not (paren and self.at_op(")")):
+                    params.append(self.parse_expr())
+                    while self.accept_op(","):
+                        params.append(self.parse_expr())
+                if paren:
+                    self.expect_op(")")
+            return A.ExecutePrepared(name, params)
+        if self._at_word("DEALLOCATE"):
+            self.next()
+            if self._at_word("PREPARE"):
+                self.next()
+            return A.DeallocateStmt(self.ident())
         if self.at_keyword("SHOW"):
             return self.parse_show()
         if self.at_keyword("DESCRIBE") or self.at_keyword("DESC"):
@@ -2210,6 +2244,12 @@ class Parser:
             # $1, $2 ... positional columns of schemaless stage reads
             self.next()
             return A.ColumnRef(t.text)
+        if t.kind == "PARAM" and t.text == "?":
+            # positional prepared-statement parameter
+            self.next()
+            idx = self.param_count
+            self.param_count += 1
+            return A.Placeholder(idx)
         if t.kind == "IDENT":
             if t.text.upper() == "TRIM" and self.peek(1).text == "(" \
                     and (self.peek(2).text.upper() in ("BOTH", "LEADING",

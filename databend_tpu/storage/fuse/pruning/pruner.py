@@ -364,7 +364,10 @@ class FusePruner:
         try:
             mesh = make_mesh(jax.device_count())
             x_dev, n_valid = shard_rows(corpus, mesh)
-            q_dev = jax.device_put(np.asarray(qq, np.float32), query_sharding(mesh))
+            from ....parallel.mesh import DP_AXIS, put_sharded
+            from jax.sharding import PartitionSpec as _P
+            q_dev = put_sharded(np.asarray(qq, np.float32), mesh,
+                                _P(DP_AXIS, None))
             k = min(limit, n_valid)
             dists, ids = sharded_brute_force_topk(mesh, q_dev, x_dev, k,
                                                   metric_used,

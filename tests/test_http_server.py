@@ -137,3 +137,42 @@ def test_anonymous_rejected_once_root_has_password(client):
     # wrong password rejected
     st, _ = post_auth("SELECT 1", user="alice", pw="nope")
     assert st == 401
+
+
+def test_http_params_and_batch(client):
+    """Parameterized request (`params`) + batched KNN serving
+    (`params_batch`): bind once server-side, one device program per
+    batch (service/prepared.py)."""
+    c, loop = client
+    import numpy as np
+    for sql in [
+        "CREATE TABLE pv (id BIGINT, emb VECTOR(4))",
+        "CREATE VECTOR INDEX pv_v ON pv(emb) ASYNC distance='l2'",
+        "INSERT INTO pv VALUES (1, [0.0,0.0,0.0,0.0]),"
+        " (2, [1.0,1.0,1.0,1.0]), (3, [2.0,2.0,2.0,2.0]),"
+        " (4, [9.0,9.0,9.0,9.0])",
+    ]:
+        st, body = _post(c, loop, "/v1/query", {"sql": sql})
+        assert st == 200 and body["state"] == "Succeeded", body
+
+    # single parameterized execution
+    st, body = _post(c, loop, "/v1/query", {
+        "sql": "SELECT id FROM pv ORDER BY l2_distance(emb, ?) LIMIT 2",
+        "params": [[0.9, 0.9, 0.9, 0.9]]})
+    assert st == 200 and body["state"] == "Succeeded", body
+    assert [r[0] for r in body["data"]] == ["2", "1"]
+
+    # batched: B=3 query vectors -> one response with 3 result sets
+    st, body = _post(c, loop, "/v1/query", {
+        "sql": "SELECT id FROM pv ORDER BY l2_distance(emb, ?) LIMIT 1",
+        "params_batch": [[[0.1, 0.1, 0.1, 0.1]],
+                         [[2.1, 2.1, 2.1, 2.1]],
+                         [[8.0, 8.0, 8.0, 8.0]]]})
+    assert st == 200, body
+    assert [rs[0][0] for rs in body["results"]] == ["1", "3", "4"]
+
+    # generic (non-KNN) parameterized statement over the wire
+    st, body = _post(c, loop, "/v1/query", {
+        "sql": "SELECT count(*) FROM pv WHERE id > ?", "params": [1]})
+    assert st == 200 and body["state"] == "Succeeded", body
+    assert body["data"] == [["3"]]
