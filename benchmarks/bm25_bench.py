@@ -140,6 +140,26 @@ def main():
         print(f"device top-k(10) batch B={bsz:3d}:   {batch_ms:8.3f} "
               f"ms/query   ({host_ms / batch_ms:.1f}x vs host)")
 
+    # dense doc-major impact layout (round 4): BM25 as pure dense
+    # compare-multiply-reduce — no sort/scatter/gather at query time
+    from databend_tpu.index.inverted.device import ImpactBM25
+    imp = ImpactBM25.try_create(reader)
+    if imp is None:
+        print("impact layout: block too ragged, skipped")
+        return
+    for bsz in (1, 8, 32, 128):
+        batches = [distinct[i:i + bsz]
+                   for i in range(0, len(distinct) - bsz + 1, bsz)]
+        bg = [[[[reader.term_id(t)] for t in q] for q in bt]
+              for bt in batches]
+        imp.top_k_batch(bg[0], 10, "OR")  # warm
+        t0 = time.perf_counter()
+        for bq in bg:
+            imp.top_k_batch(bq, 10, "OR")
+        ms = (time.perf_counter() - t0) * 1e3 / (len(bg) * bsz)
+        print(f"impact top-k(10) batch B={bsz:3d}:   {ms:8.3f} "
+              f"ms/query   ({host_ms / ms:.1f}x vs host)")
+
 
 if __name__ == "__main__":
     main()

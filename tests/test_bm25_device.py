@@ -112,3 +112,37 @@ def test_device_batch_topk_matches_host(tmp_path):
             smap = dict(zip(h_rows.tolist(), h_scores.tolist()))
             for r_, s_ in zip(d_rows.tolist(), d_scores.tolist()):
                 assert r_ in smap and abs(smap[r_] - s_) < 1e-3
+
+
+def test_impact_layout_matches_host(tmp_path):
+    """Dense doc-major impact scorer (VERDICT r3 item 2a redesign):
+    same top-k rows/scores as the host CSR path, both operators."""
+    from databend_tpu.index.inverted.device import ImpactBM25
+    reader, _ = _build(tmp_path, 3000)
+    imp = ImpactBM25.try_create(reader)
+    assert imp is not None
+    queries = [["red"], ["red", "fox"], ["whale", "crab"],
+               ["green", "hill", "sea"], ["lazy", "dog", "fox"]]
+    for op in ("OR", "AND"):
+        batch_groups = [[[reader.term_id(t)] for t in q] for q in queries]
+        outs = imp.top_k_batch(batch_groups, 10, op)
+        for q, (d_rows, d_scores) in zip(queries, outs):
+            groups = [[reader.term_id(t)] for t in q]
+            h_rows, h_scores = reader.bm25_scores(groups, op)
+            assert len(d_rows) == min(10, len(h_rows)), (q, op)
+            smap = dict(zip(h_rows.tolist(), h_scores.tolist()))
+            for r_, s_ in zip(d_rows.tolist(), d_scores.tolist()):
+                assert r_ in smap and abs(smap[r_] - s_) < 1e-3
+
+
+def test_impact_layout_unknown_group_and_empty(tmp_path):
+    from databend_tpu.index.inverted.device import ImpactBM25
+    reader, _ = _build(tmp_path, 500)
+    imp = ImpactBM25.try_create(reader)
+    # AND with a group that has no known terms -> no rows
+    rows, scores = imp.top_k_batch(
+        [[[reader.term_id("red")], [-1]]], 5, "AND")[0]
+    assert len(rows) == 0
+    # OR ignores the unknown group
+    rows, _ = imp.top_k_batch([[[reader.term_id("red")], [-1]]], 5, "OR")[0]
+    assert len(rows) > 0
