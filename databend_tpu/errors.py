@@ -74,6 +74,9 @@ WrongValueForSetting = _err("WrongValueForSetting", 2803)
 # AbortedQuery 1043; memory guard in src/common/base/src/runtime/memory/)
 MemoryLimitExceeded = _err("MemoryLimitExceeded", 1108)
 QueueTimeout = _err("QueueTimeout", 2504)
+# external UDF server failures (reference UDFServerConnectError 2604 /
+# UDFRuntimeError 1810 family collapsed into one client-visible code)
+UDFServerError = _err("UDFServerError", 2604)
 AbortedQuery = _err("AbortedQuery", 1043)
 
 __all__ = [
@@ -111,4 +114,5 @@ __all__ = [
     "MemoryLimitExceeded",
     "QueueTimeout",
     "AbortedQuery",
+    "UDFServerError",
 ]

@@ -167,6 +167,8 @@ class SessionContext:
         # PREPARE name FROM '...' registry (session-scoped, like the
         # reference's per-session state)
         self._prepared: Dict[str, object] = {}
+        # external-catalog table cache: (catalog, db, table) -> ExternalTable
+        self._catalog_tables: Dict[tuple, object] = {}
         from ..users import UserManager
         self.users = UserManager(self.meta)
         self.current_user = self.users.get_user("root")
@@ -261,6 +263,60 @@ class SessionContext:
         import shutil
         shutil.rmtree(t.table_dir, ignore_errors=True)
         return True
+
+    def catalog_table(self, catalog_name: str, db: str, name: str):
+        """Resolve `catalog.db.table` through a registered external catalog
+        (reference: CatalogManager + iceberg catalog). The catalog's
+        LOCATION is a warehouse root laid out as <root>/<db>/<table>/
+        (the iceberg filesystem-catalog layout); schemas come from the
+        table-format metadata."""
+        key = (catalog_name.lower(), db.lower(), name.lower())
+        t = self._catalog_tables.get(key)
+        if t is not None:
+            return t
+        meta, _ = self.meta.get(f"catalogs/{catalog_name.lower()}")
+        if meta is None:
+            from ..errors import UnknownCatalog
+            raise UnknownCatalog(f"unknown catalog {catalog_name!r}")
+        root = meta["options"].get("location") or meta["options"].get("url")
+        loc = os.path.join(root, db, name)
+        from ..storage.external import (ExternalTable, iceberg_schema,
+                                        paimon_schema)
+        if not os.path.isdir(loc):
+            from ..errors import UnknownTable
+            raise UnknownTable(
+                f"unknown table {catalog_name}.{db}.{name!r}")
+        fn = iceberg_schema if meta["type"] == "ICEBERG" else paimon_schema
+        schema = fn(loc)
+        info = TableInfo(-abs(hash(key)) % (1 << 40), db, name, schema,
+                         meta["type"], {"location": loc}, [])
+        t = ExternalTable(info, self.catalog,
+                          os.path.join(self.data_root, "tables"))
+        self._catalog_tables[key] = t
+        return t
+
+    def catalog_databases(self, catalog_name: str) -> List[str]:
+        meta, _ = self.meta.get(f"catalogs/{catalog_name.lower()}")
+        if meta is None:
+            from ..errors import UnknownCatalog
+            raise UnknownCatalog(f"unknown catalog {catalog_name!r}")
+        root = meta["options"].get("location") or meta["options"].get("url")
+        if not os.path.isdir(root):
+            return []
+        return sorted(d for d in os.listdir(root)
+                      if os.path.isdir(os.path.join(root, d)))
+
+    def catalog_tables(self, catalog_name: str, db: str) -> List[str]:
+        meta, _ = self.meta.get(f"catalogs/{catalog_name.lower()}")
+        if meta is None:
+            from ..errors import UnknownCatalog
+            raise UnknownCatalog(f"unknown catalog {catalog_name!r}")
+        root = meta["options"].get("location") or meta["options"].get("url")
+        p = os.path.join(root, db)
+        if not os.path.isdir(p):
+            return []
+        return sorted(d for d in os.listdir(p)
+                      if os.path.isdir(os.path.join(p, d)))
 
     def table(self, name: str, database: Optional[str] = None) -> FuseTable:
         t = self.temp_table(database or self.current_database, name)
@@ -446,6 +502,15 @@ class SessionContext:
         if getattr(self, "_udf_cache", None) is None:
             self._udf_cache = {k.split("/", 1)[1]: v for k, v, _
                                in self.meta.list_prefix("udfs/")}
+            # external UDF-server functions resolve through the scalar
+            # registry; (re-)register what this meta store defines
+            from ..service.udf_client import register_external_udf
+            for name, meta in self._udf_cache.items():
+                if isinstance(meta, dict) and meta.get("kind") == "external":
+                    try:
+                        register_external_udf(name, meta)
+                    except Exception:
+                        pass  # bad persisted definition: surfaced at call
         return self._udf_cache
 
     def invalidate_udfs(self):
@@ -945,10 +1010,22 @@ def _stmt_create_function(s: SessionContext, st: A.CreateFunction):
         raise SemanticError(f"function {st.name!r} already exists")
     from ..expression.functions import registry
     from ..expression.functions.aggregates import is_aggregate_function
-    if registry.contains(st.name.lower()) or is_aggregate_function(st.name.lower()):
+    from ..service.udf_client import _REGISTERED
+    if (registry.contains(st.name.lower())
+            and st.name.lower() not in _REGISTERED) \
+            or is_aggregate_function(st.name.lower()):
         raise SemanticError(f"cannot shadow built-in function {st.name!r}")
-    s.meta.upsert(key, {"params": [p.lower() for p in st.params],
-                        "body_text": st.body_text})
+    if st.address is not None:
+        # external UDF-server function (reference udf_server suites)
+        from ..service.udf_client import register_external_udf
+        meta = {"kind": "external", "arg_types": st.arg_types or [],
+                "return_type": st.return_type, "language": st.language,
+                "handler": st.handler, "address": st.address}
+        s.meta.upsert(key, meta)
+        register_external_udf(st.name, meta)
+    else:
+        s.meta.upsert(key, {"params": [p.lower() for p in st.params],
+                            "body_text": st.body_text})
     s.invalidate_udfs()
     return _ok()
 
@@ -960,6 +1037,9 @@ def _stmt_drop_function(s: SessionContext, st: A.DropFunction):
         if st.if_exists:
             return _ok()
         raise SemanticError(f"unknown function {st.name!r}")
+    if isinstance(cur, dict) and cur.get("kind") == "external":
+        from ..service.udf_client import unregister_external_udf
+        unregister_external_udf(st.name)
     s.meta.delete(key)
     s.invalidate_udfs()
     return _ok()
@@ -2303,6 +2383,51 @@ def _stmt_vacuum(s: SessionContext, st: A.VacuumTable):
     return _ok(removed)
 
 
+def _stmt_create_catalog(s: SessionContext, st: A.CreateCatalog):
+    key = f"catalogs/{st.name.lower()}"
+    cur, _ = s.meta.get(key)
+    if cur is not None and not st.or_replace:
+        if st.if_not_exists:
+            return _ok()
+        from ..errors import DatabaseAlreadyExists
+        raise DatabaseAlreadyExists(f"catalog {st.name!r} already exists")
+    if st.catalog_type.upper() not in ("ICEBERG", "PAIMON"):
+        raise UnsupportedFeature(
+            f"unsupported catalog type {st.catalog_type!r}")
+    loc = st.options.get("location") or st.options.get("url")
+    if not loc:
+        raise BadArguments("CREATE CATALOG requires LOCATION or "
+                           "CONNECTION=(URL=...)")
+    s.meta.upsert(key, {"type": st.catalog_type.upper(),
+                        "options": dict(st.options)})
+    return _ok()
+
+
+def _stmt_drop_catalog(s: SessionContext, st: A.DropCatalog):
+    key = f"catalogs/{st.name.lower()}"
+    cur, _ = s.meta.get(key)
+    if cur is None:
+        if st.if_exists:
+            return _ok()
+        from ..errors import UnknownCatalog
+        raise UnknownCatalog(f"unknown catalog {st.name!r}")
+    s.meta.delete(key)
+    s._catalog_tables.clear()
+    return _ok()
+
+
+def _stmt_show_catalogs(s: SessionContext, st: A.ShowCatalogs):
+    names = ["default"]
+    types = ["DEFAULT"]
+    for k, v, _ in s.meta.list_prefix("catalogs/"):
+        names.append(k.split("/", 1)[1])
+        types.append(v.get("type", "ICEBERG"))
+    return QueryResult(DataBlock(
+        ["name", "type"],
+        [Column.from_pylist(names, String), Column.from_pylist(types, String)]),
+        [DataField("name", String), DataField("type", String)])
+
+
 def _stmt_prepare(s: SessionContext, st: A.PrepareStmt):
     from .prepared import PreparedStatement
     s._prepared[st.name.lower()] = PreparedStatement(s, st.sql)
@@ -2336,6 +2461,9 @@ def _stmt_deallocate(s: SessionContext, st: A.DeallocateStmt):
 
 
 _STATEMENTS = {
+    A.CreateCatalog: _stmt_create_catalog,
+    A.DropCatalog: _stmt_drop_catalog,
+    A.ShowCatalogs: _stmt_show_catalogs,
     A.PrepareStmt: _stmt_prepare,
     A.ExecutePrepared: _stmt_execute_prepared,
     A.DeallocateStmt: _stmt_deallocate,

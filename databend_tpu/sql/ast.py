@@ -202,6 +202,7 @@ class TableName(TableRef):
     database: Optional[str] = None
     alias: Optional[str] = None
     at_snapshot: Optional[str] = None  # AT (SNAPSHOT => '...')
+    catalog: Optional[str] = None      # catalog.db.table (CREATE CATALOG)
 
 
 @dataclass
@@ -485,13 +486,22 @@ class DropStream(Statement):
 @dataclass
 class CreateFunction(Statement):
     """CREATE FUNCTION f AS (x, y) -> <expr> (lambda UDF, reference
-    interpreter_user_defined_function + bendpy UDF surface)."""
+    interpreter_user_defined_function + bendpy UDF surface), or the
+    external UDF-server form: CREATE FUNCTION f (INT, ...) RETURNS INT
+    LANGUAGE python HANDLER='h' ADDRESS='grpc://...' (reference
+    udf_server suites)."""
     name: str
     params: List[str]
-    body: "Expr"
+    body: Optional["Expr"]
     body_text: str
     or_replace: bool = False
     if_not_exists: bool = False
+    # external (UDF server) form
+    arg_types: Optional[List[str]] = None
+    return_type: Optional[str] = None
+    language: Optional[str] = None
+    handler: Optional[str] = None
+    address: Optional[str] = None
 
 
 @dataclass
@@ -906,6 +916,28 @@ class SetTableComment(Statement):
     table: str
     database: Optional[str] = None
     comment: str = ""
+
+
+@dataclass
+class CreateCatalog(Statement):
+    """CREATE CATALOG c TYPE=ICEBERG CONNECTION=(URL='...') (reference
+    CatalogManager + iceberg/hive catalogs, src/query/catalog)."""
+    name: str
+    catalog_type: str = "ICEBERG"
+    options: Dict[str, str] = field(default_factory=dict)
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropCatalog(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class ShowCatalogs(Statement):
+    pass
 
 
 @dataclass

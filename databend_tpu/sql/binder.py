@@ -741,6 +741,24 @@ class Binder:
 
     def _bind_table_ref(self, ref: A.TableRef, ctes, state: ScanState):
         if isinstance(ref, A.TableName):
+            if ref.catalog is not None \
+                    and ref.catalog.lower() != "default":
+                # catalog.db.table through a registered external catalog
+                # (reference CatalogManager multi-catalog resolution)
+                t = self.session.catalog_table(ref.catalog, ref.database,
+                                               ref.name)
+                scan = Scan(t, PushDownInfo())
+                ctx = BindContext()
+                alias = ref.alias or ref.name
+                for f in t.info.schema.fields:
+                    ctx.add(f.name, f.dtype, alias)
+                if state.scan is None and state.table_info is None:
+                    state.scan = scan
+                    state.table_info = t.info
+                else:
+                    state.scan = None
+                    state.table_info = None
+                return scan, ctx
             key = ref.name.lower()
             if ref.database is None and key in ctes:
                 sub = ctes[key]

@@ -536,6 +536,33 @@ class Parser:
         if self.accept_keyword("DATABASE") or self.accept_keyword("SCHEMA"):
             ine = self._if_not_exists()
             return A.CreateDatabase(self.ident(), ine or replace)
+        if self._at_word("CATALOG"):
+            # CREATE CATALOG c TYPE=ICEBERG CONNECTION=(URL='...') |
+            # LOCATION='...' (reference CatalogManager, iceberg catalog)
+            self.next()
+            ine = self._if_not_exists()
+            name = self.ident()
+            ctype = "ICEBERG"
+            opts = {}
+            while self.peek().kind in ("IDENT", "KEYWORD") \
+                    and self.peek().text.upper() in ("TYPE", "CONNECTION",
+                                                     "LOCATION"):
+                w = self.next().text.upper()
+                self.expect_op("=")
+                if w == "TYPE":
+                    ctype = self.next().text.upper()
+                elif w == "LOCATION":
+                    t = self.next()
+                    opts["location"] = t.text
+                else:  # CONNECTION=(k='v' ...)
+                    self.expect_op("(")
+                    while not self.at_op(")"):
+                        k = self.next().text.lower()
+                        self.expect_op("=")
+                        opts[k] = self.next().text
+                        self.accept_op(",")
+                    self.expect_op(")")
+            return A.CreateCatalog(name, ctype, opts, ine, replace)
         if self._at_word("WAREHOUSE"):
             # CREATE WAREHOUSE w [WITH k = v ...] (reference
             # management/src/warehouse, resource_management DDL)
@@ -905,6 +932,40 @@ class Parser:
             self.next()
             ine = self._if_not_exists()
             name = self.ident()
+            if self.at_op("("):
+                # external UDF-server form: (TYPE, ...) RETURNS TYPE
+                # LANGUAGE lang HANDLER='h' ADDRESS='grpc://...'
+                # (reference: tests/sqllogictests/suites/udf_server/)
+                self.expect_op("(")
+                arg_types = []
+                if not self.at_op(")"):
+                    arg_types.append(self.parse_type_name())
+                    while self.accept_op(","):
+                        arg_types.append(self.parse_type_name())
+                self.expect_op(")")
+                if not self._at_word("RETURNS"):
+                    self.error("expected RETURNS in external CREATE FUNCTION")
+                self.next()
+                ret = self.parse_type_name()
+                language = handler = address = None
+                while self._at_word("LANGUAGE", "HANDLER", "ADDRESS"):
+                    w = self.next().text.upper()
+                    if w == "LANGUAGE":
+                        language = self.next().text
+                    else:
+                        self.expect_op("=")
+                        t = self.next()
+                        if t.kind != "STRING":
+                            self.error(f"{w} expects a quoted string")
+                        if w == "HANDLER":
+                            handler = t.text
+                        else:
+                            address = t.text
+                if address is None:
+                    self.error("external CREATE FUNCTION requires ADDRESS")
+                return A.CreateFunction(
+                    name, [], None, "", replace, ine, arg_types, ret,
+                    language or "python", handler or name, address)
             self.expect_keyword("AS")
             self.expect_op("(")
             params = []
@@ -1098,6 +1159,10 @@ class Parser:
         if self.accept_keyword("DATABASE") or self.accept_keyword("SCHEMA"):
             ie = self._if_exists()
             return A.DropDatabase(self.ident(), ie)
+        if self._at_word("CATALOG"):
+            self.next()
+            ie = self._if_exists()
+            return A.DropCatalog(self.ident(), ie)
         if self._at_word("WAREHOUSE"):
             self.next()
             ie = self._if_exists()
@@ -1503,6 +1568,9 @@ class Parser:
     # ------------------------------------------------------------------- misc
     def parse_show(self):
         self.expect_keyword("SHOW")
+        if self._at_word("CATALOGS"):
+            self.next()
+            return A.ShowCatalogs()
         if self.accept_keyword("CREATE"):
             if self._at_word("DICTIONARY"):
                 self.next()
@@ -1988,10 +2056,15 @@ class Parser:
             self.expect_op(")")
             return A.TableFunctionRef(name, args, self._table_alias())
         db, name = self.qualified_name()
+        catalog = None
+        if db is not None and self.accept_op("."):
+            # catalog.db.table (reference multi-catalog name resolution)
+            catalog, db, name = db, name, self.ident()
         at_snapshot = None
         if self.accept_keyword("AT"):
             at_snapshot = self.parse_travel_point()
-        return A.TableName(name, db, self._table_alias(), at_snapshot)
+        return A.TableName(name, db, self._table_alias(), at_snapshot,
+                           catalog)
 
     def _parse_tf_arg(self) -> A.Expr:
         # named argument: ident => expr

@@ -58,6 +58,8 @@ def expand_udfs(node: Any, udfs: Dict[str, dict], depth: int = 0) -> Any:
         e = _rewrite_children(e, visit)
         if isinstance(e, A.FunctionCall) and e.name.lower() in udfs:
             udf = udfs[e.name.lower()]
+            if isinstance(udf, dict) and udf.get("kind") == "external":
+                return e  # resolved via the scalar registry, not inlined
             params: List[str] = udf["params"]
             if len(e.args) != len(params):
                 raise SemanticError(
