@@ -33,9 +33,9 @@ def build(c, name, x, clustered, rpb):
     from databend_tpu.types import VectorType
     n, d = x.shape
     cluster = " CLUSTER BY (emb)" if clustered else ""
-    c.sql(f"CREATE TABLE {name} (id BIGINT, emb VECTOR({d}))"
+    c.sql(f"CREATE TABLE {name} (id BIGINT, emb VECTOR({d}),"
+          f" ASYNC VECTOR INDEX {name}_v (emb) distance='l2')"
           f"{cluster} ROW_PER_BLOCK='{rpb}'")
-    c.sql(f"CREATE VECTOR INDEX {name}_v ON {name}(emb) ASYNC distance='l2'")
     t0 = time.perf_counter()
     step = 262144
     for s in range(0, n, step):

@@ -67,15 +67,18 @@ def main():
     q_dev = jax.device_put(q, query_sharding(mesh))
     up_s = time.perf_counter() - t0
 
+    # bf16 halves HBM traffic on TPU; on the CPU stand-in it is software-
+    # emulated (measured: the 10M scan did not finish in 28 min) -> f32
+    use_bf16 = jax.devices()[0].platform == "tpu"
     t0 = time.perf_counter()
     d, ids = sharded_brute_force_topk(mesh, q_dev, x_dev, a.k,
-                                      metric="l2", bf16=True,
+                                      metric="l2", bf16=use_bf16,
                                       n_valid=n_valid)
     ids_np = np.asarray(ids)
     first_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     d, ids = sharded_brute_force_topk(mesh, q_dev, x_dev, a.k,
-                                      metric="l2", bf16=True,
+                                      metric="l2", bf16=use_bf16,
                                       n_valid=n_valid)
     ids_np = np.asarray(ids)
     warm_s = time.perf_counter() - t0
@@ -89,7 +92,7 @@ def main():
         hit += len(true & set(ids_np[bi].tolist()))
     recall = hit / (a.batch * a.k)
 
-    print(json.dumps({
+    out = {
         "metric": "mesh_knn_deep10m_shape",
         "rows": a.rows, "dim": a.dim, "devices": s,
         "batch": a.batch, "k": a.k,
@@ -98,7 +101,12 @@ def main():
         "first_batch_s": round(first_s, 2),
         "warm_batch_s": round(warm_s, 2),
         "warm_ms_per_query": round(warm_s * 1e3 / a.batch, 1),
-    }), flush=True)
+        "bf16": use_bf16,
+    }
+    print(json.dumps(out), flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "mesh_knn_deep10m.json"), "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

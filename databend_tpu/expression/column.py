@@ -220,7 +220,8 @@ class Column:
         if isinstance(inner, VariantType):
             import json as _json
             texts = [None if v is None
-                     else (v if isinstance(v, str) else _json.dumps(v))
+                     else (v if isinstance(v, str)
+                           else _json.dumps(v, separators=(",", ":")))
                      for v in values]
             return Column(dtype, StringData.from_pylist(texts), validity)
         if isinstance(inner, VectorType):

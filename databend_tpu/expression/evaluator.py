@@ -425,6 +425,20 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
         return out(payload, ok if not ok.all() else None)
     if isinstance(src, NullType):
         return constant_column(None, dst.wrap_nullable(), n)
+    # number/boolean/string -> variant: JSON-encode each scalar
+    # (reference: to_variant / implicit ::VARIANT casts)
+    if isinstance(dst, _VT) and (isinstance(src, NumberType)
+                                 or src == Boolean or src == String):
+        import json as _json
+        vals = col.to_pylist()
+        texts = [None if v is None
+                 else _json.dumps(v if not isinstance(v, (np.integer,
+                                                          np.floating,
+                                                          np.bool_))
+                                  else v.item(), separators=(",", ":"))
+                 for v in vals]
+        return Column.from_pylist(texts, target if target.is_nullable()
+                                   else dst)
     raise BadDataValueType(f"unsupported cast {src} -> {dst}")
 
 

@@ -17,6 +17,16 @@ def _numeric_binary_resolver(name):
         if len(arg_types) != 2:
             raise SemanticError(f"{name} expects 2 args")
         a, b = (t.remove_nullable() for t in arg_types)
+        # DATE +/- int -> DATE; TIMESTAMP +/- int -> TIMESTAMP (reference
+        # date arithmetic: days / microseconds)
+        from ...types.datatype import DateType, TimestampType
+        if name in ("plus", "minus"):
+            for x, y in ((a, b), (b, a)):
+                if isinstance(x, (DateType, TimestampType)) \
+                        and isinstance(y, NumberType) and y.is_integer():
+                    if name == "minus" and x is b:
+                        break  # int - date is not defined
+                    return x
         if not (a.is_numeric() and b.is_numeric()):
             raise SemanticError(f"{name} expects numeric args, got {a}, {b}")
         out = common_super_type(a, b)
@@ -34,6 +44,12 @@ def _div_resolver(arg_types):
 
 def _with_out_dtype(op):
     def kernel(a, b, arg_types=None, out_dtype=None, **kw):
+        from ...types.datatype import DateType, TimestampType
+        if isinstance(out_dtype, (DateType, TimestampType)):
+            # date/timestamp +/- integer stays in the stored unit
+            # (days / microseconds)
+            nd = out_dtype.numpy_dtype()
+            return op(np.asarray(a).astype(nd), np.asarray(b).astype(nd))
         af = a.astype(out_dtype.numpy_dtype()) if hasattr(a, "astype") else a
         bf = b.astype(out_dtype.numpy_dtype()) if hasattr(b, "astype") else b
         return op(af, bf)

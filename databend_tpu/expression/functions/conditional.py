@@ -119,3 +119,29 @@ def _nullif(payloads, validities, n_rows=None, **kw):
         eq = eq & va_ & vb_
     validity = (~eq) if va is None else ((~eq) & va)
     return a, validity
+
+
+# ---- nullability adapters (reference: to_nullable / remove_nullable /
+# assume_not_null in scalars) -------------------------------------------
+def _to_nullable_resolver(arg_types):
+    if len(arg_types) != 1:
+        raise SemanticError("to_nullable expects 1 arg")
+    return arg_types[0].remove_nullable()
+
+
+@scalar_function("to_nullable", _to_nullable_resolver, null_policy="custom")
+def _to_nullable(payloads, validities, n_rows=None, **kw):
+    v = validities[0]
+    return payloads[0], (np.ones(n_rows, np.bool_) if v is None else v)
+
+
+def _remove_nullable_resolver(arg_types):
+    if len(arg_types) != 1:
+        raise SemanticError("remove_nullable expects 1 arg")
+    return arg_types[0].remove_nullable()
+
+
+@scalar_function("remove_nullable", _remove_nullable_resolver,
+                 null_policy="custom", aliases=["assume_not_null"])
+def _remove_nullable(payloads, validities, n_rows=None, **kw):
+    return payloads[0], None

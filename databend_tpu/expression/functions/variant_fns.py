@@ -27,10 +27,10 @@ def _texts(payload):
         # typed ARRAY column (CSR: offsets + values): rebuild rows as JSON
         offs = np.asarray(payload[0])
         vals = payload[1].to_pylist()
-        return [json.dumps(vals[offs[i]:offs[i + 1]], default=str)
+        return [json.dumps(vals[offs[i]:offs[i + 1]], default=str, separators=(",", ":"))
                 for i in range(len(offs) - 1)]
     if isinstance(payload, np.ndarray) and payload.dtype == object:
-        return [json.dumps(v, default=str)
+        return [json.dumps(v, default=str, separators=(",", ":"))
                 if isinstance(v, (list, tuple, dict)) else str(v)
                 for v in payload]
     return [str(v) for v in payload.tolist()]
@@ -56,7 +56,7 @@ def _parse_json(payloads, validities, arg_types, n_rows):
             valid[i] = False
             continue
         try:
-            out.append(json.dumps(json.loads(t)))
+            out.append(json.dumps(json.loads(t), separators=(",", ":")))
         except (ValueError, TypeError):
             raise BadDataValueType(f"parse_json: invalid JSON {t[:60]!r}")
     return StringData.from_pylist(out), (None if valid.all() else valid)
@@ -73,7 +73,7 @@ def _try_parse_json(payloads, validities, arg_types, n_rows):
         ok = t is not None and (v0 is None or v0[i])
         if ok:
             try:
-                out.append(json.dumps(json.loads(t)))
+                out.append(json.dumps(json.loads(t), separators=(",", ":")))
                 continue
             except (ValueError, TypeError):
                 pass
@@ -116,9 +116,9 @@ def _get_impl(payloads, validities, n_rows, as_text: bool):
             valid[i] = False
             continue
         if as_text:
-            out.append(val if isinstance(val, str) else json.dumps(val))
+            out.append(val if isinstance(val, str) else json.dumps(val, separators=(",", ":")))
         else:
-            out.append(json.dumps(val))
+            out.append(json.dumps(val, separators=(",", ":")))
     return StringData.from_pylist(out), (None if valid.all() else valid)
 
 

@@ -55,7 +55,7 @@ def _reg(name, fn, n_args=1, ret=Variant, aliases=()):
                 out.append(r)
         if ret is Variant:
             payload = StringData.from_pylist(
-                ["" if v is None else json.dumps(v) for v in out])
+                ["" if v is None else json.dumps(v, separators=(",", ":")) for v in out])
         elif ret is String:
             payload = StringData.from_pylist(
                 ["" if v is None else str(v) for v in out])
@@ -147,7 +147,7 @@ def _get_path(v, path):
 _reg("get_path", _get_path, n_args=2)
 _reg("json_extract_path_text",
      lambda v, p: (lambda r: None if r is None
-                   else (r if isinstance(r, str) else json.dumps(r)))(
+                   else (r if isinstance(r, str) else json.dumps(r, separators=(",", ":"))))(
          _get_path(v, p)),
      n_args=2, ret=String)
 _reg("get_ignore_case",
@@ -171,7 +171,7 @@ def _contains(a, b_text):
 
 _reg("json_contains_in_left", _contains, n_args=2, ret=Boolean)
 _reg("json_contains_in_right", lambda a, b_text: _contains(
-    _loads(b_text)[0], json.dumps(a)), n_args=2, ret=Boolean)
+    _loads(b_text)[0], json.dumps(a, separators=(",", ":"))), n_args=2, ret=Boolean)
 
 
 # ---- variant array operations ----------------------------------------------
@@ -189,8 +189,8 @@ _reg("array_prepend", _arr(lambda v, x: [_parse_arg(x)] + v), n_args=2)
 _reg("array_compact", _arr(lambda v: [x for x in v if x is not None]))
 _reg("array_reverse", _arr(lambda v: v[::-1]))
 _reg("array_distinct", _arr(lambda v: list(dict.fromkeys(
-    json.dumps(x) for x in v)) and [json.loads(s) for s in dict.fromkeys(
-        json.dumps(x) for x in v)]), aliases=["array_unique_values"])
+    json.dumps(x, separators=(",", ":")) for x in v)) and [json.loads(s) for s in dict.fromkeys(
+        json.dumps(x, separators=(",", ":")) for x in v)]), aliases=["array_unique_values"])
 _reg("array_flatten", _arr(lambda v: [y for x in v
                                       for y in (x if isinstance(x, list)
                                                 else [x])]))
@@ -212,19 +212,19 @@ def _set_op(op):
         b, ok = _loads(b_text)
         if not isinstance(a, list) or not isinstance(b, list):
             return None
-        bs = [json.dumps(x) for x in b]
+        bs = [json.dumps(x, separators=(",", ":")) for x in b]
         if op == "except":
-            return [x for x in a if json.dumps(x) not in bs]
+            return [x for x in a if json.dumps(x, separators=(",", ":")) not in bs]
         if op == "intersection":
             seen = set()
             out = []
             for x in a:
-                s = json.dumps(x)
+                s = json.dumps(x, separators=(",", ":"))
                 if s in bs and s not in seen:
                     seen.add(s)
                     out.append(x)
             return out
-        return any(json.dumps(x) in bs for x in a)  # overlap
+        return any(json.dumps(x, separators=(",", ":")) in bs for x in a)  # overlap
     return fn
 
 
@@ -251,7 +251,7 @@ def _json_object(payloads, validities, arg_types, n_rows):
             if isinstance(v, float) and v.is_integer():
                 v = int(v)
             obj[k] = v
-        out.append(json.dumps(obj))
+        out.append(json.dumps(obj, separators=(",", ":")))
     return StringData.from_pylist(out), None
 
 
@@ -271,7 +271,7 @@ def _json_array(payloads, validities, arg_types, n_rows):
             if isinstance(v, float) and v.is_integer():
                 v = int(v)
             arr.append(v)
-        out.append(json.dumps(arr))
+        out.append(json.dumps(arr, separators=(",", ":")))
     return StringData.from_pylist(out), None
 
 

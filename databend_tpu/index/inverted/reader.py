@@ -216,17 +216,74 @@ def search_block(reader: InvertedBlockReader, info) -> Tuple[list, Optional[list
                 groups.append([reader.term_id(tok)])
         rows, scores = reader.bm25_scores(groups, info.operator)
     else:
-        rows, scores = _eval_query_syntax(reader, info.query_text)
+        rows, scores = _eval_query_syntax(reader, info.query_text,
+                                          int(getattr(info, "fuzziness", 0)
+                                              or 0))
     return rows.tolist(), scores.tolist()
 
 
-def _eval_query_syntax(reader: InvertedBlockReader, q: str):
-    """Minimal tantivy-style boolean query: `a AND b`, `col:a OR b`, NOT.
-    Field prefixes are accepted and ignored (per-block postings span all
-    indexed columns)."""
+def _eval_query_syntax(reader: InvertedBlockReader, q: str,
+                       fuzziness: int = 0):
+    """Tantivy-style boolean query syntax (reference query() pushdown):
+    `a AND b`, `col:a OR b`, NOT, quoted phrases, `+must` / `-must_not`
+    prefixes, parenthesized groups `col:(a b)`, `term^boost` (boost
+    accepted; scores are this engine's BM25, not tantivy's). Field
+    prefixes select no subset (per-block postings span all indexed
+    columns) but are parsed."""
     import re as _re
-    # quoted phrases become single tokens evaluated with phrase_match
-    tokens = _re.findall(r'[A-Za-z0-9_]+:"[^"]*"|"[^"]*"|\S+', q)
+    # parens group terms under one field prefix; flatten by distributing
+    # the prefix (field choice doesn't change candidate sets here)
+    q = _re.sub(r'(\w+):\(([^)]*)\)', lambda m: m.group(2), q)
+    q = q.replace("(", " ").replace(")", " ")
+    q = _re.sub(r'\^[0-9.]+', "", q)  # strip boosts
+    tokens = _re.findall(r'[+\-]?[\w.]+:"[^"]*"|[+\-]?"[^"]*"|\S+', q)
+
+    def eval_term(raw: str):
+        body = raw.split(":", 1)[-1]
+        is_phrase = body.startswith('"') and body.endswith('"') \
+            and len(body) >= 2
+        term = body.strip('"').lower()
+        toks = tokenize_text(term, reader.tokenizer, reader.filters)
+        if is_phrase and len(toks) > 1:
+            return reader.phrase_match(toks)
+        if fuzziness:
+            groups = [reader.fuzzy_term_ids(t, fuzziness) for t in toks]
+        else:
+            groups = [[reader.term_id(t)] for t in toks]
+        return reader.bm25_scores(groups, "AND")
+
+    # tantivy occur semantics when +/- prefixes are present
+    if any(t[0] in "+-" and len(t) > 1 for t in tokens):
+        musts, shoulds, must_nots = [], [], []
+        for raw in tokens:
+            if raw.upper() in ("AND", "OR", "NOT"):
+                continue
+            if raw.startswith("+"):
+                musts.append(eval_term(raw[1:]))
+            elif raw.startswith("-"):
+                must_nots.append(eval_term(raw[1:]))
+            else:
+                shoulds.append(eval_term(raw))
+        if musts:
+            cand = musts[0][0]
+            for rows, _ in musts[1:]:
+                cand = np.intersect1d(cand, rows)
+        else:
+            cand = np.unique(np.concatenate(
+                [r for r, _ in shoulds])) if shoulds \
+                else np.zeros(0, np.int64)
+        for rows, _ in must_nots:
+            cand = np.setdiff1d(cand, rows)
+        score_map = {int(r): 0.0 for r in cand.tolist()}
+        for rows, scores in musts + shoulds:
+            for r, s in zip(rows.tolist(), scores.tolist()):
+                if r in score_map:
+                    score_map[r] += s
+        out_rows = np.array(sorted(score_map), np.int64)
+        out_scores = np.array([score_map[int(r)] for r in out_rows],
+                              np.float32)
+        return out_rows, out_scores
+
     # shunting-less left-fold: term [op term]*
     result_rows: Optional[np.ndarray] = None
     result_scores: Optional[np.ndarray] = None
@@ -237,18 +294,10 @@ def _eval_query_syntax(reader: InvertedBlockReader, q: str):
         if up in ("AND", "OR"):
             pending_op = up
             continue
-        if up == "NOT" or up == "-":
+        if up == "NOT":
             negate_next = True
             continue
-        body = raw.split(":", 1)[-1]
-        is_phrase = body.startswith('"') and body.endswith('"') and len(body) >= 2
-        term = body.strip('"').lower()
-        toks = tokenize_text(term, reader.tokenizer, reader.filters)
-        if is_phrase and len(toks) > 1:
-            rows, scores = reader.phrase_match(toks)
-        else:
-            rows, scores = reader.bm25_scores(
-                [[reader.term_id(t)] for t in toks], "AND")
+        rows, scores = eval_term(raw)
         if negate_next:
             all_rows = np.arange(reader.n_docs)
             mask = np.ones(reader.n_docs, bool)

@@ -365,6 +365,7 @@ class SessionContext:
             _wg_queue = group_queue(_wg)
         mem = MemStat(mem_limit, entry["query_id"])
         _mem_token = set_memstat(mem)
+        _saved_prefix: Dict[str, object] = {}
         if _wg_queue is not None:
             _wg_queue.acquire()
         try:
@@ -399,6 +400,14 @@ class SessionContext:
                 from ..pipeline.executor import set_deadline
                 _dl_token = set_deadline(
                     time.monotonic() + timeout if timeout else None)
+                # `settings(k=v) <stmt>` applies through result handling
+                # (e.g. max_result_rows) — scope it around the whole block
+                _prefix = getattr(stmt, "settings_prefix", None)
+                if _prefix:
+                    for _k, _v in _prefix.items():
+                        _saved_prefix[_k] = self.settings.get(_k)
+                        self.settings.set(_k, _v)
+                    stmt.settings_prefix = None  # inner handler: skip
                 try:
                     result = self._execute_statement(stmt)
                 finally:
@@ -412,6 +421,7 @@ class SessionContext:
                 result = QueryResult(result.block.slice(0, max_rows),
                                      result.fields, result.affected_rows,
                                      result.profile)
+
             if isinstance(stmt, A.QueryStmt):
                 # result_scan(last_query_id()) support (reference:
                 # result_scan table function + result cache)
@@ -430,6 +440,11 @@ class SessionContext:
             METRICS.inc("queries_failed")
             raise
         finally:
+            for _k, _v in _saved_prefix.items():
+                try:
+                    self.settings.set(_k, _v)
+                except Exception:
+                    pass
             if _wg_queue is not None:
                 _wg_queue.release()
             reset_memstat(_mem_token)
@@ -564,9 +579,23 @@ class SessionContext:
     def _execute_statement(self, stmt: A.Statement) -> QueryResult:
         from ..utils.current import reset_session, set_session
         token = set_session(self)
+        # `settings(k=v) <stmt>`: one-statement settings scope (reference
+        # sqllogictests prefix syntax)
+        prefix = getattr(stmt, "settings_prefix", None)
+        saved = {}
+        if prefix:
+            for k, v in prefix.items():
+                saved[k] = self.settings.get(k)
+                self.settings.set(k, v)
         try:
             return self._execute_statement_inner(stmt)
         finally:
+            if prefix:
+                for k, v in saved.items():
+                    try:
+                        self.settings.set(k, v)
+                    except Exception:
+                        pass
             reset_session(token)
 
     def _execute_statement_inner(self, stmt: A.Statement) -> QueryResult:
@@ -828,7 +857,34 @@ def _stmt_create_table(s: SessionContext, st: A.CreateTable):
             if block.num_rows:
                 t.append(block)
         return _ok()
+    inline = list(getattr(st, "inline_indexes", []) or [])
+    for itype, iname, icols, iopts, _sync in inline:
+        _validate_index_options(itype, iopts)
+    # vector cluster keys need exactly one single-distance vector index
+    # (reference: TransformVectorCluster requires the quantization the
+    # index defines; errors mirrored from 09_0000_vector_index_base.test)
+    from ..types import VectorType as _VT
+    for ck in cluster_by:
+        f = next((f for f in fields if f.name.lower() == ck.lower()), None)
+        if f is None or not isinstance(f.dtype.remove_nullable(), _VT):
+            continue
+        covering = [(n, o) for t_, n, cols_, o, _s in inline
+                    if t_ == "VECTOR" and ck.lower() in
+                    [c.lower() for c in cols_]]
+        if not covering:
+            raise SemanticError(
+                f"Vector cluster key `{ck}` requires a vector index with "
+                f"distance option")
+        distances = [m.strip() for _, o in covering
+                     for m in o.get("distance", "").split(",") if m.strip()]
+        if len(distances) != 1:
+            raise SemanticError(
+                f"Vector cluster key `{ck}` has multiple vector index "
+                f"distance types")
     info = s.catalog.create_table(info, st.if_not_exists)
+    for itype, iname, icols, iopts, sync in inline:
+        idx = TableIndexDef(iname, itype, icols, dict(iopts), sync)
+        info = s.catalog.create_index(info.database, info.name, idx, False)
     if st.as_query is not None:
         from ..pipeline.executor import execute_plan
         from ..sql.binder import Binder
@@ -1686,8 +1742,34 @@ def _stmt_presign(s: SessionContext, st: A.PresignStage):
         [DataField(n, String) for n in names])
 
 
+def _validate_index_options(index_type: str, options: Dict[str, str]):
+    """Reference-parity validation (interpreter_index_create.rs): a vector
+    index requires a distance option with known metrics and positive
+    m/ef_construct."""
+    if index_type != "VECTOR":
+        return
+    distance = options.get("distance")
+    if not distance:
+        raise SemanticError("vector index requires a distance option "
+                            "(one or more of cosine,l1,l2)")
+    for m in distance.split(","):
+        if m.strip() not in ("cosine", "l1", "l2"):
+            raise SemanticError(f"unknown vector distance {m.strip()!r}")
+    for knob in ("m", "ef_construct"):
+        if knob in options:
+            try:
+                v = int(options[knob])
+            except ValueError:
+                raise SemanticError(f"vector index option {knob} must be "
+                                    f"an integer")
+            if v <= 0:
+                raise SemanticError(f"vector index option {knob} must be "
+                                    f"positive")
+
+
 def _stmt_create_index(s: SessionContext, st: A.CreateIndex):
     db = st.database or s.current_database
+    _validate_index_options(st.index_type, st.options)
     idx = TableIndexDef(st.name, st.index_type, st.columns, dict(st.options), st.sync)
     info = s.catalog.create_index(db, st.table, idx, st.if_not_exists)
     if st.sync:
@@ -1735,6 +1817,23 @@ def _stmt_create_agg_index(s: SessionContext, st: A.CreateAggregatingIndex):
 
 
 def _stmt_drop_index(s: SessionContext, st: A.DropIndex):
+    if st.table:
+        info = s.catalog.get_table(s.current_database, st.table)
+        idx = info.indexes.get(st.name)
+        if idx is not None and st.index_type \
+                and idx.index_type != st.index_type:
+            from ..errors import UnknownIndex
+            raise UnknownIndex(
+                f"index {st.name!r} is a {idx.index_type} index, not "
+                f"{st.index_type}")
+        # dropping the vector index behind a vector cluster key would
+        # orphan the cluster definition (reference errors here too)
+        if idx is not None and idx.index_type == "VECTOR":
+            for ck in info.cluster_by:
+                if ck.lower() in [c.lower() for c in idx.columns]:
+                    raise SemanticError(
+                        f"cannot drop vector index {st.name!r}: it backs "
+                        f"cluster key `{ck}`")
     s.catalog.drop_index(s.current_database, st.table, st.name, st.if_exists)
     return _ok()
 

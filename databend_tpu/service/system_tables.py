@@ -39,20 +39,25 @@ def _sys_tables(s):
         for info in s.catalog.list_tables(d.name):
             t = s.open_table(info)
             snap = t.read_snapshot()
+            vsize = None
+            if snap is not None and getattr(snap, "index_size", 0):
+                vsize = snap.index_size
             rows.append((d.name, info.name, info.engine,
                          snap.row_count if snap else 0,
                          snap.block_count if snap else 0,
                          snap.snapshot_id if snap else None,
                          ",".join(info.cluster_by),
-                         (info.options or {}).get("comment", "")))
-    cols = list(zip(*rows)) if rows else [[] for _ in range(8)]
+                         (info.options or {}).get("comment", ""),
+                         vsize))
+    cols = list(zip(*rows)) if rows else [[] for _ in range(9)]
     return _block([
         ("database", String, list(cols[0])), ("name", String, list(cols[1])),
         ("engine", String, list(cols[2])), ("num_rows", Int64, list(cols[3])),
         ("num_blocks", Int64, list(cols[4])),
         ("snapshot_id", String, list(cols[5])),
         ("cluster_by", String, list(cols[6])),
-        ("comment", String, list(cols[7]))])
+        ("comment", String, list(cols[7])),
+        ("vector_index_size", Int64.wrap_nullable(), list(cols[8]))])
 
 
 def _sys_columns(s):

@@ -17,7 +17,9 @@ from ..types import Float64, Int64, String, UInt64
 
 def bind_table_function(session, ref: A.TableFunctionRef) -> Plan:
     name = ref.name.lower()
-    if name == "numbers":
+    if name in ("numbers", "numbers_mt", "numbers_local"):
+        # _mt/_local are the reference's multi-threaded/local variants of
+        # the same generator (identical output)
         return _numbers(ref.args)
     if name in ("fuse_snapshot", "fuse_snapshots"):
         return _fuse_snapshot(session, ref.args)
@@ -187,12 +189,19 @@ def _fuse_block(session, args) -> Plan:
     if snap is not None:
         for seg in table.read_segments(snap):
             for b in seg.blocks:
-                vsize = sum(v.get("size", 0) for v in b.vector_indexes.values())
-                isize = sum(v.get("size", 0) for v in b.inverted_indexes.values())
+                # NULL (not 0) when the block has no vector index — the
+                # reference's pre-REFRESH state (09_0000_vector_index_base)
+                vsize = sum(v.get("size", 0)
+                            for v in b.vector_indexes.values()) \
+                    if b.vector_indexes else None
+                isize = sum(v.get("size", 0)
+                            for v in b.inverted_indexes.values()) \
+                    if b.inverted_indexes else None
                 rows.append((b.location, b.row_count, b.block_size, vsize, isize))
     names = ["block_location", "row_count", "block_size",
              "vector_index_size", "inverted_index_size"]
-    types = [String, Int64, Int64, Int64, Int64]
+    types = [String, Int64, Int64, Int64.wrap_nullable(),
+             Int64.wrap_nullable()]
     cols = [Column.from_pylist([r[i] for r in rows], t) for i, t in enumerate(types)]
     return ValuesPlan(DataBlock(names, cols, len(rows)),
                       [DataField(n, t) for n, t in zip(names, types)])

@@ -352,6 +352,10 @@ class CreateTable(Statement):
     options: Dict[str, str] = field(default_factory=dict)
     temporary: bool = False  # CREATE TEMP TABLE: session-scoped
     or_replace: bool = False  # CREATE OR REPLACE: drop existing first
+    # inline index defs in the column list (reference: CREATE TABLE t(
+    # ..., VECTOR INDEX idx (col) distance='cosine')): list of
+    # (index_type, name, columns, options, sync)
+    inline_indexes: List[Tuple] = field(default_factory=list)
 
 
 @dataclass

@@ -174,11 +174,19 @@ class SelectExprBinder(ExprBinder):
             st.inverted_rewrite = InvertedIndexInfo(
                 idx.name, [c.lower() for c in idx.columns], str(query_text),
                 True, fuzziness, operator, has_score=st.used_score_fn)
-        else:  # query('col:foo AND bar')
+        else:  # query('col:foo AND bar'[, 'fuzziness=N'])
             idx = indexes[0]
+            fuzziness = None
+            if len(e.args) > 1 and isinstance(e.args[1], A.Literal):
+                for part in str(e.args[1].value).split(";"):
+                    if "=" in part:
+                        k, v = part.split("=", 1)
+                        if k.strip() == "fuzziness":
+                            fuzziness = int(v)
             st.inverted_rewrite = InvertedIndexInfo(
                 idx.name, [c.lower() for c in idx.columns],
-                str(e.args[0].value), False, has_score=st.used_score_fn)
+                str(e.args[0].value), False, fuzziness,
+                has_score=st.used_score_fn)
         return BoundColumn(SEARCH_MATCHED_COL_NAME, Boolean)
 
 
@@ -563,8 +571,13 @@ class Binder:
         # WHERE -------------------------------------------------------------
         where_expr = None
         if sel.where is not None:
+            # select-item aliases are visible in WHERE (reference dialect:
+            # `SELECT dist(x) AS s .. WHERE s > 0.1`, 09_vector_index
+            # suite); substitute only names that do NOT resolve as columns
+            where_ast = self._substitute_where_aliases(sel.where, sel.items,
+                                                       ctx)
             no_agg_binder = SelectExprBinder(ctx, state, None, subquery_handler)
-            where_expr = no_agg_binder.bind(sel.where)
+            where_expr = no_agg_binder.bind(where_ast)
             if state.scan is not None:
                 state.scan.pushdown.filters = where_expr
             else:
@@ -587,14 +600,22 @@ class Binder:
             if isinstance(g, A.Literal) and isinstance(g.value, int):
                 item = select_items[g.value - 1]
                 g = item.expr
-            elif isinstance(g, A.ColumnRef) and g.table is None \
-                    and not ctx.has(g.name):
-                # GROUP BY <select alias> (reference: alias resolution in
-                # the group-by binder)
+            elif isinstance(g, A.ColumnRef) and g.table is None:
+                # GROUP BY <select alias> — the alias wins over a
+                # same-named source column (reference semantics:
+                # `SELECT number % 3 AS number ... GROUP BY number`
+                # groups by the alias, base/03_0003_select_group_by)
                 for item in select_items:
                     if item.alias and item.alias.lower() == g.name.lower():
                         g = item.expr
                         break
+                else:
+                    if not ctx.has(g.name):
+                        pass  # unresolved: surfaces as bind error below
+            if _contains_aggregate(g):
+                raise SemanticError(
+                    "GROUP BY items can't contain aggregate functions or "
+                    "window functions")
             kb = SelectExprBinder(ctx, state, None, subquery_handler)
             ge = kb.bind(g)
             name = _suggest_name(g) or f"__key_{len(group_keys)}"
@@ -690,6 +711,22 @@ class Binder:
 
         has_agg = bool(aggs) or bool(group_by_exprs)
         if has_agg:
+            # every select/order item must reduce to group keys, aggregate
+            # outputs or window outputs (reference bind error; a stray
+            # column would otherwise fail deep in the executor)
+            from ..expression.expr import BoundColumn as _BC
+            allowed = {n.lower() for n, _ in group_keys}
+            allowed.update(n.lower() for n, _, _ in aggs)
+            allowed.update(w.out_name.lower() for w in windows)
+            for iname, be in bound_items + extra_items:
+                for node in be.walk():
+                    if isinstance(node, _BC) \
+                            and node.name.lower() not in allowed \
+                            and not node.name.startswith("__"):
+                        raise SemanticError(
+                            f"column {node.name!r} must appear in the "
+                            f"GROUP BY clause or be used in an aggregate "
+                            f"function")
             plan = AggregatePlan(plan, group_keys, aggs,
                                  distributed=self._distributed_on(),
                                  spill_threshold_rows=self._spill_rows(
@@ -1270,6 +1307,41 @@ class Binder:
         return acc
 
     # --------------------------------------------------------------- helpers
+    def _substitute_where_aliases(self, where: A.Expr,
+                                  items: List[A.SelectItem],
+                                  ctx: BindContext) -> A.Expr:
+        """Replace unqualified ColumnRefs in WHERE that name a select-item
+        alias (and are not real columns) with the aliased expression."""
+        aliases = {}
+        for it in items:
+            if it.alias:
+                aliases[it.alias.lower()] = it.expr
+
+        def subst(e):
+            if isinstance(e, A.ColumnRef) and e.table is None \
+                    and e.name.lower() in aliases:
+                try:
+                    ctx.resolve(e.name, None)
+                    return e  # a real column shadows the alias
+                except Exception:
+                    import copy as _copy
+                    return _copy.deepcopy(aliases[e.name.lower()])
+            if hasattr(e, "__dataclass_fields__"):
+                for fn in e.__dataclass_fields__:
+                    v = getattr(e, fn)
+                    if isinstance(v, A.Expr):
+                        setattr(e, fn, subst(v))
+                    elif isinstance(v, list):
+                        for i, x in enumerate(v):
+                            if isinstance(x, A.Expr):
+                                v[i] = subst(x)
+            return e
+
+        if not aliases:
+            return where
+        import copy as _copy
+        return subst(_copy.deepcopy(where))
+
     def _expand_stars(self, items: List[A.SelectItem], ctx: BindContext):
         out = []
         for item in items:

@@ -111,6 +111,21 @@ class Parser:
 
     # ------------------------------------------------------------- statements
     def parse_statement(self) -> A.Statement:
+        if self._at_word("SETTINGS") and self.peek(1).text == "(":
+            # statement-scoped settings prefix (reference sqllogictests:
+            # `settings(k=v) SELECT ...` applies for ONE statement)
+            self.next()
+            self.expect_op("(")
+            prefix = {}
+            while not self.at_op(")"):
+                k = self.next().text
+                self.expect_op("=")
+                prefix[k.lower()] = self.next().text
+                self.accept_op(",")
+            self.expect_op(")")
+            stmt = self.parse_statement()
+            stmt.settings_prefix = prefix
+            return stmt
         if self.at_keyword("EXPLAIN"):
             self.next()
             kind = "PLAN"
@@ -1016,9 +1031,14 @@ class Parser:
             st.options["like"] = (src_db or "") + "." + src
             return st
         columns: List[A.ColumnDef] = []
+        inline_indexes: List[tuple] = []
         if self.accept_op("("):
             while True:
-                columns.append(self.parse_column_def())
+                idx = self._try_parse_inline_index()
+                if idx is not None:
+                    inline_indexes.append(idx)
+                else:
+                    columns.append(self.parse_column_def())
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
@@ -1049,8 +1069,37 @@ class Parser:
                 options[k.lower()] = t.text
             else:
                 break
-        return A.CreateTable(name, db, columns, ine, cluster_by, engine,
-                             as_query, options, temporary, replace)
+        st = A.CreateTable(name, db, columns, ine, cluster_by, engine,
+                           as_query, options, temporary, replace)
+        st.inline_indexes = inline_indexes
+        return st
+
+    def _try_parse_inline_index(self):
+        """[SYNC|ASYNC] (VECTOR|INVERTED|NGRAM) INDEX name (cols) [k=v ...]
+        inside a CREATE TABLE column list, or None when not at one."""
+        save = self.i
+        sync = True
+        if self._at_word("SYNC", "ASYNC"):
+            sync = self.next().text.upper() == "SYNC"
+        if not (self._at_word("VECTOR", "INVERTED", "NGRAM")
+                and self.peek(1).text.upper() == "INDEX"):
+            self.i = save
+            return None
+        itype = self.next().text.upper()
+        self.next()  # INDEX
+        name = self.ident()
+        self.expect_op("(")
+        cols = [self.ident()]
+        while self.accept_op(","):
+            cols.append(self.ident())
+        self.expect_op(")")
+        options = {}
+        while (self.peek().kind in ("IDENT", "KEYWORD")
+               and self.peek(1).kind == "OP" and self.peek(1).text == "="):
+            k = self.next().text
+            self.expect_op("=")
+            options[k.lower()] = self.next().text
+        return (itype, name, cols, options, sync)
 
     def parse_column_def(self) -> A.ColumnDef:
         name = self.ident()

@@ -35,10 +35,14 @@ SqlLogicError = _err("SqlLogicError", 1210)
 
 
 def _fmt_cell(v) -> str:
+    import datetime as _dt
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, _dt.datetime):
+        # reference always renders 6-digit microseconds
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -113,6 +117,30 @@ def _parse_records(text: str, path: str = "<text>") -> List[_Record]:
     return records
 
 
+def _rows_match_numeric(exp: List[str], got: List[str]) -> bool:
+    """Cell-wise fallback compare: float cells match within tolerance
+    (f32 engines legitimately differ in the last digits; the standard
+    sqllogictest runners do typed float comparison too)."""
+    if len(exp) != len(got):
+        return False
+    for e_row, g_row in zip(exp, got):
+        ec, gc = e_row.split(" "), g_row.split(" ")
+        if len(ec) != len(gc):
+            return False
+        for e, g in zip(ec, gc):
+            if e == g:
+                continue
+            try:
+                ef, gf = float(e), float(g)
+            except ValueError:
+                return False
+            if math.isnan(ef) and math.isnan(gf):
+                continue
+            if not math.isclose(ef, gf, rel_tol=1e-3, abs_tol=1e-4):
+                return False
+    return True
+
+
 def run_text(session, text: str, path: str = "<text>") -> int:
     """Run sqllogictest records against a SessionContext; returns the
     number of records executed. Raises SqlLogicError on first mismatch."""
@@ -159,7 +187,7 @@ def run_text(session, text: str, path: str = "<text>") -> int:
                 exp = sorted(exp)
             got_n = [re.sub(r"\s+", " ", g).strip() for g in got]
             exp_n = [re.sub(r"\s+", " ", e).strip() for e in exp]
-            if got_n != exp_n:
+            if got_n != exp_n and not _rows_match_numeric(exp_n, got_n):
                 raise SqlLogicError(
                     f"{path}:{rec.line}: result mismatch\n"
                     f"  expected: {exp_n}\n  got:      {got_n}")

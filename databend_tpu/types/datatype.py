@@ -379,6 +379,9 @@ _TYPE_NAMES = {
     "INT": Int32, "INTEGER": Int32, "INT32": Int32,
     "BIGINT": Int64, "INT64": Int64,
     "UINT8": UInt8, "UINT16": UInt16, "UINT32": UInt32, "UINT64": UInt64,
+    "TINYINT UNSIGNED": UInt8, "SMALLINT UNSIGNED": UInt16,
+    "INT UNSIGNED": UInt32, "INTEGER UNSIGNED": UInt32,
+    "BIGINT UNSIGNED": UInt64,
     "FLOAT": Float32, "FLOAT32": Float32,
     "DOUBLE": Float64, "FLOAT64": Float64,
     "VARCHAR": String, "STRING": String, "TEXT": String,

@@ -90,7 +90,7 @@ def test_comment_on_table(ctx):
 # ------------------------------------------------------------ jsonpath
 def test_json_path_functions(ctx):
     assert ctx.sql("""SELECT json_path_query('{"a":[1,2]}', '$.a[*]')"""
-                   ).rows() == [("[1, 2]",)]
+                   ).rows() == [("[1,2]",)]
     assert ctx.sql("SELECT json_path_query_first("
                    """'{"a":[{"b":5}]}', '$.a[*].b')""").rows() == [("5",)]
     assert ctx.sql("""SELECT json_path_exists('{"a":1}', '$.a'),"""
@@ -102,4 +102,4 @@ def test_listagg_and_array_flatten(ctx):
     assert ctx.sql("SELECT listagg(CAST(k AS VARCHAR), '-') FROM t"
                    ).rows() == [("1-10",)]
     assert ctx.sql("SELECT array_flatten([[1,2],[3]])").rows() == \
-        [("[1.0, 2.0, 3.0]",)]
+        [("[1.0,2.0,3.0]",)]

@@ -35,9 +35,11 @@ def test_recluster_scalar_keys(ctx):
 
 
 def test_recluster_vector_keys_tightens_blocks(ctx):
-    ctx.sql("CREATE TABLE vt (id INT, emb VECTOR(8))"
+    # inline index required at CREATE time for vector cluster keys
+    # (reference-parity validation, 09_0000_vector_index_base.test)
+    ctx.sql("CREATE TABLE vt (id INT, emb VECTOR(8),"
+            " VECTOR INDEX vi (emb) distance='l2')"
             " CLUSTER BY (emb) row_per_block=32")
-    ctx.sql("CREATE VECTOR INDEX vi ON vt(emb) distance='l2'")
     rng = np.random.default_rng(0)
     # two far-apart clusters, inserted interleaved in many small appends
     a = rng.standard_normal((32, 8)) * 0.1

@@ -57,7 +57,8 @@ def test_cluster_by_vector_tightens_blocks(tmp_catalog, rng):
     from databend_tpu.expression import Column, DataBlock
     from databend_tpu.types import VectorType
     c = tmp_catalog
-    c.sql("CREATE TABLE cl (id BIGINT, emb VECTOR(8)) CLUSTER BY (emb)"
+    c.sql("CREATE TABLE cl (id BIGINT, emb VECTOR(8),"
+          " VECTOR INDEX cl_v (emb) distance='l2') CLUSTER BY (emb)"
           " ROW_PER_BLOCK='64'")
     # two well-separated gaussian blobs, interleaved on insert
     a = rng.standard_normal((64, 8)).astype(np.float32)
