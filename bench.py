@@ -41,7 +41,12 @@ def main():
     except Exception:
         pass
 
-    N, D, B, K = 1_000_000, 128, 256, 10
+    # B=1024 (round 4): the scan is matmul-bound, so a deeper batch lifts
+    # MXU utilization — measured 523k QPS vs 287k at B=256 (69% bf16 MFU;
+    # the matmul+min probe alone is 1.92 ms, approx_min_k adds only 2%).
+    # An exact-rerank variant (shortlist 40 + f32 re-rank) measures 405k
+    # QPS at recall 0.9984 — see benchmarks/RESULTS.md.
+    N, D, B, K = 1_000_000, 128, 1024, 10
     rng = np.random.default_rng(7)
     x = rng.standard_normal((N, D), dtype=np.float32)
     q0 = x[rng.integers(0, N, size=B)] + 0.05 * rng.standard_normal(

@@ -164,6 +164,31 @@ class MetaStore:
         raise TableVersionMismatched(
             f"id allocator {counter!r}: CAS kept failing")
 
+    # ------------------------------------------------- snapshot (raft mode)
+    def dump(self) -> dict:
+        """Serialize the full KV state (exact seqs preserved) for a raft
+        snapshot."""
+        with self._lock:
+            if self._mem is not None:
+                items = [[k, seq, raw] for k, (seq, raw)
+                         in self._mem.items()]
+            else:
+                items = [[k, seq, raw] for k, raw, seq in self._db.execute(
+                    "SELECT key, value, seq FROM kv").fetchall()]
+            return {"kv": items}
+
+    def restore(self, state: dict) -> None:
+        """Replace the full KV state from a raft snapshot."""
+        with self._lock:
+            if self._mem is not None:
+                self._mem = {k: (seq, raw) for k, seq, raw in state["kv"]}
+                return
+            self._db.execute("DELETE FROM kv")
+            self._db.executemany(
+                "INSERT INTO kv (key, seq, value) VALUES (?, ?, ?)",
+                [(k, seq, raw) for k, seq, raw in state["kv"]])
+            self._db.commit()
+
     def close(self):
         if self._db is not None:
             self._db.close()

@@ -9,12 +9,21 @@ deterministic KV apply, and durable term/vote/log state (sqlite) so a
 restarted node catches up from its own log before pulling the rest from
 the leader.
 
+Hardening (round 4): log compaction with snapshot install (the state
+machine dump is persisted atomically with the log truncation in the
+same sqlite transaction; a follower whose nextIndex precedes the
+leader's first retained entry receives InstallSnapshot and resets its
+log to the snapshot point), and linearizable reads via read-index
+backed by a leader lease — a read captures commit_index, confirms
+leadership (a majority heartbeat round, amortized through the lease
+that every successful replication round refreshes), waits for apply to
+reach the captured index, then serves. A deposed leader's lease expires
+before any new leader can be elected (lease = election_timeout_min,
+measured from the start of the confirming round), so stale reads are
+ruled out up to local monotonic-clock correctness.
+
 Scope notes (documented simplifications vs a production raft):
 * static membership (the --raft-peers list), no joint consensus
-* no log compaction / snapshot install (meta logs are small; the KV
-  state machine itself persists via the store's sqlite)
-* reads are served by the leader without a read-index round; a deposed
-  leader serves at-most-stale-by-one-election-timeout reads
 
 Every mutation is a log entry ``{op, body}``; CAS failures are
 legitimate *applied results* (no state change), so replicas stay
@@ -38,33 +47,48 @@ FOLLOWER, CANDIDATE, LEADER = "follower", "candidate", "leader"
 
 
 class RaftLog:
-    """Durable raft state: log entries + (term, votedFor). 1-based
-    indexing; entry 0 is a sentinel with term 0."""
+    """Durable raft state: log entries + (term, votedFor) + the latest
+    state-machine snapshot. 1-based absolute indexing; the in-memory
+    list starts with a sentinel holding (snap_term, None) at absolute
+    index ``snap_index`` (0 before any compaction)."""
 
     def __init__(self, path: Optional[str] = None):
         self._lock = threading.RLock()
+        self.snap_index = 0
+        self.snap_term = 0
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._db = sqlite3.connect(path, check_same_thread=False)
+            self._db.execute("PRAGMA journal_mode=WAL")
+            self._db.execute("PRAGMA synchronous=NORMAL")
             self._db.execute("CREATE TABLE IF NOT EXISTS raft_log "
                              "(idx INTEGER PRIMARY KEY, term INTEGER, "
                              "op TEXT)")
             self._db.execute("CREATE TABLE IF NOT EXISTS raft_meta "
                              "(k TEXT PRIMARY KEY, v TEXT)")
             self._db.commit()
-            rows = self._db.execute(
-                "SELECT idx, term, op FROM raft_log ORDER BY idx").fetchall()
-            self._entries = [(0, None)] + [
-                (t, json.loads(op)) for _, t, op in rows]
             tv = dict(self._db.execute(
                 "SELECT k, v FROM raft_meta").fetchall())
             self.term = int(tv.get("term", 0))
             self.voted_for = tv.get("voted_for") or None
+            self.snap_index = int(tv.get("snap_index", 0))
+            self.snap_term = int(tv.get("snap_term", 0))
+            rows = self._db.execute(
+                "SELECT idx, term, op FROM raft_log WHERE idx > ? "
+                "ORDER BY idx", (self.snap_index,)).fetchall()
+            self._entries = [(self.snap_term, None)] + [
+                (t, json.loads(op)) for _, t, op in rows]
         else:
             self._db = None
             self._entries = [(0, None)]
             self.term = 0
             self.voted_for = None
+
+    def _set_meta(self, pairs):
+        for k, v in pairs:
+            self._db.execute(
+                "INSERT INTO raft_meta (k, v) VALUES (?, ?) "
+                "ON CONFLICT(k) DO UPDATE SET v=?", (k, str(v), str(v)))
 
     def save_term_vote(self, term: int, voted_for: Optional[str]):
         with self._lock:
@@ -81,18 +105,18 @@ class RaftLog:
                 self._db.commit()
 
     def last_index(self) -> int:
-        return len(self._entries) - 1
+        return self.snap_index + len(self._entries) - 1
 
     def term_at(self, idx: int) -> int:
-        return self._entries[idx][0]
+        return self._entries[idx - self.snap_index][0]
 
     def entry(self, idx: int):
-        return self._entries[idx]
+        return self._entries[idx - self.snap_index]
 
     def append(self, term: int, op: dict) -> int:
         with self._lock:
             self._entries.append((term, op))
-            idx = len(self._entries) - 1
+            idx = self.last_index()
             if self._db is not None:
                 self._db.execute(
                     "INSERT INTO raft_log (idx, term, op) VALUES (?, ?, ?)",
@@ -103,11 +127,55 @@ class RaftLog:
     def truncate_from(self, idx: int):
         """Drop entries >= idx (conflict resolution on followers)."""
         with self._lock:
-            del self._entries[idx:]
+            del self._entries[idx - self.snap_index:]
             if self._db is not None:
                 self._db.execute("DELETE FROM raft_log WHERE idx >= ?",
                                  (idx,))
                 self._db.commit()
+
+    def save_snapshot(self, state, idx: int, term: int):
+        """Leader-side compaction: persist the state-machine snapshot at
+        ``idx`` and drop every log entry <= idx, atomically (one sqlite
+        transaction — a crash leaves either the old log or the new
+        snapshot+tail, never neither)."""
+        with self._lock:
+            if idx <= self.snap_index:
+                return
+            del self._entries[1: idx - self.snap_index + 1]
+            self._entries[0] = (term, None)
+            self.snap_index, self.snap_term = idx, term
+            if self._db is not None:
+                self._db.execute("DELETE FROM raft_log WHERE idx <= ?",
+                                 (idx,))
+                self._set_meta([("snap_index", idx), ("snap_term", term),
+                                ("snapshot", json.dumps(state))])
+                self._db.commit()
+            else:
+                self._snapshot_mem = state
+
+    def install_snapshot(self, state, idx: int, term: int):
+        """Follower-side install: the whole log is superseded by the
+        leader's snapshot — reset to the snapshot point."""
+        with self._lock:
+            self._entries = [(term, None)]
+            self.snap_index, self.snap_term = idx, term
+            if self._db is not None:
+                self._db.execute("DELETE FROM raft_log")
+                self._set_meta([("snap_index", idx), ("snap_term", term),
+                                ("snapshot", json.dumps(state))])
+                self._db.commit()
+            else:
+                self._snapshot_mem = state
+
+    def load_snapshot(self):
+        """The persisted state-machine snapshot (None before the first
+        compaction)."""
+        with self._lock:
+            if self._db is not None:
+                row = self._db.execute(
+                    "SELECT v FROM raft_meta WHERE k='snapshot'").fetchone()
+                return json.loads(row[0]) if row else None
+            return getattr(self, "_snapshot_mem", None)
 
     def close(self):
         if self._db is not None:
@@ -122,15 +190,27 @@ class RaftNode:
                  apply_fn: Callable[[dict], Any],
                  log_path: Optional[str] = None,
                  election_timeout: Tuple[float, float] = (0.4, 0.8),
-                 heartbeat: float = 0.12):
+                 heartbeat: float = 0.12,
+                 snapshot_fn: Optional[Callable[[], Any]] = None,
+                 restore_fn: Optional[Callable[[Any], None]] = None,
+                 compact_threshold: int = 1024):
         self.id = node_id
         self.peers = {k: v for k, v in peers.items() if k != node_id}
         self.apply_fn = apply_fn
+        self.snapshot_fn = snapshot_fn
+        self.restore_fn = restore_fn
+        self.compact_threshold = compact_threshold
         self.log = RaftLog(log_path)
         self.role = FOLLOWER
         self.leader_id: Optional[str] = None
         self.commit_index = 0
         self.last_applied = 0
+        self._lease_until = 0.0  # leader lease (read-index fast path)
+        if self.log.snap_index > 0 and restore_fn is not None:
+            state = self.log.load_snapshot()
+            if state is not None:
+                restore_fn(state)
+                self.commit_index = self.last_applied = self.log.snap_index
         self.next_index: Dict[str, int] = {}
         self.match_index: Dict[str, int] = {}
         self._results: Dict[int, Any] = {}
@@ -140,8 +220,10 @@ class RaftNode:
         self._heartbeat = heartbeat
         self._deadline = time.monotonic() + self._rand_timeout()
         self._stopped = False
+        self._repl_wake = threading.Event()
         self._threads = [
             threading.Thread(target=self._ticker, daemon=True),
+            threading.Thread(target=self._replicator, daemon=True),
         ]
         for t in self._threads:
             t.start()
@@ -170,6 +252,7 @@ class RaftNode:
         with self._lock:
             self._stopped = True
             self._apply_cv.notify_all()
+        self._repl_wake.set()
 
     def _ticker(self):
         while True:
@@ -183,6 +266,20 @@ class RaftNode:
                 self._replicate_all()
             elif expired:
                 self._start_election()
+
+    def _replicator(self):
+        """Group-commit replication: every wake batches ALL entries
+        appended since the last round into one AppendEntries per peer, so
+        N concurrent proposes cost one round, not N."""
+        while True:
+            self._repl_wake.wait(timeout=0.5)
+            self._repl_wake.clear()
+            with self._lock:
+                if self._stopped:
+                    return
+                if self.role != LEADER:
+                    continue
+            self._replicate_all()
 
     # ------------------------------------------------------------- election
     def _start_election(self):
@@ -241,32 +338,55 @@ class RaftNode:
 
     # ---------------------------------------------------------- replication
     def _replicate_all(self):
+        round_start = time.monotonic()
         with self._lock:
             if self.role != LEADER:
                 return
             peers = list(self.peers.items())
-        ts = [threading.Thread(target=self._replicate_one, args=(p, ep),
-                               daemon=True) for p, ep in peers]
+        acks = [1]  # self
+        ts = [threading.Thread(target=self._replicate_one,
+                               args=(p, ep, acks), daemon=True)
+              for p, ep in peers]
         for t in ts:
             t.start()
         for t in ts:
             t.join(timeout=1.0)
+        with self._lock:
+            if self.role == LEADER and acks[0] >= self._majority():
+                # lease measured from the START of the confirming round:
+                # no new leader can have been elected before round_start
+                # + election_timeout_min, so reads under the lease are
+                # linearizable (given local monotonic clocks)
+                self._lease_until = max(
+                    self._lease_until,
+                    round_start + self._election_timeout[0])
         self._advance_commit()
 
-    def _replicate_one(self, pid: str, ep: str):
+    def _replicate_one(self, pid: str, ep: str, acks: Optional[list] = None):
         with self._lock:
             if self.role != LEADER:
                 return
             term = self.log.term
             nxt = self.next_index.get(pid, self.log.last_index() + 1)
-            prev = nxt - 1
-            prev_term = self.log.term_at(prev) if prev <= self.log.last_index() else 0
-            entries = [[self.log.term_at(i), self.log.entry(i)[1]]
-                       for i in range(nxt, self.log.last_index() + 1)]
-            body = {"term": term, "leader": self.id,
-                    "prev_log_index": prev, "prev_log_term": prev_term,
-                    "entries": entries, "leader_commit": self.commit_index}
-        out = self._rpc(ep, "append_entries", body)
+            if nxt <= self.log.snap_index:
+                # peer is behind the compaction horizon: InstallSnapshot
+                body = {"term": term, "leader": self.id,
+                        "last_included_index": self.log.snap_index,
+                        "last_included_term": self.log.snap_term,
+                        "state": self.log.load_snapshot()}
+                rpc = "install_snapshot"
+            else:
+                prev = nxt - 1
+                prev_term = self.log.term_at(prev) \
+                    if prev <= self.log.last_index() else 0
+                entries = [[self.log.term_at(i), self.log.entry(i)[1]]
+                           for i in range(nxt, self.log.last_index() + 1)]
+                body = {"term": term, "leader": self.id,
+                        "prev_log_index": prev, "prev_log_term": prev_term,
+                        "entries": entries,
+                        "leader_commit": self.commit_index}
+                rpc = "append_entries"
+        out = self._rpc(ep, rpc, body)
         if out is None:
             return
         with self._lock:
@@ -275,8 +395,16 @@ class RaftNode:
                 return
             if self.role != LEADER or self.log.term != term:
                 return
+            if acks is not None:
+                acks[0] += 1  # peer answered at our term: leadership ack
+            if rpc == "install_snapshot":
+                if out.get("success"):
+                    self.match_index[pid] = body["last_included_index"]
+                    self.next_index[pid] = self.match_index[pid] + 1
+                return
             if out.get("success"):
-                self.match_index[pid] = prev + len(entries)
+                self.match_index[pid] = body["prev_log_index"] \
+                    + len(body["entries"])
                 self.next_index[pid] = self.match_index[pid] + 1
             else:
                 # conflict backtracking (follower hints its log length)
@@ -314,6 +442,11 @@ class RaftNode:
                 for k in sorted(self._results)[:-512]:
                     self._results.pop(k, None)
         self._apply_cv.notify_all()
+        if self.snapshot_fn is not None and \
+                self.last_applied - self.log.snap_index \
+                >= self.compact_threshold:
+            self.log.save_snapshot(self.snapshot_fn(), self.last_applied,
+                                   self.log.term_at(self.last_applied))
 
     # -------------------------------------------------------------- RPC in
     def handle_request_vote(self, body: dict) -> dict:
@@ -341,13 +474,22 @@ class RaftNode:
                 return {"term": self.log.term, "success": False}
             self._become_follower(term, body["leader"])
             prev = body["prev_log_index"]
+            entries = body["entries"]
+            if prev < self.log.snap_index:
+                # entries at/below the snapshot horizon are already part
+                # of our installed snapshot: skip that prefix
+                skip = self.log.snap_index - prev
+                if skip >= len(entries):
+                    return {"term": self.log.term, "success": True}
+                entries = entries[skip:]
+                prev = self.log.snap_index
             if prev > self.log.last_index() or \
                     self.log.term_at(prev) != body["prev_log_term"]:
                 return {"term": self.log.term, "success": False,
                         "conflict_index": min(prev,
                                               self.log.last_index() + 1)}
             idx = prev
-            for eterm, eop in body["entries"]:
+            for eterm, eop in entries:
                 idx += 1
                 if idx <= self.log.last_index():
                     if self.log.term_at(idx) == eterm:
@@ -360,6 +502,71 @@ class RaftNode:
                 self._apply_committed()
             return {"term": self.log.term, "success": True}
 
+    def handle_install_snapshot(self, body: dict) -> dict:
+        with self._lock:
+            term = body["term"]
+            if term < self.log.term:
+                return {"term": self.log.term, "success": False}
+            self._become_follower(term, body["leader"])
+            idx = body["last_included_index"]
+            if idx <= self.commit_index:
+                # stale snapshot: we already have everything in it
+                return {"term": self.log.term, "success": True}
+            if self.restore_fn is not None:
+                self.restore_fn(body["state"])
+            self.log.install_snapshot(body["state"], idx,
+                                      body["last_included_term"])
+            self.commit_index = self.last_applied = idx
+            self._results.clear()
+            self._apply_cv.notify_all()
+            return {"term": self.log.term, "success": True}
+
+    # ---------------------------------------------------------------- reads
+    def read_index(self, timeout: float = 5.0) -> int:
+        """Linearizable read barrier (raft §6.4 read-index with a leader
+        lease): capture commit_index, confirm leadership — served from
+        the lease when a majority heartbeat round completed within
+        election_timeout_min, otherwise by forcing a round — then wait
+        until the state machine has applied up to the captured index."""
+        deadline = time.monotonic() + timeout
+        with self._lock:
+            if self.role != LEADER:
+                raise NotLeader(self.leader_id)
+            term = self.log.term
+            ri = self.commit_index
+        while True:
+            with self._lock:
+                if self.role != LEADER or self.log.term != term \
+                        or self._stopped:
+                    raise NotLeader(self.leader_id)
+                # the no-op barrier entry must have committed: counting
+                # commits is only valid for current-term entries, and a
+                # fresh leader's commit_index may lag its predecessor's
+                current_term_committed = (
+                    self.commit_index >= self.log.snap_index
+                    and (self.commit_index == self.log.snap_index
+                         and self.log.snap_term == term
+                         or self.commit_index > self.log.snap_index
+                         and self.log.term_at(self.commit_index) == term))
+                leased = time.monotonic() < self._lease_until
+                if leased and current_term_committed:
+                    ri = max(ri, self.commit_index)
+                    break
+            if time.monotonic() >= deadline:
+                raise TimeoutError("read_index: no majority reachable")
+            self._replicate_all()  # heartbeat round refreshes the lease
+            time.sleep(0.005)
+        with self._lock:
+            while self.last_applied < ri:
+                if self._stopped or self.role != LEADER \
+                        or self.log.term != term:
+                    raise NotLeader(self.leader_id)
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError("read_index: apply lagged")
+                self._apply_cv.wait(timeout=min(remaining, 0.1))
+        return ri
+
     # ------------------------------------------------------------- propose
     def propose(self, op: dict, timeout: float = 5.0):
         """Leader-only: append, replicate, wait for apply, return the
@@ -370,7 +577,7 @@ class RaftNode:
                 raise NotLeader(self.leader_id)
             term = self.log.term
             idx = self.log.append(term, op)
-        self._replicate_all()
+        self._repl_wake.set()  # group commit: ride the next batch round
         deadline = time.monotonic() + timeout
         with self._lock:
             while self.last_applied < idx:
@@ -383,7 +590,11 @@ class RaftNode:
                         f"raft commit timeout at index {idx} "
                         f"(no majority reachable)")
                 self._apply_cv.wait(timeout=min(remaining, 0.1))
-            if self.log.term_at(idx) != term:
+            # idx <= snap_index: the entry committed and was already
+            # compacted into a snapshot — it can only be OURS, since an
+            # overwrite requires a higher term and the wait loop above
+            # raises NotLeader on any term change
+            if idx > self.log.snap_index and self.log.term_at(idx) != term:
                 raise NotLeader(self.leader_id)  # entry was overwritten
             result = self._results.pop(idx, None)
         if result and "error" in result:
@@ -396,7 +607,8 @@ class RaftNode:
                     "leader": self.leader_id,
                     "commit_index": self.commit_index,
                     "last_applied": self.last_applied,
-                    "log_len": self.log.last_index()}
+                    "log_len": self.log.last_index(),
+                    "snap_index": self.log.snap_index}
 
 
 class NotLeader(Exception):

@@ -46,12 +46,19 @@ class MetaService:
     def __init__(self, path: Optional[str] = None,
                  raft_id: Optional[str] = None,
                  raft_peers: Optional[Dict[str, str]] = None,
-                 election_timeout=(0.4, 0.8), heartbeat: float = 0.12):
-        self.store = MetaStore(path)
+                 election_timeout=(0.4, 0.8), heartbeat: float = 0.12,
+                 compact_threshold: int = 1024):
         self.started = time.time()
         self.raft = None
         self.peer_endpoints: Dict[str, str] = {}
         if raft_id is not None:
+            # raft mode: the durable truth is the raft log + snapshot (one
+            # sqlite file); the KV state machine itself is in-memory and is
+            # rebuilt on boot from snapshot + log replay. (A durable store
+            # NEXT TO a durable log would double-apply entries on restart:
+            # last_applied isn't — and can't atomically be — persisted in a
+            # separate file.)
+            self.store = MetaStore(None)
             from .raft import RaftNode
             self.peer_endpoints = {
                 k: (v if v.startswith("http") else f"http://{v}")
@@ -60,7 +67,11 @@ class MetaService:
             self.raft = RaftNode(
                 raft_id, self.peer_endpoints, self._apply,
                 log_path=log_path, election_timeout=election_timeout,
-                heartbeat=heartbeat)
+                heartbeat=heartbeat, snapshot_fn=self.store.dump,
+                restore_fn=self.store.restore,
+                compact_threshold=compact_threshold)
+        else:
+            self.store = MetaStore(path)
 
     def _apply(self, op: dict):
         """Deterministic state-machine apply for replicated mutations."""
@@ -86,13 +97,12 @@ class MetaService:
 
     def handle(self, op: str, body: dict):
         if self.raft is not None:
-            from .raft import LEADER
             if op in _MUTATIONS:
                 return self.raft.propose({"op": op, "body": body})
-            # reads serve from the leader (see raft.py scope notes)
-            if self.raft.role != LEADER:
-                from .raft import NotLeader
-                raise NotLeader(self.raft.leader_id)
+            # linearizable reads: read-index barrier (leader-lease fast
+            # path) — a deposed leader raises NotLeader instead of
+            # serving stale data (see raft.py read_index)
+            self.raft.read_index()
         return self._run_local(op, body)
 
     def leader_endpoint(self) -> Optional[str]:
@@ -150,6 +160,9 @@ def make_handler(svc: MetaService):
                 if rpc == "append_entries":
                     return self._reply(200,
                                        svc.raft.handle_append_entries(body))
+                if rpc == "install_snapshot":
+                    return self._reply(
+                        200, svc.raft.handle_install_snapshot(body))
                 return self._reply(404, {"error": "not found"})
             if not self.path.startswith("/v1/kv/"):
                 return self._reply(404, {"error": "not found"})
@@ -173,10 +186,12 @@ def make_handler(svc: MetaService):
 def serve(port: int, path: Optional[str] = None, host: str = "127.0.0.1",
           in_thread: bool = False, raft_id: Optional[str] = None,
           raft_peers: Optional[Dict[str, str]] = None,
-          election_timeout=(0.4, 0.8), heartbeat: float = 0.12):
+          election_timeout=(0.4, 0.8), heartbeat: float = 0.12,
+          compact_threshold: int = 1024):
     svc = MetaService(path, raft_id=raft_id, raft_peers=raft_peers,
                       election_timeout=election_timeout,
-                      heartbeat=heartbeat)
+                      heartbeat=heartbeat,
+                      compact_threshold=compact_threshold)
     httpd = ThreadingHTTPServer((host, port), make_handler(svc))
     httpd.meta_service = svc
     if in_thread:

@@ -139,3 +139,147 @@ def test_raft_minority_cannot_commit(tmp_path):
         h.meta_service.close()
         h.shutdown()
         h.server_close()
+
+
+@pytest.fixture
+def compact_cluster(tmp_path):
+    """3-node raft cluster with an aggressive compaction threshold."""
+    from databend_tpu.meta.server import serve
+    ports = _free_ports(3)
+    peers = {f"n{i+1}": f"127.0.0.1:{p}" for i, p in enumerate(ports)}
+    servers = {}
+
+    def boot(i, fresh=False):
+        path = tmp_path / f"meta{i}.db"
+        if fresh and (tmp_path / f"meta{i}.db.raftlog").exists():
+            (tmp_path / f"meta{i}.db.raftlog").unlink()
+        servers[i] = serve(
+            ports[i], str(path), in_thread=True,
+            raft_id=f"n{i+1}", raft_peers=peers,
+            election_timeout=(0.25, 0.5), heartbeat=0.08,
+            compact_threshold=20)
+
+    for i in range(3):
+        boot(i)
+    yield ports, servers, boot
+    for h in servers.values():
+        try:
+            h.meta_service.close()
+            h.shutdown()
+        except Exception:
+            pass
+
+
+def test_raft_log_compaction_and_snapshot_install(compact_cluster):
+    """Log compaction: the leader snapshots + truncates once the applied
+    log exceeds the threshold; a follower that lost its disk catches up
+    through InstallSnapshot, not full log replay (reference: openraft
+    snapshot replication, Cargo.toml:170)."""
+    ports, servers, boot = compact_cluster
+    eps = [f"http://127.0.0.1:{p}" for p in ports]
+    stores = [RemoteMetaStore(e, timeout=2.0) for e in eps]
+    leader = _wait_leader(stores)
+    client = RemoteMetaStore(",".join(eps), timeout=2.0)
+
+    for i in range(60):
+        client.upsert(f"k/{i:03d}", {"v": i})
+    # leader compacted: snapshot taken, log prefix dropped
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        st = stores[leader].status()["raft"]
+        if st["snap_index"] >= 20:
+            break
+        time.sleep(0.1)
+    st = stores[leader].status()["raft"]
+    assert st["snap_index"] >= 20
+    assert st["log_len"] - st["snap_index"] < 60
+
+    # follower loses its disk entirely; more writes land past the
+    # compaction horizon while it is down
+    victim = (leader + 1) % 3
+    _stop(servers, victim)
+    for i in range(60, 120):
+        client.upsert(f"k/{i:03d}", {"v": i})
+    boot(victim, fresh=True)
+    deadline = time.monotonic() + 8
+    caught_up = False
+    while time.monotonic() < deadline:
+        try:
+            st = RemoteMetaStore(eps[victim], timeout=1.0).status()["raft"]
+        except Exception:
+            time.sleep(0.2)
+            continue
+        if st["snap_index"] >= 20 and st["last_applied"] >= 120:
+            caught_up = True
+            break
+        time.sleep(0.1)
+    assert caught_up, "fresh follower did not install the snapshot"
+
+    # the restored follower can win an election and serve ALL data
+    _stop(servers, leader)
+    survivors = [i for i in range(3) if i in servers]
+    alive = [RemoteMetaStore(eps[i], timeout=2.0) for i in survivors]
+    _wait_leader(alive)
+    c2 = RemoteMetaStore(",".join(eps[i] for i in survivors), timeout=2.0)
+    assert c2.get("k/000")[0] == {"v": 0}
+    assert c2.get("k/119")[0] == {"v": 119}
+
+
+def test_raft_restart_from_snapshot(compact_cluster):
+    """A node restarting with its own log restores the snapshot state
+    first, then replays only the retained tail (no double-apply of the
+    id allocator: the state machine is rebuilt, not re-mutated)."""
+    ports, servers, boot = compact_cluster
+    eps = [f"http://127.0.0.1:{p}" for p in ports]
+    stores = [RemoteMetaStore(e, timeout=2.0) for e in eps]
+    leader = _wait_leader(stores)
+    client = RemoteMetaStore(",".join(eps), timeout=2.0)
+    for i in range(50):
+        client.upsert(f"r/{i:02d}", i)
+    ids = [client.next_id("ctr") for _ in range(5)]
+    assert ids == [1, 2, 3, 4, 5]
+
+    # restart every node (full-cluster power cycle)
+    for i in range(3):
+        _stop(servers, i)
+    for i in range(3):
+        boot(i)
+    stores = [RemoteMetaStore(e, timeout=2.0) for e in eps]
+    _wait_leader(stores)
+    c2 = RemoteMetaStore(",".join(eps), timeout=2.0)
+    assert c2.get("r/00")[0] == 0
+    assert c2.get("r/49")[0] == 49
+    # id allocator continues exactly where it left off
+    assert c2.next_id("ctr") == 6
+
+
+def test_raft_linearizable_reads_under_leader_kill(compact_cluster):
+    """Kill-leader-under-load: every acknowledged write is visible to the
+    very next read (read-index / leader-lease reads; a deposed leader
+    answers NotLeader, never stale data)."""
+    ports, servers, boot = compact_cluster
+    eps = [f"http://127.0.0.1:{p}" for p in ports]
+    stores = [RemoteMetaStore(e, timeout=2.0) for e in eps]
+    leader = _wait_leader(stores)
+    client = RemoteMetaStore(",".join(eps), timeout=3.0)
+
+    acked = 0
+    killed = False
+    for i in range(1, 41):
+        if i == 15:
+            _stop(servers, leader)
+            killed = True
+        try:
+            client.upsert("cnt", i)
+            acked = i
+        except Exception:
+            time.sleep(0.3)  # election window: the write may have failed
+        try:
+            val, _ = client.get("cnt")
+        except Exception:
+            time.sleep(0.3)
+            continue
+        # linearizability: a read NEVER precedes the last acked write
+        assert val is not None and val >= acked, \
+            f"stale read {val} after ack {acked}"
+    assert killed and acked >= 15
