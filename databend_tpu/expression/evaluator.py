@@ -351,6 +351,31 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
     if isinstance(src, StringType) and dst == Boolean:
         vals = [s.strip().lower() in ("1", "true", "t", "yes") for s in col.data.to_pylist()]
         return out(np.asarray(vals, np.bool_))
+    # variant -> string: JSON strings unquote, other values keep their
+    # canonical text; JSON null -> NULL (reference to_string(variant))
+    from ..types import VariantType as _VTs
+    if isinstance(src, _VTs) and isinstance(dst, StringType):
+        import json as _json
+        vals = col.to_pylist()
+        texts = []
+        ok = np.ones(n, np.bool_)
+        for i, s in enumerate(vals):
+            if s is None:
+                texts.append("")
+                ok[i] = False
+                continue
+            try:
+                v = _json.loads(s) if isinstance(s, (str, bytes)) else s
+            except (ValueError, TypeError):
+                v = s
+            if v is None:
+                texts.append("")
+                ok[i] = False
+            elif isinstance(v, str):
+                texts.append(v)
+            else:
+                texts.append(s if isinstance(s, str) else _to_str(v))
+        return out(StringData.from_pylist(texts), ok if not ok.all() else None)
     # anything -> string
     if isinstance(dst, StringType):
         return out(StringData.from_pylist([_to_str(v) for v in col.to_pylist()]))

@@ -146,6 +146,18 @@ def _exec_scan(plan: Scan) -> Iterator[DataBlock]:
             futures.append(pool.submit(table.read_block, parts[idx].meta, needed))
             idx += 1
         block = _materialize_internal(plan, part, block)
+        if plan.virtual_columns:
+            # variant virtual columns from the block's sidecar parquet
+            # (EE; reference virtual_column_reader_parquet.rs) — attached
+            # before the filter so pushed-down predicates can use them
+            from ..storage.fuse.virtual_column import read_virtual_columns
+            vcols = read_virtual_columns(table, part.meta,
+                                         plan.virtual_columns,
+                                         block.num_rows)
+            names = list(block.names) + list(plan.virtual_columns)
+            cols = list(block.columns) + [vcols[w]
+                                          for w in plan.virtual_columns]
+            block = DataBlock(names, cols, block.num_rows)
         if pd.filters is not None:
             mask_col = Evaluator(block).run(pd.filters)
             mask = np.asarray(mask_col.data, dtype=np.bool_)
@@ -922,6 +934,15 @@ def _exec_aggregate(plan: AggregatePlan):
     fast = _try_stats_aggregate(plan)
     if fast is not None:
         yield fast
+        return
+
+    # single-chip device routing: Scan->Filter->Aggregate as ONE XLA
+    # program over HBM-resident table columns (the analog of the
+    # reference's in-executor aggregation, query_pipeline_executor.rs:62)
+    from .device_scan_agg import try_device_scan_agg
+    dev = try_device_scan_agg(plan)
+    if dev is not None:
+        yield dev
         return
 
     if not plan.keys:

@@ -26,15 +26,22 @@ from ..sql.plans import WindowItem, WindowPlan
 
 def _key_pair(col: Column, asc: bool, nulls_first: Optional[bool]):
     """(fill-value array, null-rank array or None) for one sort key —
-    same NULL convention as the sort operator (NULL largest by default)."""
-    if isinstance(col.data, StringData):
-        arr = np.array(col.data.to_pylist(), dtype=object)
-        arr = np.where(col.validity, arr, "") if col.validity is not None else arr
+    same NULL convention as the sort operator (NULL largest by default).
+
+    Strings ride the shared rank encoding (executor._comparable_array):
+    only the DISTINCT values decode and sort, then one int gather — the
+    per-window O(n*len) object-array decode this used to do is gone."""
+    from .executor import _comparable_array
+    arr = _comparable_array(col)
+    if not isinstance(arr, np.ndarray) or arr.dtype.kind == "O":
+        arr = np.asarray(col.data.to_pylist() if isinstance(
+            col.data, StringData) else arr, dtype=object)
+        if col.validity is not None:
+            arr = np.where(col.validity, arr, "")
         if not asc:
             uniq, inv = np.unique(arr.astype(str), return_inverse=True)
             arr = -inv.astype(np.int64)
     else:
-        arr = np.asarray(col.data)
         if arr.dtype.kind == "b":
             arr = arr.astype(np.int8)
         if not asc:
@@ -50,16 +57,33 @@ def _key_pair(col: Column, asc: bool, nulls_first: Optional[bool]):
 
 def _neq_prev(col: Column) -> np.ndarray:
     """Boolean [n]: row differs from previous row (row 0 = True);
-    NULLs compare equal to each other."""
-    vals = col.to_pylist()
-    out = np.empty(len(vals), np.bool_)
-    if not len(vals):
+    NULLs compare equal to each other. Vectorized: strings compare by
+    their block-local factorize codes, numerics element-wise."""
+    n = len(col)
+    out = np.empty(n, np.bool_)
+    if not n:
+        return out
+    key = None
+    if isinstance(col.data, StringData):
+        key = col.data.codes()
+        if key is None:
+            key = col.data.as_object_array()
+    elif isinstance(col.data, np.ndarray) and col.data.ndim == 1:
+        key = col.data
+    if key is None:  # nested layouts: per-row python compare
+        vals = col.to_pylist()
+        out[0] = True
+        prev = vals[0]
+        for i in range(1, n):
+            out[i] = vals[i] != prev
+            prev = vals[i]
         return out
     out[0] = True
-    prev = vals[0]
-    for i in range(1, len(vals)):
-        out[i] = vals[i] != prev
-        prev = vals[i]
+    neq = key[1:] != key[:-1]
+    if col.validity is not None:
+        v = col.validity
+        neq = (v[1:] != v[:-1]) | (v[1:] & v[:-1] & neq)
+    out[1:] = neq
     return out
 
 

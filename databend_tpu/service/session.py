@@ -1852,6 +1852,18 @@ def _stmt_refresh_index(s: SessionContext, st: A.RefreshIndex):
     return _ok(touched)
 
 
+def _stmt_refresh_virtual_column(s: SessionContext,
+                                 st: A.RefreshVirtualColumn):
+    """REFRESH VIRTUAL COLUMN FOR t: (re)extract variant scalar leaf
+    paths for every block (reference
+    interpreter_virtual_column_refresh.rs). EE-gated."""
+    from ..license import check_feature
+    check_feature(s, "virtual_column")
+    info = s.catalog.get_table(s.current_database, st.table)
+    n = s.open_table(info).refresh_virtual_columns()
+    return _ok(n)
+
+
 def _computed_defs(info) -> Dict[str, tuple]:
     """{lower column name: (expr_sql, 'STORED'|'VIRTUAL')} from options."""
     out = {}
@@ -2600,6 +2612,7 @@ _STATEMENTS = {
     A.CreateAggregatingIndex: _stmt_create_agg_index,
     A.DropIndex: _stmt_drop_index,
     A.RefreshIndex: _stmt_refresh_index,
+    A.RefreshVirtualColumn: _stmt_refresh_virtual_column,
     A.Insert: _stmt_insert,
     A.MultiInsert: _stmt_multi_insert,
     A.SetVariable: _stmt_set_variable,

@@ -591,15 +591,23 @@ def _sys_tags(s):
 
 def _sys_virtual_columns(s):
     """Virtual columns over variant data (reference
-    virtual_columns_table.rs); surfaced from table options."""
+    virtual_columns_table.rs); surfaced from table options and from the
+    latest snapshot's extracted-path registry (EE auto-extraction)."""
     dbs, tbls, exprs = [], [], []
     for d in s.catalog.list_databases():
         for info in s.catalog.list_tables(d.name):
             vc = (info.options or {}).get("virtual_columns")
+            if not vc:
+                try:
+                    snap = s.open_table(info).read_snapshot()
+                    if snap is not None and snap.virtual_columns:
+                        vc = sorted(snap.virtual_columns)
+                except Exception:
+                    vc = None
             if vc:
                 dbs.append(d.name)
                 tbls.append(info.name)
-                exprs.append(vc if isinstance(vc, str) else ",".join(vc))
+                exprs.append(vc if isinstance(vc, str) else ", ".join(vc))
     return _block([
         ("database", String, dbs), ("table", String, tbls),
         ("virtual_columns", String, exprs)])

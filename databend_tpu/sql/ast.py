@@ -625,6 +625,13 @@ class RefreshIndex(Statement):
 
 
 @dataclass
+class RefreshVirtualColumn(Statement):
+    """REFRESH VIRTUAL COLUMN FOR t (EE; reference
+    RefreshVirtualColumnStmt)."""
+    table: str
+
+
+@dataclass
 class Insert(Statement):
     table: str
     database: Optional[str]

@@ -884,6 +884,17 @@ class Binder:
             alias = ref.alias or ref.name
             for f in info.schema.fields:
                 ctx.add(f.name, f.dtype, alias)
+            # EE virtual columns: register this snapshot's extracted
+            # variant paths so get()/['k'] chains rewrite to the sidecar
+            # column (reference binder/virtual_column.rs)
+            try:
+                snap = table.read_snapshot(ref.at_snapshot)
+                if snap is not None and snap.virtual_columns:
+                    for vname, m in snap.virtual_columns.items():
+                        ctx.virtual_map[(alias.lower(), m["source"].lower(),
+                                         tuple(m["path"]))] = (vname, scan)
+            except Exception:
+                pass
             policied = self._apply_policies(info, scan, ctx)
             if policied is not None:
                 state.scan = None

@@ -62,6 +62,12 @@ class BindContext:
 
     def __init__(self):
         self.columns: List[tuple] = []  # (name, dtype, table, out_name)
+        # variant virtual columns of the scanned base table (EE):
+        # (alias, source_col, path_tuple) -> (vc_name, scan_plan)
+        # — populated by the binder when the snapshot registers extracted
+        # paths (reference binder/virtual_column.rs rewrite); single-table
+        # scans only (joins fall back to plain get())
+        self.virtual_map: dict = {}
 
     def add(self, name: str, dtype: DataType, table: Optional[str] = None,
             out_name: Optional[str] = None):
@@ -134,6 +140,9 @@ class ExprBinder:
             return self._func("is_not_null" if e.negated else "is_null", [self.bind(e.expr)])
         if isinstance(e, A.MapAccess):
             from ..types import MapType, TupleType
+            vc = self._try_virtual_column(e)
+            if vc is not None:
+                return vc
             base = self.bind(e.expr)
             key = self.bind(e.key)
             bt = base.dtype.remove_nullable()
@@ -182,6 +191,38 @@ class ExprBinder:
         if isinstance(e, A.Star):
             raise SemanticError("'*' is not valid here")
         raise SemanticError(f"cannot bind expression {type(e).__name__}")
+
+    def _try_virtual_column(self, e: "A.MapAccess") -> Optional[BoundColumn]:
+        """Rewrite a constant-key map-access chain over a scanned variant
+        column to its materialized virtual column (EE; reference
+        binder/virtual_column.rs). The stored sidecar holds the leaf as
+        VARIANT, so the substitution is exact for get() semantics."""
+        if not self.ctx.virtual_map:
+            return None
+        path: List[str] = []
+        node = e
+        while isinstance(node, A.MapAccess):
+            if not isinstance(node.key, A.Literal) \
+                    or not isinstance(node.key.value, str):
+                return None
+            path.append(node.key.value)
+            node = node.expr
+        if not isinstance(node, A.ColumnRef):
+            return None
+        try:
+            base = self.ctx.resolve(node.name, node.table)
+        except Exception:
+            return None
+        path.reverse()
+        key = ((base.table or "").lower(), base.name.lower(), tuple(path))
+        hit = self.ctx.virtual_map.get(key)
+        if hit is None:
+            return None
+        vc_name, scan = hit
+        if vc_name not in scan.virtual_columns:
+            scan.virtual_columns.append(vc_name)
+        from ..types import Variant
+        return BoundColumn(vc_name, Variant.wrap_nullable(), base.table)
 
     # ------------------------------------------------------------------ parts
     def _func(self, name: str, args: List[ScalarExpr]) -> Func:
@@ -244,6 +285,26 @@ class ExprBinder:
             b = CastExpr(b, ta, False)
         elif tb in (parse_type_name("DATE"), parse_type_name("TIMESTAMP")) and isinstance(ta, StringType):
             a = CastExpr(a, tb, False)
+        else:
+            # variant vs scalar: coerce the VARIANT side to the scalar's
+            # type with TRY semantics (reference jsonb comparisons:
+            # v['a'] = 2 compares numerically, v['c'] = 'y' by the
+            # unquoted string; non-coercible JSON -> NULL -> no match)
+            from ..types import VariantType
+            for x, tx, other_t in ((a, ta, tb), (b, tb, ta)):
+                if not isinstance(tx, VariantType) \
+                        or isinstance(other_t, VariantType):
+                    continue
+                if other_t.is_numeric() or other_t == Boolean:
+                    cast_to = Float64.wrap_nullable()
+                elif isinstance(other_t, StringType):
+                    cast_to = String.wrap_nullable()
+                else:
+                    continue
+                if x is a:
+                    a = CastExpr(a, cast_to, True)
+                else:
+                    b = CastExpr(b, cast_to, True)
         return a, b
 
     def _bind_interval_add(self, base: ScalarExpr, n: int, unit: str) -> Func:

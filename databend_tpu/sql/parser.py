@@ -1354,6 +1354,13 @@ class Parser:
 
     def parse_refresh(self):
         self.expect_keyword("REFRESH")
+        if self._at_word("VIRTUAL") and self.next():
+            if not (self._at_word("COLUMN") and self.next()):
+                self.error("expected COLUMN")
+            if self._at_word("FOR"):
+                self.next()
+            _, table = self.qualified_name()
+            return A.RefreshVirtualColumn(table)
         for itype in ("VECTOR", "INVERTED", "NGRAM", "AGGREGATING"):
             if self._at_word(itype) and self.next():
                 self.expect_keyword("INDEX")

@@ -46,6 +46,9 @@ class Scan(Plan):
     snapshot_id: Optional[str] = None
     # columns actually needed downstream (base schema names)
     columns: Optional[List[str]] = None
+    # variant virtual columns to surface (EE; read from the block's
+    # sidecar parquet — reference virtual_column_reader_parquet.rs)
+    virtual_columns: List[str] = field(default_factory=list)
 
     def output_fields(self):
         from ..expression.schema import (SEARCH_MATCHED_COL_NAME,
@@ -62,11 +65,17 @@ class Scan(Plan):
                 fields.append(DataField(ic, Float32))
             elif ic == SEARCH_MATCHED_COL_NAME:
                 fields.append(DataField(ic, Boolean))
+        if self.virtual_columns:
+            from ..types import Variant
+            fields += [DataField(vc, Variant.wrap_nullable())
+                       for vc in self.virtual_columns]
         return fields
 
     def _explain_line(self):
         pd = self.pushdown
         bits = [f"Scan: {self.table.info.database}.{self.table.info.name}"]
+        if self.virtual_columns:
+            bits.append(f"virtual_columns=[{', '.join(self.virtual_columns)}]")
         if pd.filters is not None:
             bits.append(f"filter=[{pd.filters.display()}]")
         if pd.limit is not None:
@@ -152,6 +161,8 @@ class AggregatePlan(Plan):
                 f"aggs=[{', '.join(n for n, _, _ in self.aggs)}]")
         if self.agg_index:
             line += f" from_index={self.agg_index} (index-only scan)"
+        if getattr(self, "_device_routed", False):
+            line += " device=scan_agg (one XLA program, resident columns)"
         return line
 
 

@@ -39,6 +39,10 @@ class BlockMeta:
     # (reference TableIndexType::Aggregating; per-block materialized
     # aggregate partials)
     agg_indexes: Dict[str, dict] = field(default_factory=dict)
+    # EE virtual columns: {"location": sidecar parquet,
+    #  "columns": [{"name","source","path","type"}]} (reference
+    # virtual_column_builder.rs)
+    virtual_column: Optional[dict] = None
 
     def to_dict(self):
         return {
@@ -52,6 +56,8 @@ class BlockMeta:
             "ngram_index": self.ngram_index,
             "cluster_id": self.cluster_id,
             "agg_indexes": self.agg_indexes,
+            **({"virtual_column": self.virtual_column}
+               if self.virtual_column else {}),
         }
 
     @staticmethod
@@ -61,7 +67,7 @@ class BlockMeta:
             {k: ColumnStats.from_dict(v) for k, v in d.get("col_stats", {}).items()},
             d.get("vector_indexes", {}), d.get("inverted_indexes", {}),
             d.get("bloom_index"), d.get("ngram_index"), d.get("cluster_id"),
-            d.get("agg_indexes", {}))
+            d.get("agg_indexes", {}), d.get("virtual_column"))
 
     def vector_stats_for(self, index_name: str) -> Optional[VectorStats]:
         vi = self.vector_indexes.get(index_name)
@@ -111,6 +117,10 @@ class TableSnapshot:
     # schema at commit time (reference: TableSnapshot carries the schema)
     # — makes table dirs self-describing so ATTACH TABLE can open them
     schema: Optional[dict] = None
+    # registry of variant virtual columns present in this snapshot's
+    # blocks: {name: {"source","path","type"}} — read by the binder's
+    # get()-rewrite (reference: virtual column metas in the snapshot)
+    virtual_columns: Optional[dict] = None
 
     def to_dict(self):
         d = {
@@ -124,6 +134,8 @@ class TableSnapshot:
         }
         if self.schema is not None:
             d["schema"] = self.schema
+        if self.virtual_columns:
+            d["virtual_columns"] = self.virtual_columns
         return d
 
     @staticmethod
@@ -131,7 +143,7 @@ class TableSnapshot:
         return TableSnapshot(d["snapshot_id"], d["segments"], d.get("row_count", 0),
                              d.get("block_count", 0), d.get("index_size", 0),
                              d.get("prev_snapshot"), d.get("timestamp", 0.0),
-                             d.get("schema"))
+                             d.get("schema"), d.get("virtual_columns"))
 
 
 def write_json(path: str, payload: dict) -> None:

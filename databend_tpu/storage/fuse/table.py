@@ -286,6 +286,8 @@ class FuseTable:
         for idx in self.info.indexes.values():
             if idx.index_type == "AGGREGATING" and "aggs" in idx.options:
                 self._build_agg_index(meta, chunk, uid, idx)
+        # EE virtual columns: variant scalar leaf paths -> sidecar parquet
+        self._build_virtual_columns(meta, chunk, uid)
         # ngram (LIKE) filters
         ngram_cols = {}
         for idx in self.info.ngram_indexes():
@@ -462,6 +464,32 @@ class FuseTable:
             "size": size}
 
     # ----------------------------------------------------------------- commit
+    def _build_virtual_columns(self, meta: BlockMeta, chunk: DataBlock,
+                               uid: str) -> None:
+        """Extract variant scalar leaf paths into a sidecar parquet
+        (reference virtual_column_builder.rs:145; EE-gated, opt-in via
+        enable_experimental_virtual_column)."""
+        from ...utils.current import current_session
+        s = current_session()
+        if s is None:
+            return
+        try:
+            if not bool(s.settings.get("enable_experimental_virtual_column")):
+                return
+            from ...license import check_feature
+            check_feature(s, "virtual_column")
+        except Exception:
+            return
+        from .virtual_column import extract_virtual_columns
+        side, vmetas = extract_virtual_columns(chunk)
+        if side is None:
+            return
+        rel = f"_i/{uid}.virtual.parquet"
+        OPERATOR.makedirs(self.abs_path("_i"))
+        size = block_io.write_block(self.abs_path(rel), side)
+        meta.virtual_column = {"location": rel, "size": size,
+                               "columns": vmetas}
+
     def _commit(self, new_segments: List[str], overwrite: bool) -> TableSnapshot:
         """CAS the snapshot pointer; on conflict re-base (append-only merge),
         mirroring the reference's OCC retry (sink_commit.rs:791-808)."""
@@ -487,6 +515,7 @@ class FuseTable:
         row_count = 0
         block_count = 0
         index_size = 0
+        vc_registry = {}
         for s in segments:
             seg = SegmentInfo.from_dict(read_json(self.abs_path(s)))
             row_count += seg.row_count
@@ -494,9 +523,14 @@ class FuseTable:
             for b in seg.blocks:
                 index_size += sum(v.get("size", 0) for v in b.vector_indexes.values())
                 index_size += sum(v.get("size", 0) for v in b.inverted_indexes.values())
+                for c in (b.virtual_column or {}).get("columns", []):
+                    vc_registry.setdefault(
+                        c["name"], {"source": c["source"], "path": c["path"],
+                                    "type": c["type"]})
         return TableSnapshot(new_uuid(), segments, row_count, block_count,
                              index_size, prev.snapshot_id if prev else None,
-                             time.time(), schema=self.info.schema.to_dict())
+                             time.time(), schema=self.info.schema.to_dict(),
+                             virtual_columns=vc_registry or None)
 
     def truncate(self) -> TableSnapshot:
         return self._commit([], overwrite=True)
@@ -625,6 +659,52 @@ class FuseTable:
                         self._build_agg_index(bm, block, uid, idx)
                     else:
                         self._build_inverted_index(bm, block, uid, idx)
+                touched += 1
+                changed = True
+            if changed:
+                loc = f"_sg/{new_uuid()}.json"
+                write_json(self.abs_path(loc), seg.to_dict())
+                new_segments.append(loc)
+            else:
+                new_segments.append(seg_loc)
+        if touched:
+            self._commit_replace(new_segments)
+        return touched
+
+    def refresh_virtual_columns(self) -> int:
+        """(Re)extract variant virtual columns for blocks that lack a
+        sidecar (reference interpreter_virtual_column_refresh.rs).
+        Returns blocks touched."""
+        from ...types import VariantType
+        from .virtual_column import extract_virtual_columns
+        if not any(isinstance(f.dtype.remove_nullable(), VariantType)
+                   for f in self.schema.fields):
+            from ...errors import SemanticError
+            raise SemanticError(
+                "Virtual column only support variant type, but this table"
+                " don't have variant type fields")
+        snap = self.read_snapshot()
+        if snap is None:
+            return 0
+        touched = 0
+        new_segments = []
+        for seg_loc in snap.segments:
+            seg = SegmentInfo.from_dict(read_json(self.abs_path(seg_loc)))
+            changed = False
+            for bm in seg.blocks:
+                if bm.virtual_column is not None:
+                    continue
+                block = block_io.read_block(self.abs_path(bm.location),
+                                            self.schema)
+                side, vmetas = extract_virtual_columns(block)
+                if side is None:
+                    continue
+                uid = bm.location.split("/")[-1].split(".")[0]
+                rel = f"_i/{uid}.virtual.parquet"
+                OPERATOR.makedirs(self.abs_path("_i"))
+                size = block_io.write_block(self.abs_path(rel), side)
+                bm.virtual_column = {"location": rel, "size": size,
+                                     "columns": vmetas}
                 touched += 1
                 changed = True
             if changed:

@@ -208,6 +208,18 @@ int main(int argc, char** argv) {
             qs[(size_t)i * DIM + d] = x[(size_t)src * DIM + d] + 0.05f * N(rng);
     }
 
+    if (argc > 8) {
+        // dump corpus/queries so the TPU bulk build can run on IDENTICAL
+        // data (apples-to-apples build-quality table, VERDICT r3 item 5)
+        char path[512];
+        snprintf(path, sizeof path, "%s.data.f32", argv[8]);
+        FILE* f = fopen(path, "wb");
+        fwrite(x.data(), sizeof(float), x.size(), f); fclose(f);
+        snprintf(path, sizeof path, "%s.queries.f32", argv[8]);
+        f = fopen(path, "wb");
+        fwrite(qs.data(), sizeof(float), qs.size(), f); fclose(f);
+    }
+
     HNSW h;
     h.m = m; h.m0 = 2 * m; h.ef_c = ef_c;
     h.level_mult = 1.0 / std::log((double)m);

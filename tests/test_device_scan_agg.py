@@ -1,0 +1,174 @@
+"""Single-chip device scan-aggregate route (pipeline/device_scan_agg.py).
+
+The route compiles Scan->Filter->Aggregate onto the device over
+HBM-resident column forms; these tests force it on (min_rows=0) and
+assert results are IDENTICAL to the host path — the exactness claim
+(base-256 limb sums) is load-bearing, so sums compare exactly, not
+within a tolerance. Reference behavior: aggregation inside the pipeline
+executor (query_pipeline_executor.rs:62)."""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from databend_tpu import SessionContext
+from databend_tpu.expression import Column, DataBlock
+from databend_tpu.types import Date, Float64, Int64, String
+from databend_tpu.utils.metrics import METRICS
+
+
+def _routed():
+    return METRICS.snapshot().get("device_scan_agg_queries", 0)
+
+
+@pytest.fixture()
+def ctx():
+    c = SessionContext(data_root=tempfile.mkdtemp())
+    c.sql("set device_scan_agg_min_rows = 0")
+    yield c
+
+
+def _mkdata(ctx, n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    ks = rng.choice(["A", "B", "C"], n)
+    k2 = rng.integers(0, 2, n)
+    d = rng.integers(10000, 12000, n)
+    q = rng.integers(1, 51, n).astype(float)
+    p = (rng.random(n) * 1000).round(2)
+    x = rng.integers(0, 100, n).astype(object)
+    x[rng.random(n) < 0.1] = None
+    neg = (rng.random(n) * 20 - 10).round(2)
+    ctx.sql("create table t (k string, k2 int, d date, q double,"
+            " p double, x int null, neg double)")
+    cols = [Column.from_pylist(list(ks), String),
+            Column(Int64, k2.astype(np.int64)),
+            Column(Date, d.astype(np.int32)),
+            Column(Float64, q), Column(Float64, p),
+            Column.from_pylist(list(x), Int64.wrap_nullable()),
+            Column(Float64, neg)]
+    ctx.insert_block("t", DataBlock(["k", "k2", "d", "q", "p", "x", "neg"],
+                                    cols, n))
+
+
+def _both(ctx, sql):
+    ctx.sql("set enable_device_local_execution = 0")
+    host = ctx.sql(sql).rows()
+    ctx.sql("set enable_device_local_execution = 1")
+    before = _routed()
+    dev = ctx.sql(sql).rows()
+    assert _routed() == before + 1, f"route did not engage for: {sql}"
+    return host, dev
+
+
+def _assert_same(host, dev):
+    assert len(host) == len(dev)
+    for hr, dr in zip(host, dev):
+        assert len(hr) == len(dr)
+        for a, b in zip(hr, dr):
+            if isinstance(a, float) and isinstance(b, float):
+                # sums/avgs must agree to f64 round-off of the HOST path
+                assert b == pytest.approx(a, rel=1e-12, abs=1e-9), (hr, dr)
+            else:
+                assert a == b, (hr, dr)
+
+
+def test_grouped_all_agg_kinds(ctx):
+    _mkdata(ctx)
+    host, dev = _both(ctx, """
+        select k, k2, sum(q) s1, sum(p) s2, sum(p*(1-q/100)) s3,
+               avg(p) a1, count(*) c, count(x) cx, sum(x) sx,
+               min(p) mp, max(d) md, min(k) mk, sum(neg) sn
+        from t where d <= to_date('2002-09-02') and k <> 'C'
+        group by k, k2 order by k, k2""")
+    _assert_same(host, dev)
+
+
+def test_filter_shapes(ctx):
+    _mkdata(ctx)
+    for cond in ["d > to_date('1999-05-05')", "k = 'A'", "k2 = 1",
+                 "q >= 10 and q < 40", "x is null", "x is not null",
+                 "not (k = 'B')", "k = 'A' or k2 = 0",
+                 "p <= 500.25 and neg > -5"]:
+        host, dev = _both(
+            ctx, f"select k, count(*), sum(p) from t where {cond}"
+                 " group by k order by k")
+        _assert_same(host, dev)
+
+
+def test_global_aggregate_and_empty(ctx):
+    _mkdata(ctx)
+    host, dev = _both(ctx, "select sum(p), avg(q), count(*), count(x),"
+                           " min(d), max(p) from t where k <> 'Z'")
+    _assert_same(host, dev)
+    # empty filter result: count 0, sums/min/max NULL
+    host, dev = _both(ctx, "select sum(p), count(*), min(d) from t"
+                           " where d < to_date('1970-01-02')")
+    _assert_same(host, dev)
+    assert dev == [(None, 0, None)]
+
+
+def test_exactness_beats_host_f64(ctx):
+    """The limb path is exact where host f64 accumulation rounds: the
+    device sum of 2-decimal values is the true decimal sum."""
+    n = 20000
+    vals = np.full(n, 0.1)
+    ctx.sql("create table e (v double)")
+    ctx.insert_block("e", DataBlock(["v"], [Column(Float64, vals)], n))
+    ctx.sql("set enable_device_local_execution = 1")
+    before = _routed()
+    (got,) = ctx.sql("select sum(v) from e").rows()[0]
+    assert _routed() == before + 1
+    assert got == 2000.0  # exactly; np.sum of f64 0.1s drifts
+
+
+def test_negative_values_and_bias(ctx):
+    _mkdata(ctx)
+    host, dev = _both(ctx, "select k, sum(neg), min(neg), max(neg)"
+                           " from t group by k order by k")
+    _assert_same(host, dev)
+
+
+def test_multi_chunk(ctx, monkeypatch):
+    import databend_tpu.pipeline.device_scan_agg as dsa
+    monkeypatch.setattr(dsa, "CHUNK_ROWS", 777)
+    _mkdata(ctx, n=3000)
+    host, dev = _both(ctx, """
+        select k, sum(p), count(*), min(p), max(d), sum(x)
+        from t where q < 40 group by k order by k""")
+    _assert_same(host, dev)
+
+
+def test_snapshot_isolation(ctx):
+    """New snapshot -> new resident forms; results track the new data."""
+    _mkdata(ctx, n=2000)
+    ctx.sql("set enable_device_local_execution = 1")
+    r1 = ctx.sql("select count(*) from t where q < 100").rows()
+    ctx.sql("insert into t select * from t")
+    r2 = ctx.sql("select count(*) from t where q < 100").rows()
+    assert r2[0][0] == 2 * r1[0][0]
+
+
+def test_bails_to_host(ctx):
+    """Ineligible shapes must fall back, not fail: high-cardinality
+    grid, LIKE predicates, distinct aggregates, joins."""
+    _mkdata(ctx)
+    ctx.sql("set enable_device_local_execution = 1")
+    before = _routed()
+    # high-card group (q x p grid blows device_scan_agg_max_groups)
+    ctx.sql("select q, p, count(*) from t group by q, p limit 3").rows()
+    # LIKE predicate is host-only
+    ctx.sql("select k, count(*) from t where k like 'A%' group by k").rows()
+    # DISTINCT aggregate
+    ctx.sql("select k, count(distinct q) from t group by k").rows()
+    assert _routed() == before
+    err = METRICS.snapshot().get("device_scan_agg_errors", 0)
+    assert err == 0
+
+
+def test_route_respects_min_rows(ctx):
+    _mkdata(ctx, n=500)
+    ctx.sql("set device_scan_agg_min_rows = 1000000")
+    before = _routed()
+    ctx.sql("select k, count(*) from t group by k").rows()
+    assert _routed() == before
