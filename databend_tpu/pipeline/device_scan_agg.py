@@ -103,6 +103,7 @@ class DeviceTableColumns:
         self.table = table
         self.snapshot_id = snapshot_id
         self.n_rows = 0
+        self._sample_ndv: Dict[str, int] = {}
         self.names: List[str] = []
         # name -> {"codes": [dev i32 per chunk], "uniques": np, "has_null",
         #          "planes": [dev u8 [c,p] per chunk], "scale", "bias",
@@ -151,6 +152,38 @@ class DeviceTableColumns:
         if not ("codes" in ent and "planes" in ent):
             ent["_host"] = col
         return ent
+
+    def sample_ndv(self, name: str) -> int:
+        """Distinct count of the FIRST block only — a cheap upper-bound
+        screen before paying a whole-table codes build (a 6M-row column
+        read + np.unique costs seconds; a bailing GROUP BY should not
+        pay it)."""
+        cached = self._sample_ndv.get(name)
+        if cached is not None:
+            return cached
+        from ..storage.fuse import block_io
+        snap = self.table.read_snapshot(self.snapshot_id)
+        ndv = 0
+        if snap is not None:
+            done = False
+            for seg in self.table.read_segments(snap):
+                for bm in seg.blocks:
+                    b = block_io.read_block(
+                        self.table.abs_path(bm.location),
+                        self.table.schema, projection=[name])
+                    col = b.column(name)
+                    try:
+                        vals, valid = self._values_validity(col)
+                        sel = vals if valid is None else vals[valid]
+                        ndv = len(np.unique(sel))
+                    except (TypeError, _Bail):
+                        ndv = 1 << 30
+                    done = True
+                    break
+                if done:
+                    break
+        self._sample_ndv[name] = ndv
+        return ndv
 
     def _values_validity(self, col: Column):
         from ..expression.column import StringData
@@ -684,6 +717,14 @@ def _settings():
     return s.settings
 
 
+def _has_filter(plan) -> bool:
+    from ..sql.plans import FilterPlan, Scan
+    node = plan.child
+    if isinstance(node, FilterPlan):
+        return True
+    return type(node) is Scan and node.pushdown.filters is not None
+
+
 def _unwrap_scan(plan):
     """Aggregate child -> (Scan, filter_expr) or bail."""
     from ..sql.plans import FilterPlan, Scan
@@ -733,6 +774,17 @@ def try_device_scan_agg(plan) -> Optional[DataBlock]:
         return None
     if snap is None or snap.row_count < min_rows:
         return None
+    # work screen (measured, benchmarks/hits_ab): a bare single-aggregate
+    # scan (COUNT(*) with a cheap filter, one AVG) finishes on the host
+    # inside the ~30 ms dispatch RTT even at 1M rows — route only shapes
+    # with real per-row work: a filter or grouping AND either several
+    # aggregates or a computed aggregate argument
+    has_computed = any(ae and not isinstance(ae[0], BoundColumn)
+                       for _, _, ae in plan.aggs)
+    has_shape = bool(plan.keys) or _has_filter(plan)
+    if min_rows > 0 and not (
+            has_shape and (len(plan.aggs) >= 2 or has_computed)):
+        return None  # min_rows = 0 forces the route (tests/debug)
     for _, fn, arg_exprs in plan.aggs:
         if getattr(fn, "distinct", False) or getattr(fn, "multi_arg", False):
             return None
@@ -756,6 +808,27 @@ def try_device_scan_agg(plan) -> Optional[DataBlock]:
         return None
 
 
+def _ndv_estimate(scan, dtc: DeviceTableColumns, name: str) -> int:
+    """Distinct-count estimate for a base column: ANALYZE stats when
+    available, else the first-block sample (a lower bound — the exact
+    post-build grid check still applies)."""
+    try:
+        from ..statistics.table_stats import load_table_stats
+        from ..utils.current import current_session
+        s = current_session()
+        ts = load_table_stats(s, scan.table.info.table_id) \
+            if s is not None else None
+        cs = ts.columns.get(name) if ts is not None else None
+        if cs is not None and cs.ndv:
+            return int(cs.ndv)
+    except Exception:
+        pass
+    try:
+        return dtc.sample_ndv(name)
+    except Exception:
+        return 1 << 30
+
+
 def _freeze(x):
     if isinstance(x, (list, tuple)):
         return tuple(_freeze(i) for i in x)
@@ -775,6 +848,22 @@ def _execute(plan, scan, filt, snap, max_groups: int) -> DataBlock:
 
     dtc = get_table_columns(scan.table, snap.snapshot_id)
     comp = _Compiler(dtc)
+
+    # cheap grid screen BEFORE any codes build: ANALYZE NDV when present,
+    # else a first-block distinct sample — a high-cardinality GROUP BY
+    # (e.g. group by l_orderkey) must bail in ~ms, not after a whole-
+    # table column read + np.unique
+    est_grid = 1
+    for _, e in plan.keys:
+        ent = dtc.cols.get(e.name, {})
+        if "codes" in ent:
+            size = len(ent["uniques"])
+        else:
+            size = _ndv_estimate(scan, dtc, e.name)
+        est_grid *= size + 1
+        if est_grid > max_groups:
+            raise _Bail("group grid estimate exceeds"
+                        " device_scan_agg_max_groups")
 
     pred_ir = comp.pred(filt)
     group: List[Tuple[int, int]] = []

@@ -27,6 +27,8 @@ def bind_table_function(session, ref: A.TableFunctionRef) -> Plan:
         return _fuse_segment(session, ref.args)
     if name in ("fuse_block", "fuse_blocks"):
         return _fuse_block(session, ref.args)
+    if name in ("fuse_virtual_column", "fuse_virtual_columns"):
+        return _fuse_virtual_column(session, ref.args)
     if name in ("unnest", "flatten"):
         return _flatten_const(ref.args, name == "unnest")
     if name in ("generate_series", "range"):
@@ -34,6 +36,31 @@ def bind_table_function(session, ref: A.TableFunctionRef) -> Plan:
     if name == "result_scan":
         return _result_scan(session, ref.args)
     raise SemanticError(f"unknown table function {ref.name!r}")
+
+
+def _fuse_virtual_column(session, args) -> Plan:
+    """fuse_virtual_column('db','t'): per-block extracted variant paths
+    (reference table_functions/fuse_virtual_column.rs)."""
+    db, tbl = _const_args(args, 2, "fuse_virtual_column")
+    table = _open(session, db, tbl)
+    rows = []
+    snap = table.read_snapshot()
+    if snap is not None:
+        for seg in table.read_segments(snap):
+            for b in seg.blocks:
+                vc = b.virtual_column or {}
+                names_ = ", ".join(c["name"] for c in vc.get("columns", []))
+                rows.append((b.location, b.row_count,
+                             len(vc.get("columns", [])),
+                             vc.get("size"), names_ or None))
+    names = ["block_location", "row_count", "virtual_column_count",
+             "virtual_column_size", "virtual_columns"]
+    types = [String, Int64, Int64, Int64.wrap_nullable(),
+             String.wrap_nullable()]
+    cols = [Column.from_pylist([r[i] for r in rows], t)
+            for i, t in enumerate(types)]
+    return ValuesPlan(DataBlock(names, cols, len(rows)),
+                      [DataField(n, t) for n, t in zip(names, types)])
 
 
 def _flatten_const(args, unnest: bool) -> Plan:

@@ -107,3 +107,10 @@ def test_join_falls_back(ctx):
     got = ctx.sql("select t.v['a'] from t join t2 on t.id = t2.id"
                   " where t2.id = 1").rows()
     assert got == [("2",)]
+
+
+def test_fuse_virtual_column_table_function(ctx):
+    _load(ctx)
+    rows = ctx.sql("select * from fuse_virtual_column('default','t')").rows()
+    assert rows and all(r[2] >= 1 for r in rows), rows
+    assert any("v['a']" in (r[4] or "") for r in rows)
