@@ -1,0 +1,52 @@
+"""ClickBench A/B: host path vs device scan-agg route, per query, in ONE
+process (same caches, same box state) — the methodology that replaced a
+two-process comparison whose uniform speedups turned out to be CPU
+contention noise. Emits one JSON line per query with both timings and
+whether the route engaged."""
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import hits  # noqa: E402
+
+
+def main():
+    from databend_tpu import SessionContext
+    from databend_tpu.utils.metrics import METRICS
+    rng = np.random.default_rng(42)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    data = hits.make_hits(n, rng)
+    ctx = SessionContext(data_root=tempfile.mkdtemp())
+    hits.load(ctx, data, n)
+    th = td = 0.0
+    for name, sql in hits.QUERIES.items():
+        ctx.sql("set enable_device_local_execution = 0")
+        ctx.sql(sql)
+        t0 = time.time()
+        ctx.sql(sql)
+        h = (time.time() - t0) * 1e3
+        ctx.sql("set enable_device_local_execution = 1")
+        before = METRICS.snapshot().get("device_scan_agg_queries", 0)
+        ctx.sql(sql)  # warm route (cache build)
+        t0 = time.time()
+        ctx.sql(sql)
+        d = (time.time() - t0) * 1e3
+        routed = METRICS.snapshot().get("device_scan_agg_queries", 0) > before
+        th += h
+        td += d
+        print(json.dumps({"query": name, "host_ms": round(h, 1),
+                          "routed_ms": round(d, 1),
+                          "device": bool(routed)}), flush=True)
+    print(json.dumps({"host_total_s": round(th / 1000, 2),
+                      "routed_total_s": round(td / 1000, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
