@@ -2278,6 +2278,22 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
             ["name", "value", "default", "description"],
             [Column.from_pylist([str(r[i]) for r in rows], String) for i in range(4)]),
             [DataField(n, String) for n in ("name", "value", "default", "description")])
+    if st.what == "VIRTUAL COLUMNS":
+        # reference ShowVirtualColumnsStmt: the registry behind
+        # system.virtual_columns, optionally filtered to one table
+        from .system_tables import SYSTEM_TABLES
+        blk, _ = SYSTEM_TABLES["virtual_columns"](s)
+        rows = [tuple(c.get(i) for c in blk.columns)
+                for i in range(blk.num_rows)
+                if (st.from_db is None
+                    or blk.column("table").get(i).lower()
+                    == st.from_db.lower())
+                and match(blk.column("table").get(i))]
+        cols = [Column.from_pylist([r[i] for r in rows], String)
+                for i in range(3)]
+        names = ["database", "table", "virtual_columns"]
+        return QueryResult(DataBlock(names, cols, len(rows)),
+                           [DataField(n, String) for n in names])
     if st.what == "FUNCTIONS":
         from ..expression.functions import registry
         from ..expression.functions.aggregates import AGGREGATE_FUNCTIONS

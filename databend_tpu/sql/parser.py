@@ -1640,6 +1640,13 @@ class Parser:
                 from_db = self.ident()
             like = self._opt_like()
             return A.ShowStmt("TABLES", from_db, like)
+        if self._at_word("VIRTUAL") and self.next():
+            if not (self._at_word("COLUMNS") and self.next()):
+                self.error("expected COLUMNS")
+            from_tbl = None
+            if self.accept_keyword("FROM") or self.accept_keyword("IN"):
+                _, from_tbl = self.qualified_name()
+            return A.ShowStmt("VIRTUAL COLUMNS", from_tbl, self._opt_like())
         if self._at_word("COLUMNS", "FIELDS"):
             self.next()
             if not (self.accept_keyword("FROM") or self.accept_keyword("IN")):

@@ -114,3 +114,10 @@ def test_fuse_virtual_column_table_function(ctx):
     rows = ctx.sql("select * from fuse_virtual_column('default','t')").rows()
     assert rows and all(r[2] >= 1 for r in rows), rows
     assert any("v['a']" in (r[4] or "") for r in rows)
+
+
+def test_show_virtual_columns(ctx):
+    _load(ctx)
+    rows = ctx.sql("show virtual columns from t").rows()
+    assert rows and rows[0][1] == "t" and "v['a']" in rows[0][2]
+    assert ctx.sql("show virtual columns").rows()
