@@ -489,7 +489,7 @@ def _exec_sort(plan: SortPlan):
         blocks.append(b)
     if not blocks:
         return
-    if plan.distributed and plan.limit is not None and len(plan.items) == 1:
+    if plan.distributed and plan.limit is not None and plan.items:
         out = _try_distributed_topn(plan, blocks)
         if out is not None:
             yield out
@@ -534,17 +534,31 @@ def _try_distributed_topn(plan: SortPlan, blocks):
     through RANK COMPRESSION: the order-preserving dense rank of each row
     (strings through the rank-encoded comparable array, NULLs placed per
     nulls_first) is exact in f32 up to 2^24 rows — so the device program
-    only ever selects on compact int ranks, never on raw values."""
+    only ever selects on compact int ranks, never on raw values.
+    MULTI-key sorts compress to one composite rank via the same lexsort
+    machinery the host sort uses (exact total order), so every
+    ORDER BY ... LIMIT shape rides the exchange."""
     from ..parallel.exchange import sharded_topn
     from ..parallel.mesh import get_default_mesh
     mesh = get_default_mesh()
     if mesh is None:
         return None
-    it = plan.items[0]
     merged = DataBlock.concat(blocks)
     n = merged.num_rows
     if n > (1 << 24):
         return None  # rank exceeds exact f32 range
+    if len(plan.items) > 1:
+        try:
+            keys = _sort_key_arrays(merged, plan.items)
+        except Exception:
+            return None
+        order = np.lexsort(keys)
+        ranks = np.empty(n, np.int64)
+        ranks[order] = np.arange(n, dtype=np.int64)
+        ids = sharded_topn(mesh, ranks.astype(np.float32),
+                           int(plan.limit), asc=True)
+        return merged.take(ids.astype(np.int64))
+    it = plan.items[0]
     col = merged.column(it.name)
     if isinstance(col.data, np.ndarray) and col.data.ndim == 1 \
             and col.data.dtype.kind in "iuf" and col.validity is None \

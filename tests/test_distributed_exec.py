@@ -68,6 +68,29 @@ def test_distributed_topn(dctx):
     assert host == dist
 
 
+def test_distributed_topn_multi_key(dctx):
+    """Multi-key ORDER BY ... LIMIT rides the merge exchange via one
+    composite lexsort rank (round-4 widening of the single-key gate)."""
+    from databend_tpu.parallel import exchange as ex
+    calls = {"n": 0}
+    orig = ex.sharded_topn
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+    ex.sharded_topn = spy
+    try:
+        host, dist = _both(dctx, "SELECT grp, k, v FROM m"
+                                 " ORDER BY grp, v DESC LIMIT 9")
+        assert host == dist
+        host, dist = _both(dctx, "SELECT k, grp, v FROM m"
+                                 " ORDER BY k DESC, grp, v LIMIT 5")
+        assert host == dist
+    finally:
+        ex.sharded_topn = orig
+    assert calls["n"] >= 2
+
+
 def test_distributed_broadcast_join(dctx):
     q = ("SELECT count(*), sum(tag) FROM m JOIN dim ON m.grp = dim.grp "
          "WHERE v < 0.5")
