@@ -168,17 +168,11 @@ def _exec_scan(plan: Scan) -> Iterator[DataBlock]:
             yield block
 
 
-_IO_POOL = None
-
-
 def _io_pool():
-    """Process-wide block-IO prefetch pool (GlobalIORuntime analog)."""
-    global _IO_POOL
-    if _IO_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-        _IO_POOL = ThreadPoolExecutor(max_workers=4,
-                                      thread_name_prefix="block-io")
-    return _IO_POOL
+    """Process-wide block-IO prefetch pool (GlobalIORuntime analog) —
+    one of the separated runtimes in utils/runtimes.py."""
+    from ..utils.runtimes import pool
+    return pool("io")
 
 
 def _materialize_internal(plan: Scan, part, block: DataBlock) -> DataBlock:

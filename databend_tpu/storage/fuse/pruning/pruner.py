@@ -158,12 +158,10 @@ class FusePruner:
         if not points:
             return blocks
         cache = CacheManager.instance().bloom_filters
-        out = []
-        for b in blocks:
+
+        def block_keeps(b) -> bool:
             if b.bloom_index is None:
-                out.append(b)
-                continue
-            keep = True
+                return True
             for col_name, value, dtype in points:
                 loc = b.bloom_index.get("columns", {}).get(col_name.lower())
                 if loc is None:
@@ -175,11 +173,18 @@ class FusePruner:
                     self.table.abs_path(b.bloom_index["location"]) + "#" + col_name.lower(),
                     lambda loc=loc, b=b: self.table.load_bloom(b, col_name.lower()))
                 if flt is not None and not flt.contains_hash(h):
-                    keep = False
-                    break
-            if keep:
-                out.append(b)
-        return out
+                    return False
+            return True
+
+        if len(blocks) > 16:
+            # filter loads are file IO: fan out on the pruning runtime
+            # (reference: the pruning tasks run on their own runtime,
+            # fuse_pruner.rs:386 — separated from block IO in
+            # utils/runtimes.py)
+            from ....utils.runtimes import pool
+            keeps = list(pool("pruning").map(block_keeps, blocks))
+            return [b for b, k in zip(blocks, keeps) if k]
+        return [b for b in blocks if block_keeps(b)]
 
     def _spatial_prune(self, blocks: List[BlockMeta]) -> List[BlockMeta]:
         """Drop blocks whose geometry bbox misses an st_within_bbox query
