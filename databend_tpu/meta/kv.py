@@ -33,7 +33,13 @@ class MetaStore:
         self._path = path
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            self._db = sqlite3.connect(path, check_same_thread=False)
+            # timeout installs sqlite's busy handler so contention from
+            # other processes degrades to latency, not "database is
+            # locked" errors (observed under external CPU load in
+            # tests/test_concurrency_stress.py)
+            self._db = sqlite3.connect(path, check_same_thread=False,
+                                       timeout=30.0)
+            self._db.execute("PRAGMA busy_timeout=30000")
             self._db.execute(
                 "CREATE TABLE IF NOT EXISTS kv (key TEXT PRIMARY KEY, seq INTEGER, value TEXT)")
             self._db.execute("PRAGMA journal_mode=WAL")
@@ -109,6 +115,13 @@ class MetaStore:
                         (key, new_seq, raw, new_seq, raw))
                     self._db.commit()
                     return new_seq
+                except sqlite3.OperationalError:
+                    # a locked commit is contention, not failure: the
+                    # transaction rolled back cleanly, so re-run the CAS
+                    self._db.rollback()
+                    import time as _t
+                    _t.sleep(0.005)
+                    continue
                 except BaseException:
                     self._db.rollback()
                     raise
@@ -143,6 +156,11 @@ class MetaStore:
                     self._db.execute("DELETE FROM kv WHERE key=?", (key,))
                     self._db.commit()
                     return
+                except sqlite3.OperationalError:
+                    self._db.rollback()
+                    import time as _t
+                    _t.sleep(0.005)
+                    continue
                 except BaseException:
                     self._db.rollback()
                     raise

@@ -2269,7 +2269,15 @@ def _stmt_show(s: SessionContext, st: A.ShowStmt):
                            [DataField("database", String)])
     if st.what == "TABLES":
         db = st.from_db or s.current_database
-        names = sorted(t.name for t in s.catalog.list_tables(db) if match(t.name))
+        if db.lower() == "system":
+            # the system database is virtual: list the registered system
+            # tables (reference src/query/storages/system lists them in
+            # SHOW TABLES FROM system too)
+            from .system_tables import SYSTEM_TABLES
+            names = sorted(n for n in SYSTEM_TABLES if match(n))
+        else:
+            names = sorted(t.name for t in s.catalog.list_tables(db)
+                           if match(t.name))
         return QueryResult(DataBlock(["table"], [Column.from_pylist(names, String)]),
                            [DataField("table", String)])
     if st.what == "SETTINGS":

@@ -35,6 +35,11 @@ def _sys_databases(s):
 
 def _sys_tables(s):
     rows = []
+    # the virtual system database's own tables come first (reference
+    # tables_table.rs lists them alongside user tables)
+    for name in sorted(SYSTEM_TABLES):
+        rows.append(("system", name, "SystemTable", 0, 0, None, "", "",
+                     None))
     for d in s.catalog.list_databases():
         for info in s.catalog.list_tables(d.name):
             t = s.open_table(info)

@@ -260,3 +260,26 @@ class TestExplain:
         text = "\n".join(r[0] for r in ctx.sql(
             "EXPLAIN ANALYZE SELECT count(*) FROM t").rows())
         assert "executed in" in text
+
+
+class TestSystemDatabaseListing:
+    """SHOW TABLES FROM system + system rows in system.tables
+    (reference src/query/storages/system/src/tables_table.rs lists the
+    virtual system tables alongside user tables)."""
+
+    def test_show_tables_from_system(self, ctx):
+        rows = ctx.sql("SHOW TABLES FROM system").rows()
+        names = {r[0] for r in rows}
+        assert {"tables", "columns", "settings"} <= names
+
+    def test_system_tables_lists_system_db(self, ctx):
+        rows = ctx.sql(
+            "select name, engine from system.tables "
+            "where database = 'system'").rows()
+        names = {r[0] for r in rows}
+        assert {"tables", "columns", "settings"} <= names
+        assert all(r[1] == "SystemTable" for r in rows)
+
+    def test_show_tables_from_system_like(self, ctx):
+        rows = ctx.sql("SHOW TABLES FROM system LIKE 'set%'").rows()
+        assert ("settings",) in rows
