@@ -78,6 +78,33 @@ class StringData:
             object.__setattr__(self, "_code_cache", codes)
         return codes
 
+    def dict_view(self):
+        """(dictionary StringData, int64 codes) when cheaply available —
+        codes already cached by a prior factorize — else None. The
+        dictionary holds each distinct value once, in first-occurrence
+        order, and is cached so every later take/compare on this column
+        is an int-gather (the reference's dictionary fast path over
+        low-cardinality string columns, src/common/hashtable short-string
+        specialization)."""
+        codes = getattr(self, "_code_cache", None)
+        if codes is None or len(codes) != len(self):
+            return None
+        d = getattr(self, "_dict_cache", None)
+        if d is None:
+            n = len(self)
+            n_uniq = int(codes.max()) + 1 if n else 0
+            first = np.empty(n_uniq, np.int64)
+            first[codes[::-1]] = np.arange(n - 1, -1, -1, dtype=np.int64)
+            d = self._materialized_take(first)
+            object.__setattr__(d, "_code_cache",
+                               np.arange(n_uniq, dtype=np.int64))
+            object.__setattr__(self, "_dict_cache", d)
+        return d, codes
+
+    @property
+    def nbytes_est(self) -> int:
+        return self.offsets.nbytes + self.data.nbytes
+
     @staticmethod
     def constant(value: str, n: int) -> "StringData":
         b = np.frombuffer(value.encode("utf-8"), np.uint8)
@@ -118,6 +145,23 @@ class StringData:
 
     def take(self, indices: np.ndarray) -> "StringData":
         idx = np.asarray(indices, np.int64)
+        # dictionary fast path: a take over a coded column is an int
+        # gather — bytes materialize lazily only if something downstream
+        # actually needs the arrow layout (join assembly almost never
+        # does: group keys/compares ride the codes)
+        dv = None
+        if getattr(self, "_code_cache", None) is not None:
+            dv = self.dict_view()
+        elif len(idx) >= 32768 and len(self) >= 65536 \
+                and getattr(self, "_const_value", None) is None:
+            # large gather: byte repack costs more than one factorize
+            if self.codes() is not None:
+                dv = self.dict_view()
+        if dv is not None:
+            return DictStringData(dv[0], dv[1][idx])
+        return self._materialized_take(idx)
+
+    def _materialized_take(self, idx: np.ndarray) -> "StringData":
         from .. import native
         taken = native.take_strings(self.offsets, self.data, idx)
         if taken is not None:
@@ -147,6 +191,12 @@ class StringData:
 
     @staticmethod
     def concat(parts: Sequence["StringData"]) -> "StringData":
+        if len(parts) > 1 and all(isinstance(p, DictStringData)
+                                  for p in parts):
+            d0 = parts[0]._dict
+            if all(p._dict is d0 for p in parts[1:]):
+                return DictStringData(
+                    d0, np.concatenate([p._codes for p in parts]))
         n = sum(len(p) for p in parts)
         offsets = np.zeros(n + 1, dtype=np.int64)
         datas = []
@@ -160,6 +210,68 @@ class StringData:
             datas.append(p.data)
         data = np.concatenate(datas) if datas else np.zeros(0, np.uint8)
         return StringData(offsets, data)
+
+
+class DictStringData(StringData):
+    """Dictionary-coded string column: row i's value is
+    ``dict[codes[i]]``. The arrow (offsets, data) layout materializes
+    lazily on first access, so take→take→group chains over coded columns
+    never repack bytes — they gather int64 codes (the join-assembly hot
+    path; reference keeps string columns dictionary-backed through its
+    hash-join output for the same reason)."""
+
+    def __init__(self, dict_sd: StringData, codes: np.ndarray):
+        self._dict = dict_sd
+        self._codes = np.asarray(codes, np.int64)
+        self._mat: Optional[StringData] = None
+
+    def _materialize(self) -> StringData:
+        if self._mat is None:
+            self._mat = self._dict._materialized_take(self._codes)
+        return self._mat
+
+    @property
+    def offsets(self) -> np.ndarray:
+        return self._materialize().offsets
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._materialize().data
+
+    @property
+    def nbytes_est(self) -> int:
+        return self._codes.nbytes + self._dict.nbytes_est
+
+    def __len__(self) -> int:
+        return len(self._codes)
+
+    def get(self, i: int) -> str:
+        return self._dict.get(int(self._codes[i]))
+
+    def as_object_array(self) -> np.ndarray:
+        cache = getattr(self, "_obj_cache", None)
+        if cache is None or len(cache) != len(self):
+            cache = self._dict.as_object_array()[self._codes]
+            object.__setattr__(self, "_obj_cache", cache)
+        return cache
+
+    def to_pylist(self) -> list:
+        return self.as_object_array().tolist()
+
+    def is_ascii(self) -> bool:
+        return self._dict.is_ascii()
+
+    def codes(self):
+        # dictionary positions ARE dense comparable codes (some may be
+        # unused after filtering — group/compare consumers pack them)
+        return self._codes
+
+    def dict_view(self):
+        return self._dict, self._codes
+
+    def take(self, indices: np.ndarray) -> "StringData":
+        return DictStringData(self._dict,
+                              self._codes[np.asarray(indices, np.int64)])
 
 
 class Column:
@@ -336,6 +448,11 @@ class Column:
 
     def slice(self, start: int, end: int) -> "Column":
         validity = self.validity[start:end] if self.validity is not None else None
+        if isinstance(self.data, DictStringData):
+            return Column(self.dtype,
+                          DictStringData(self.data._dict,
+                                         self.data._codes[start:end]),
+                          validity)
         if isinstance(self.data, StringData):
             offs = self.data.offsets[start: end + 1].copy()
             data = self.data.data[offs[0]: offs[-1]].copy()

@@ -49,6 +49,17 @@ def _eq_const_bytes(sd: StringData, const: str) -> np.ndarray:
     return out
 
 
+def _dict_pair(sd: StringData):
+    """(dictionary, codes) for a coded string column; builds codes for
+    large columns (amortized: blocks are cached and re-compared)."""
+    dv = sd.dict_view()
+    if dv is None and len(sd) >= 65536 \
+            and getattr(sd, "_const_value", None) is None:
+        if sd.codes() is not None:
+            dv = sd.dict_view()
+    return dv
+
+
 def _register_cmp(name, op, aliases=()):
     @scalar_function(name, _cmp_resolver(name), aliases=list(aliases))
     def _k(a, b, **kw):
@@ -57,7 +68,12 @@ def _register_cmp(name, op, aliases=()):
                 if isinstance(x, StringData) and isinstance(y, StringData):
                     const = getattr(y, "_const_value", None)
                     if const is not None and len(x) >= 1024:
-                        eq = _eq_const_bytes(x, const)
+                        dv = _dict_pair(x)
+                        if dv is not None:
+                            # compare once per DISTINCT value, then gather
+                            eq = _eq_const_bytes(dv[0], const)[dv[1]]
+                        else:
+                            eq = _eq_const_bytes(x, const)
                         return eq if name == "eq" else ~eq
         a, b = _comparable(a), _comparable(b)
         if isinstance(a, np.ndarray) and isinstance(b, np.ndarray) \
@@ -200,6 +216,13 @@ def _test_unique(payload, test):
     if not isinstance(payload, StringData):
         return None
     n = len(payload)
+    dv = payload.dict_view()
+    if dv is not None:
+        # dictionary already built: always cheaper than a per-row pass
+        duniq = dv[0].as_object_array()
+        uniq_res = np.fromiter((test(v) for v in duniq), np.bool_,
+                               len(duniq))
+        return uniq_res[dv[1]]
     codes = payload.codes()
     if codes is None or n < 1024:
         return None
@@ -250,13 +273,19 @@ def _in_set_resolver(arg_types):
 def _in_set(a, items, **kw):
     """Membership in a constant list (IN-subquery folding).
     ``items`` is a broadcast ARRAY constant: every row holds the same list."""
-    vals = _comparable(a)
     if isinstance(items, tuple):  # array column payload: (offsets, child)
         offsets, child = items
         s = set(child.to_pylist()[: int(offsets[1])])
     else:
         lst = items.tolist() if hasattr(items, "tolist") else list(items)
         s = set(lst[0] if lst and isinstance(lst[0], (list, tuple)) else lst)
+    if isinstance(a, StringData):
+        dv = _dict_pair(a)
+        if dv is not None:  # membership once per DISTINCT value
+            member = np.fromiter((v in s for v in dv[0].as_object_array()),
+                                 np.bool_, len(dv[0]))
+            return member[dv[1]]
+    vals = _comparable(a)
     if isinstance(vals, np.ndarray) and vals.dtype.kind in "iuf" \
             and all(isinstance(v, (int, float)) for v in s):
         # vectorized membership: one np.isin (sort-based) instead of a

@@ -449,8 +449,8 @@ def _track_cols(cols) -> int:
         data = c.data
         if isinstance(data, np.ndarray):
             n += data.nbytes
-        elif hasattr(data, "offsets"):  # StringData
-            n += data.offsets.nbytes + data.data.nbytes
+        elif hasattr(data, "nbytes_est"):  # StringData
+            n += data.nbytes_est
         else:
             n += 8 * len(c)
         if c.validity is not None:

@@ -45,8 +45,21 @@ def factorize_column(col: Column) -> np.ndarray:
                 codes = np.where(col.validity, codes, NULL_CODE)
             return codes
     vals = key_values(col)
-    codes, _ = pd.factorize(vals, use_na_sentinel=True)
-    codes = codes.astype(np.int64, copy=False)
+    codes = None
+    if isinstance(vals, np.ndarray) and vals.dtype.kind in "iu" \
+            and len(vals) >= 65536:
+        # dense-range integer keys (PK/FK ids): presence-array rank codes
+        # beat the hash factorize ~10x (O(range) scan vs per-row hashing)
+        lo, hi = int(vals.min()), int(vals.max())
+        rng = hi - lo + 1
+        if rng <= max(4 * len(vals), 1 << 22):
+            present = np.zeros(rng, np.bool_)
+            present[vals - lo] = True
+            mapping = np.cumsum(present, dtype=np.int64) - 1
+            codes = mapping[vals - lo]
+    if codes is None:
+        codes, _ = pd.factorize(vals, use_na_sentinel=True)
+        codes = codes.astype(np.int64, copy=False)
     if col.validity is not None:
         codes = np.where(col.validity, codes, NULL_CODE)
     return codes
@@ -157,10 +170,18 @@ class _ColLookup:
     pandas factorize + Index (C hashtables both ways)."""
 
     def __init__(self, col: Column):
-        from ..expression.column import StringData
+        from ..expression.column import DictStringData, StringData
         self._si = None
         self._index = None
+        self._dict = None
         data = col.data
+        if isinstance(data, DictStringData):
+            # dictionary-coded build side: codes ARE the hash state; a
+            # probe sharing the dict object needs no lookup at all
+            self._dict = data._dict
+            self.codes = data._codes
+            self.n_distinct = len(data._dict)
+            return
         if isinstance(data, StringData):
             from .. import native
             si = native.string_index(data.offsets, data.data)
@@ -179,7 +200,22 @@ class _ColLookup:
     def lookup(self, col: Column):
         """Probe codes (-1 = absent from build), or None when this probe
         column's representation can't ride the built structure."""
-        from ..expression.column import StringData
+        from ..expression.column import DictStringData, StringData
+        if self._dict is not None:
+            if isinstance(col.data, DictStringData) \
+                    and col.data._dict is self._dict:
+                return col.data._codes
+            if not isinstance(col.data, StringData):
+                return None
+            # different dictionary: map probe values into build codes by
+            # indexing the build DICTIONARY (distinct values only)
+            import pandas as pd
+            idx = pd.Index(self._dict.as_object_array())
+            dv = col.data.dict_view()
+            if dv is not None:
+                m = idx.get_indexer(dv[0].as_object_array())
+                return m[dv[1]]
+            return idx.get_indexer(key_values(col))
         if self._si is not None:
             if not isinstance(col.data, StringData):
                 return None

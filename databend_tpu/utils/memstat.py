@@ -34,8 +34,8 @@ def block_bytes(block) -> int:
         data = col.data
         if isinstance(data, np.ndarray):
             total += data.nbytes
-        elif hasattr(data, "offsets"):  # StringData
-            total += data.offsets.nbytes + data.data.nbytes
+        elif hasattr(data, "nbytes_est"):  # StringData
+            total += data.nbytes_est
         else:
             total += 8 * len(col)
         if col.validity is not None:
