@@ -102,6 +102,15 @@ def count_params(node: Any) -> int:
 
 # ------------------------------------------------------------- KNN fast path
 @dataclass
+class _ParamFilter:
+    """One parameterized WHERE conjunct ``col <op> ?`` served on device:
+    the column stays HBM-resident, each batch ships only [B] operands."""
+    column: str
+    op: str             # '=' '==' '!=' '<>' '<' '<=' '>' '>='
+    param_index: int
+
+
+@dataclass
 class _KnnShape:
     database: Optional[str]
     table: str
@@ -115,6 +124,43 @@ class _KnnShape:
     # every placeholder index bound to the query vector (order-by first);
     # all must receive equal values for the fast path to serve
     param_indices: List[int] = None
+    # WHERE pushdown (BASELINE config 3): placeholder-free conjuncts fold
+    # into ONE host-evaluated static mask at refresh; `col op ?` conjuncts
+    # compare on device against resident columns (reference filter+index
+    # pushdown, pushdown.rs:167-207)
+    where_static: Optional[A.Expr] = None
+    where_params: List[_ParamFilter] = None
+
+
+_FILTER_OPS = {"=", "==", "!=", "<>", "<", "<=", ">", ">="}
+_FLIP_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+            "=": "=", "==": "==", "!=": "!=", "<>": "<>"}
+
+
+def _parse_knn_where(where: A.Expr):
+    """Split a WHERE tree into (static_expr, [param_filters]) or None when
+    any conjunct is outside the servable grammar. Static conjuncts are
+    validated lazily at refresh (filter_eval raises Unsupported -> generic
+    fallback); parameterized ones must be ``col op ?``."""
+    from .filter_eval import split_conjuncts
+    static: List[A.Expr] = []
+    params: List[_ParamFilter] = []
+    for c in split_conjuncts(where):
+        if count_params(c) == 0:
+            static.append(c)
+            continue
+        if isinstance(c, A.BinaryOp) and c.op in _FILTER_OPS:
+            l, r, op = c.left, c.right, c.op
+            if isinstance(l, A.Placeholder) and isinstance(r, A.ColumnRef):
+                l, r, op = r, l, _FLIP_OP[op]
+            if isinstance(l, A.ColumnRef) and isinstance(r, A.Placeholder):
+                params.append(_ParamFilter(l.name, op, r.index))
+                continue
+        return None
+    st = None
+    for c in static:
+        st = c if st is None else A.BinaryOp("AND", st, c)
+    return st, params
 
 
 def _dist_call_matches(e: A.FunctionCall, ref: A.FunctionCall) -> bool:
@@ -150,12 +196,18 @@ def match_knn_shape(stmt: A.Statement) -> Optional[_KnnShape]:
     body = q.body
     if not isinstance(body, A.SelectStmt):
         return None
-    if (body.where is not None or body.group_by or body.having
+    if (body.group_by or body.having
             or body.distinct or body.group_sets or body.qualify
             or body.group_all):
         return None
     if not isinstance(body.from_, A.TableName) or body.from_.at_snapshot:
         return None
+    where_static, where_params = None, []
+    if body.where is not None:
+        parsed = _parse_knn_where(body.where)
+        if parsed is None:
+            return None
+        where_static, where_params = parsed
     ob = q.order_by[0]
     if not ob.asc or ob.nulls_first:
         return None
@@ -185,10 +237,18 @@ def match_knn_shape(stmt: A.Statement) -> Optional[_KnnShape]:
             return None
     return _KnnShape(body.from_.database, body.from_.name,
                      e.name.lower(), a0.name, int(q.limit.value),
-                     items, a1.index, sorted(set(indices)))
+                     items, a1.index, sorted(set(indices)),
+                     where_static, where_params)
 
 
 import functools
+
+
+def _bucket_pow2(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
 
 
 @functools.lru_cache(maxsize=32)
@@ -239,6 +299,69 @@ def _scan_topk_program(k: int, metric: str, n_chunks: int, chunk: int,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _scan_topk_filtered_program(k: int, metric: str, n_chunks: int,
+                                chunk: int, exact: bool, f_ops: tuple):
+    """Filtered batched KNN (BASELINE config 3 as ONE device program): a
+    static row mask (host-evaluated WHERE conjuncts, uploaded once per
+    snapshot) plus per-query ``col op ?`` comparisons against resident
+    columns — each batch ships only the [B] operand scalars. Excluded
+    rows score +inf; rows that survive with +inf are trimmed host-side
+    (a query may match fewer than k rows). Reference: filter + vector
+    index pushdown, pushdown.rs:167-207."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.distance import pairwise_distance
+
+    def _cmp(op, c, v):
+        if op in ("=", "=="):
+            return c == v
+        if op in ("!=", "<>"):
+            return c != v
+        if op == "<":
+            return c < v
+        if op == "<=":
+            return c <= v
+        if op == ">":
+            return c > v
+        return c >= v
+
+    @jax.jit
+    def run(Qp, x, n_valid, smask, fcols, fvals):
+        Qc = Qp.reshape(n_chunks, chunk, -1)
+        fv = tuple(v.reshape(n_chunks, chunk) for v in fvals)
+        base = (jnp.arange(x.shape[0]) < n_valid) & smask
+
+        def step(carry, inp):
+            qb = inp[0]
+            d = pairwise_distance(qb, x, "l2" if metric == "l2" else metric,
+                                  x_normalized=(metric == "cosine"))
+            m = base[None, :]
+            for i, op in enumerate(f_ops):
+                m = m & _cmp(op, fcols[i][None, :], inp[1 + i][:, None])
+            d = jnp.where(m, d, jnp.inf)
+            if exact:
+                nv, ids = jax.lax.top_k(-d, k)
+                return carry, (-nv, ids)
+            av, ids = jax.lax.approx_min_k(d, k, recall_target=0.99)
+            return carry, (av, ids)
+
+        _, (vals, ids) = jax.lax.scan(step, 0, (Qc,) + fv, length=n_chunks)
+        vals = vals.reshape(-1, k)
+        ids = ids.reshape(-1, k)
+        if exact and metric == "l2":
+            cand = jnp.take(x, ids.reshape(-1), axis=0)
+            cand = cand.reshape(ids.shape[0], k, -1)
+            diff = cand - Qp[:, None, :]
+            rescored = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 0.0))
+            # +inf marks "fewer than k matches" — survive the re-score
+            vals = jnp.where(jnp.isinf(vals), jnp.inf, rescored)
+        return vals, ids
+
+    return run
+
+
 class _KnnServer:
     """Bound KNN serving state: the stacked HBM corpus + host projection
     block for one table snapshot; ONE device dispatch per query batch."""
@@ -252,6 +375,11 @@ class _KnnServer:
         self._proj_names: List[tuple] = []  # (src_name, out_name) per col item
         self._dim = 0
         self._n = 0
+        # WHERE pushdown state (device-resident per snapshot)
+        self._static_mask = None    # [N] bool device array (None = no WHERE)
+        self._fcols: List[Any] = []      # per param filter: [N] device array
+        self._fdicts: List[Optional[dict]] = []  # str value -> code maps
+        self._fkinds: List[str] = []     # 'int' | 'float' | 'str'
 
     # Returns False when the fast path cannot serve (no index / view /
     # missing table state) — caller falls back to the generic path.
@@ -312,9 +440,102 @@ class _KnnServer:
                 [table.read_block(m, src_names) for m in metas])
         else:
             self._proj = None
+        if not self._setup_filters(table, metas):
+            return False
         self._table = table
         self._snap_id = snap.snapshot_id
         return True
+
+    def _setup_filters(self, table, metas) -> bool:
+        """Build the device-resident WHERE state for this snapshot: one
+        host-evaluated static mask + per-param-filter resident columns.
+        Returns False (generic fallback) when the predicate or a column
+        type is outside the servable grammar."""
+        sh = self.shape
+        self._static_mask, self._fcols = None, []
+        self._fdicts, self._fkinds = [], []
+        if sh.where_static is None and not sh.where_params:
+            return True
+        import jax.numpy as jnp
+
+        from .filter_eval import Unsupported, eval_mask, referenced_columns
+        need = list(dict.fromkeys(
+            referenced_columns(sh.where_static)
+            + [pf.column.lower() for pf in (sh.where_params or [])]))
+        cols = []
+        for name in need:
+            try:
+                cols.append(table.schema.field(name).name)
+            except Exception:
+                return False
+        fblock = DataBlock.concat([table.read_block(m, cols) for m in metas])
+        if sh.where_static is not None:
+            try:
+                mask = eval_mask(fblock, sh.where_static)
+            except Unsupported:
+                return False
+        else:
+            mask = np.ones(len(fblock), bool)
+        for pf in sh.where_params or []:
+            col = fblock.column(table.schema.field(pf.column).name)
+            if col.validity is not None:
+                # NULL never satisfies any comparison
+                mask = mask & col.validity
+            data = col.data
+            if isinstance(data, np.ndarray) and data.ndim == 1 \
+                    and np.issubdtype(data.dtype, np.integer):
+                if len(data) and (data.min() < -2**31
+                                  or data.max() >= 2**31):
+                    return False   # beyond device int32 — generic path
+                self._fcols.append(jnp.asarray(data.astype(np.int32)))
+                self._fdicts.append(None)
+                self._fkinds.append("int")
+            elif isinstance(data, np.ndarray) and data.ndim == 1 \
+                    and np.issubdtype(data.dtype, np.floating):
+                self._fcols.append(jnp.asarray(data.astype(np.float32)))
+                self._fdicts.append(None)
+                self._fkinds.append("float")
+            elif hasattr(data, "as_object_array"):
+                if pf.op not in ("=", "==", "!=", "<>"):
+                    return False   # ordering on dictionary codes is wrong
+                vals = data.as_object_array()
+                uniq, codes = np.unique(vals, return_inverse=True)
+                self._fcols.append(jnp.asarray(codes.astype(np.int32)))
+                self._fdicts.append({v: i for i, v in enumerate(uniq)})
+                self._fkinds.append("str")
+            else:
+                return False
+        self._static_mask = jnp.asarray(mask)
+        return True
+
+    def convert_filter_params(self, param_sets_cols: List[list]
+                              ) -> Optional[List[np.ndarray]]:
+        """Per param filter, the [B] operand array in device dtype; None
+        when a value can't convert (caller falls back)."""
+        out = []
+        for j, vals in enumerate(param_sets_cols):
+            kind = self._fkinds[j]
+            try:
+                if kind == "str":
+                    d = self._fdicts[j]
+                    arr = np.array([d.get(v, -1) for v in vals], np.int32)
+                elif kind == "int":
+                    arr = np.array([int(v) for v in vals], np.int64)
+                    if len(arr) and (arr.min() < -2**31
+                                     or arr.max() >= 2**31):
+                        return None
+                    arr = arr.astype(np.int32)
+                else:
+                    arr = np.array([float(v) for v in vals], np.float32)
+            except (TypeError, ValueError):
+                return None
+            out.append(arr)
+        return out
+
+    @property
+    def has_filters(self) -> bool:
+        return (self.shape.where_static is not None
+                or bool(self.shape.where_params))
 
     def _empty_fields(self) -> List[DataField]:
         """Output schema for an empty table (no corpus loaded yet)."""
@@ -356,7 +577,8 @@ class _KnnServer:
                 f"({self._dim} vs {Q.shape[1]})")
         return Q
 
-    def _topk(self, Q: np.ndarray, exact: bool = True):
+    def _topk(self, Q: np.ndarray, exact: bool = True,
+              fvals: Optional[List[np.ndarray]] = None):
         """Pipelined device top-k for the whole batch + ONE bulk projection
         gather. Returns (vals [B,k], ids [B,k], taken_all [B*k rows], k).
         ``exact=False`` selects with ``lax.approx_min_k`` (recall_target
@@ -366,6 +588,8 @@ class _KnnServer:
         metric = _DISTANCE_FNS[self.shape.metric_fn]
         k = min(self.shape.k, self._n)
         B = Q.shape[0]
+        if self._static_mask is not None:
+            return self._topk_filtered(Q, exact, fvals or [], metric, k)
         # chunk to a stable program shape and PIPELINE: every chunk is
         # dispatched before any result is fetched (JAX async dispatch), so
         # device compute overlaps the tunnel round trip; ONE device_get
@@ -408,6 +632,30 @@ class _KnnServer:
                      if self._proj is not None else None)
         return vals, ids, taken_all, k
 
+    def _topk_filtered(self, Q: np.ndarray, exact: bool,
+                       fvals: List[np.ndarray], metric: str, k: int):
+        """Filtered variant: ONE scan program with the static mask +
+        per-query operand comparisons (see _scan_topk_filtered_program)."""
+        import jax
+        B = Q.shape[0]
+        f_ops = tuple(pf.op for pf in self.shape.where_params or [])
+        chunk = min(256, _bucket_pow2(B, lo=8))
+        nd = -(-B // chunk)
+        nc = 1 << (nd - 1).bit_length()
+        pad = nc * chunk - B
+        Qp = np.concatenate(
+            [Q, np.repeat(Q[-1:], pad, axis=0)]) if pad else Q
+        fv = tuple(np.concatenate([v, np.repeat(v[-1:], pad)]) if pad else v
+                   for v in fvals)
+        run = _scan_topk_filtered_program(k, metric, nc, chunk, exact, f_ops)
+        vals, ids = jax.device_get(run(
+            Qp, self._x, np.int32(self._n), self._static_mask,
+            tuple(self._fcols), fv))
+        vals, ids = vals[:B], ids[:B]
+        taken_all = (self._proj.take(ids.reshape(-1))
+                     if self._proj is not None else None)
+        return vals, ids, taken_all, k
+
     def _empty_result(self):
         from .session import QueryResult
         fields = self._empty_fields()
@@ -416,19 +664,29 @@ class _KnnServer:
                       [Column.from_pylist([], f.dtype) for f in fields]),
             fields)
 
-    def run_batch(self, queries: np.ndarray, exact: bool = True):
+    def run_batch(self, queries: np.ndarray, exact: bool = True,
+                  fvals: Optional[List[np.ndarray]] = None):
         from .session import QueryResult
         sh = self.shape
         Q = self._check_queries(queries)
         if self._n == 0:
             return [self._empty_result() for _ in range(Q.shape[0])]
-        vals, ids, taken_all, k = self._topk(Q, exact)
+        vals, ids, taken_all, k = self._topk(Q, exact, fvals)
         fields = self._fields()
         schema_names = self._table.schema.field_names()
+        filtered = self._static_mask is not None
         out = []
         for b in range(Q.shape[0]):
             taken = (taken_all.slice(b * k, (b + 1) * k)
                      if taken_all is not None else None)
+            keep = None
+            vb = np.asarray(vals[b], np.float32)
+            if filtered and not np.isfinite(vb).all():
+                # fewer than k rows matched this query's predicate
+                keep = np.isfinite(vb)
+                vb = vb[keep]
+                if taken is not None:
+                    taken = taken.filter(keep)
             cols, names = [], []
             for kind, name, outn in sh.items:
                 if kind == "star":
@@ -441,12 +699,12 @@ class _KnnServer:
                     cols.append(taken.column(src))
                 else:
                     names.append(outn)
-                    cols.append(Column(Float32, np.asarray(vals[b],
-                                                           np.float32)))
+                    cols.append(Column(Float32, vb))
             out.append(QueryResult(DataBlock(names, cols), fields))
         return out
 
-    def run_batch_block(self, queries: np.ndarray, exact: bool = True):
+    def run_batch_block(self, queries: np.ndarray, exact: bool = True,
+                        fvals: Optional[List[np.ndarray]] = None):
         """Bulk-serving mode: ONE QueryResult for the whole batch with a
         leading ``query_index`` column (row b*k+j belongs to query b, rank
         j). No per-query object churn — pure bulk numpy construction, the
@@ -462,9 +720,16 @@ class _KnnServer:
                 DataBlock([f.name for f in fields],
                           [Column.from_pylist([], f.dtype) for f in fields]),
                 fields)
-        vals, ids, taken_all, k = self._topk(Q, exact)
+        vals, ids, taken_all, k = self._topk(Q, exact, fvals)
+        qidx = np.repeat(np.arange(B, dtype=np.int64), k)
+        flat_vals = np.ascontiguousarray(vals.reshape(-1), np.float32)
+        if self._static_mask is not None and not np.isfinite(flat_vals).all():
+            keep = np.isfinite(flat_vals)
+            qidx, flat_vals = qidx[keep], flat_vals[keep]
+            if taken_all is not None:
+                taken_all = taken_all.filter(keep)
         names = ["query_index"]
-        cols = [Column(Int64, np.repeat(np.arange(B, dtype=np.int64), k))]
+        cols = [Column(Int64, qidx)]
         fields = [DataField("query_index", Int64)] + self._fields()
         for kind, name, outn in sh.items:
             if kind == "star":
@@ -477,10 +742,321 @@ class _KnnServer:
                 cols.append(taken_all.column(src))
             else:
                 names.append(outn)
-                cols.append(Column(Float32,
-                                   np.ascontiguousarray(
-                                       vals.reshape(-1), np.float32)))
+                cols.append(Column(Float32, flat_vals))
         return QueryResult(DataBlock(names, cols), fields)
+
+
+# -------------------------------------------------------- match() fast path
+@dataclass
+class _MatchShape:
+    """`SELECT .. FROM t WHERE match(col, ?) ORDER BY score() DESC LIMIT k`
+    — the canonical full-text serving statement (reference: match()
+    pushdown + tantivy TopDocs order_by_score,
+    inverted_index_reader.rs:108-150)."""
+    database: Optional[str]
+    table: str
+    column: Optional[str]
+    k: int
+    items: List[tuple]   # ("col",name,out) | ("star",..) | ("score",None,out)
+    param_index: int
+    fuzziness: Optional[int]
+    operator: str
+
+
+def match_match_shape(stmt: A.Statement) -> Optional[_MatchShape]:
+    if not isinstance(stmt, A.QueryStmt):
+        return None
+    q = stmt.query
+    if q.ctes or q.offset is not None or len(q.order_by) != 1:
+        return None
+    if not isinstance(q.limit, A.Literal) or not isinstance(q.limit.value, int):
+        return None
+    body = q.body
+    if not isinstance(body, A.SelectStmt):
+        return None
+    if (body.group_by or body.having or body.distinct or body.group_sets
+            or body.qualify or body.group_all):
+        return None
+    if not isinstance(body.from_, A.TableName) or body.from_.at_snapshot:
+        return None
+    ob = q.order_by[0]
+    if ob.asc or ob.nulls_first:      # score() DESC only
+        return None
+    if not (isinstance(ob.expr, A.FunctionCall)
+            and ob.expr.name.lower() == "score" and not ob.expr.args):
+        return None
+    w = body.where
+    if not (isinstance(w, A.FunctionCall) and w.name.lower() == "match"
+            and len(w.args) in (2, 3)):
+        return None
+    if not (isinstance(w.args[0], A.ColumnRef)
+            and isinstance(w.args[1], A.Placeholder)):
+        return None
+    fuzziness, operator = None, "OR"
+    if len(w.args) == 3:
+        if not isinstance(w.args[2], A.Literal):
+            return None
+        for part in str(w.args[2].value).split(";"):
+            if "=" in part:
+                kk, v = part.split("=", 1)
+                if kk.strip() == "fuzziness":
+                    fuzziness = int(v)
+                elif kk.strip() == "operator":
+                    operator = v.strip().upper()
+    items: List[tuple] = []
+    for it in body.items:
+        ex = it.expr
+        if isinstance(ex, A.Star):
+            items.append(("star", None, None))
+        elif isinstance(ex, A.ColumnRef):
+            items.append(("col", ex.name, it.alias or ex.name))
+        elif isinstance(ex, A.FunctionCall) and ex.name.lower() == "score" \
+                and not ex.args:
+            items.append(("score", None, it.alias or "score()"))
+        else:
+            return None
+    return _MatchShape(body.from_.database, body.from_.name, w.args[0].name,
+                       int(q.limit.value), items, w.args[1].index,
+                       fuzziness, operator)
+
+
+class _MatchServer:
+    """Bound full-text serving state: per-block HBM-resident ImpactBM25
+    scorers (dense doc-major layout, index/inverted/device.py) + a host
+    projection block. A batch of query strings tokenizes host-side and
+    runs ONE dense device program per block; per-query global top-k merges
+    across blocks on host (k rows each). This is the SQL product path for
+    the batched BM25 kernel (VERDICT r4 item 2b)."""
+
+    # below this corpus size one device dispatch (a full tunnel RTT)
+    # dwarfs the host scoring it replaces
+    DEVICE_MIN_DOCS = 20_000
+
+    def __init__(self, ctx, shape: _MatchShape):
+        self.ctx = ctx
+        self.shape = shape
+        self._snap_id: Optional[str] = None
+        self._scorers: List[Any] = []
+        self._readers: List[Any] = []
+        self._bases: List[int] = []
+        self._proj: Optional[DataBlock] = None
+        self._n = 0
+
+    def refresh(self) -> bool:
+        from ..utils.cache import CacheManager
+        from ..index.inverted.reader import InvertedBlockReader
+        from ..index.inverted.device import ImpactBM25
+        sh = self.shape
+        try:
+            table = self.ctx.table(sh.table, sh.database)
+        except Exception:
+            return False
+        info = getattr(table, "info", None)
+        if info is None:
+            return False
+        indexes = info.inverted_indexes()
+        if not indexes:
+            return False
+        cols = [sh.column.lower()] if sh.column else []
+        idx = next((i for i in indexes
+                    if not cols or cols[0] in [c.lower() for c in i.columns]),
+                   indexes[0] if not cols else None)
+        if idx is None:
+            return False
+        self._table = table
+        snap = table.read_snapshot()
+        if snap is None:
+            self._snap_id, self._n = None, 0
+            return True
+        if snap.snapshot_id == self._snap_id:
+            return True
+        metas = [m for seg in table.read_segments(snap) for m in seg.blocks]
+        if not metas:
+            self._snap_id, self._n = snap.snapshot_id, 0
+            return True
+        cm = CacheManager.instance().inverted_indexes
+        readers, scorers, bases = [], [], []
+        base = 0
+        for m in metas:
+            entry = m.inverted_indexes.get(idx.name)
+            if entry is None:
+                return False    # block not indexed yet: generic path
+            path = table.abs_path(entry["location"])
+            reader = cm.get_or_load(
+                path, lambda p=path: InvertedBlockReader.load(p))
+            scorer = getattr(reader, "_impact_scorer", None)
+            if scorer is None:
+                scorer = ImpactBM25.try_create(reader)
+                reader._impact_scorer = scorer or False
+            elif scorer is False:
+                scorer = None
+            if scorer is None and reader.n_docs >= self.DEVICE_MIN_DOCS:
+                # CSR batch program as the fallback dense layout can't take
+                scorer = reader._device_bm25()
+            readers.append(reader)
+            scorers.append(scorer)
+            bases.append(base)
+            base += m.row_count
+        self._n = base
+        if self._n < self.DEVICE_MIN_DOCS:
+            return False        # host path wins below one RTT of work
+        self._readers, self._scorers, self._bases = readers, scorers, bases
+        # host projection block in corpus row order
+        proj_srcs = []
+        for kind, name, out in sh.items:
+            if kind == "star":
+                proj_srcs.extend(table.schema.field_names())
+            elif kind == "col":
+                proj_srcs.append(table.schema.field(name).name)
+        proj_srcs = list(dict.fromkeys(proj_srcs))
+        self._proj = (DataBlock.concat(
+            [table.read_block(m, proj_srcs) for m in metas])
+            if proj_srcs else None)
+        self._snap_id = snap.snapshot_id
+        return True
+
+    # ---------------------------------------------------------- gate checks
+    @staticmethod
+    def _servable_text(t) -> bool:
+        if not isinstance(t, str):
+            return False
+        t = t.strip()
+        # quoted phrases need the positions path — generic fallback
+        return not (len(t) >= 2 and t.startswith('"') and t.endswith('"'))
+
+    def can_serve(self, params) -> bool:
+        return (self._servable_text(params[self.shape.param_index])
+                and self.refresh())
+
+    def as_text_batch(self, param_sets, param_count: int
+                      ) -> Optional[List[str]]:
+        texts = []
+        for ps in param_sets:
+            if isinstance(ps, str):
+                if param_count != 1:
+                    return None
+                texts.append(ps)
+                continue
+            if not isinstance(ps, (list, tuple)) or len(ps) != param_count:
+                return None
+            t = ps[self.shape.param_index]
+            if not isinstance(t, str):
+                return None
+            texts.append(t)
+        return texts
+
+    def can_serve_texts(self, texts: List[str]) -> bool:
+        return all(self._servable_text(t) for t in texts) and self.refresh()
+
+    # ------------------------------------------------------------- serving
+    def _term_groups(self, reader, tokens: List[str]) -> List[List[int]]:
+        fz = self.shape.fuzziness
+        if fz:
+            return [reader.fuzzy_term_ids(t, int(fz)) for t in tokens]
+        return [[reader.term_id(t)] for t in tokens]
+
+    def run_batch(self, texts: List[str]) -> Optional[List["QueryResult"]]:
+        """One device program per block for the whole batch; per-query
+        top-k merge across blocks host-side. None -> caller falls back."""
+        from ..index.inverted.tokenizer import tokenize_text
+        from ..types import Int64
+        from .session import QueryResult
+        sh = self.shape
+        k = sh.k
+        B = len(texts)
+        if self._n == 0:
+            return [self._empty_result() for _ in range(B)]
+        tok_cache = {}
+        r0 = self._readers[0]
+        tokens_per_q = []
+        for t in texts:
+            key = t
+            if key not in tok_cache:
+                tok_cache[key] = tokenize_text(t, r0.tokenizer, r0.filters)
+            tokens_per_q.append(tok_cache[key])
+        # per-block batched scoring (device); small unindexed-impact blocks
+        # score host-side
+        merged_rows = [[] for _ in range(B)]
+        merged_scores = [[] for _ in range(B)]
+        for reader, scorer, base in zip(self._readers, self._scorers,
+                                        self._bases):
+            groups = [self._term_groups(reader, toks)
+                      for toks in tokens_per_q]
+            if scorer is not None:
+                results = scorer.top_k_batch(groups, k, sh.operator)
+            else:
+                results = []
+                for tg in groups:
+                    rows, scores = reader.bm25_scores(tg, sh.operator)
+                    if len(rows) > k:
+                        sel = np.argpartition(-scores, k - 1)[:k]
+                        rows, scores = rows[sel], scores[sel]
+                    results.append((rows, scores))
+            for qi, (rows, scores) in enumerate(results):
+                if len(rows):
+                    merged_rows[qi].append(rows + base)
+                    merged_scores[qi].append(scores)
+        out = []
+        fields = self._fields()
+        all_rows, all_scores, counts = [], [], []
+        for qi in range(B):
+            if merged_rows[qi]:
+                rows = np.concatenate(merged_rows[qi])
+                scores = np.concatenate(merged_scores[qi])
+                order = np.argsort(-scores, kind="stable")[:k]
+                rows, scores = rows[order], scores[order]
+            else:
+                rows = np.zeros(0, np.int64)
+                scores = np.zeros(0, np.float32)
+            all_rows.append(rows)
+            all_scores.append(scores)
+            counts.append(len(rows))
+        # ONE bulk projection gather for the whole batch
+        flat = np.concatenate(all_rows) if all_rows else np.zeros(0, np.int64)
+        taken_all = self._proj.take(flat) if self._proj is not None else None
+        off = 0
+        schema_names = self._table.schema.field_names()
+        for qi in range(B):
+            cnt = counts[qi]
+            taken = (taken_all.slice(off, off + cnt)
+                     if taken_all is not None else None)
+            off += cnt
+            names, cols = [], []
+            for kind, name, outn in sh.items:
+                if kind == "star":
+                    for fname in schema_names:
+                        names.append(fname)
+                        cols.append(taken.column(fname))
+                elif kind == "col":
+                    src = self._table.schema.field(name).name
+                    names.append(outn)
+                    cols.append(taken.column(src))
+                else:
+                    names.append(outn)
+                    cols.append(Column(Float32, all_scores[qi]))
+            out.append(QueryResult(DataBlock(names, cols), fields))
+        return out
+
+    def _fields(self) -> List[DataField]:
+        out = []
+        for kind, name, outn in self.shape.items:
+            if kind == "star":
+                for f in self._table.schema.fields:
+                    out.append(DataField(f.name, f.dtype))
+            elif kind == "col":
+                f = self._table.schema.field(name)
+                out.append(DataField(outn, f.dtype))
+            else:
+                out.append(DataField(outn, Float32))
+        return out
+
+    def _empty_result(self):
+        from .session import QueryResult
+        fields = self._fields()
+        return QueryResult(
+            DataBlock([f.name for f in fields],
+                      [Column.from_pylist([], f.dtype) for f in fields]),
+            fields)
 
 
 # ------------------------------------------------------------------ statement
@@ -500,6 +1076,9 @@ class PreparedStatement:
         self.param_count = max(p.param_count, count_params(self.stmt))
         shape = match_knn_shape(self.stmt)
         self._knn = _KnnServer(ctx, shape) if shape is not None else None
+        mshape = match_match_shape(self.stmt) if shape is None else None
+        self._match = _MatchServer(ctx, mshape) if mshape is not None \
+            else None
 
     def execute(self, *params) -> "QueryResult":
         if len(params) != self.param_count:
@@ -508,8 +1087,21 @@ class PreparedStatement:
                 f" got {len(params)}")
         if self._knn is not None and self._params_agree(params) \
                 and self._knn.refresh():
-            q = np.asarray(params[self._knn.shape.param_index], np.float32)
-            return self._knn.run_batch(q[None, :] if q.ndim == 1 else q)[0]
+            if self._knn.has_filters:
+                parsed = self._split_param_sets([params])
+                if parsed is not None:
+                    Q, fvals = parsed
+                    return self._knn.run_batch(Q, fvals=fvals)[0]
+            else:
+                q = np.asarray(params[self._knn.shape.param_index],
+                               np.float32)
+                return self._knn.run_batch(
+                    q[None, :] if q.ndim == 1 else q)[0]
+        if self._match is not None and self._match.can_serve(params):
+            res = self._match.run_batch(
+                [params[self._match.shape.param_index]])
+            if res is not None:
+                return res[0]
         stmt = substitute_params(self.stmt, params)
         return self.ctx._execute_statement(stmt)
 
@@ -521,18 +1113,71 @@ class PreparedStatement:
         selects with the TPU approx k-selector (recall_target 0.99,
         ~an order of magnitude cheaper than the full sort)."""
         if self._knn is not None and self._knn.refresh():
-            arr = self._as_query_matrix(param_sets)
-            if arr is not None:
-                return self._knn.run_batch(arr, exact)
+            if self._knn.has_filters:
+                norm = self._normalize_sets(param_sets)
+                parsed = self._split_param_sets(norm) if norm is not None \
+                    else None
+                if parsed is not None:
+                    Q, fvals = parsed
+                    return self._knn.run_batch(Q, exact, fvals)
+            else:
+                arr = self._as_query_matrix(param_sets)
+                if arr is not None:
+                    return self._knn.run_batch(arr, exact)
+        if self._match is not None:
+            texts = self._match.as_text_batch(param_sets, self.param_count)
+            if texts is not None and self._match.can_serve_texts(texts):
+                res = self._match.run_batch(texts)
+                if res is not None:
+                    return res
         out = []
         for ps in param_sets:
             if not isinstance(ps, (list, tuple)):
                 ps = (ps,)
             # a single vector parameter may be passed as the bare list
-            if self.param_count == 1 and len(ps) != 1:
+            if self.param_count == 1 and len(ps) != 1 \
+                    and self._match is None:
                 ps = (list(ps),)
             out.append(self.execute(*ps))
         return out
+
+    def _normalize_sets(self, param_sets) -> Optional[List[tuple]]:
+        out = []
+        for ps in param_sets:
+            if not isinstance(ps, (list, tuple)):
+                return None
+            if len(ps) != self.param_count:
+                return None
+            out.append(tuple(ps))
+        return out
+
+    def _split_param_sets(self, param_sets):
+        """For filtered KNN statements: split full parameter tuples into
+        (Q [B, d], per-filter operand arrays). None -> generic fallback."""
+        sh = self._knn.shape
+        pfs = sh.where_params or []
+        rows, fraw = [], [[] for _ in pfs]
+        vec_idx = sorted(set(sh.param_indices))
+        for ps in param_sets:
+            if not isinstance(ps, (list, tuple)) \
+                    or len(ps) != self.param_count:
+                return None
+            try:
+                vs = [np.asarray(ps[i], np.float32) for i in vec_idx]
+            except (TypeError, ValueError):
+                return None
+            if vs[0].ndim != 1 \
+                    or any(not np.array_equal(vs[0], v) for v in vs[1:]):
+                return None
+            rows.append(vs[0])
+            for j, pf in enumerate(pfs):
+                fraw[j].append(ps[pf.param_index])
+        if not rows or any(r.shape != rows[0].shape for r in rows):
+            return None
+        fvals = self._knn.convert_filter_params(fraw)
+        if fvals is None:
+            return None
+        return np.stack(rows), fvals
 
     def _params_agree(self, params) -> bool:
         """All placeholders bound to the query vector hold equal values."""
@@ -554,6 +1199,16 @@ class PreparedStatement:
             raise BadArguments(
                 "execute_batch_block requires the batched KNN fast path "
                 "(single indexed table, ORDER BY distance LIMIT k)")
+        if self._knn.has_filters:
+            norm = self._normalize_sets(param_sets)
+            parsed = self._split_param_sets(norm) if norm is not None \
+                else None
+            if parsed is None:
+                raise BadArguments(
+                    "execute_batch_block expects full parameter tuples "
+                    "(query vector + filter operands)")
+            Q, fvals = parsed
+            return self._knn.run_batch_block(Q, exact, fvals)
         arr = self._as_query_matrix(param_sets)
         if arr is None:
             raise BadArguments(
