@@ -411,7 +411,9 @@ def _impact_topk_program(n_pad: int, L: int, m: int, b: int, g: int,
             eq = t_ids[:, :, None, None] == qterms[None, None, :, :]
             contrib = jnp.where(eq, t_sat[:, :, None, None], 0.0)
             per_term = contrib.sum(axis=1)                    # [tile, b, m]
-            scores = jnp.einsum("tbm,bm->bt", per_term, idf)  # [b, tile]
+            scores = jnp.einsum(
+                "tbm,bm->bt", per_term, idf,
+                precision=jax.lax.Precision.HIGHEST)  # [b, tile]
             hit = eq.any(axis=1).astype(jnp.float32)          # [tile, b, m]
             ghit = jnp.einsum("tbm,bmg->tbg", hit, gmat)      # [tile, b, g]
             matched = jnp.sum(ghit > 0, -1).astype(jnp.float32).T
@@ -420,6 +422,67 @@ def _impact_topk_program(n_pad: int, L: int, m: int, b: int, g: int,
 
         _, all_scores = jax.lax.scan(step, 0, (tid3, sat3))
         dense = jnp.moveaxis(all_scores, 0, 1).reshape(b, n_pad)
+        vals, ids = jax.lax.top_k(dense, k)
+        return vals, ids
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _impact_fused_topk_program(n_pad: int, L: int, m: int, b: int, g: int,
+                               k: int, tile: int, d: int, metric: str):
+    """Text+vector fusion as ONE device program (BASELINE config 4's fused
+    shape): per tile the dense BM25 compare-multiply-reduce runs as in
+    _impact_topk_program, the distance term rides the MXU
+    (``emb_tile @ Q.T``), and the combined ``w_s*score + w_d*dist`` is
+    masked to the text-matched candidate set before one batched top_k —
+    the device analog of `match(..) ORDER BY a*score() - b*dist(..)`."""
+    import jax
+    import jax.numpy as jnp
+
+    n_tiles = n_pad // tile
+
+    @jax.jit
+    def run(term_ids, sat, qterms, idf, gmat, need, emb, Q, w_s, w_d):
+        tid3 = term_ids.reshape(n_tiles, tile, L)
+        sat3 = sat.reshape(n_tiles, tile, L)
+        emb3 = emb.reshape(n_tiles, tile, d)
+        if metric == "cosine":
+            Qe = Q / jnp.maximum(
+                jnp.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        else:
+            Qe = Q
+        q_sq = jnp.sum(Qe * Qe, axis=1)                       # [b]
+
+        def step(carry, inp):
+            t_ids, t_sat, t_emb = inp
+            eq = t_ids[:, :, None, None] == qterms[None, None, :, :]
+            contrib = jnp.where(eq, t_sat[:, :, None, None], 0.0)
+            per_term = contrib.sum(axis=1)                    # [tile, b, m]
+            scores = jnp.einsum(
+                "tbm,bm->bt", per_term, idf,
+                precision=jax.lax.Precision.HIGHEST)  # [b, tile]
+            hit = eq.any(axis=1).astype(jnp.float32)
+            ghit = jnp.einsum("tbm,bmg->tbg", hit, gmat)
+            matched = jnp.sum(ghit > 0, -1).astype(jnp.float32).T
+            ok = matched >= need[:, None]                     # [b, tile]
+            dot = jnp.einsum(
+                "td,bd->bt", t_emb, Qe,
+                precision=jax.lax.Precision.HIGHEST)  # MXU f32 (rank
+            # stability vs the host oracle: bf16 default flips near-ties)
+            if metric == "cosine":
+                dist = 1.0 - dot          # emb rows pre-normalized
+            elif metric == "l2":
+                e_sq = jnp.sum(t_emb * t_emb, axis=1)[None, :]
+                dist = jnp.sqrt(jnp.maximum(
+                    e_sq - 2.0 * dot + q_sq[:, None], 0.0))
+            else:                          # inner product distance
+                dist = -dot
+            combined = w_s * scores + w_d * dist
+            return carry, jnp.where(ok, combined, -jnp.inf)
+
+        _, all_c = jax.lax.scan(step, 0, (tid3, sat3, emb3))
+        dense = jnp.moveaxis(all_c, 0, 1).reshape(b, n_pad)
         vals, ids = jax.lax.top_k(dense, k)
         return vals, ids
 
@@ -476,19 +539,14 @@ class ImpactBM25:
         df = float(self._df[tid])
         return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
 
-    def top_k_batch(self, queries: "List[List[List[int]]]", k: int,
-                    operator: str = "OR"
-                    ) -> "List[Tuple[np.ndarray, np.ndarray]]":
-        """One dense program for B queries -> [(rows, scores)] per query."""
-        import jax
-        b_real = len(queries)
-        if b_real == 0:
-            return []
+    def _pack_queries(self, queries: "List[List[List[int]]]",
+                      operator: str):
+        """Pad the batch's term groups to bucketed [b, m] device operands."""
         terms_per_q = [[(tid, gi) for gi, grp in enumerate(q)
                         for tid in grp if tid >= 0] for q in queries]
         m = _bucket(max((len(t) for t in terms_per_q), default=1), lo=4)
         g = _bucket(max((len(q) for q in queries), default=1), lo=4)
-        b = _bucket(b_real, lo=1)
+        b = _bucket(len(queries), lo=1)
         qterms = np.full((b, m), -1, np.int32)
         idf = np.zeros((b, m), np.float32)
         gmat = np.zeros((b, m, g), np.float32)
@@ -505,10 +563,55 @@ class ImpactBM25:
                 drop[qi] = present < len(q)  # a group had no known terms
             else:
                 need[qi] = 1.0
+        return qterms, idf, gmat, need, drop, b, m, g
+
+    def top_k_batch(self, queries: "List[List[List[int]]]", k: int,
+                    operator: str = "OR"
+                    ) -> "List[Tuple[np.ndarray, np.ndarray]]":
+        """One dense program for B queries -> [(rows, scores)] per query."""
+        import jax
+        b_real = len(queries)
+        if b_real == 0:
+            return []
+        qterms, idf, gmat, need, drop, b, m, g = \
+            self._pack_queries(queries, operator)
         run = _impact_topk_program(self.n_pad, self.L, m, b, g,
                                    min(k, max(self.n_docs, 1)), self.TILE)
         vals, ids = jax.device_get(run(self._term_ids, self._sat,
                                        qterms, idf, gmat, need))
+        out = []
+        for qi in range(b_real):
+            if drop[qi]:
+                out.append((np.zeros(0, np.int64), np.zeros(0, np.float32)))
+                continue
+            ok = (vals[qi] > -np.inf) & (ids[qi] < self.n_docs)
+            out.append((ids[qi][ok].astype(np.int64),
+                        vals[qi][ok].astype(np.float32)))
+        return out
+
+    def fused_top_k_batch(self, queries: "List[List[List[int]]]", k: int,
+                          operator: str, emb, Q: np.ndarray,
+                          w_score: float, w_dist: float, metric: str
+                          ) -> "List[Tuple[np.ndarray, np.ndarray]]":
+        """Fused text+vector ranking over the text-matched candidate set:
+        returns per query the top-k rows by ``w_score*bm25 + w_dist*dist``
+        (callers encode ASC orders by negating both weights). ``emb`` is
+        this block's [n_pad, d] device-resident embedding slice (cosine:
+        pre-normalized rows)."""
+        import jax
+        b_real = len(queries)
+        if b_real == 0:
+            return []
+        qterms, idf, gmat, need, drop, b, m, g = \
+            self._pack_queries(queries, operator)
+        Qp = np.zeros((b, Q.shape[1]), np.float32)
+        Qp[:b_real] = Q
+        run = _impact_fused_topk_program(
+            self.n_pad, self.L, m, b, g, min(k, max(self.n_docs, 1)),
+            self.TILE, int(emb.shape[1]), metric)
+        vals, ids = jax.device_get(run(
+            self._term_ids, self._sat, qterms, idf, gmat, need, emb, Qp,
+            np.float32(w_score), np.float32(w_dist)))
         out = []
         for qi in range(b_real):
             if drop[qi]:

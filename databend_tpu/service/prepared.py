@@ -761,6 +761,66 @@ class _MatchShape:
     param_index: int
     fuzziness: Optional[int]
     operator: str
+    # fusion (`ORDER BY a*score() + b*dist(emb, ?)`): weights are stored
+    # maximization-normalized (ASC orders negate both)
+    w_score: float = 1.0
+    w_dist: float = 0.0
+    emb_column: Optional[str] = None
+    dist_fn: Optional[str] = None
+    dist_param_index: Optional[int] = None
+
+    @property
+    def fused(self) -> bool:
+        return self.emb_column is not None
+
+
+def _parse_fused_order(e: A.Expr):
+    """Parse a linear combination of score() and one distance call:
+    ``[lit *] score() ± [lit *] dist(col, ?)`` in any order/sign.
+    Returns (w_score, w_dist, dist_call) or None."""
+    terms: List[tuple] = []
+
+    def walk(node, sign):
+        if isinstance(node, A.BinaryOp) and node.op in ("+", "-"):
+            return (walk(node.left, sign)
+                    and walk(node.right,
+                             sign if node.op == "+" else -sign))
+        if isinstance(node, A.UnaryOp) and node.op == "-":
+            return walk(node.operand, -sign)
+        coef, fn = 1.0, node
+        if isinstance(node, A.BinaryOp) and node.op == "*":
+            l, r = node.left, node.right
+            if isinstance(l, A.Literal) and isinstance(l.value, (int, float)):
+                coef, fn = float(l.value), r
+            elif isinstance(r, A.Literal) \
+                    and isinstance(r.value, (int, float)):
+                coef, fn = float(r.value), l
+            else:
+                return False
+        terms.append((sign * coef, fn))
+        return True
+
+    if not walk(e, 1.0):
+        return None
+    w_s, w_d, dist_call = 0.0, 0.0, None
+    for coef, fn in terms:
+        if isinstance(fn, A.FunctionCall) and fn.name.lower() == "score" \
+                and not fn.args:
+            w_s += coef
+        elif isinstance(fn, A.FunctionCall) \
+                and fn.name.lower() in ("cosine_distance", "l2_distance") \
+                and len(fn.args) == 2 \
+                and isinstance(fn.args[0], A.ColumnRef) \
+                and isinstance(fn.args[1], A.Placeholder):
+            if dist_call is not None:
+                return None
+            w_d += coef
+            dist_call = fn
+        else:
+            return None
+    if dist_call is None or w_d == 0.0:
+        return None
+    return w_s, w_d, dist_call
 
 
 def match_match_shape(stmt: A.Statement) -> Optional[_MatchShape]:
@@ -780,11 +840,24 @@ def match_match_shape(stmt: A.Statement) -> Optional[_MatchShape]:
     if not isinstance(body.from_, A.TableName) or body.from_.at_snapshot:
         return None
     ob = q.order_by[0]
-    if ob.asc or ob.nulls_first:      # score() DESC only
+    if ob.nulls_first:
         return None
-    if not (isinstance(ob.expr, A.FunctionCall)
-            and ob.expr.name.lower() == "score" and not ob.expr.args):
-        return None
+    w_score, w_dist = 1.0, 0.0
+    emb_col = dist_fn = dist_pidx = None
+    if isinstance(ob.expr, A.FunctionCall) \
+            and ob.expr.name.lower() == "score" and not ob.expr.args:
+        if ob.asc:                     # pure BM25 orders DESC only
+            return None
+    else:
+        fo = _parse_fused_order(ob.expr)
+        if fo is None:
+            return None
+        w_score, w_dist, dist_call = fo
+        if ob.asc:                     # normalize to maximization
+            w_score, w_dist = -w_score, -w_dist
+        emb_col = dist_call.args[0].name
+        dist_fn = dist_call.name.lower()
+        dist_pidx = dist_call.args[1].index
     w = body.where
     if not (isinstance(w, A.FunctionCall) and w.name.lower() == "match"
             and len(w.args) in (2, 3)):
@@ -812,12 +885,15 @@ def match_match_shape(stmt: A.Statement) -> Optional[_MatchShape]:
             items.append(("col", ex.name, it.alias or ex.name))
         elif isinstance(ex, A.FunctionCall) and ex.name.lower() == "score" \
                 and not ex.args:
+            if emb_col is not None:
+                return None   # fused ranking has no per-row BM25 output
             items.append(("score", None, it.alias or "score()"))
         else:
             return None
     return _MatchShape(body.from_.database, body.from_.name, w.args[0].name,
                        int(q.limit.value), items, w.args[1].index,
-                       fuzziness, operator)
+                       fuzziness, operator, w_score, w_dist,
+                       emb_col, dist_fn, dist_pidx)
 
 
 class _MatchServer:
@@ -900,6 +976,8 @@ class _MatchServer:
         self._n = base
         if self._n < self.DEVICE_MIN_DOCS:
             return False        # host path wins below one RTT of work
+        if sh.fused and not self._setup_fusion(table, metas, scorers):
+            return False
         self._readers, self._scorers, self._bases = readers, scorers, bases
         # host projection block in corpus row order
         proj_srcs = []
@@ -915,6 +993,39 @@ class _MatchServer:
         self._snap_id = snap.snapshot_id
         return True
 
+    def _setup_fusion(self, table, metas, scorers) -> bool:
+        """Per-block padded embedding slices, device-resident, for the
+        fused text+vector program (cosine rows pre-normalized)."""
+        import jax.numpy as jnp
+
+        from ..index.inverted.device import ImpactBM25
+        sh = self.shape
+        try:
+            f = table.schema.field(sh.emb_column)
+        except Exception:
+            return False
+        vt = f.dtype.remove_nullable()
+        if not isinstance(vt, VectorType):
+            return False
+        self._dim = vt.dim
+        metric = _DISTANCE_FNS[sh.dist_fn]
+        embs = []
+        for m, scorer in zip(metas, scorers):
+            if not isinstance(scorer, ImpactBM25):
+                return False   # the CSR fallback has no fused program
+            e = np.asarray(table.read_block(m, [f.name])
+                           .column(f.name).numpy(), np.float32)
+            if metric == "cosine":
+                e = e / np.maximum(
+                    np.linalg.norm(e, axis=1, keepdims=True), 1e-30)
+            pad = scorer.n_pad - e.shape[0]
+            if pad:
+                e = np.concatenate(
+                    [e, np.zeros((pad, e.shape[1]), np.float32)])
+            embs.append(jnp.asarray(e))
+        self._embs = embs
+        return True
+
     # ---------------------------------------------------------- gate checks
     @staticmethod
     def _servable_text(t) -> bool:
@@ -924,13 +1035,10 @@ class _MatchServer:
         # quoted phrases need the positions path — generic fallback
         return not (len(t) >= 2 and t.startswith('"') and t.endswith('"'))
 
-    def can_serve(self, params) -> bool:
-        return (self._servable_text(params[self.shape.param_index])
-                and self.refresh())
-
-    def as_text_batch(self, param_sets, param_count: int
-                      ) -> Optional[List[str]]:
-        texts = []
+    def extract_batch(self, param_sets, param_count: int):
+        """-> (texts, Q or None): the query strings and, for fused shapes,
+        the [B, d] vector batch. None when the sets don't fit."""
+        texts, vecs = [], []
         for ps in param_sets:
             if isinstance(ps, str):
                 if param_count != 1:
@@ -943,7 +1051,21 @@ class _MatchServer:
             if not isinstance(t, str):
                 return None
             texts.append(t)
-        return texts
+            if self.shape.fused:
+                try:
+                    v = np.asarray(ps[self.shape.dist_param_index],
+                                   np.float32)
+                except (TypeError, ValueError):
+                    return None
+                if v.ndim != 1:
+                    return None
+                vecs.append(v)
+        if self.shape.fused:
+            if len(vecs) != len(texts) \
+                    or any(v.shape != vecs[0].shape for v in vecs):
+                return None
+            return texts, np.stack(vecs)
+        return texts, None
 
     def can_serve_texts(self, texts: List[str]) -> bool:
         return all(self._servable_text(t) for t in texts) and self.refresh()
@@ -955,9 +1077,12 @@ class _MatchServer:
             return [reader.fuzzy_term_ids(t, int(fz)) for t in tokens]
         return [[reader.term_id(t)] for t in tokens]
 
-    def run_batch(self, texts: List[str]) -> Optional[List["QueryResult"]]:
+    def run_batch(self, texts: List[str], Q: Optional[np.ndarray] = None
+                  ) -> Optional[List["QueryResult"]]:
         """One device program per block for the whole batch; per-query
-        top-k merge across blocks host-side. None -> caller falls back."""
+        top-k merge across blocks host-side. None -> caller falls back.
+        Fused shapes take the [B, d] query-vector batch in ``Q`` and rank
+        by the combined w_s*bm25 + w_d*dist (maximization-normalized)."""
         from ..index.inverted.tokenizer import tokenize_text
         from ..types import Int64
         from .session import QueryResult
@@ -966,6 +1091,14 @@ class _MatchServer:
         B = len(texts)
         if self._n == 0:
             return [self._empty_result() for _ in range(B)]
+        metric = None
+        if sh.fused:
+            if Q is None:
+                return None
+            Q = np.asarray(Q, np.float32)
+            if Q.ndim != 2 or Q.shape[0] != B or Q.shape[1] != self._dim:
+                return None
+            metric = _DISTANCE_FNS[sh.dist_fn]
         tok_cache = {}
         r0 = self._readers[0]
         tokens_per_q = []
@@ -978,11 +1111,15 @@ class _MatchServer:
         # score host-side
         merged_rows = [[] for _ in range(B)]
         merged_scores = [[] for _ in range(B)]
-        for reader, scorer, base in zip(self._readers, self._scorers,
-                                        self._bases):
+        for bi, (reader, scorer, base) in enumerate(
+                zip(self._readers, self._scorers, self._bases)):
             groups = [self._term_groups(reader, toks)
                       for toks in tokens_per_q]
-            if scorer is not None:
+            if sh.fused:
+                results = scorer.fused_top_k_batch(
+                    groups, k, sh.operator, self._embs[bi], Q,
+                    sh.w_score, sh.w_dist, metric)
+            elif scorer is not None:
                 results = scorer.top_k_batch(groups, k, sh.operator)
             else:
                 results = []
@@ -1097,11 +1234,12 @@ class PreparedStatement:
                                np.float32)
                 return self._knn.run_batch(
                     q[None, :] if q.ndim == 1 else q)[0]
-        if self._match is not None and self._match.can_serve(params):
-            res = self._match.run_batch(
-                [params[self._match.shape.param_index]])
-            if res is not None:
-                return res[0]
+        if self._match is not None:
+            ext = self._match.extract_batch([params], self.param_count)
+            if ext is not None and self._match.can_serve_texts(ext[0]):
+                res = self._match.run_batch(ext[0], ext[1])
+                if res is not None:
+                    return res[0]
         stmt = substitute_params(self.stmt, params)
         return self.ctx._execute_statement(stmt)
 
@@ -1125,9 +1263,9 @@ class PreparedStatement:
                 if arr is not None:
                     return self._knn.run_batch(arr, exact)
         if self._match is not None:
-            texts = self._match.as_text_batch(param_sets, self.param_count)
-            if texts is not None and self._match.can_serve_texts(texts):
-                res = self._match.run_batch(texts)
+            ext = self._match.extract_batch(param_sets, self.param_count)
+            if ext is not None and self._match.can_serve_texts(ext[0]):
+                res = self._match.run_batch(ext[0], ext[1])
                 if res is not None:
                     return res
         out = []

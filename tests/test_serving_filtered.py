@@ -246,3 +246,64 @@ def test_match_below_device_threshold_uses_generic(ctx):
     want = ctx.sql("SELECT id FROM mt WHERE match(body, 'weather') "
                    "ORDER BY score() DESC LIMIT 3").rows()
     assert got == want
+
+
+# ------------------------------------------------------------- fused path
+def _mk_fused_table(c, n=800, d=8, seed=9):
+    words = ["weather", "news", "google", "maps", "cat", "videos",
+             "python", "flights"]
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(np.array(words)[rng.integers(0, len(words),
+                                                   rng.integers(2, 5))])
+             for _ in range(n)]
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    c.sql(f"CREATE TABLE fu (id BIGINT, body VARCHAR, emb VECTOR({d}))")
+    c.sql("CREATE INVERTED INDEX fu_i ON fu(body)")
+    from databend_tpu.types import String
+    c.insert_block("fu", DataBlock(
+        ["id", "body", "emb"],
+        [Column.from_numpy(np.arange(n, dtype=np.int64)),
+         Column.from_pylist(texts, String),
+         Column.from_numpy(emb, VectorType(d))]))
+    return texts, emb
+
+
+def test_fused_matches_generic(ctx, monkeypatch):
+    from databend_tpu.service.prepared import _MatchServer
+    monkeypatch.setattr(_MatchServer, "DEVICE_MIN_DOCS", 0)
+    texts, emb = _mk_fused_table(ctx)
+    ps = ctx.prepare(
+        "SELECT id FROM fu WHERE match(body, ?) "
+        "ORDER BY 0.04 * score() - cosine_distance(emb, ?) DESC LIMIT 6")
+    assert ps._match is not None and ps._match.shape.fused
+    rng = np.random.default_rng(1)
+    for qtext in ("weather news", "cat", "python maps"):
+        qv = emb[rng.integers(0, len(emb))]
+        got = ps.execute(qtext, list(map(float, qv))).rows()
+        want = ctx.sql(
+            f"SELECT id FROM fu WHERE match(body, '{qtext}') "
+            f"ORDER BY 0.04 * score() - cosine_distance(emb, {_vec(qv)}) "
+            f"DESC LIMIT 6").rows()
+        assert got == want, qtext
+
+
+def test_fused_batch_asc_order(ctx, monkeypatch):
+    from databend_tpu.service.prepared import _MatchServer
+    monkeypatch.setattr(_MatchServer, "DEVICE_MIN_DOCS", 0)
+    texts, emb = _mk_fused_table(ctx)
+    # ASC over cos - w*score() is the same ranking, exercised as a batch
+    ps = ctx.prepare(
+        "SELECT id FROM fu WHERE match(body, ?) "
+        "ORDER BY cosine_distance(emb, ?) - 0.04 * score() ASC LIMIT 5")
+    assert ps._match is not None and ps._match.shape.fused
+    rng = np.random.default_rng(2)
+    qs = [("weather", emb[rng.integers(0, len(emb))]),
+          ("news google", emb[rng.integers(0, len(emb))])]
+    out = ps.execute_batch([(t, list(map(float, v))) for t, v in qs])
+    for (t, v), res in zip(qs, out):
+        want = ctx.sql(
+            f"SELECT id FROM fu WHERE match(body, '{t}') "
+            f"ORDER BY cosine_distance(emb, {_vec(v)}) - 0.04 * score() "
+            f"ASC LIMIT 5").rows()
+        assert res.rows() == want, t
