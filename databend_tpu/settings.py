@@ -76,6 +76,11 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    " route; above it the host factorize path wins (masked"
                    " per-group reductions scale with G; scatters serialize"
                    " on TPU)", (0, 1 << 20)),
+        SettingDef("device_scan_agg_max_groups_matmul", 65536,
+                   "group-grid ceiling for the one-hot int8 MXU matmul"
+                   " grouping engine (grids above device_scan_agg_max_groups"
+                   " ride the MXU; min/max aggregates stay mask-engine"
+                   " only)", (0, 1 << 24)),
         SettingDef("enable_cbo", True,
                    "cost-based optimizer: filter pushdown + DP join"
                    " reordering (reference optimizers/{cascades,hyper_dp})"),

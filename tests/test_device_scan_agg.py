@@ -150,20 +150,72 @@ def test_snapshot_isolation(ctx):
 
 
 def test_bails_to_host(ctx):
-    """Ineligible shapes must fall back, not fail: high-cardinality
-    grid, LIKE predicates, distinct aggregates, joins."""
+    """Ineligible shapes must fall back, not fail: grids beyond the
+    matmul cap, min/max over big grids, distinct aggregates."""
     _mkdata(ctx)
     ctx.sql("set enable_device_local_execution = 1")
+    ctx.sql("set device_scan_agg_max_groups_matmul = 64")
     before = _routed()
-    # high-card group (q x p grid blows device_scan_agg_max_groups)
+    # high-card group (q x p grid blows both grid caps)
     ctx.sql("select q, p, count(*) from t group by q, p limit 3").rows()
-    # LIKE predicate is host-only
-    ctx.sql("select k, count(*) from t where k like 'A%' group by k").rows()
+    # min/max never ride the matmul engine: a grid above the mask cap
+    # with a min aggregate must bail even under a high matmul cap
+    ctx.sql("set device_scan_agg_max_groups_matmul = 1000000")
+    ctx.sql("set device_scan_agg_max_groups = 2")
+    ctx.sql("select k, min(p), count(*) from t group by k").rows()
     # DISTINCT aggregate
     ctx.sql("select k, count(distinct q) from t group by k").rows()
     assert _routed() == before
     err = METRICS.snapshot().get("device_scan_agg_errors", 0)
     assert err == 0
+
+
+def test_like_predicate_routes_via_lut(ctx):
+    """LIKE / NOT LIKE on a string column ride the dictionary LUT
+    (VERDICT r4 item 3): evaluate once over the uniques, gather on
+    device; results equal the host path exactly."""
+    _mkdata(ctx)
+    host, dev = _both(ctx, """
+        select k, count(*), sum(p) from t
+        where k like 'A%' or k like '%C' group by k order by k""")
+    _assert_same(host, dev)
+    host, dev = _both(ctx, """
+        select count(*), sum(q) from t where k not like 'B%'""")
+    _assert_same(host, dev)
+
+
+def test_expression_group_key_routes(ctx):
+    """Single-column expression group keys re-code through an i32 LUT
+    (ClickBench q28's REGEXP_REPLACE-style key)."""
+    _mkdata(ctx)
+    host, dev = _both(ctx, """
+        select upper(k) as u, count(*), sum(p) from t
+        group by u order by u""")
+    _assert_same(host, dev)
+    host, dev = _both(ctx, """
+        select concat(k, '_') as u, count(*) from t
+        where q < 30 group by u order by u""")
+    _assert_same(host, dev)
+
+
+def test_matmul_engine_large_grid(ctx):
+    """Grids above device_scan_agg_max_groups ride the one-hot int8
+    matmul engine with exact i8-limb sums."""
+    _mkdata(ctx)
+    ctx.sql("set device_scan_agg_max_groups = 4")  # force matmul engine
+    host, dev = _both(ctx, """
+        select k, k2, d, count(*), sum(p), sum(x), count(x), avg(neg)
+        from t where q < 45 group by k, k2, d order by k, k2, d""")
+    _assert_same(host, dev)
+
+
+def test_matmul_engine_negative_and_null_sums(ctx):
+    _mkdata(ctx)
+    ctx.sql("set device_scan_agg_max_groups = 1")
+    host, dev = _both(ctx, """
+        select d, sum(neg), sum(x), count(*) from t
+        group by d order by d""")
+    _assert_same(host, dev)
 
 
 def test_route_respects_min_rows(ctx):
@@ -172,3 +224,33 @@ def test_route_respects_min_rows(ctx):
     before = _routed()
     ctx.sql("select k, count(*) from t group by k").rows()
     assert _routed() == before
+
+
+def test_computed_agg_arg_via_lut_planes(ctx):
+    """SUM/AVG over single-column expressions (AVG(length(url)) —
+    ClickBench q27/q28) compile to fixed-point planes over the
+    dictionary, gathered on device by rank code."""
+    _mkdata(ctx)
+    host, dev = _both(ctx, """
+        select k, avg(length(k)), sum(length(k) + 2), count(*)
+        from t where q < 40 group by k order by k""")
+    _assert_same(host, dev)
+
+
+def test_computed_agg_arg_nullable_lut(ctx):
+    """LUT planes over a nullable column: NULL inputs are skipped by
+    SUM/AVG/COUNT exactly as the host does."""
+    _mkdata(ctx)
+    host, dev = _both(ctx, """
+        select k, sum(x * 2 + 1), count(x), avg(x) from t
+        group by k order by k""")
+    _assert_same(host, dev)
+
+
+def test_computed_agg_arg_matmul_engine(ctx):
+    _mkdata(ctx)
+    ctx.sql("set device_scan_agg_max_groups = 1")  # force matmul
+    host, dev = _both(ctx, """
+        select d, avg(length(k)), sum(x), count(*) from t
+        group by d order by d""")
+    _assert_same(host, dev)
