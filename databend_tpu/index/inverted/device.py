@@ -565,20 +565,23 @@ class ImpactBM25:
                 need[qi] = 1.0
         return qterms, idf, gmat, need, drop, b, m, g
 
-    def top_k_batch(self, queries: "List[List[List[int]]]", k: int,
-                    operator: str = "OR"
-                    ) -> "List[Tuple[np.ndarray, np.ndarray]]":
-        """One dense program for B queries -> [(rows, scores)] per query."""
-        import jax
-        b_real = len(queries)
-        if b_real == 0:
-            return []
+    def dispatch_top_k_batch(self, queries: "List[List[List[int]]]",
+                             k: int, operator: str = "OR"):
+        """Queue the dense batch program WITHOUT syncing; returns an
+        opaque handle for :meth:`collect`. Callers serving multiple
+        blocks dispatch them all, then collect — one host sync instead
+        of one per block (the tunnel RTT dominates small batches)."""
         qterms, idf, gmat, need, drop, b, m, g = \
             self._pack_queries(queries, operator)
         run = _impact_topk_program(self.n_pad, self.L, m, b, g,
                                    min(k, max(self.n_docs, 1)), self.TILE)
-        vals, ids = jax.device_get(run(self._term_ids, self._sat,
-                                       qterms, idf, gmat, need))
+        dev = run(self._term_ids, self._sat, qterms, idf, gmat, need)
+        return (dev, drop, len(queries))
+
+    def collect(self, handle) -> "List[Tuple[np.ndarray, np.ndarray]]":
+        import jax
+        dev, drop, b_real = handle
+        vals, ids = jax.device_get(dev)
         out = []
         for qi in range(b_real):
             if drop[qi]:
@@ -589,6 +592,32 @@ class ImpactBM25:
                         vals[qi][ok].astype(np.float32)))
         return out
 
+    def top_k_batch(self, queries: "List[List[List[int]]]", k: int,
+                    operator: str = "OR"
+                    ) -> "List[Tuple[np.ndarray, np.ndarray]]":
+        """One dense program for B queries -> [(rows, scores)] per query."""
+        if len(queries) == 0:
+            return []
+        return self.collect(self.dispatch_top_k_batch(queries, k, operator))
+
+    def dispatch_fused_top_k_batch(self, queries: "List[List[List[int]]]",
+                                   k: int, operator: str, emb,
+                                   Q: np.ndarray, w_score: float,
+                                   w_dist: float, metric: str):
+        """Queue the fused text+vector program without syncing (see
+        :meth:`dispatch_top_k_batch`)."""
+        b_real = len(queries)
+        qterms, idf, gmat, need, drop, b, m, g = \
+            self._pack_queries(queries, operator)
+        Qp = np.zeros((b, Q.shape[1]), np.float32)
+        Qp[:b_real] = Q
+        run = _impact_fused_topk_program(
+            self.n_pad, self.L, m, b, g, min(k, max(self.n_docs, 1)),
+            self.TILE, int(emb.shape[1]), metric)
+        dev = run(self._term_ids, self._sat, qterms, idf, gmat, need,
+                  emb, Qp, np.float32(w_score), np.float32(w_dist))
+        return (dev, drop, b_real)
+
     def fused_top_k_batch(self, queries: "List[List[List[int]]]", k: int,
                           operator: str, emb, Q: np.ndarray,
                           w_score: float, w_dist: float, metric: str
@@ -598,26 +627,7 @@ class ImpactBM25:
         (callers encode ASC orders by negating both weights). ``emb`` is
         this block's [n_pad, d] device-resident embedding slice (cosine:
         pre-normalized rows)."""
-        import jax
-        b_real = len(queries)
-        if b_real == 0:
+        if len(queries) == 0:
             return []
-        qterms, idf, gmat, need, drop, b, m, g = \
-            self._pack_queries(queries, operator)
-        Qp = np.zeros((b, Q.shape[1]), np.float32)
-        Qp[:b_real] = Q
-        run = _impact_fused_topk_program(
-            self.n_pad, self.L, m, b, g, min(k, max(self.n_docs, 1)),
-            self.TILE, int(emb.shape[1]), metric)
-        vals, ids = jax.device_get(run(
-            self._term_ids, self._sat, qterms, idf, gmat, need, emb, Qp,
-            np.float32(w_score), np.float32(w_dist)))
-        out = []
-        for qi in range(b_real):
-            if drop[qi]:
-                out.append((np.zeros(0, np.int64), np.zeros(0, np.float32)))
-                continue
-            ok = (vals[qi] > -np.inf) & (ids[qi] < self.n_docs)
-            out.append((ids[qi][ok].astype(np.int64),
-                        vals[qi][ok].astype(np.float32)))
-        return out
+        return self.collect(self.dispatch_fused_top_k_batch(
+            queries, k, operator, emb, Q, w_score, w_dist, metric))

@@ -1107,20 +1107,25 @@ class _MatchServer:
             if key not in tok_cache:
                 tok_cache[key] = tokenize_text(t, r0.tokenizer, r0.filters)
             tokens_per_q.append(tok_cache[key])
-        # per-block batched scoring (device); small unindexed-impact blocks
-        # score host-side
+        # per-block batched scoring (device): dispatch EVERY block's
+        # program first, sync once — over the tunnel the per-dispatch RTT
+        # dominates small batches, so serializing a device_get per block
+        # multiplies latency by the block count. Small unindexed-impact
+        # blocks score host-side.
         merged_rows = [[] for _ in range(B)]
         merged_scores = [[] for _ in range(B)]
+        pending = []  # (scorer|None, handle_or_results)
         for bi, (reader, scorer, base) in enumerate(
                 zip(self._readers, self._scorers, self._bases)):
             groups = [self._term_groups(reader, toks)
                       for toks in tokens_per_q]
             if sh.fused:
-                results = scorer.fused_top_k_batch(
+                pending.append((scorer, scorer.dispatch_fused_top_k_batch(
                     groups, k, sh.operator, self._embs[bi], Q,
-                    sh.w_score, sh.w_dist, metric)
+                    sh.w_score, sh.w_dist, metric)))
             elif scorer is not None:
-                results = scorer.top_k_batch(groups, k, sh.operator)
+                pending.append((scorer, scorer.dispatch_top_k_batch(
+                    groups, k, sh.operator)))
             else:
                 results = []
                 for tg in groups:
@@ -1129,6 +1134,9 @@ class _MatchServer:
                         sel = np.argpartition(-scores, k - 1)[:k]
                         rows, scores = rows[sel], scores[sel]
                     results.append((rows, scores))
+                pending.append((None, results))
+        for (scorer, item), base in zip(pending, self._bases):
+            results = item if scorer is None else scorer.collect(item)
             for qi, (rows, scores) in enumerate(results):
                 if len(rows):
                     merged_rows[qi].append(rows + base)
