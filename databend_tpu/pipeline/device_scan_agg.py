@@ -944,6 +944,82 @@ def _build_program(ir: tuple):
     if engine == "matmul":
         return jax.jit(program_matmul)
 
+    def program_sort(*env):
+        """Huge-grid grouping WITHOUT scatters or one-hots: ONE
+        lax.sort by group id carries a row permutation; per-group
+        aggregates are prefix-sum differences at segment boundaries
+        (searchsorted over the sorted gids). MIN/MAX ride secondary
+        (gid, code) sorts — the first/last element of each segment.
+        Cost is O(n log n) on the VPU, independent of G; the [K, G]
+        result transfer is the practical ceiling."""
+        n = env[0].shape[0]
+        keep = _eval_pred(pred_ir, env, n)
+        gid = group_ids(env, keep, n)
+        gid = jnp.where(keep, gid, G)      # filtered rows -> pad segment
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sg, perm = jax.lax.sort((gid, iota), num_keys=1)
+        starts = jnp.searchsorted(sg, jnp.arange(G + 1, dtype=jnp.int32)
+                                  ).astype(jnp.int32)
+        lo, hi = starts[:-1], starts[1:]
+        counts = hi - lo
+
+        def seg_sum(row_i32):
+            # |row| <= 255 and n <= CHUNK_ROWS keep the i32 cumsum exact
+            cs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(jnp.take(row_i32, perm))])
+            return jnp.take(cs, hi) - jnp.take(cs, lo)
+
+        outs: List[Any] = [counts]
+        big = jnp.int32(1 << 30)
+        for a in agg_irs:
+            kind = a[0]
+            if kind == "count_star":
+                outs.append(counts)
+            elif kind == "count":
+                v = jnp.ones((n,), jnp.int32)
+                for vnode in a[1]:
+                    v = v * _eval_valid(vnode, env).astype(jnp.int32)
+                outs.append(seg_sum(v))
+            elif kind in ("sum", "avg"):
+                _, val_ir, valid_slots = a
+                limbs, _ = _eval_value(val_ir, env, n)
+                limbs = _limb_renorm(limbs, LIMB_MAX)
+                valid = None
+                for vnode in valid_slots:
+                    vs = _eval_valid(vnode, env)
+                    valid = vs if valid is None else (valid & vs)
+                vcnt = jnp.ones((n,), jnp.int32) if valid is None \
+                    else valid.astype(jnp.int32)
+                outs.append(seg_sum(vcnt))
+                for l in limbs.limbs:
+                    lz = l if valid is None else jnp.where(valid, l, 0)
+                    outs.append(seg_sum(lz))
+            elif kind in ("min", "max"):
+                _, slot = a
+                c = env[slot]
+                # empty segments must yield the neutral element (the
+                # gathered boundary row belongs to a NEIGHBOUR segment),
+                # or the cross-chunk min/max combine would corrupt
+                if kind == "min":
+                    cc = jnp.where(c < 0, big, c)
+                    _, sc = jax.lax.sort((gid, cc), num_keys=2)
+                    outs.append(jnp.where(counts > 0,
+                                          jnp.take(sc, lo, mode="clip"),
+                                          big))
+                else:
+                    cc = jnp.where(c < 0, -big, c)
+                    _, sc = jax.lax.sort((gid, cc), num_keys=2)
+                    outs.append(jnp.where(
+                        counts > 0,
+                        jnp.take(sc, jnp.maximum(hi - 1, 0), mode="clip"),
+                        -big))
+            else:  # pragma: no cover
+                raise ValueError(kind)
+        return jnp.stack(outs)
+
+    if engine == "sort":
+        return jax.jit(program_sort)
+
     def program(*env):
         n = None
         for a in env:
@@ -1002,6 +1078,73 @@ def _build_program(ir: tuple):
         return jnp.stack(outs)
 
     return jax.jit(program)
+
+
+# ------------------------------------------------------- COUNT(DISTINCT)
+#
+# Exact distinct counts are sort-based and CANNOT be combined across row
+# chunks (per-chunk distinct sets overlap), so they run as a separate
+# two-phase device pipeline over the FULL table: a per-chunk prep program
+# computes (gid, value codes) and the finish program concatenates every
+# chunk on device, sorts each (gid, code) composite once, counts
+# first-occurrence rows per segment, and ships back one [n_distinct, G]
+# grid. Reference semantics: aggregate_distinct_state.rs (the group
+# hashtable's distinct set), computed here without a single scatter.
+
+
+@functools.lru_cache(maxsize=256)
+def _build_distinct_prep(ir: tuple):
+    import jax
+    import jax.numpy as jnp
+
+    pred_ir, group, dslots, n_env = ir
+    G = 1
+    for _, size, _, _ in group:
+        G *= size + 1
+
+    def prep(*env):
+        n = env[0].shape[0]
+        keep = _eval_pred(pred_ir, env, n)
+        gid = jnp.zeros((n,), jnp.int32)
+        for slot, size, lslot, null_in in group:
+            c = env[slot]
+            if lslot >= 0:
+                c = jnp.where(c < 0, jnp.int32(null_in),
+                              jnp.take(env[lslot], jnp.clip(c, 0, None)))
+            else:
+                c = jnp.where(c < 0, size, c)
+            gid = gid * (size + 1) + c
+        gid = jnp.where(keep, gid, G)
+        return (gid,) + tuple(env[s] for s in dslots)
+
+    return jax.jit(prep)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_distinct_finish(G: int, n_parts: int, n_distinct: int):
+    import jax
+    import jax.numpy as jnp
+
+    def finish(*parts):
+        gid = jnp.concatenate(parts[:n_parts]) if n_parts > 1 else parts[0]
+        outs = []
+        for di in range(n_distinct):
+            seg = parts[(1 + di) * n_parts:(2 + di) * n_parts]
+            code = jnp.concatenate(seg) if n_parts > 1 else seg[0]
+            sg, sc = jax.lax.sort((gid, code), num_keys=2)
+            first = jnp.concatenate([
+                jnp.ones((1,), jnp.bool_),
+                (sg[1:] != sg[:-1]) | (sc[1:] != sc[:-1])])
+            uniq = (first & (sc >= 0)).astype(jnp.int32)  # NULLs out
+            cs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(uniq)])
+            starts = jnp.searchsorted(
+                sg, jnp.arange(G + 1, dtype=jnp.int32)).astype(jnp.int32)
+            outs.append(jnp.take(cs, starts[1:])
+                        - jnp.take(cs, starts[:-1]))
+        return jnp.stack(outs)
+
+    return jax.jit(finish)
 
 
 # ------------------------------------------------------------------ routing
@@ -1079,15 +1222,28 @@ def try_device_scan_agg(plan) -> Optional[DataBlock]:
     # aggregates or a computed aggregate argument
     has_computed = any(ae and not isinstance(ae[0], BoundColumn)
                        for _, _, ae in plan.aggs)
+    has_distinct = any(fn.name == "count_distinct"
+                       for _, fn, _ in plan.aggs)
     has_shape = bool(plan.keys) or _has_filter(plan)
-    if min_rows > 0 and not (
+    if min_rows > 0 and not has_distinct and not (
             has_shape and (len(plan.aggs) >= 2 or has_computed)):
         return None  # min_rows = 0 forces the route (tests/debug)
     try:
         matmul_max = int(st.get("device_scan_agg_max_groups_matmul"))
     except Exception:
         matmul_max = 65536
+    try:
+        sort_max = int(st.get("device_scan_agg_max_groups_sort"))
+    except Exception:
+        sort_max = 1 << 21
     for _, fn, arg_exprs in plan.aggs:
+        if fn.name == "count_distinct":
+            # exact distinct over rank codes (sort + first-occurrence
+            # count); single bound column only
+            if len(arg_exprs) != 1 \
+                    or not isinstance(arg_exprs[0], BoundColumn):
+                return None
+            continue
         if getattr(fn, "distinct", False) or getattr(fn, "multi_arg", False):
             return None
         if fn.name not in ("count", "sum", "avg", "min", "max"):
@@ -1106,7 +1262,8 @@ def try_device_scan_agg(plan) -> Optional[DataBlock]:
             return None
 
     try:
-        return _execute(plan, scan, filt, snap, max_groups, matmul_max)
+        return _execute(plan, scan, filt, snap, max_groups, matmul_max,
+                        sort_max)
     except _Bail:
         return None
     except Exception:
@@ -1159,15 +1316,17 @@ def _key_base_column(e) -> str:
 
 
 def _execute(plan, scan, filt, snap, max_groups: int,
-             matmul_max: int) -> DataBlock:
+             matmul_max: int, sort_max: int) -> DataBlock:
     from ..utils.metrics import METRICS
 
     dtc = get_table_columns(scan.table, snap.snapshot_id)
     comp = _Compiler(dtc)
 
     has_minmax = any(fn.name in ("min", "max") for _, fn, _ in plan.aggs)
-    # min/max can't ride the one-hot matmul (no sum form): mask grid only
-    grid_cap = max_groups if has_minmax else max(max_groups, matmul_max)
+    # min/max can't ride the one-hot matmul (no sum form) but DO ride the
+    # sort engine; the overall cap is whatever the largest engine allows
+    grid_cap = max(max_groups, matmul_max, sort_max) if not has_minmax \
+        else max(max_groups, sort_max)
 
     # cheap grid screen BEFORE any codes build: ANALYZE NDV when present,
     # else a first-block distinct sample — a high-cardinality GROUP BY
@@ -1197,11 +1356,23 @@ def _execute(plan, scan, filt, snap, max_groups: int,
         G *= size + 1
     if G > grid_cap:
         raise _Bail(f"group grid {G} exceeds the device cap")
-    engine = "mask" if G <= max_groups else "matmul"
+    if G <= max_groups:
+        engine = "mask"
+    elif not has_minmax and G <= matmul_max:
+        engine = "matmul"
+    elif G <= sort_max:
+        engine = "sort"
+    else:
+        raise _Bail(f"group grid {G} exceeds the device cap")
 
     agg_irs: List[tuple] = []
+    distinct_slots: List[int] = []   # codes slots, one per distinct agg
     for _, fn, arg_exprs in plan.aggs:
-        if fn.name == "count" and not arg_exprs:
+        if fn.name == "count_distinct":
+            slot = comp._slot(arg_exprs[0].name, "codes")
+            agg_irs.append(("count_distinct", slot))
+            distinct_slots.append(slot)
+        elif fn.name == "count" and not arg_exprs:
             agg_irs.append(("count_star",))
         elif fn.name == "count":
             _, valids = comp.value_and_valid(arg_exprs[0])
@@ -1214,7 +1385,8 @@ def _execute(plan, scan, filt, snap, max_groups: int,
             agg_irs.append((fn.name, slot))
 
     env_forms = list(comp.slots)
-    ir = (_freeze(pred_ir), tuple(group), _freeze(agg_irs),
+    main_irs = tuple(a for a in agg_irs if a[0] != "count_distinct")
+    ir = (_freeze(pred_ir), tuple(group), _freeze(main_irs),
           len(env_forms), engine)
     prog = _build_program(ir)
 
@@ -1222,7 +1394,7 @@ def _execute(plan, scan, filt, snap, max_groups: int,
     # engine splits every limb into (lo, hi) i8 rows.
     rows_per_limb = 2 if engine == "matmul" else 1
     combine = ["add"]
-    for a in agg_irs:
+    for a in main_irs:
         if a[0] in ("count_star", "count"):
             combine.append("add")
         elif a[0] in ("sum", "avg"):
@@ -1236,8 +1408,8 @@ def _execute(plan, scan, filt, snap, max_groups: int,
     import jax
     lut_dev = [jax.device_put(l) for l in comp.luts]
     n_chunks = max((dtc.n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS, 1)
-    acc: Optional[List[np.ndarray]] = None
-    for ci in range(n_chunks):
+
+    def chunk_env(ci: int):
         env = []
         for name, form in env_forms:
             if form == "lut":
@@ -1250,7 +1422,11 @@ def _execute(plan, scan, filt, snap, max_groups: int,
                 env.append(ent["planes"][ci])
             else:  # planes_valid
                 env.append(ent["valid"][ci])
-        stacked = np.asarray(prog(*env)).astype(np.int64)
+        return env
+
+    acc: Optional[List[np.ndarray]] = None
+    for ci in range(n_chunks):
+        stacked = np.asarray(prog(*chunk_env(ci))).astype(np.int64)
         outs = list(stacked)
         if len(outs) != len(combine):  # pragma: no cover
             raise _Bail("internal: output layout mismatch")
@@ -1264,15 +1440,34 @@ def _execute(plan, scan, filt, snap, max_groups: int,
                     acc[k] = np.minimum(acc[k], outs[k])
                 else:
                     acc[k] = np.maximum(acc[k], outs[k])
+
+    distinct_res: Optional[np.ndarray] = None
+    if distinct_slots:
+        # two-phase full-table distinct pipeline (per-chunk distinct
+        # grids cannot be combined): prep per chunk, one device-side
+        # concat + sort + first-occurrence count in finish
+        prep = _build_distinct_prep(
+            (_freeze(pred_ir), tuple(group), tuple(distinct_slots),
+             len(env_forms)))
+        parts: List[List[Any]] = [[] for _ in range(1 + len(distinct_slots))]
+        for ci in range(n_chunks):
+            res = prep(*chunk_env(ci))
+            for i, r in enumerate(res):
+                parts[i].append(r)
+        finish = _build_distinct_finish(G, n_chunks, len(distinct_slots))
+        flat_parts = [p for group_parts in parts for p in group_parts]
+        distinct_res = np.asarray(finish(*flat_parts)).astype(np.int64)
+
     METRICS.inc("device_scan_agg_queries")
     plan.__dict__["_device_routed"] = True  # EXPLAIN ANALYZE marker
     return _finalize(plan, dtc, group, key_uniques, agg_irs, acc,
-                     rows_per_limb)
+                     rows_per_limb, distinct_res)
 
 
 def _group_key_columns(plan, key_uniques, group,
                        present: np.ndarray) -> List[Column]:
-    """Grid slot ids -> per-key host value columns."""
+    """Grid slot ids -> per-key host value columns (vectorized — the
+    sort engine can surface millions of groups)."""
     cols = []
     slots = present.astype(np.int64)
     # decompose slot id most-significant key first (build order)
@@ -1285,19 +1480,31 @@ def _group_key_columns(plan, key_uniques, group,
     codes_per_key.reverse()
     for (kname, kexpr), codes, (_, size, _, _), uniques in zip(
             plan.keys, codes_per_key, group, key_uniques):
-        vals = [None if c == size else uniques[c] for c in codes.tolist()]
+        null_mask = codes == size
         dt = kexpr.dtype
+        safe = np.where(null_mask, 0, codes)
+        if isinstance(uniques, np.ndarray) and uniques.dtype.kind in "iufb" \
+                and len(uniques):
+            vals = uniques[safe]
+            validity = None if not null_mask.any() else ~null_mask
+            cols.append(Column.from_numpy(
+                vals, dt if validity is None else dt.wrap_nullable(),
+                validity))
+            continue
+        vals = [None if m else
+                (u.item() if isinstance(u, np.generic) else u)
+                for m, u in zip(null_mask.tolist(),
+                                (uniques[safe].tolist() if len(uniques)
+                                 else [None] * len(safe)))]
         if any(v is None for v in vals):
             dt = dt.wrap_nullable()
-        cols.append(Column.from_pylist(
-            [v if v is None or not isinstance(v, np.generic) else v.item()
-             for v in vals], dt))
+        cols.append(Column.from_pylist(vals, dt))
     return cols
 
 
 def _finalize(plan, dtc, group, key_uniques, agg_irs,
-              flat: List[np.ndarray], rows_per_limb: int = 1
-              ) -> DataBlock:
+              flat: List[np.ndarray], rows_per_limb: int = 1,
+              distinct_res: Optional[np.ndarray] = None) -> DataBlock:
     counts = flat[0]
     if group:
         present = np.nonzero(counts > 0)[0]
@@ -1309,53 +1516,98 @@ def _finalize(plan, dtc, group, key_uniques, agg_irs,
     names = [n for n, _ in plan.keys] + [n for n, _, _ in plan.aggs]
 
     k = 1
+    di = 0
+    n_rows_tbl = max(dtc.n_rows, 1)
     for (aname, fn, arg_exprs), a in zip(plan.aggs, agg_irs):
         rt = fn.return_type()
         inner = rt.remove_nullable()
-        if a[0] in ("count_star", "count"):
+        if a[0] == "count_distinct":
+            vals = distinct_res[di][present]
+            di += 1
+            cols.append(Column.from_numpy(vals.astype(np.int64), rt))
+        elif a[0] in ("count_star", "count"):
             vals = flat[k][present]
             k += 1
-            cols.append(Column.from_pylist([int(v) for v in vals], rt))
+            cols.append(Column.from_numpy(vals.astype(np.int64), rt))
         elif a[0] in ("sum", "avg"):
             vcnt = flat[k][present]
             k += 1
             nlimbs = _value_limb_count(a[1])
-            total = np.zeros(len(present), dtype=object)
+            # static overflow screen: |total| <= n_rows * 256^nlimbs; when
+            # that fits int64 the recombination is one vectorized pass
+            # (the sort engine surfaces millions of groups — no Python
+            # loops), else exact object-int arithmetic
+            fits_i64 = n_rows_tbl * (256 ** nlimbs) * rows_per_limb \
+                < (1 << 62)
+            if fits_i64:
+                total = np.zeros(len(present), np.int64)
+            else:
+                total = np.zeros(len(present), dtype=object)
             for i in range(nlimbs):
                 # matmul engine: limb split as (lo, hi) with l = lo+128*hi
                 for sub in ((1,) if rows_per_limb == 1 else (1, 128)):
                     limb = flat[k][present]
                     k += 1
                     w = (1 << (8 * i)) * sub
-                    total = total + np.array([int(x) * w for x in limb],
-                                             dtype=object)
+                    if fits_i64:
+                        total = total + limb.astype(np.int64) * w
+                    else:
+                        total = total + np.array(
+                            [int(x) * w for x in limb], dtype=object)
             scale = _value_scale(a[1])
-            out = []
-            for t, c in zip(total, vcnt):
-                if c == 0:
-                    out.append(None)
-                elif a[0] == "avg":
-                    out.append((int(t) / scale) / int(c))
-                elif inner.is_integer():
-                    q, r = divmod(int(t), scale)
-                    out.append(q if r == 0 else int(round(int(t) / scale)))
+            zero = vcnt == 0
+            validity = None if not zero.any() else ~zero
+            if a[0] == "avg":
+                if fits_i64:
+                    out = (total / scale) / np.maximum(vcnt, 1)
+                    cols.append(Column.from_numpy(
+                        out, rt.wrap_nullable(), validity))
                 else:
-                    out.append(int(t) / scale)
-            cols.append(Column.from_pylist(out, rt.wrap_nullable()))
+                    out = [None if c == 0 else (int(t) / scale) / int(c)
+                           for t, c in zip(total, vcnt)]
+                    cols.append(Column.from_pylist(out, rt.wrap_nullable()))
+            elif inner.is_integer() and scale == 1 and fits_i64:
+                cols.append(Column.from_numpy(
+                    total, rt.wrap_nullable(), validity))
+            elif not inner.is_integer() and fits_i64:
+                cols.append(Column.from_numpy(
+                    total / scale, rt.wrap_nullable(), validity))
+            else:
+                out = []
+                for t, c in zip(total, vcnt):
+                    if c == 0:
+                        out.append(None)
+                    elif inner.is_integer():
+                        q, r = divmod(int(t), scale)
+                        out.append(q if r == 0
+                                   else int(round(int(t) / scale)))
+                    else:
+                        out.append(int(t) / scale)
+                cols.append(Column.from_pylist(out, rt.wrap_nullable()))
         else:  # min / max
             codes = flat[k][present]
             k += 1
             uniques = dtc.cols[arg_exprs[0].name]["uniques"]
             big = 1 << 30
-            out = []
-            for c, cnt in zip(codes.tolist(), gcnt.tolist()):
-                if cnt == 0 or c >= big or c <= -big or c < 0 \
-                        or c >= len(uniques):
-                    out.append(None)
-                else:
-                    v = uniques[c]
-                    out.append(v.item() if isinstance(v, np.generic) else v)
-            cols.append(Column.from_pylist(out, rt.wrap_nullable()))
+            bad = (gcnt == 0) | (codes >= big) | (codes <= -big) \
+                | (codes < 0) | (codes >= len(uniques))
+            if isinstance(uniques, np.ndarray) \
+                    and uniques.dtype.kind in "iufb" and len(uniques):
+                safe = np.where(bad, 0, codes).astype(np.int64)
+                vals = uniques[safe]
+                validity = None if not bad.any() else ~bad
+                cols.append(Column.from_numpy(
+                    vals, rt.wrap_nullable(), validity))
+            else:
+                out = []
+                for c, isbad in zip(codes.tolist(), bad.tolist()):
+                    if isbad:
+                        out.append(None)
+                    else:
+                        v = uniques[c]
+                        out.append(v.item() if isinstance(v, np.generic)
+                                   else v)
+                cols.append(Column.from_pylist(out, rt.wrap_nullable()))
 
     n_out = len(present)
     if not group and n_out == 1 and gcnt[0] == 0:

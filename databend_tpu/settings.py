@@ -79,8 +79,13 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
         SettingDef("device_scan_agg_max_groups_matmul", 65536,
                    "group-grid ceiling for the one-hot int8 MXU matmul"
                    " grouping engine (grids above device_scan_agg_max_groups"
-                   " ride the MXU; min/max aggregates stay mask-engine"
-                   " only)", (0, 1 << 24)),
+                   " ride the MXU)", (0, 1 << 24)),
+        SettingDef("device_scan_agg_max_groups_sort", 1 << 21,
+                   "group-grid ceiling for the sort grouping engine"
+                   " (device lax.sort by group id + segment prefix-sums;"
+                   " covers huge grids, MIN/MAX beyond the mask cap, and"
+                   " COUNT(DISTINCT)); result transfer is [K, G] i32, so"
+                   " very large grids are transfer-bound", (0, 1 << 24)),
         SettingDef("enable_cbo", True,
                    "cost-based optimizer: filter pushdown + DP join"
                    " reordering (reference optimizers/{cascades,hyper_dp})"),

@@ -741,8 +741,17 @@ class Binder:
         if windows:
             plan = WindowPlan(plan, windows)
 
-        # finalize scan pushdowns (vector/search rewrites recorded during binds)
-        self._finalize_scan(state, where_expr, sort_items, limit,
+        # finalize scan pushdowns (vector/search rewrites recorded during
+        # binds). LIMIT/TopN pushdown is only sound when no row-collapsing
+        # operator sits between the scan and the sort: an aggregate,
+        # window or DISTINCT consumes EVERY row, so pruning scan blocks
+        # by the limit corrupts its result (reference: push_down_limit.rs
+        # stops at Aggregate/Window boundaries).
+        blocks_limit = has_agg or bool(windows) or sel.distinct \
+            or qualify_expr is not None
+        self._finalize_scan(state, where_expr,
+                            [] if blocks_limit else sort_items,
+                            None if blocks_limit else limit,
                             bound_items + extra_items)
 
         # projection (+ hidden sort keys + hidden qualify columns)

@@ -150,24 +150,66 @@ def test_snapshot_isolation(ctx):
 
 
 def test_bails_to_host(ctx):
-    """Ineligible shapes must fall back, not fail: grids beyond the
-    matmul cap, min/max over big grids, distinct aggregates."""
+    """Ineligible shapes must fall back, not fail: grids beyond every
+    engine cap, min/max above mask+sort caps, non-column distinct."""
     _mkdata(ctx)
     ctx.sql("set enable_device_local_execution = 1")
     ctx.sql("set device_scan_agg_max_groups_matmul = 64")
+    ctx.sql("set device_scan_agg_max_groups_sort = 64")
     before = _routed()
-    # high-card group (q x p grid blows both grid caps)
+    # high-card group (q x p grid blows every grid cap)
     ctx.sql("select q, p, count(*) from t group by q, p limit 3").rows()
-    # min/max never ride the matmul engine: a grid above the mask cap
-    # with a min aggregate must bail even under a high matmul cap
+    # min/max above the mask cap ride only the SORT engine — with the
+    # sort cap lowered they must bail even under a high matmul cap
     ctx.sql("set device_scan_agg_max_groups_matmul = 1000000")
     ctx.sql("set device_scan_agg_max_groups = 2")
+    ctx.sql("set device_scan_agg_max_groups_sort = 2")
     ctx.sql("select k, min(p), count(*) from t group by k").rows()
-    # DISTINCT aggregate
-    ctx.sql("select k, count(distinct q) from t group by k").rows()
+    # DISTINCT over an expression (not a bound column) is host-only
+    ctx.sql("select k, count(distinct q + 1) from t group by k").rows()
     assert _routed() == before
     err = METRICS.snapshot().get("device_scan_agg_errors", 0)
     assert err == 0
+
+
+def test_sort_engine_large_grid(ctx):
+    """Grids above the matmul cap ride the sort engine (lax.sort +
+    segment prefix sums), including MIN/MAX — exact vs host."""
+    _mkdata(ctx)
+    ctx.sql("set device_scan_agg_max_groups = 2")
+    ctx.sql("set device_scan_agg_max_groups_matmul = 2")  # force sort
+    host, dev = _both(ctx, """
+        select k, k2, d, count(*), sum(p), min(p), max(d), sum(x),
+               count(x), avg(neg)
+        from t where q < 45 group by k, k2, d order by k, k2, d""")
+    _assert_same(host, dev)
+
+
+def test_count_distinct_routes(ctx):
+    """COUNT(DISTINCT col) rides the two-phase sort pipeline on every
+    engine; exact vs host, NULLs excluded."""
+    _mkdata(ctx)
+    host, dev = _both(ctx, """
+        select k, count(distinct k2), count(distinct x), count(*)
+        from t group by k order by k""")
+    _assert_same(host, dev)
+    # global (no GROUP BY)
+    host, dev = _both(ctx, "select count(distinct q), count(distinct x)"
+                           " from t where k <> 'B'")
+    _assert_same(host, dev)
+
+
+def test_count_distinct_large_grid_and_chunks(ctx, monkeypatch):
+    """Distinct counts stay exact across row chunks (the two-phase
+    pipeline concatenates chunks on device before the sort)."""
+    import databend_tpu.pipeline.device_scan_agg as dsa
+    monkeypatch.setattr(dsa, "CHUNK_ROWS", 999)
+    _mkdata(ctx, n=4000)
+    ctx.sql("set device_scan_agg_max_groups = 2")  # force matmul/sort
+    host, dev = _both(ctx, """
+        select k, d, count(distinct x), count(*), sum(p)
+        from t group by k, d order by k, d""")
+    _assert_same(host, dev)
 
 
 def test_like_predicate_routes_via_lut(ctx):
@@ -254,3 +296,26 @@ def test_computed_agg_arg_matmul_engine(ctx):
         select d, avg(length(k)), sum(x), count(*) from t
         group by d order by d""")
     _assert_same(host, dev)
+
+
+def test_topn_pushdown_blocked_by_aggregate(ctx):
+    """ORDER BY ... LIMIT above an aggregate must NOT push a topn/limit
+    prune into the scan: the aggregate consumes every row (regression —
+    the pruner dropped blocks and corrupted counts; reference
+    push_down_limit.rs stops at Aggregate boundaries)."""
+    import collections
+    ctx.sql("create table g (u bigint, w bigint) row_per_block='100'")
+    rng = np.random.default_rng(0)
+    u = np.sort(rng.integers(0, 5, 1000))  # sorted -> tight block stats
+    ctx.insert_block("g", DataBlock(
+        ["u", "w"], [Column(Int64, u.astype(np.int64)),
+                     Column(Int64, np.ones(1000, np.int64))]))
+    want = sorted(collections.Counter(u.tolist()).items())[:2]
+    for dev in (0, 1):
+        ctx.sql(f"set enable_device_local_execution = {dev}")
+        got = ctx.sql("select u, count(*) from g group by u"
+                      " order by u limit 2").rows()
+        assert [tuple(x) for x in got] == want, (dev, got, want)
+        got = ctx.sql("select u, count(*) from g group by u limit 10").rows()
+        assert sorted(got) == sorted(
+            collections.Counter(u.tolist()).items()), (dev, got)
