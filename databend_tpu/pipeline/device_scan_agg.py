@@ -542,7 +542,7 @@ class _Compiler:
             slot = self._slot(e.name, "codes")
             ent = self.dtc.cols[e.name]
             size = len(ent["uniques"])
-            return (slot, size, -1, size, ent["uniques"])
+            return (slot, size, None, size, ent["uniques"])
         name = self._single_column(e)
         res = self._eval_over_uniques(name, e)
         vals, valid = self.dtc._values_validity(res)
@@ -582,7 +582,7 @@ class _Compiler:
             lut = np.full(len(vals), np.int32(0))
         slot = self._slot(name, "codes")
         null_in = size if null_maps_to is None else null_maps_to
-        return (slot, size, self._lut_slot(lut), null_in, out_uniques)
+        return (slot, size, lut, null_in, out_uniques)
 
     def _cmp_const(self, op: str, col: BoundColumn, cv) -> tuple:
         slot = self._slot(col.name, "codes")
@@ -1309,6 +1309,58 @@ def _value_limb_count(node, bound: int = LIMB_MAX) -> int:
     return len(v.maxabs)
 
 
+def _merge_group_entries(entries, comp):
+    """Merge group entries that share one codes slot into a single
+    tuple-coded entry. GROUP BY o_orderkey, o_orderdate, o_totalprice
+    where all three are functions of one underlying slot (e.g. joined
+    dimension attributes over the fact's fk codes) must not multiply
+    the grid: the true grid is the number of DISTINCT TUPLES (57
+    qualifying orders), not the product of per-column domains (10^15).
+    Each merged entry carries a per-key decode (key_pos, values,
+    nullmask) used by _group_key_columns."""
+    from collections import OrderedDict
+    by_slot = OrderedDict()
+    for ent in entries:
+        by_slot.setdefault(ent[0], []).append(ent)
+    if all(len(v) == 1 for v in by_slot.values()):
+        return entries
+    out = []
+    for slot, ents in by_slot.items():
+        if len(ents) == 1:
+            out.append(ents[0])
+            continue
+        name, _ = comp.slots[slot]
+        n_uniq = len(comp.dtc.cols[name]["uniques"])
+        cols = []
+        for (_s, size, lut, _n, _d) in ents:
+            c = lut if lut is not None \
+                else np.arange(n_uniq, dtype=np.int32)
+            cols.append(c.astype(np.int64))
+        rows = np.stack(cols, axis=1) if cols \
+            else np.zeros((n_uniq, 0), np.int64)
+        # the slot-NULL tuple gets a stable home inside the tuple list
+        null_tuple = np.array([[e[3] for e in ents]], np.int64)
+        allrows = np.concatenate([rows, null_tuple])
+        tup, inv = np.unique(allrows, axis=0, return_inverse=True)
+        lut_m = inv[:n_uniq].astype(np.int32)
+        null_in_m = int(inv[n_uniq])
+        size_m = len(tup)
+        decode = []
+        for k, (_s, size, _lut, _n, dec) in enumerate(ents):
+            key_pos, uniques, _ = dec[0]
+            codes_k = tup[:, k]
+            mask = codes_k >= size  # that key's NULL marker code
+            safe = np.clip(codes_k, 0, max(size - 1, 0))
+            if len(uniques):
+                vals = uniques[safe]
+            else:
+                vals = np.zeros(size_m, dtype=object)
+                mask = np.ones(size_m, np.bool_)
+            decode.append((key_pos, vals, mask if mask.any() else None))
+        out.append((slot, size_m, lut_m, null_in_m, decode))
+    return out
+
+
 def _key_base_column(e) -> str:
     if isinstance(e, BoundColumn):
         return e.name
@@ -1334,8 +1386,12 @@ def _execute(plan, scan, filt, snap, max_groups: int,
     # table column read + np.unique. NDV of an expression key's base
     # column upper-bounds the expression's (functions only merge values).
     est_grid = 1
+    seen_bases = set()
     for _, e in plan.keys:
         base = _key_base_column(e)
+        if base in seen_bases:
+            continue  # same-column keys merge into one tuple entry
+        seen_bases.add(base)
         ent = dtc.cols.get(base, {})
         if "codes" in ent:
             size = len(ent["uniques"])
@@ -1346,13 +1402,19 @@ def _execute(plan, scan, filt, snap, max_groups: int,
             raise _Bail("group grid estimate exceeds the device cap")
 
     pred_ir = comp.pred(filt)
+    entries = []   # (slot, size, lut np|None, null_in, decode list)
+    for kpos, (_, e) in enumerate(plan.keys):
+        slot, size, lut, null_in, uniq = comp.lut_key(e)
+        entries.append((slot, size, lut, null_in,
+                        [(kpos, uniq, None)]))
+    entries = _merge_group_entries(entries, comp)
     group: List[Tuple[int, int, int, int]] = []
-    key_uniques: List[np.ndarray] = []
+    decodes: List[list] = []
     G = 1
-    for _, e in plan.keys:
-        slot, size, lslot, null_in, uniq = comp.lut_key(e)
+    for slot, size, lut, null_in, decode in entries:
+        lslot = comp._lut_slot(lut) if lut is not None else -1
         group.append((slot, size, lslot, null_in))
-        key_uniques.append(uniq)
+        decodes.append(decode)
         G *= size + 1
     if G > grid_cap:
         raise _Bail(f"group grid {G} exceeds the device cap")
@@ -1460,49 +1522,58 @@ def _execute(plan, scan, filt, snap, max_groups: int,
 
     METRICS.inc("device_scan_agg_queries")
     plan.__dict__["_device_routed"] = True  # EXPLAIN ANALYZE marker
-    return _finalize(plan, dtc, group, key_uniques, agg_irs, acc,
+    return _finalize(plan, dtc, group, decodes, agg_irs, acc,
                      rows_per_limb, distinct_res)
 
 
-def _group_key_columns(plan, key_uniques, group,
+def _group_key_columns(plan, decodes, group,
                        present: np.ndarray) -> List[Column]:
     """Grid slot ids -> per-key host value columns (vectorized — the
-    sort engine can surface millions of groups)."""
-    cols = []
+    sort engine can surface millions of groups). ``decodes[i]`` lists
+    (key_pos, values, nullmask) for every plan key the i-th grid entry
+    encodes (merged entries encode several)."""
     slots = present.astype(np.int64)
-    # decompose slot id most-significant key first (build order)
+    # decompose slot id most-significant entry first (build order)
     sizes = [size + 1 for _, size, _, _ in group]
-    codes_per_key = []
+    codes_per_entry = []
     rem = slots
     for s in reversed(sizes):
-        codes_per_key.append(rem % s)
+        codes_per_entry.append(rem % s)
         rem = rem // s
-    codes_per_key.reverse()
-    for (kname, kexpr), codes, (_, size, _, _), uniques in zip(
-            plan.keys, codes_per_key, group, key_uniques):
-        null_mask = codes == size
-        dt = kexpr.dtype
+    codes_per_entry.reverse()
+    cols: List[Optional[Column]] = [None] * len(plan.keys)
+    for codes, (_, size, _, _), decode in zip(codes_per_entry, group,
+                                              decodes):
+        null_mask = codes == size  # the entry's own NULL slot
         safe = np.where(null_mask, 0, codes)
-        if isinstance(uniques, np.ndarray) and uniques.dtype.kind in "iufb" \
-                and len(uniques):
-            vals = uniques[safe]
-            validity = None if not null_mask.any() else ~null_mask
-            cols.append(Column.from_numpy(
-                vals, dt if validity is None else dt.wrap_nullable(),
-                validity))
-            continue
-        vals = [None if m else
-                (u.item() if isinstance(u, np.generic) else u)
-                for m, u in zip(null_mask.tolist(),
-                                (uniques[safe].tolist() if len(uniques)
-                                 else [None] * len(safe)))]
-        if any(v is None for v in vals):
-            dt = dt.wrap_nullable()
-        cols.append(Column.from_pylist(vals, dt))
+        for key_pos, values, vmask in decode:
+            kname, kexpr = plan.keys[key_pos]
+            dt = kexpr.dtype
+            nm = null_mask.copy()
+            if vmask is not None:
+                nm |= vmask[safe]
+            if isinstance(values, np.ndarray) \
+                    and values.dtype.kind in "iufb" and len(values):
+                vals = values[np.clip(safe, 0, len(values) - 1)]
+                validity = None if not nm.any() else ~nm
+                cols[key_pos] = Column.from_numpy(
+                    vals, dt if validity is None else dt.wrap_nullable(),
+                    validity)
+                continue
+            if len(values):
+                taken = values[np.clip(safe, 0, len(values) - 1)].tolist()
+            else:
+                taken = [None] * len(safe)
+            vals = [None if m else
+                    (u.item() if isinstance(u, np.generic) else u)
+                    for m, u in zip(nm.tolist(), taken)]
+            if any(v is None for v in vals):
+                dt = dt.wrap_nullable()
+            cols[key_pos] = Column.from_pylist(vals, dt)
     return cols
 
 
-def _finalize(plan, dtc, group, key_uniques, agg_irs,
+def _finalize(plan, dtc, group, decodes, agg_irs,
               flat: List[np.ndarray], rows_per_limb: int = 1,
               distinct_res: Optional[np.ndarray] = None) -> DataBlock:
     counts = flat[0]
@@ -1511,7 +1582,7 @@ def _finalize(plan, dtc, group, key_uniques, agg_irs,
     else:
         present = np.array([0], np.int64)  # global agg: always one row
     gcnt = counts[present]
-    cols = _group_key_columns(plan, key_uniques, group, present) \
+    cols = _group_key_columns(plan, decodes, group, present) \
         if group else []
     names = [n for n, _ in plan.keys] + [n for n, _, _ in plan.aggs]
 

@@ -319,3 +319,18 @@ def test_topn_pushdown_blocked_by_aggregate(ctx):
         got = ctx.sql("select u, count(*) from g group by u limit 10").rows()
         assert sorted(got) == sorted(
             collections.Counter(u.tolist()).items()), (dev, got)
+
+
+def test_merged_group_entries_same_slot(ctx):
+    """Multiple GROUP BY keys that are functions of ONE column merge
+    into a single tuple-coded grid entry (the grid is the number of
+    distinct tuples, not the product of domains)."""
+    _mkdata(ctx)
+    host, dev = _both(ctx, """
+        select k, upper(k) as u, concat(k, '!') as c2, count(*), sum(p)
+        from t group by k, u, c2 order by k""")
+    _assert_same(host, dev)
+    host, dev = _both(ctx, """
+        select upper(k) as u, length(k) as lk, count(x)
+        from t where q < 30 group by u, lk order by u, lk""")
+    _assert_same(host, dev)
