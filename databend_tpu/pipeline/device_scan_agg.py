@@ -539,6 +539,16 @@ class _Compiler:
         LUT; the device gathers ``lut[codes]`` into the group grid
         (ClickBench q28's REGEXP_REPLACE(...) group key, etc.)."""
         if isinstance(e, BoundColumn):
+            vd = getattr(self.dtc, "vdefs", {}).get(e.name)
+            if vd is not None:
+                # joined dimension attribute: group over the fact BASE
+                # slot through the attr lut, so several attributes of
+                # one dimension merge into a single tuple entry
+                slot = self._slot(vd.base, "codes")
+                size = len(vd.uniques)
+                lut = np.where(vd.lut < 0, np.int32(size),
+                               vd.lut).astype(np.int32)
+                return (slot, size, lut, size, vd.uniques)
             slot = self._slot(e.name, "codes")
             ent = self.dtc.cols[e.name]
             size = len(ent["uniques"])
@@ -866,7 +876,7 @@ def _build_program(ir: tuple):
     import jax
     import jax.numpy as jnp
 
-    pred_ir, group, agg_irs, n_env, engine = ir
+    pred_ir, group, agg_irs, n_env, engine, row_slot = ir
     G = 1
     for _, size, _, _ in group:
         G *= size + 1  # +1 slot per key for NULL
@@ -884,7 +894,7 @@ def _build_program(ir: tuple):
         return gid
 
     def program_matmul(*env):
-        n = env[0].shape[0]
+        n = env[row_slot].shape[0]
         keep = _eval_pred(pred_ir, env, n)
         gid = group_ids(env, keep, n)
         gid = jnp.where(keep, gid, G)      # filtered rows -> pad group
@@ -952,7 +962,7 @@ def _build_program(ir: tuple):
         (gid, code) sorts — the first/last element of each segment.
         Cost is O(n log n) on the VPU, independent of G; the [K, G]
         result transfer is the practical ceiling."""
-        n = env[0].shape[0]
+        n = env[row_slot].shape[0]
         keep = _eval_pred(pred_ir, env, n)
         gid = group_ids(env, keep, n)
         gid = jnp.where(keep, gid, G)      # filtered rows -> pad segment
@@ -1021,10 +1031,7 @@ def _build_program(ir: tuple):
         return jax.jit(program_sort)
 
     def program(*env):
-        n = None
-        for a in env:
-            n = a.shape[0]
-            break
+        n = env[row_slot].shape[0]
         keep = _eval_pred(pred_ir, env, n)
         gid = group_ids(env, keep, n)
         masks = [keep & (gid == k) for k in range(G)] if group \
@@ -1097,13 +1104,13 @@ def _build_distinct_prep(ir: tuple):
     import jax
     import jax.numpy as jnp
 
-    pred_ir, group, dslots, n_env = ir
+    pred_ir, group, dslots, n_env, row_slot = ir
     G = 1
     for _, size, _, _ in group:
         G *= size + 1
 
     def prep(*env):
-        n = env[0].shape[0]
+        n = env[row_slot].shape[0]
         keep = _eval_pred(pred_ir, env, n)
         gid = jnp.zeros((n,), jnp.int32)
         for slot, size, lslot, null_in in group:
@@ -1368,10 +1375,16 @@ def _key_base_column(e) -> str:
 
 
 def _execute(plan, scan, filt, snap, max_groups: int,
-             matmul_max: int, sort_max: int) -> DataBlock:
+             matmul_max: int, sort_max: int, dtc=None,
+             extra_pred_luts=()) -> DataBlock:
+    """Shared engine driver. ``dtc`` may be a join-enriched column view
+    (device_join_agg) instead of the plain per-table cache entry;
+    ``extra_pred_luts`` is a list of (base_column, bool_mask_over_uniques)
+    conjuncts (e.g. the INNER-join matched mask over fk codes)."""
     from ..utils.metrics import METRICS
 
-    dtc = get_table_columns(scan.table, snap.snapshot_id)
+    if dtc is None:
+        dtc = get_table_columns(scan.table, snap.snapshot_id)
     comp = _Compiler(dtc)
 
     has_minmax = any(fn.name in ("min", "max") for _, fn, _ in plan.aggs)
@@ -1385,23 +1398,41 @@ def _execute(plan, scan, filt, snap, max_groups: int,
     # (e.g. group by l_orderkey) must bail in ~ms, not after a whole-
     # table column read + np.unique. NDV of an expression key's base
     # column upper-bounds the expression's (functions only merge values).
-    est_grid = 1
-    seen_bases = set()
+    # per base slot: member key sizes + a domain bound; the merged-tuple
+    # entry for a slot is bounded by min(product of member domains,
+    # slot domain) — for joined dimension attributes the MATCHED fk
+    # codes (+1 null tuple) bound the slot domain far tighter than the
+    # fk's full dictionary
+    vdefs = getattr(dtc, "vdefs", {})
+    per_base: Dict[str, list] = {}
     for _, e in plan.keys:
         base = _key_base_column(e)
-        if base in seen_bases:
-            continue  # same-column keys merge into one tuple entry
-        seen_bases.add(base)
-        ent = dtc.cols.get(base, {})
-        if "codes" in ent:
-            size = len(ent["uniques"])
+        vd = vdefs.get(base)
+        if vd is not None:
+            size = min(len(vd.uniques), int((vd.lut >= 0).sum()))
+            dom = int((vd.lut >= 0).sum()) + 1
+            base = vd.base
         else:
-            size = _ndv_estimate(scan, dtc, base)
-        est_grid *= size + 1
+            ent = dtc.cols.get(base, {})
+            if "codes" in ent:
+                size = len(ent["uniques"])
+            else:
+                size = _ndv_estimate(scan, dtc, base)
+            dom = size + 1
+        info = per_base.setdefault(base, [1, 1 << 62])
+        info[0] = min(info[0] * (size + 1), 1 << 62)
+        info[1] = min(info[1], dom)
+    est_grid = 1
+    for prod, dom in per_base.values():
+        est_grid *= min(prod, dom + 1)
         if est_grid > grid_cap:
             raise _Bail("group grid estimate exceeds the device cap")
 
     pred_ir = comp.pred(filt)
+    for pname, mask in extra_pred_luts:
+        node = ("inlut", comp._lut_slot(np.asarray(mask, np.bool_)),
+                comp._slot(pname, "codes"))
+        pred_ir = ("and", pred_ir, node) if pred_ir != ("true",) else node
     entries = []   # (slot, size, lut np|None, null_in, decode list)
     for kpos, (_, e) in enumerate(plan.keys):
         slot, size, lut, null_in, uniq = comp.lut_key(e)
@@ -1447,9 +1478,11 @@ def _execute(plan, scan, filt, snap, max_groups: int,
             agg_irs.append((fn.name, slot))
 
     env_forms = list(comp.slots)
+    row_slot = next(i for i, (_, form) in enumerate(env_forms)
+                    if form != "lut")
     main_irs = tuple(a for a in agg_irs if a[0] != "count_distinct")
     ir = (_freeze(pred_ir), tuple(group), _freeze(main_irs),
-          len(env_forms), engine)
+          len(env_forms), engine, row_slot)
     prog = _build_program(ir)
 
     # flat-output combine plan: counts first, then per agg. The matmul
@@ -1510,7 +1543,7 @@ def _execute(plan, scan, filt, snap, max_groups: int,
         # concat + sort + first-occurrence count in finish
         prep = _build_distinct_prep(
             (_freeze(pred_ir), tuple(group), tuple(distinct_slots),
-             len(env_forms)))
+             len(env_forms), row_slot))
         parts: List[List[Any]] = [[] for _ in range(1 + len(distinct_slots))]
         for ci in range(n_chunks):
             res = prep(*chunk_env(ci))
@@ -1694,6 +1727,8 @@ def _value_scale(node) -> int:
         return node[2]
     if op == "col":
         return node[2]
+    if op == "lutcol":
+        return node[3]
     if op in ("add", "sub"):
         a, b = _value_scale(node[1]), _value_scale(node[2])
         if a % b == 0:

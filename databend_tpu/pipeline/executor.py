@@ -953,6 +953,14 @@ def _exec_aggregate(plan: AggregatePlan):
         yield dev
         return
 
+    # device rank-code equi-joins: Aggregate over Join(fact, dims) as
+    # dictionary enrichment / aggregate pushdown (device_join_agg)
+    from .device_join_agg import try_device_join_agg
+    dev = try_device_join_agg(plan)
+    if dev is not None:
+        yield dev
+        return
+
     if not plan.keys:
         yield from _exec_global_aggregate(plan)
         return

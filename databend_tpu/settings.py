@@ -80,6 +80,10 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "group-grid ceiling for the one-hot int8 MXU matmul"
                    " grouping engine (grids above device_scan_agg_max_groups"
                    " ride the MXU)", (0, 1 << 24)),
+        SettingDef("device_join_build_max_rows", 4_000_000,
+                   "row cap for the host-materialized dimension side of"
+                   " the device join-aggregate route (J1 enrichment"
+                   " LUT builds are O(dim rows))", (0, 1 << 32)),
         SettingDef("device_scan_agg_max_groups_sort", 1 << 21,
                    "group-grid ceiling for the sort grouping engine"
                    " (device lax.sort by group id + segment prefix-sums;"
