@@ -427,6 +427,38 @@ def _collect_needed(plan, post_filters) -> set:
     return need
 
 
+def _dim_fingerprint(dj: _DimJoin) -> tuple:
+    """Stable key for a resolved dim join: plan shape + filter constants
+    + every scanned table's snapshot — immutable snapshots make cached
+    enrichment LUTs exact across queries (the relational sibling of the
+    vector corpus cache)."""
+    from ..sql.plans import Scan
+    bits: List[str] = [dj.fk, dj.kind, dj.dim_key,
+                       dj.residual.display() if dj.residual is not None
+                       else ""]
+
+    def walk(p):
+        if type(p) is Scan:
+            try:
+                snap = p.table.read_snapshot(p.snapshot_id)
+                sid = getattr(snap, "snapshot_id", None)
+            except Exception:
+                sid = None
+            pdf = p.pushdown.filters
+            bits.append(f"scan:{p.table.info.table_id}:{sid}:"
+                        f"{pdf.display() if pdf is not None else ''}")
+        else:
+            bits.append(type(p).__name__)
+            e = getattr(p, "expr", None)
+            if e is not None:
+                bits.append(e.display())
+        for c in p.children():
+            walk(c)
+
+    walk(dj.node)
+    return tuple(bits)
+
+
 def _route_enrichment(plan, st, min_rows, max_groups, matmul_max,
                       sort_max) -> Optional[DataBlock]:
     from ..utils.metrics import METRICS
@@ -444,9 +476,19 @@ def _route_enrichment(plan, st, min_rows, max_groups, matmul_max,
     fact_dtc = dsa.get_table_columns(scan.table, snap.snapshot_id)
     needed = _collect_needed(plan, post_filters)
     needed |= {d.fk for d in dims}
-    vdefs, extra_preds = _build_vdefs(
-        JoinedTableColumns(fact_dtc, {}), dims, needed, max_rows)
-    jtc = JoinedTableColumns(fact_dtc, vdefs)
+    cache = fact_dtc.__dict__.setdefault("_join_enrich_cache", {})
+    ckey = (tuple(_dim_fingerprint(d) for d in dims),
+            tuple(sorted(needed)))
+    hit = cache.get(ckey)
+    if hit is not None:
+        jtc, extra_preds = hit
+    else:
+        vdefs, extra_preds = _build_vdefs(
+            JoinedTableColumns(fact_dtc, {}), dims, needed, max_rows)
+        jtc = JoinedTableColumns(fact_dtc, vdefs)
+        cache[ckey] = (jtc, extra_preds)
+        if len(cache) > 64:
+            cache.pop(next(iter(cache)))
     for f in post_filters:
         filt = f if filt is None else Func("and", [filt, f], f.dtype)
     out = dsa._execute(plan, scan, filt, snap, max_groups, matmul_max,

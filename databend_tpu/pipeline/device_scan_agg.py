@@ -1316,24 +1316,78 @@ def _value_limb_count(node, bound: int = LIMB_MAX) -> int:
     return len(v.maxabs)
 
 
-def _merge_group_entries(entries, comp):
+def _pred_slot_masks(pred_ir, comp) -> Dict[int, np.ndarray]:
+    """Per-slot boolean masks over the slot's dictionary, derived from
+    the TOP-LEVEL AND conjuncts of the compiled predicate: a slot code
+    failing its mask can never survive the filter, so group entries on
+    that slot may drop it from their domain (GROUP BY l_orderkey under
+    an in_set of 57 orders has 57 groups, not 1.5M)."""
+    masks: Dict[int, np.ndarray] = {}
+
+    def lut_of(lslot):
+        name, form = comp.slots[lslot]
+        return comp.luts[int(name[5:])]
+
+    def add(slot, m):
+        old = masks.get(slot)
+        masks[slot] = m if old is None else (old & m)
+
+    def conj(node):
+        op = node[0]
+        if op == "and":
+            conj(node[1])
+            conj(node[2])
+            return
+        if op == "inlut":
+            _, lslot, cslot = node
+            lut = lut_of(lslot)
+            if isinstance(lut, np.ndarray) and lut.dtype == np.bool_:
+                add(cslot, lut)
+            return
+        if op == "cmp":
+            _, kind, slot, bound = node
+            try:
+                name, _ = comp.slots[slot]
+                n = len(comp.dtc.cols[name]["uniques"])
+            except Exception:
+                return
+            ar = np.arange(n)
+            if kind == "eqcode":
+                add(slot, ar == bound)
+            elif kind == "neqcode":
+                add(slot, ar != bound)
+            elif kind == "lt":
+                add(slot, ar < bound)
+            elif kind == "gte":
+                add(slot, ar >= bound)
+
+    conj(pred_ir)
+    return masks
+
+
+def _merge_group_entries(entries, comp, slot_masks=None):
     """Merge group entries that share one codes slot into a single
-    tuple-coded entry. GROUP BY o_orderkey, o_orderdate, o_totalprice
+    tuple-coded entry, restricted to the slot codes that can survive
+    the predicate. GROUP BY o_orderkey, o_orderdate, o_totalprice
     where all three are functions of one underlying slot (e.g. joined
     dimension attributes over the fact's fk codes) must not multiply
-    the grid: the true grid is the number of DISTINCT TUPLES (57
-    qualifying orders), not the product of per-column domains (10^15).
+    the grid: the true grid is the number of DISTINCT SURVIVING TUPLES
+    (57 qualifying orders), not the product of per-column domains.
     Each merged entry carries a per-key decode (key_pos, values,
     nullmask) used by _group_key_columns."""
     from collections import OrderedDict
+    slot_masks = slot_masks or {}
     by_slot = OrderedDict()
     for ent in entries:
         by_slot.setdefault(ent[0], []).append(ent)
-    if all(len(v) == 1 for v in by_slot.values()):
-        return entries
     out = []
     for slot, ents in by_slot.items():
-        if len(ents) == 1:
+        mask = slot_masks.get(slot)
+        # a lone unrestricted entry needs no tuple enumeration; a weak
+        # mask on a lone identity entry is not worth re-coding either
+        if len(ents) == 1 and (
+                mask is None or mask.sum() > 0.5 * len(mask)
+                or ents[0][3] != ents[0][1]):  # f(NULL) != NULL: keep
             out.append(ents[0])
             continue
         name, _ = comp.slots[slot]
@@ -1345,25 +1399,42 @@ def _merge_group_entries(entries, comp):
             cols.append(c.astype(np.int64))
         rows = np.stack(cols, axis=1) if cols \
             else np.zeros((n_uniq, 0), np.int64)
+        if mask is not None:
+            sub = rows[mask]
+        else:
+            sub = rows
+        null_tuple = np.array([e[3] for e in ents], np.int64)
+        if len(sub):
+            tup, inv_sub = np.unique(sub, axis=0, return_inverse=True)
+        else:
+            tup = np.zeros((0, len(ents)), np.int64)
+            inv_sub = np.zeros(0, np.int64)
         # the slot-NULL tuple gets a stable home inside the tuple list
-        null_tuple = np.array([[e[3] for e in ents]], np.int64)
-        allrows = np.concatenate([rows, null_tuple])
-        tup, inv = np.unique(allrows, axis=0, return_inverse=True)
-        lut_m = inv[:n_uniq].astype(np.int32)
-        null_in_m = int(inv[n_uniq])
+        pos = np.nonzero((tup == null_tuple).all(axis=1))[0] \
+            if len(tup) else np.zeros(0, np.int64)
+        if len(pos):
+            null_in_m = int(pos[0])
+        else:
+            null_in_m = len(tup)
+            tup = np.concatenate([tup, null_tuple[None]])
         size_m = len(tup)
+        lut_m = np.full(n_uniq, np.int32(null_in_m), np.int32)
+        if mask is not None:
+            lut_m[mask] = inv_sub.astype(np.int32)
+        else:
+            lut_m[:] = inv_sub.astype(np.int32)
         decode = []
         for k, (_s, size, _lut, _n, dec) in enumerate(ents):
             key_pos, uniques, _ = dec[0]
             codes_k = tup[:, k]
-            mask = codes_k >= size  # that key's NULL marker code
+            kmask = codes_k >= size  # that key's NULL marker code
             safe = np.clip(codes_k, 0, max(size - 1, 0))
             if len(uniques):
                 vals = uniques[safe]
             else:
                 vals = np.zeros(size_m, dtype=object)
-                mask = np.ones(size_m, np.bool_)
-            decode.append((key_pos, vals, mask if mask.any() else None))
+                kmask = np.ones(size_m, np.bool_)
+            decode.append((key_pos, vals, kmask if kmask.any() else None))
         out.append((slot, size_m, lut_m, null_in_m, decode))
     return out
 
@@ -1438,7 +1509,8 @@ def _execute(plan, scan, filt, snap, max_groups: int,
         slot, size, lut, null_in, uniq = comp.lut_key(e)
         entries.append((slot, size, lut, null_in,
                         [(kpos, uniq, None)]))
-    entries = _merge_group_entries(entries, comp)
+    entries = _merge_group_entries(entries, comp,
+                                   _pred_slot_masks(pred_ir, comp))
     group: List[Tuple[int, int, int, int]] = []
     decodes: List[list] = []
     G = 1
@@ -1637,27 +1709,33 @@ def _finalize(plan, dtc, group, decodes, agg_irs,
             vcnt = flat[k][present]
             k += 1
             nlimbs = _value_limb_count(a[1])
-            # static overflow screen: |total| <= n_rows * 256^nlimbs; when
-            # that fits int64 the recombination is one vectorized pass
-            # (the sort engine surfaces millions of groups — no Python
-            # loops), else exact object-int arithmetic
-            fits_i64 = n_rows_tbl * (256 ** nlimbs) * rows_per_limb \
-                < (1 << 62)
-            if fits_i64:
-                total = np.zeros(len(present), np.int64)
-            else:
-                total = np.zeros(len(present), dtype=object)
+            # vectorized int64 recombination with an f64 shadow: int64
+            # arithmetic is exact mod 2^64, so whenever the TRUE total
+            # fits below 2^62 (checked via the float shadow, which has
+            # a 2-bit safety margin over its 53-bit mantissa error) the
+            # wrapped int64 result IS the true value; only the rare
+            # astronomically-large groups re-run in exact object ints
+            total = np.zeros(len(present), np.int64)
+            ftotal = np.zeros(len(present), np.float64)
+            limb_terms = []
             for i in range(nlimbs):
                 # matmul engine: limb split as (lo, hi) with l = lo+128*hi
                 for sub in ((1,) if rows_per_limb == 1 else (1, 128)):
                     limb = flat[k][present]
                     k += 1
                     w = (1 << (8 * i)) * sub
-                    if fits_i64:
-                        total = total + limb.astype(np.int64) * w
-                    else:
-                        total = total + np.array(
-                            [int(x) * w for x in limb], dtype=object)
+                    total = total + limb.astype(np.int64) * w
+                    ftotal = ftotal + limb.astype(np.float64) * w
+                    limb_terms.append((limb, w))
+            risky = np.abs(ftotal) >= float(1 << 62)
+            if risky.any():
+                fits_i64 = False
+                obj = total.astype(object)
+                for j in np.nonzero(risky)[0]:
+                    obj[j] = sum(int(l[j]) * w for l, w in limb_terms)
+                total = obj
+            else:
+                fits_i64 = True
             scale = _value_scale(a[1])
             zero = vcnt == 0
             validity = None if not zero.any() else ~zero

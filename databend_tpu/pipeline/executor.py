@@ -583,6 +583,41 @@ def _try_distributed_topn(plan: SortPlan, blocks):
     return merged.take(ids.astype(np.int64))
 
 
+def _spill_dir(prefix: str) -> str:
+    """Spill location root. The ``spill_storage_location`` setting picks
+    the DataOperator backend: '' = a local tempdir (the reference's disk
+    spill); an URI prefix like ``s3://bucket/spill`` or
+    ``memory://spill`` spills through the object-store operator instead
+    (reference: spillers/inner.rs:269 — disk OR remote; stateless query
+    nodes need remote spill)."""
+    import tempfile
+    import uuid
+    from ..utils.current import current_session
+    s = current_session()
+    loc = ""
+    if s is not None:
+        try:
+            loc = str(s.settings.get("spill_storage_location") or "")
+        except Exception:
+            loc = ""
+    if not loc:
+        return tempfile.mkdtemp(prefix=prefix)
+    return loc.rstrip("/") + "/" + prefix + uuid.uuid4().hex
+
+
+def _spill_cleanup(d: str) -> None:
+    from ..storage.operator import OPERATOR
+    if "://" in d:
+        try:
+            for key in OPERATOR.backend_for(d).list(d):
+                OPERATOR.delete(key)
+        except Exception:
+            pass
+        return
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def _exec_sort_spill(plan: SortPlan, blocks):
     """External sort: sort bounded runs, spill each to a parquet file,
     k-way merge the runs streaming (reference: sort_spill.rs +
@@ -599,7 +634,7 @@ def _exec_sort_spill(plan: SortPlan, blocks):
     fields = plan.output_fields()
     schema_like = merged
 
-    spill_dir = tempfile.mkdtemp(prefix="dbtpu_spill_")
+    spill_dir = _spill_dir("dbtpu_spill_")
     runs = []
     for start in range(0, merged.num_rows, run_rows):
         chunk = merged.slice(start, min(start + run_rows, merged.num_rows))
@@ -631,11 +666,7 @@ def _exec_sort_spill(plan: SortPlan, blocks):
             out_rows = []
     if out_rows:
         yield _rows_block(out_rows, fields)
-    for p in runs:
-        try:
-            os.remove(p)
-        except OSError:
-            pass
+    _spill_cleanup(spill_dir)
 
 
 def _spill_key_tuples(block: DataBlock, items):
@@ -1128,8 +1159,7 @@ class _AggSpiller:
     (the aggregate arm of the reference's Spiller, spillers/inner.rs)."""
 
     def __init__(self, plan: AggregatePlan):
-        import tempfile
-        self.dir = tempfile.mkdtemp(prefix="dbtpu_aggspill_")
+        self.dir = _spill_dir("dbtpu_aggspill_")
         self.files: List[List[str]] = [[] for _ in range(N_SPILL_PARTITIONS)]
         self.seq = 0
         self.plan = plan
@@ -1181,8 +1211,7 @@ class _AggSpiller:
             yield key_cols, arg_cols, b.num_rows
 
     def cleanup(self) -> None:
-        import shutil
-        shutil.rmtree(self.dir, ignore_errors=True)
+        _spill_cleanup(self.dir)
 
 
 def _exec_aggregate_spilled(plan: AggregatePlan, spiller: _AggSpiller):
@@ -1397,8 +1426,7 @@ class _PartitionSpill:
     block per partition) — the join arm of the reference's Spiller."""
 
     def __init__(self, fields, prefix: str):
-        import tempfile
-        self.dir = tempfile.mkdtemp(prefix=prefix)
+        self.dir = _spill_dir(prefix)
         self.files: List[List[str]] = [[] for _ in range(N_SPILL_PARTITIONS)]
         self.fields = fields
         self.seq = 0
@@ -1423,8 +1451,7 @@ class _PartitionSpill:
         return [block_io.read_block(path, schema) for path in self.files[p]]
 
     def cleanup(self) -> None:
-        import shutil
-        shutil.rmtree(self.dir, ignore_errors=True)
+        _spill_cleanup(self.dir)
 
 
 def _exec_join(plan: JoinPlan):

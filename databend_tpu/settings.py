@@ -80,6 +80,12 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "group-grid ceiling for the one-hot int8 MXU matmul"
                    " grouping engine (grids above device_scan_agg_max_groups"
                    " ride the MXU)", (0, 1 << 24)),
+        SettingDef("spill_storage_location", "",
+                   "where sort/aggregate/join spills go: '' = local"
+                   " tempdir (disk spill); an operator URI prefix"
+                   " (s3://bucket/spill, memory://spill) spills through"
+                   " the object-store DataOperator instead (reference"
+                   " spillers/inner.rs:269 — stateless query nodes)"),
         SettingDef("device_join_build_max_rows", 4_000_000,
                    "row cap for the host-materialized dimension side of"
                    " the device join-aggregate route (J1 enrichment"

@@ -334,3 +334,25 @@ def test_merged_group_entries_same_slot(ctx):
         select upper(k) as u, length(k) as lk, count(x)
         from t where q < 30 group by u, lk order by u, lk""")
     _assert_same(host, dev)
+
+
+def test_group_domain_restricted_by_predicate(ctx):
+    """An equality/IN-style conjunct on a group key restricts the grid
+    to the surviving codes (GROUP BY high-card key + in_set filter has
+    |in_set| groups, not |dictionary|) — the restricted entry must
+    still decode values and NULL slots correctly."""
+    _mkdata(ctx)
+    ctx.sql("set device_scan_agg_max_groups = 2")
+    ctx.sql("set device_scan_agg_max_groups_matmul = 2")
+    ctx.sql("set device_scan_agg_max_groups_sort = 100")  # tiny cap
+    # q has ~50 distinct values; the filter keeps 3 -> grid must fit
+    # the 100-cap only through the restriction
+    host, dev = _both(ctx, """
+        select q, count(*), sum(p) from t
+        where q in (3, 7, 11) group by q order by q""")
+    _assert_same(host, dev)
+    host, dev = _both(ctx, """
+        select q, d, count(*) from t
+        where q = 5 and d < to_date('2001-01-01')
+        group by q, d order by q, d""")
+    _assert_same(host, dev)
