@@ -1496,7 +1496,19 @@ def _execute(plan, scan, filt, snap, max_groups: int,
     est_grid = 1
     for prod, dom in per_base.values():
         est_grid *= min(prod, dom + 1)
-        if est_grid > grid_cap:
+    if est_grid > grid_cap:
+        # the filter may restrict a key's domain (GROUP BY key under an
+        # equality/IN/range conjunct) — only discoverable after the
+        # predicate compiles; proceed to the exact post-merge G check
+        # when the filter references a key base column, else bail before
+        # paying any whole-table codes build
+        filt_cols = set() if filt is None else \
+            {x.name for x in filt.walk() if isinstance(x, BoundColumn)}
+        for name in list(filt_cols):
+            vd = vdefs.get(name)
+            if vd is not None:
+                filt_cols.add(vd.base)
+        if not (filt_cols & set(per_base.keys())):
             raise _Bail("group grid estimate exceeds the device cap")
 
     pred_ir = comp.pred(filt)
