@@ -85,6 +85,7 @@ class RaftLog:
             self._entries = [(0, None)]
             self.term = 0
             self.voted_for = None
+        self._pending: list = []
 
     def _set_meta(self, pairs):
         for k, v in pairs:
@@ -116,19 +117,34 @@ class RaftLog:
         return self._entries[idx - self.snap_index]
 
     def append(self, term: int, op: dict) -> int:
+        """In-memory append; rows buffer until :meth:`flush` — the
+        leader flushes ONCE per replication round (group fsync), so N
+        concurrent proposals cost one sqlite transaction, not N
+        (reference: databend-meta batches raft-log IO the same way)."""
         with self._lock:
             self._entries.append((term, op))
             idx = self.last_index()
             if self._db is not None:
-                self._db.execute(
-                    "INSERT INTO raft_log (idx, term, op) VALUES (?, ?, ?)",
-                    (idx, term, json.dumps(op)))
-                self._db.commit()
+                self._pending.append((idx, term, json.dumps(op)))
             return idx
+
+    def flush(self):
+        """Persist buffered appends in one transaction. Must run before
+        an entry is acknowledged (leader: before counting itself in the
+        majority; follower: before answering AppendEntries)."""
+        with self._lock:
+            if self._db is None or not self._pending:
+                return
+            rows, self._pending = self._pending, []
+            self._db.executemany(
+                "INSERT OR REPLACE INTO raft_log (idx, term, op)"
+                " VALUES (?, ?, ?)", rows)
+            self._db.commit()
 
     def truncate_from(self, idx: int):
         """Drop entries >= idx (conflict resolution on followers)."""
         with self._lock:
+            self._pending = [r for r in self._pending if r[0] < idx]
             del self._entries[idx - self.snap_index:]
             if self._db is not None:
                 self._db.execute("DELETE FROM raft_log WHERE idx >= ?",
@@ -136,6 +152,7 @@ class RaftLog:
                 self._db.commit()
 
     def save_snapshot(self, state, idx: int, term: int):
+        self.flush()
         """Leader-side compaction: persist the state-machine snapshot at
         ``idx`` and drop every log entry <= idx, atomically (one sqlite
         transaction — a crash leaves either the old log or the new
@@ -156,6 +173,7 @@ class RaftLog:
                 self._snapshot_mem = state
 
     def install_snapshot(self, state, idx: int, term: int):
+        self._pending = []
         """Follower-side install: the whole log is superseded by the
         leader's snapshot — reset to the snapshot point."""
         with self._lock:
@@ -195,9 +213,14 @@ class RaftNode:
                  heartbeat: float = 0.12,
                  snapshot_fn: Optional[Callable[[], Any]] = None,
                  restore_fn: Optional[Callable[[Any], None]] = None,
-                 compact_threshold: int = 1024):
+                 compact_threshold: int = 1024,
+                 learner: bool = False):
         self.id = node_id
         self.peers = {k: v for k, v in peers.items() if k != node_id}
+        self.self_endpoint = peers.get(node_id)
+        # a learner replicates but never starts elections until a
+        # committed __add_voter names it (the databend-meta --join flow)
+        self.learner = learner
         self.apply_fn = apply_fn
         self.snapshot_fn = snapshot_fn
         self.restore_fn = restore_fn
@@ -266,7 +289,7 @@ class RaftNode:
                 expired = time.monotonic() >= self._deadline
             if role == LEADER:
                 self._replicate_all()
-            elif expired:
+            elif expired and not self.learner:
                 self._start_election()
 
     def _replicator(self):
@@ -345,6 +368,9 @@ class RaftNode:
             if self.role != LEADER:
                 return
             peers = list(self.peers.items())
+        # group fsync: ALL entries appended since the last round persist
+        # in one transaction before the leader acknowledges itself
+        self.log.flush()
         acks = [1]  # self
         ts = [threading.Thread(target=self._replicate_one,
                                args=(p, ep, acks), daemon=True)
@@ -372,10 +398,13 @@ class RaftNode:
             nxt = self.next_index.get(pid, self.log.last_index() + 1)
             if nxt <= self.log.snap_index:
                 # peer is behind the compaction horizon: InstallSnapshot
+                peers_map = dict(self.peers)
+                peers_map[self.id] = self.self_endpoint or ""
                 body = {"term": term, "leader": self.id,
                         "last_included_index": self.log.snap_index,
                         "last_included_term": self.log.snap_term,
-                        "state": self.log.load_snapshot()}
+                        "state": self.log.load_snapshot(),
+                        "peers": peers_map}
                 rpc = "install_snapshot"
             else:
                 prev = nxt - 1
@@ -383,10 +412,13 @@ class RaftNode:
                     if prev <= self.log.last_index() else 0
                 entries = [[self.log.term_at(i), self.log.entry(i)[1]]
                            for i in range(nxt, self.log.last_index() + 1)]
+                peers_map = dict(self.peers)
+                peers_map[self.id] = self.self_endpoint or ""
                 body = {"term": term, "leader": self.id,
                         "prev_log_index": prev, "prev_log_term": prev_term,
                         "entries": entries,
-                        "leader_commit": self.commit_index}
+                        "leader_commit": self.commit_index,
+                        "peers": peers_map}
                 rpc = "append_entries"
         out = self._rpc(ep, rpc, body)
         if out is None:
@@ -434,6 +466,8 @@ class RaftNode:
             _, op = self.log.entry(self.last_applied)
             if op is None or op.get("op") == "noop":
                 result = None
+            elif op.get("op") in ("__add_voter", "__remove_voter"):
+                result = {"ok": True}
             else:
                 try:
                     result = {"ok": self.apply_fn(op)}
@@ -475,6 +509,13 @@ class RaftNode:
             if term < self.log.term:
                 return {"term": self.log.term, "success": False}
             self._become_follower(term, body["leader"])
+            # adopt the leader's membership view (a joiner knows no
+            # peer endpoints until told; removals propagate the same way)
+            bp = body.get("peers")
+            if bp:
+                self.peers = {k: v for k, v in bp.items() if k != self.id}
+                if self.id in bp:
+                    self.learner = False
             prev = body["prev_log_index"]
             entries = body["entries"]
             if prev < self.log.snap_index:
@@ -498,6 +539,11 @@ class RaftNode:
                         continue
                     self.log.truncate_from(idx)
                 self.log.append(eterm, eop)
+                if eop is not None and isinstance(eop, dict) \
+                        and eop.get("op") in ("__add_voter",
+                                              "__remove_voter"):
+                    self._apply_config(eop)
+            self.log.flush()  # durable before the success reply
             if body["leader_commit"] > self.commit_index:
                 self.commit_index = min(body["leader_commit"],
                                         self.log.last_index())
@@ -516,6 +562,11 @@ class RaftNode:
                 return {"term": self.log.term, "success": True}
             if self.restore_fn is not None:
                 self.restore_fn(body["state"])
+            for nid, ep in (body.get("peers") or {}).items():
+                if nid == self.id:
+                    self.learner = False
+                elif nid not in self.peers:
+                    self.peers[nid] = ep
             self.log.install_snapshot(body["state"], idx,
                                       body["last_included_term"])
             self.commit_index = self.last_applied = idx
@@ -569,6 +620,43 @@ class RaftNode:
                 self._apply_cv.wait(timeout=min(remaining, 0.1))
         return ri
 
+    # ----------------------------------------------------------- membership
+    def _apply_config(self, op: dict) -> None:
+        """Single-server membership change (raft §6): the NEW config is
+        used as soon as the entry is APPENDED, on leader and followers
+        alike. Caller holds the lock or is in a handler that does."""
+        if op.get("op") == "__add_voter":
+            nid, ep = op["id"], op["ep"]
+            if ep and not ep.startswith("http"):
+                ep = f"http://{ep}"
+            if nid == self.id:
+                self.learner = False  # promoted to voter
+            else:
+                self.peers[nid] = ep
+                self.next_index.setdefault(nid, self.log.last_index() + 1)
+                self.match_index.setdefault(nid, 0)
+        elif op.get("op") == "__remove_voter":
+            nid = op["id"]
+            self.peers.pop(nid, None)
+            self.next_index.pop(nid, None)
+            self.match_index.pop(nid, None)
+            if nid == self.id and self.role == LEADER:
+                # a removed leader finishes committing the entry via the
+                # normal round, then steps down (raft §4.2.2); stepping
+                # down here is safe because propose() already appended
+                self._become_follower(self.log.term, None)
+
+    def add_voter(self, node_id: str, endpoint: str, timeout: float = 5.0):
+        """Leader-only: add a voting member. The joiner needs no prior
+        config — it learns membership from replicated config entries or
+        the peer map carried by InstallSnapshot."""
+        return self.propose({"op": "__add_voter", "id": node_id,
+                             "ep": endpoint}, timeout=timeout)
+
+    def remove_voter(self, node_id: str, timeout: float = 5.0):
+        return self.propose({"op": "__remove_voter", "id": node_id},
+                            timeout=timeout)
+
     # ------------------------------------------------------------- propose
     def propose(self, op: dict, timeout: float = 5.0):
         """Leader-only: append, replicate, wait for apply, return the
@@ -579,6 +667,8 @@ class RaftNode:
                 raise NotLeader(self.leader_id)
             term = self.log.term
             idx = self.log.append(term, op)
+            if op.get("op") in ("__add_voter", "__remove_voter"):
+                self._apply_config(op)  # latest config applies at append
         self._repl_wake.set()  # group commit: ride the next batch round
         deadline = time.monotonic() + timeout
         with self._lock:

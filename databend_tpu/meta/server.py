@@ -47,7 +47,8 @@ class MetaService:
                  raft_id: Optional[str] = None,
                  raft_peers: Optional[Dict[str, str]] = None,
                  election_timeout=(0.4, 0.8), heartbeat: float = 0.12,
-                 compact_threshold: int = 1024):
+                 compact_threshold: int = 1024,
+                 raft_learner: bool = False):
         self.started = time.time()
         self.raft = None
         self.peer_endpoints: Dict[str, str] = {}
@@ -69,7 +70,8 @@ class MetaService:
                 log_path=log_path, election_timeout=election_timeout,
                 heartbeat=heartbeat, snapshot_fn=self.store.dump,
                 restore_fn=self.store.restore,
-                compact_threshold=compact_threshold)
+                compact_threshold=compact_threshold,
+                learner=raft_learner)
         else:
             self.store = MetaStore(path)
 
@@ -108,7 +110,8 @@ class MetaService:
     def leader_endpoint(self) -> Optional[str]:
         if self.raft is None or self.raft.leader_id is None:
             return None
-        return self.peer_endpoints.get(self.raft.leader_id)
+        lid = self.raft.leader_id
+        return self.peer_endpoints.get(lid) or self.raft.peers.get(lid)
 
     def status(self):
         n = len(self.store.list_prefix(""))
@@ -163,6 +166,22 @@ def make_handler(svc: MetaService):
                 if rpc == "install_snapshot":
                     return self._reply(
                         200, svc.raft.handle_install_snapshot(body))
+                if rpc == "add_voter":
+                    try:
+                        svc.raft.add_voter(body["id"], body["endpoint"])
+                        return self._reply(200, {"ok": True})
+                    except NotLeader as e:
+                        return self._reply(421, {
+                            "error": str(e), "not_leader": True,
+                            "leader": svc.leader_endpoint()})
+                if rpc == "remove_voter":
+                    try:
+                        svc.raft.remove_voter(body["id"])
+                        return self._reply(200, {"ok": True})
+                    except NotLeader as e:
+                        return self._reply(421, {
+                            "error": str(e), "not_leader": True,
+                            "leader": svc.leader_endpoint()})
                 return self._reply(404, {"error": "not found"})
             if not self.path.startswith("/v1/kv/"):
                 return self._reply(404, {"error": "not found"})
@@ -187,11 +206,12 @@ def serve(port: int, path: Optional[str] = None, host: str = "127.0.0.1",
           in_thread: bool = False, raft_id: Optional[str] = None,
           raft_peers: Optional[Dict[str, str]] = None,
           election_timeout=(0.4, 0.8), heartbeat: float = 0.12,
-          compact_threshold: int = 1024):
+          compact_threshold: int = 1024, raft_learner: bool = False):
     svc = MetaService(path, raft_id=raft_id, raft_peers=raft_peers,
                       election_timeout=election_timeout,
                       heartbeat=heartbeat,
-                      compact_threshold=compact_threshold)
+                      compact_threshold=compact_threshold,
+                      raft_learner=raft_learner)
     httpd = ThreadingHTTPServer((host, port), make_handler(svc))
     httpd.meta_service = svc
     if in_thread:

@@ -283,3 +283,72 @@ def test_raft_linearizable_reads_under_leader_kill(compact_cluster):
         assert val is not None and val >= acked, \
             f"stale read {val} after ack {acked}"
     assert killed and acked >= 15
+
+
+def test_raft_membership_change(cluster):
+    """Dynamic membership (reference: databend-meta member join/leave):
+    the leader adds a 4th voter at runtime; the joiner catches up via
+    log replication / snapshot install; killing the OLD leader still
+    leaves a committable majority including the new member."""
+    import json
+    import urllib.request
+
+    from databend_tpu.meta.server import serve
+    ports, servers, boot, tmp = cluster
+    eps = [f"http://127.0.0.1:{p}" for p in ports]
+    stores = [RemoteMetaStore(e, timeout=2.0) for e in eps]
+    leader = _wait_leader(stores)
+    for i in range(5):
+        stores[leader].upsert(f"pre/{i}", i)
+
+    # boot the joiner with only itself + the leader as contact points
+    (new_port,) = _free_ports(1)
+    new_ep = f"127.0.0.1:{new_port}"
+    joiner = serve(new_port, str(tmp / "meta_new.db"), in_thread=True,
+                   raft_id="n4", raft_peers={"n4": new_ep},
+                   raft_learner=True,
+                   election_timeout=(0.25, 0.5), heartbeat=0.08)
+    try:
+        req = urllib.request.Request(
+            f"{eps[leader]}/v1/raft/add_voter",
+            data=json.dumps({"id": "n4", "endpoint": new_ep}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=5.0) as r:
+            assert json.loads(r.read())["ok"]
+
+        # the joiner replicates the existing data
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            try:
+                if RemoteMetaStore(f"http://{new_ep}",
+                                   timeout=2.0).get("pre/4")[0] == 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.1)
+        else:
+            raise AssertionError("joiner did not catch up")
+
+        # kill the OLD leader: {3 of 4} still commits, joiner included
+        _stop(servers, leader)
+        time.sleep(0.3)
+        rest = [e for i, e in enumerate(eps) if i != leader] \
+            + [f"http://{new_ep}"]
+        client = RemoteMetaStore(",".join(rest), timeout=2.0)
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            try:
+                assert client.upsert("post/join", 7) >= 1
+                break
+            except Exception:
+                time.sleep(0.2)
+        else:
+            raise AssertionError("no quorum after old leader killed")
+        assert client.get("post/join")[0] == 7
+    finally:
+        try:
+            joiner.meta_service.close()
+            joiner.shutdown()
+            joiner.server_close()
+        except Exception:
+            pass
