@@ -90,7 +90,7 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "row cap for the host-materialized dimension side of"
                    " the device join-aggregate route (J1 enrichment"
                    " LUT builds are O(dim rows))", (0, 1 << 32)),
-        SettingDef("device_scan_agg_max_groups_sort", 1 << 21,
+        SettingDef("device_scan_agg_max_groups_sort", 1 << 22,
                    "group-grid ceiling for the sort grouping engine"
                    " (device lax.sort by group id + segment prefix-sums;"
                    " covers huge grids, MIN/MAX beyond the mask cap, and"
