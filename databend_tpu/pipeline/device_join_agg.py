@@ -460,7 +460,7 @@ def _dim_fingerprint(dj: _DimJoin) -> tuple:
 
 
 def _route_enrichment(plan, st, min_rows, max_groups, matmul_max,
-                      sort_max) -> Optional[DataBlock]:
+                      sort_max, fusion=None) -> Optional[DataBlock]:
     from ..utils.metrics import METRICS
 
     scan, filt, post_filters, dims = _match_join_tree(plan.child)
@@ -492,7 +492,8 @@ def _route_enrichment(plan, st, min_rows, max_groups, matmul_max,
     for f in post_filters:
         filt = f if filt is None else Func("and", [filt, f], f.dtype)
     out = dsa._execute(plan, scan, filt, snap, max_groups, matmul_max,
-                       sort_max, dtc=jtc, extra_pred_luts=extra_preds)
+                       sort_max, dtc=jtc, extra_pred_luts=extra_preds,
+                       fusion=fusion)
     METRICS.inc("device_join_agg_queries")
     return out
 
@@ -654,7 +655,7 @@ def _route_agg_pushdown(plan, st, min_rows, max_groups, matmul_max,
 # ------------------------------------------------------------------ the hook
 
 
-def try_device_join_agg(plan) -> Optional[DataBlock]:
+def try_device_join_agg(plan, fusion=None) -> Optional[DataBlock]:
     """Route an eligible Aggregate(...Join...) onto the device."""
     st = dsa._settings()
     if st is None:
@@ -694,12 +695,16 @@ def try_device_join_agg(plan) -> Optional[DataBlock]:
 
     try:
         return _route_enrichment(plan, st, min_rows, max_groups,
-                                 matmul_max, sort_max)
+                                 matmul_max, sort_max, fusion=fusion)
     except _Bail:
         pass
     except Exception:
         from ..utils.metrics import METRICS
         METRICS.inc("device_join_agg_errors")
+        return None
+    if fusion is not None:
+        # J2 maps device groups onto host-side left keys; the fused
+        # HAVING/top-n contract cannot be honored there
         return None
     try:
         return _route_agg_pushdown(plan, st, min_rows, max_groups,

@@ -1195,8 +1195,12 @@ def _unwrap_scan(plan):
     return node, filt
 
 
-def try_device_scan_agg(plan) -> Optional[DataBlock]:
-    """Route an eligible Aggregate(Scan) onto the device; None = host."""
+def try_device_scan_agg(plan, fusion=None) -> Optional[DataBlock]:
+    """Route an eligible Aggregate(Scan) onto the device; None = host.
+
+    With ``fusion`` (device_fusion.Fusion) the caller is a Sort/Filter
+    node above the aggregate asking for HAVING/ORDER BY/LIMIT applied
+    on-device; the result is then already filtered+ordered+limited."""
     import jax
 
     st = _settings()
@@ -1232,8 +1236,10 @@ def try_device_scan_agg(plan) -> Optional[DataBlock]:
     has_distinct = any(fn.name == "count_distinct"
                        for _, fn, _ in plan.aggs)
     has_shape = bool(plan.keys) or _has_filter(plan)
-    if min_rows > 0 and not has_distinct and not (
+    if min_rows > 0 and fusion is None and not has_distinct and not (
             has_shape and (len(plan.aggs) >= 2 or has_computed)):
+        # fusion shapes skip the screen: a fused HAVING/top-n over a
+        # huge grid wins precisely because only k rows leave the device
         return None  # min_rows = 0 forces the route (tests/debug)
     try:
         matmul_max = int(st.get("device_scan_agg_max_groups_matmul"))
@@ -1270,7 +1276,7 @@ def try_device_scan_agg(plan) -> Optional[DataBlock]:
 
     try:
         return _execute(plan, scan, filt, snap, max_groups, matmul_max,
-                        sort_max)
+                        sort_max, fusion=fusion)
     except _Bail:
         return None
     except Exception:
@@ -1447,7 +1453,7 @@ def _key_base_column(e) -> str:
 
 def _execute(plan, scan, filt, snap, max_groups: int,
              matmul_max: int, sort_max: int, dtc=None,
-             extra_pred_luts=()) -> DataBlock:
+             extra_pred_luts=(), fusion=None) -> DataBlock:
     """Shared engine driver. ``dtc`` may be a join-enriched column view
     (device_join_agg) instead of the plain per-table cache entry;
     ``extra_pred_luts`` is a list of (base_column, bool_mask_over_uniques)
@@ -1588,6 +1594,21 @@ def _execute(plan, scan, filt, snap, max_groups: int,
     lut_dev = [jax.device_put(l) for l in comp.luts]
     n_chunks = max((dtc.n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS, 1)
 
+    if fusion is None:
+        # transfer screen: without finalize fusion the whole [K, G] grid
+        # (plus any distinct grids) crosses the host<->device link —
+        # at G in the millions that alone loses to the host hash-agg
+        try:
+            stx = _settings()
+            max_pull_mb = float(stx.get("device_scan_agg_max_pull_mb")) \
+                if stx is not None else 16.0
+        except Exception:
+            max_pull_mb = 16.0
+        pull = (len(combine) * 4 + len(distinct_slots) * 8) * G * n_chunks
+        if max_pull_mb > 0 and pull > max_pull_mb * (1 << 20):
+            raise _Bail("grid result transfer exceeds"
+                        " device_scan_agg_max_pull_mb")
+
     def chunk_env(ci: int):
         env = []
         for name, form in env_forms:
@@ -1602,6 +1623,25 @@ def _execute(plan, scan, filt, snap, max_groups: int,
             else:  # planes_valid
                 env.append(ent["valid"][ci])
         return env
+
+    if fusion is not None:
+        # finalize fusion: HAVING / ORDER BY ... LIMIT applied on the
+        # [K, G] grid in HBM; only the selected rows cross the link
+        from . import device_fusion
+        if n_chunks != 1:
+            raise _Bail("finalize fusion needs a single device chunk")
+        if distinct_slots:
+            raise _Bail("finalize fusion with COUNT(DISTINCT)")
+        if not group:
+            raise _Bail("finalize fusion needs GROUP BY")
+        fp = device_fusion.plan_fusion(plan, fusion, group, decodes,
+                                       main_irs, rows_per_limb, G)
+        stacked_dev = prog(*chunk_env(0))
+        present, flat = device_fusion.run_fusion(fp, stacked_dev, group)
+        METRICS.inc("device_scan_agg_queries")
+        plan.__dict__["_device_routed"] = True
+        return _finalize(plan, dtc, group, decodes, agg_irs, flat,
+                         rows_per_limb, None, sliced_slots=present)
 
     acc: Optional[List[np.ndarray]] = None
     for ci in range(n_chunks):
@@ -1692,13 +1732,27 @@ def _group_key_columns(plan, decodes, group,
 
 def _finalize(plan, dtc, group, decodes, agg_irs,
               flat: List[np.ndarray], rows_per_limb: int = 1,
-              distinct_res: Optional[np.ndarray] = None) -> DataBlock:
+              distinct_res: Optional[np.ndarray] = None,
+              sliced_slots: Optional[np.ndarray] = None) -> DataBlock:
     counts = flat[0]
-    if group:
+    if sliced_slots is not None:
+        # fused finalize already selected/ordered the groups on device;
+        # flat rows arrive pre-sliced to those slots
+        present = sliced_slots
+
+        def P(arr):
+            return arr
+    elif group:
         present = np.nonzero(counts > 0)[0]
+
+        def P(arr):
+            return arr[present]
     else:
         present = np.array([0], np.int64)  # global agg: always one row
-    gcnt = counts[present]
+
+        def P(arr):
+            return arr[present]
+    gcnt = P(counts)
     cols = _group_key_columns(plan, decodes, group, present) \
         if group else []
     names = [n for n, _ in plan.keys] + [n for n, _, _ in plan.aggs]
@@ -1710,15 +1764,15 @@ def _finalize(plan, dtc, group, decodes, agg_irs,
         rt = fn.return_type()
         inner = rt.remove_nullable()
         if a[0] == "count_distinct":
-            vals = distinct_res[di][present]
+            vals = P(distinct_res[di])
             di += 1
             cols.append(Column.from_numpy(vals.astype(np.int64), rt))
         elif a[0] in ("count_star", "count"):
-            vals = flat[k][present]
+            vals = P(flat[k])
             k += 1
             cols.append(Column.from_numpy(vals.astype(np.int64), rt))
         elif a[0] in ("sum", "avg"):
-            vcnt = flat[k][present]
+            vcnt = P(flat[k])
             k += 1
             nlimbs = _value_limb_count(a[1])
             # vectorized int64 recombination with an f64 shadow: int64
@@ -1733,7 +1787,7 @@ def _finalize(plan, dtc, group, decodes, agg_irs,
             for i in range(nlimbs):
                 # matmul engine: limb split as (lo, hi) with l = lo+128*hi
                 for sub in ((1,) if rows_per_limb == 1 else (1, 128)):
-                    limb = flat[k][present]
+                    limb = P(flat[k])
                     k += 1
                     w = (1 << (8 * i)) * sub
                     total = total + limb.astype(np.int64) * w
@@ -1779,7 +1833,7 @@ def _finalize(plan, dtc, group, decodes, agg_irs,
                         out.append(int(t) / scale)
                 cols.append(Column.from_pylist(out, rt.wrap_nullable()))
         else:  # min / max
-            codes = flat[k][present]
+            codes = P(flat[k])
             k += 1
             uniques = dtc.cols[arg_exprs[0].name]["uniques"]
             big = 1 << 30

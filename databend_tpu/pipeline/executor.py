@@ -220,7 +220,26 @@ def _exec_values(plan: ValuesPlan):
     yield plan.block
 
 
+def _try_device_fused_having(plan: FilterPlan):
+    """Filter(Aggregate) — HAVING evaluated ON the device grid; only the
+    surviving groups cross the link (device_fusion)."""
+    from .device_fusion import Fusion
+    fusion = Fusion(having=plan.expr)
+    from .device_scan_agg import try_device_scan_agg
+    out = try_device_scan_agg(plan.child, fusion=fusion)
+    if out is None:
+        from .device_join_agg import try_device_join_agg
+        out = try_device_join_agg(plan.child, fusion=fusion)
+    return out
+
+
 def _exec_filter(plan: FilterPlan):
+    if isinstance(plan.child, AggregatePlan):
+        out = _try_device_fused_having(plan)
+        if out is not None:
+            if out.num_rows:
+                yield out
+            return
     for block in execute_plan_blocks(plan.child):
         col = Evaluator(block).run(plan.expr)
         mask = np.asarray(col.data, dtype=np.bool_)
@@ -464,6 +483,59 @@ def _free_tracked(nbytes: int) -> None:
     free_bytes(nbytes)
 
 
+def _try_device_fused_topn(plan: SortPlan):
+    """Sort(limit) over [Project ->] [Filter ->] Aggregate: ask the
+    device route to apply HAVING + ORDER BY + LIMIT on the [K, G]
+    aggregate grid (device_fusion) so only the top-k groups are ever
+    pulled (the reference streams the same shape through
+    TransformSortMergeLimit's bounded heap, sort_merge_limit.rs:33)."""
+    node = plan.child
+    proj = None
+    mapping: Optional[Dict[str, str]] = None
+    if isinstance(node, ProjectPlan):
+        proj = node
+        mapping = {n: e.name for n, e in node.items
+                   if isinstance(e, BoundColumn)}
+        node = node.child
+    having = None
+    if isinstance(node, FilterPlan):
+        having = node.expr
+        node = node.child
+    if not isinstance(node, AggregatePlan):
+        return None
+    valid_names = {n for n, _ in node.keys} | {n for n, _, _ in node.aggs}
+    order = []
+    for it in plan.items:
+        name = it.name
+        if mapping is not None:
+            name = mapping.get(name)
+            if name is None:
+                return None
+        if name not in valid_names:
+            return None
+        order.append((name, it.asc, it.nulls_first))
+    from .device_fusion import Fusion
+    fusion = Fusion(having=having, order=order, limit=plan.limit)
+    from .device_scan_agg import try_device_scan_agg
+    out = try_device_scan_agg(node, fusion=fusion)
+    if out is None:
+        from .device_join_agg import try_device_join_agg
+        out = try_device_join_agg(node, fusion=fusion)
+    if out is None:
+        return None
+    if proj is not None:
+        ev = Evaluator(out)
+        cols = [ev.run(e) for _, e in proj.items]
+        out = DataBlock([n for n, _ in proj.items], cols, out.num_rows)
+    # the device selected the exact top-k SET; re-rank those k rows with
+    # the host comparator for bit-identical final-order semantics (free)
+    keys = _sort_key_arrays(out, plan.items)
+    order_idx = np.lexsort(keys)
+    if plan.limit is not None:
+        order_idx = order_idx[: plan.limit]
+    return out.take(order_idx)
+
+
 def _exec_sort(plan: SortPlan):
     if plan.distributed and plan.limit is not None and len(plan.items) == 1:
         # plan fragmenter: Sort(limit) over [Project ->] [HAVING ->]
@@ -477,6 +549,13 @@ def _exec_sort(plan: SortPlan):
             if out is not None:
                 yield out
                 return
+    if plan.limit is not None and plan.items:
+        # top-n over an aggregate: ORDER BY + LIMIT (and any HAVING)
+        # applied ON the device grid — only k rows leave HBM
+        out = _try_device_fused_topn(plan)
+        if out is not None:
+            yield out
+            return
     blocks = []
     for b in execute_plan_blocks(plan.child):
         _track_block(b)

@@ -96,6 +96,14 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    " covers huge grids, MIN/MAX beyond the mask cap, and"
                    " COUNT(DISTINCT)); result transfer is [K, G] i32, so"
                    " very large grids are transfer-bound", (0, 1 << 24)),
+        SettingDef("device_scan_agg_max_pull_mb", 16,
+                   "un-fused grid-result transfer budget in MB: a device"
+                   " scan/join-aggregate whose [K, G] grid pull would"
+                   " exceed this bails to the host (the link is the"
+                   " bottleneck at huge G). HAVING/ORDER BY/LIMIT fused"
+                   " finalize (device_fusion) is exempt — it only pulls"
+                   " the selected rows. 0 disables the screen",
+                   (0, 1 << 20)),
         SettingDef("enable_cbo", True,
                    "cost-based optimizer: filter pushdown + DP join"
                    " reordering (reference optimizers/{cascades,hyper_dp})"),

@@ -718,7 +718,10 @@ class Binder:
             allowed = {n.lower() for n, _ in group_keys}
             allowed.update(n.lower() for n, _, _ in aggs)
             allowed.update(w.out_name.lower() for w in windows)
-            for iname, be in bound_items + extra_items:
+            checked = bound_items + extra_items
+            if having_expr is not None:
+                checked = checked + [("__having", having_expr)]
+            for iname, be in checked:
                 for node in be.walk():
                     if isinstance(node, _BC) \
                             and node.name.lower() not in allowed \
