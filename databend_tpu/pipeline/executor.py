@@ -1716,6 +1716,16 @@ def _hash_join_stream(plan: JoinPlan, right, left_iter,
                 lidx, ridx = matcher.probe(lkeys)
             else:
                 lidx, ridx = match_indices(rkeys, lkeys)
+        elif not plan.left_keys and right is not None and right.num_rows \
+                and lblock.num_rows:
+            # keyless join (ON <non-equi condition only>): every pair is
+            # a candidate match; the residual filter below decides
+            # (reference: hash join with empty equi-conditions degrades
+            # to a nested-loop over the build side)
+            lidx = np.repeat(np.arange(lblock.num_rows, dtype=np.int64),
+                             right.num_rows)
+            ridx = np.tile(np.arange(right.num_rows, dtype=np.int64),
+                           lblock.num_rows)
         else:
             lidx, ridx = np.zeros(0, np.int64), np.zeros(0, np.int64)
         if plan.kind in ("SEMI", "ANTI"):

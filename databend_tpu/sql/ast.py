@@ -256,6 +256,7 @@ class Join(TableRef):
     right: TableRef
     condition: Optional[Expr] = None  # ON ...
     using: List[str] = field(default_factory=list)
+    natural: bool = False  # NATURAL JOIN: using = common column names
 
 
 @dataclass

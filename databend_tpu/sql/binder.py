@@ -203,9 +203,22 @@ class Binder:
         for name, cq in q.ctes:
             if getattr(q, "recursive", False) \
                     and _cte_self_references(cq, name):
-                ctes[name.lower()] = self._bind_recursive_cte(name, cq, ctes)
+                p = self._bind_recursive_cte(name, cq, ctes)
             else:
-                ctes[name.lower()] = self.bind_query(cq, ctes)
+                p = self.bind_query(cq, ctes)
+            cols = getattr(cq, "cte_columns", None)
+            if cols:
+                # WITH t(a, b) AS (...): rename the leading outputs
+                fields = p.output_fields()
+                if len(cols) > len(fields):
+                    raise SemanticError(
+                        f"CTE {name!r} has {len(fields)} columns but "
+                        f"{len(cols)} column aliases")
+                p = ProjectPlan(p, [
+                    (cols[i] if i < len(cols) else f.name,
+                     BoundColumn(f.name, f.dtype))
+                    for i, f in enumerate(fields)])
+            ctes[name.lower()] = p
         if isinstance(q.body, A.SelectStmt):
             return self._bind_select(q.body, q.order_by, q.limit, q.offset, ctes)
         if isinstance(q.body, A.SetOp):
@@ -250,8 +263,20 @@ class Binder:
         distinct = body.op == "UNION"
         anchor_plan = self._bind_body(body.left, ctes)
         fields = anchor_plan.output_fields()
+        cols = getattr(cq, "cte_columns", None)
+        if cols:
+            # WITH RECURSIVE r(a, b) AS (...): the step subquery sees the
+            # renamed columns, so rename before iterating
+            if len(cols) > len(fields):
+                raise SemanticError(
+                    f"recursive CTE {name!r} has {len(fields)} columns "
+                    f"but {len(cols)} column aliases")
+            fields = [DataField(cols[i] if i < len(cols) else f.name,
+                                f.dtype) for i, f in enumerate(fields)]
         names = [f.name for f in fields]
         cur = execute_plan(anchor_plan)
+        if cols:
+            cur = DataBlock(names, list(cur.columns), cur.num_rows)
         max_depth = 512
         try:
             from ..utils.current import current_session
@@ -293,6 +318,8 @@ class Binder:
             cur = nxt
             if cur.num_rows:
                 chunks.append(cur)
+            else:
+                break  # fixpoint reached on the last allowed step
         else:
             raise SemanticError(
                 f"recursive CTE {name!r} exceeded max depth {max_depth}")
@@ -636,8 +663,16 @@ class Binder:
 
         having_expr = None
         if sel.having is not None:
+            # select aliases are visible in HAVING (`SELECT MAX(n) AS m
+            # ... HAVING m > 8`, reference 03_0006_select_having); window
+            # functions are not allowed there
+            having_ast = self._substitute_where_aliases(sel.having,
+                                                        sel.items, ctx)
+            if _contains_window(having_ast):
+                raise SemanticError(
+                    "window functions are not allowed in HAVING")
             having_expr = self._bind_with_group_rewrite(
-                sel.having, base_binder, group_key_asts, group_keys)
+                having_ast, base_binder, group_key_asts, group_keys)
 
         # ORDER BY (bind before deciding aggregation so agg refs register)
         sort_items: List[SortItem] = []
@@ -739,7 +774,9 @@ class Binder:
             if having_expr is not None:
                 plan = FilterPlan(plan, having_expr)
         elif having_expr is not None:
-            raise SemanticError("HAVING without aggregation")
+            # HAVING without aggregation filters plain rows (reference
+            # dialect: `SELECT * FROM numbers(3) HAVING number > 1`)
+            plan = FilterPlan(plan, having_expr)
 
         if windows:
             plan = WindowPlan(plan, windows)
@@ -789,6 +826,14 @@ class Binder:
         return ValuesPlan(block, [DataField("__dummy", Int64)]), BindContext()
 
     def _bind_table_ref(self, ref: A.TableRef, ctes, state: ScanState):
+        plan, ctx = self._bind_table_ref_inner(ref, ctes, state)
+        if isinstance(ref, A.TableName) and ref.alias is None:
+            db = (ref.database or self.session.current_database).lower()
+            ctx.db_quals.add((db, ref.name.lower()))
+        return plan, ctx
+
+    def _bind_table_ref_inner(self, ref: A.TableRef, ctes,
+                              state: ScanState):
         if isinstance(ref, A.TableName):
             if ref.catalog is not None \
                     and ref.catalog.lower() != "default":
@@ -1220,9 +1265,28 @@ class Binder:
                 and isinstance(j.right.query.body, A.SelectStmt) \
                 and j.right.query.body.from_ is None:
             return self._bind_lateral_project(j, ctes, state)
+        if j.kind in ("RSEMI", "RANTI"):
+            # RIGHT SEMI/ANTI keep the RIGHT side's rows: bind as the
+            # mirrored left-side semi/anti join (reference join types)
+            j = A.Join("SEMI" if j.kind == "RSEMI" else "ANTI",
+                       j.right, j.left, j.condition, j.using,
+                       natural=j.natural)
         lstate, rstate = ScanState(), ScanState()
         left, lctx = self._bind_table_ref(j.left, ctes, lstate)
         right, rctx = self._bind_table_ref(j.right, ctes, rstate)
+        if getattr(j, "natural", False):
+            ln = [n.lower() for (n, _, _, _) in lctx.columns]
+            shared = [n for n in ln
+                      if any(rn.lower() == n
+                             for (rn, _, _, _) in rctx.columns)]
+            if not shared:
+                # no common columns: NATURAL degenerates to the cross
+                # product (condition TRUE for outer kinds)
+                j = A.Join("CROSS" if j.kind == "INNER" else j.kind,
+                           j.left, j.right,
+                           None if j.kind == "INNER" else A.Literal(True))
+            else:
+                j = A.Join(j.kind, j.left, j.right, None, shared)
         state.scan = None
         state.table_info = None
         # disambiguate duplicate output names across the two sides
@@ -1230,6 +1294,7 @@ class Binder:
         rnames = {n.lower() for (n, _, _, _) in rctx.columns}
         dup = lnames & rnames
         ctx = BindContext()
+        ctx.db_quals = lctx.db_quals | rctx.db_quals
         out_fields: List[DataField] = []
         for (n, t, tb, on) in lctx.columns:
             uniq = f"{tb or 'l'}.{on}" if n.lower() in dup else on
@@ -1252,9 +1317,23 @@ class Binder:
         right_keys: List[ScalarExpr] = []
         residual: Optional[ScalarExpr] = None
         if j.using:
+            nl = len(lctx.columns)
             for u in j.using:
                 left_keys.append(ExprBinder(lctx).bind(A.ColumnRef(u)))
                 right_keys.append(ExprBinder(rctx).bind(A.ColumnRef(u)))
+                # the using column appears ONCE in SELECT * and resolves
+                # unqualified to the preserved side (left except RIGHT
+                # joins); qualified refs still reach both originals
+                lpos = [i for i, (n, _, _, _) in enumerate(ctx.columns[:nl])
+                        if n.lower() == u.lower()]
+                rpos = [nl + i for i, (n, _, _, _)
+                        in enumerate(ctx.columns[nl:])
+                        if n.lower() == u.lower()]
+                if lpos and rpos:
+                    keep, hide = (rpos[0], lpos[0]) if j.kind == "RIGHT" \
+                        else (lpos[0], rpos[0])
+                    ctx.star_hidden.add(ctx.columns[hide][3])
+                    ctx.using_pref[u.lower()] = ctx.columns[keep][3]
         elif j.condition is not None:
             residual = self._split_join_condition(
                 j.condition, lctx, rctx, ctx, left_keys, right_keys)
@@ -1375,6 +1454,8 @@ class Binder:
                 for (n, t, tb, on) in ctx.columns:
                     if n.lower() in excluded:
                         continue
+                    if on in ctx.star_hidden:
+                        continue  # JOIN USING: the column appears once
                     if item.expr.table is None or \
                             (tb or "").lower() == item.expr.table.lower():
                         if n.lower() in repl:
@@ -1468,6 +1549,12 @@ class Binder:
     def _bind_subquery_expr(self, e, binder: SelectExprBinder, ctes):
         from .subquery import bind_subquery_expr
         return bind_subquery_expr(self.session, e, binder, ctes)
+
+
+def _contains_window(e) -> bool:
+    if isinstance(e, A.FunctionCall) and e.window is not None:
+        return True
+    return any(_contains_window(c) for c in _ast_children(e))
 
 
 def _contains_aggregate(e) -> bool:

@@ -62,6 +62,14 @@ class BindContext:
 
     def __init__(self):
         self.columns: List[tuple] = []  # (name, dtype, table, out_name)
+        # JOIN ... USING(c): out_names excluded from SELECT * expansion
+        # (the using column appears once) and the preferred out_name an
+        # unqualified reference to `c` resolves to (the kept side)
+        self.star_hidden: set = set()
+        self.using_pref: dict = {}
+        # (db, table) pairs addressable as db.table.column (un-aliased
+        # base tables only)
+        self.db_quals: set = set()
         # variant virtual columns of the scanned base table (EE):
         # (alias, source_col, path_tuple) -> (vc_name, scan_plan)
         # — populated by the binder when the snapshot registers extracted
@@ -87,7 +95,14 @@ class BindContext:
             and (table is None or (tb or "").lower() == table.lower())
         ]
         if not matches:
-            raise UnknownColumn(f"unknown column {table + '.' if table else ''}{name}")
+            # reference bind error: SemanticError 1065 "column x doesn't
+            # exist" (bind_context.rs:599); UnknownColumn 1058 stays for
+            # physical block lookups
+            raise SemanticError(f"column {name} doesn't exist")
+        if len(matches) > 1 and table is None \
+                and name.lower() in self.using_pref:
+            pref = self.using_pref[name.lower()]
+            matches = [m for m in matches if m[3] == pref] or matches
         if len(matches) > 1 and table is None:
             tables = {tb for (_, _, tb, _) in matches}
             if len(tables) > 1:
@@ -110,6 +125,12 @@ class ExprBinder:
         if isinstance(e, A.Literal):
             return Constant(e.value, infer_literal_type(e.value))
         if isinstance(e, A.ColumnRef):
+            db = getattr(e, "database", None)
+            if db is not None and (db.lower(), (e.table or "").lower()) \
+                    not in self.ctx.db_quals:
+                # db.table.column is valid only for the un-aliased table
+                # itself (reference: an alias hides the qualified name)
+                raise SemanticError(f"column {e.name} doesn't exist")
             return self.ctx.resolve(e.name, e.table)
         if isinstance(e, A.BinaryOp):
             return self._bind_binary(e)

@@ -147,7 +147,8 @@ class Parser:
                 self.next()
             return A.ExplainStmt(self.parse_statement(), kind == "ANALYZE",
                                  kind)
-        if self.at_keyword("SELECT", "WITH", "VALUES") or self.at_op("("):
+        if self.at_keyword("SELECT", "WITH", "VALUES", "FROM") \
+                or self.at_op("("):
             return A.QueryStmt(self.parse_query())
         if self.at_keyword("COMMENT"):
             # COMMENT ON TABLE t IS '...' (reference: comment statement)
@@ -1778,14 +1779,23 @@ class Parser:
             recursive = bool(self.accept_keyword("RECURSIVE"))
             while True:
                 cname = self.ident()
+                cte_cols: Optional[List[str]] = None
+                if self.accept_op("("):  # WITH t(a, b) AS (...)
+                    cte_cols = [self.ident()]
+                    while self.accept_op(","):
+                        cte_cols.append(self.ident())
+                    self.expect_op(")")
                 self.expect_keyword("AS")
                 self.expect_op("(")
                 cq = self.parse_query()
                 self.expect_op(")")
+                if cte_cols:
+                    cq.cte_columns = cte_cols
                 ctes.append((cname, cq))
                 if not self.accept_op(","):
                     break
-        body = self.parse_set_expr()
+        body = self._parse_from_first() if self.at_keyword("FROM") \
+            else self.parse_set_expr()
         order_by: List[A.OrderByExpr] = []
         limit = offset = None
         if self.accept_keyword("ORDER"):
@@ -1855,6 +1865,22 @@ class Parser:
             vref = A.ValuesRef(rows)
             return A.SelectStmt([A.SelectItem(A.Star(None))], vref)
         return self.parse_select()
+
+    def _parse_from_first(self) -> A.SelectStmt:
+        """Leading-FROM query (reference dialect): `FROM t` is
+        `SELECT * FROM t`, and `FROM t SELECT a, b` pipes the source into
+        a select clause. Exactly one table reference is allowed."""
+        self.expect_keyword("FROM")
+        ref = self.parse_table_factor()
+        if self.at_keyword("SELECT"):
+            sel = self.parse_select()
+            if sel.from_ is not None:
+                self.error("FROM-first query already has a FROM clause")
+            sel.from_ = ref
+            return sel
+        if self.at_op(","):
+            self.error("FROM-first query takes a single table reference")
+        return A.SelectStmt([A.SelectItem(A.Star(None))], ref)
 
     def parse_select(self) -> A.SelectStmt:
         self.expect_keyword("SELECT")
@@ -1970,7 +1996,12 @@ class Parser:
                 left = A.Join("CROSS", left, right)
                 continue
             kind = None
-            if self.at_keyword("INNER", "LEFT", "RIGHT", "FULL", "JOIN"):
+            natural = False
+            if self._at_word("NATURAL"):
+                natural = True
+                self.next()
+            if natural or self.at_keyword("INNER", "LEFT", "RIGHT", "FULL",
+                                          "JOIN"):
                 if self.accept_keyword("INNER"):
                     kind = "INNER"
                 elif self.accept_keyword("LEFT"):
@@ -1985,7 +2016,14 @@ class Parser:
                         self.accept_keyword("OUTER")
                 elif self.accept_keyword("RIGHT"):
                     kind = "RIGHT"
-                    self.accept_keyword("OUTER")
+                    if self._at_word("SEMI"):
+                        self.next()
+                        kind = "RSEMI"
+                    elif self._at_word("ANTI"):
+                        self.next()
+                        kind = "RANTI"
+                    else:
+                        self.accept_keyword("OUTER")
                 elif self.accept_keyword("FULL"):
                     kind = "FULL"
                     self.accept_keyword("OUTER")
@@ -1995,15 +2033,17 @@ class Parser:
                 right = self.parse_table_factor()
                 cond = None
                 using: List[str] = []
-                if self.accept_keyword("ON"):
-                    cond = self.parse_expr()
-                elif self.accept_keyword("USING"):
-                    self.expect_op("(")
-                    using = [self.ident()]
-                    while self.accept_op(","):
-                        using.append(self.ident())
-                    self.expect_op(")")
-                left = A.Join(kind, left, right, cond, using)
+                if not natural:
+                    if self.accept_keyword("ON"):
+                        cond = self.parse_expr()
+                    elif self.accept_keyword("USING"):
+                        self.expect_op("(")
+                        using = [self.ident()]
+                        while self.accept_op(","):
+                            using.append(self.ident())
+                        self.expect_op(")")
+                left = A.Join(kind, left, right, cond, using,
+                              natural=natural)
                 continue
             if self.accept_op(","):
                 right = self.parse_table_factor()
@@ -2164,7 +2204,7 @@ class Parser:
 
     # non-reserved words that end a table factor (never implicit aliases)
     _ALIAS_STOP = {"QUALIFY", "PIVOT", "UNPIVOT", "SAMPLE", "MATCHED",
-                   "WINDOW"}
+                   "WINDOW", "NATURAL"}
 
     def _table_alias(self) -> Optional[str]:
         if self.accept_keyword("AS"):
@@ -2514,6 +2554,16 @@ class Parser:
                                     and self.peek(1).text in NON_RESERVED)):
             self.next()
             col = self.ident()
+            if self.at_op(".") and (self.peek(1).kind == "IDENT"
+                                    or (self.peek(1).kind == "KEYWORD"
+                                        and self.peek(1).text
+                                        in NON_RESERVED)):
+                # db.table.column (reference three-part column refs)
+                self.next()
+                c3 = self.ident()
+                ref = A.ColumnRef(c3, table=col)
+                ref.database = name
+                return ref
             return A.ColumnRef(col, table=name)
         return A.ColumnRef(name)
 

@@ -51,6 +51,11 @@ def _fmt_cell(v) -> str:
         return f"{v:.4f}".rstrip("0").rstrip(".") if "." in f"{v:.4f}" else f"{v:.4f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_fmt_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        import json
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    if v == "":
+        return "(empty)"  # standard sqllogictest empty-string rendering
     return str(v)
 
 
@@ -75,7 +80,23 @@ def _parse_records(text: str, path: str = "<text>") -> List[_Record]:
             continue
         start_line = i + 1
         if line.startswith(("onlyif", "skipif")):
+            # conditional on the engine the record targets (standard
+            # sqllogictest): we are "databend", so `onlyif mysql` /
+            # `onlyif todo` skip the NEXT record, `skipif mysql` runs it
+            parts = line.split()
+            target = parts[1].lower() if len(parts) > 1 else ""
+            skip = (target != "databend") if parts[0] == "onlyif" \
+                else (target == "databend")
             i += 1
+            if skip:
+                # consume the following record without emitting it
+                while i < n and lines[i].strip() \
+                        and lines[i].strip().startswith(("onlyif", "skipif")):
+                    i += 1
+                if i < n and lines[i].strip():
+                    i += 1                       # directive line
+                    while i < n and lines[i].strip():
+                        i += 1                   # sql + ---- + expected
             continue
         if line == "halt":
             records.append(_Record("halt", None, None, None, start_line))
@@ -83,6 +104,14 @@ def _parse_records(text: str, path: str = "<text>") -> List[_Record]:
             continue
         if line.startswith("include"):
             records.append(_Record("include", line.split(None, 1)[1], None,
+                                   None, start_line))
+            i += 1
+            continue
+        if line.startswith("control"):
+            # `control sortmode {rowsort|valuesort|nosort}` sets the
+            # file-level default sort mode (standard sqllogictest; the
+            # reference corpus uses it in query/cte + query/select)
+            records.append(_Record("control", line.split(None, 1)[1], None,
                                    None, start_line))
             i += 1
             continue
@@ -145,9 +174,15 @@ def run_text(session, text: str, path: str = "<text>") -> int:
     """Run sqllogictest records against a SessionContext; returns the
     number of records executed. Raises SqlLogicError on first mismatch."""
     executed = 0
+    default_sort = "nosort"
     for rec in _parse_records(text, path):
         if rec.kind == "halt":
             break
+        if rec.kind == "control":
+            parts = rec.arg.split()
+            if parts and parts[0] == "sortmode" and len(parts) > 1:
+                default_sort = parts[1]
+            continue
         if rec.kind == "include":
             base = os.path.dirname(path) if path != "<text>" else "."
             executed += run_file(session, os.path.join(base, rec.arg))
@@ -172,19 +207,31 @@ def run_text(session, text: str, path: str = "<text>") -> int:
                 except DatabendError as e:
                     raise SqlLogicError(f"{path}:{rec.line}: statement failed: {e}")
         elif rec.kind == "query":
-            sort_mode = "rowsort" in rec.arg or "sort" in rec.arg.split()
+            args = rec.arg.split()
+            if "rowsort" in args or "sort" in args:
+                mode = "rowsort"
+            elif "valuesort" in args:
+                mode = "valuesort"
+            elif "nosort" in args:
+                mode = "nosort"
+            else:
+                mode = default_sort
             try:
                 res = session.sql(rec.sql)
             except DatabendError as e:
                 raise SqlLogicError(f"{path}:{rec.line}: query failed: {e}")
             got = [" ".join(_fmt_cell(v) for v in row) for row in res.rows()]
-            if sort_mode:
+            if mode == "rowsort":
                 got = sorted(got)
             if rec.expected is None:
                 continue
             exp = [e.strip() for e in rec.expected]
-            if sort_mode:
+            if mode == "rowsort":
                 exp = sorted(exp)
+            elif mode == "valuesort":
+                # order-insensitive across ALL cells (standard semantics)
+                got = sorted(v for g in got for v in g.split())
+                exp = sorted(v for e in exp for v in e.split())
             got_n = [re.sub(r"\s+", " ", g).strip() for g in got]
             exp_n = [re.sub(r"\s+", " ", e).strip() for e in exp]
             if got_n != exp_n and not _rows_match_numeric(exp_n, got_n):

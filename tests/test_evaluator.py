@@ -106,7 +106,7 @@ class TestEvaluator:
         assert got.to_pylist() == [2.0, 3.0, 5.0, 10.0]
 
     def test_errors(self):
-        with pytest.raises(UnknownColumn):
+        with pytest.raises(SemanticError, match="doesn't exist"):
             bind_and_eval("zzz + 1")
         with pytest.raises(UnknownFunction):
             bind_and_eval("frobnicate(a)")

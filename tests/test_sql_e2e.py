@@ -240,7 +240,7 @@ class TestErrors:
         setup_basic(ctx)
         with pytest.raises(SyntaxException):
             ctx.sql("SELEC 1")
-        with pytest.raises(UnknownColumn):
+        with pytest.raises(SemanticError, match="doesn't exist"):
             ctx.sql("SELECT nope FROM t")
         with pytest.raises(UnknownTable):
             ctx.sql("SELECT * FROM missing")
