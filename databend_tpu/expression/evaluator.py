@@ -231,10 +231,13 @@ def _select_columns(mask: np.ndarray, a: Column, b: Column) -> Column:
 
 
 def constant_column(value, dtype: DataType, n: int) -> Column:
+    from ..types import GeometryType as _GT
+    from ..types import VariantType as _VarT
     inner = dtype.remove_nullable()
     if value is None:
-        z = np.zeros(n, inner.numpy_dtype()) if not isinstance(inner, (StringType, ArrayType)) \
-            else (StringData.from_pylist([""] * n) if isinstance(inner, StringType)
+        string_like = isinstance(inner, (StringType, _VarT, _GT))
+        z = np.zeros(n, inner.numpy_dtype()) if not (string_like or isinstance(inner, ArrayType)) \
+            else (StringData.from_pylist([""] * n) if string_like
                   else (np.zeros(n + 1, np.int64), Column.from_pylist([], Int64)))
         if isinstance(inner, VectorType):
             z = np.zeros((n, inner.dim), inner.numpy_dtype())
@@ -460,11 +463,14 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
                  else _json.dumps(v if not isinstance(v, (np.integer,
                                                           np.floating,
                                                           np.bool_))
-                                  else v.item(), separators=(",", ":"))
+                                  else v.item(), separators=(",", ":"), ensure_ascii=False)
                  for v in vals]
         return Column.from_pylist(texts, target if target.is_nullable()
                                    else dst)
-    raise BadDataValueType(f"unsupported cast {src} -> {dst}")
+    # a statically impossible cast is a type error (reference raises
+    # SemanticError 1065), unlike per-value cast failures (1010)
+    from ..errors import SemanticError
+    raise SemanticError(f"unsupported cast {src} -> {dst}")
 
 
 def _to_str(v) -> str:

@@ -103,6 +103,36 @@ scalar_function("div", _numeric_binary_resolver("div"),
                      _numeric_binary_resolver("div")))
 
 
+def _div0_kernel(payloads, validities, arg_types=None, n_rows=0, **kw):
+    """div0(a, b): a/b with 0 where b = 0 (reference arithmetic.rs)."""
+    a = np.asarray(payloads[0], np.float64)
+    b = np.asarray(payloads[1], np.float64)
+    out = np.divide(a, np.where(b == 0, 1.0, b))
+    out = np.where(b == 0, 0.0, out)
+    v = _valid_both(validities, n_rows)
+    return out, (None if v.all() else v)
+
+
+def _divnull_kernel(payloads, validities, arg_types=None, n_rows=0, **kw):
+    """divnull(a, b): a/b, NULL where b = 0 (reference arithmetic.rs)."""
+    a = np.asarray(payloads[0], np.float64)
+    b = np.asarray(payloads[1], np.float64)
+    out = np.divide(a, np.where(b == 0, 1.0, b))
+    v = _valid_both(validities, n_rows) & (b != 0)
+    return out, v
+
+
+scalar_function("div0", lambda ts: Float64, null_policy="custom")(
+    _div0_kernel)
+scalar_function("divnull", lambda ts: Float64.wrap_nullable(),
+                null_policy="custom")(_divnull_kernel)
+
+
+@scalar_function("bit_not", lambda ts: Int64)
+def _bit_not(a, out_dtype=None, **kw):
+    return ~np.asarray(a, np.int64)
+
+
 # bit operations (reference scalars/arithmetic.rs bit_* family)
 def _bit_kernel(op):
     def kernel(a, b, out_dtype=None, **kw):

@@ -279,23 +279,42 @@ def _in_set(a, items, **kw):
     else:
         lst = items.tolist() if hasattr(items, "tolist") else list(items)
         s = set(lst[0] if lst and isinstance(lst[0], (list, tuple)) else lst)
+    fs = None
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool)
+           for v in s) and s:
+        # numeric membership also matches string/variant digits
+        # ('20' IN (select 20)) — reference variant-vs-scalar coercion
+        fs = {float(v) for v in s}
+
+    def member(v):
+        if v in s:
+            return True
+        if fs is not None and isinstance(v, str):
+            try:
+                return float(v) in fs
+            except ValueError:
+                return False
+        return False
+
     if isinstance(a, StringData):
         dv = _dict_pair(a)
         if dv is not None:  # membership once per DISTINCT value
-            member = np.fromiter((v in s for v in dv[0].as_object_array()),
-                                 np.bool_, len(dv[0]))
-            return member[dv[1]]
+            mm = np.fromiter((member(v) for v in dv[0].as_object_array()),
+                             np.bool_, len(dv[0]))
+            return mm[dv[1]]
     vals = _comparable(a)
     if isinstance(vals, np.ndarray) and vals.dtype.kind in "iuf" \
-            and all(isinstance(v, (int, float)) for v in s):
+            and fs is not None:
         # vectorized membership: one np.isin (sort-based) instead of a
         # Python loop per row — TPC-H q18's 150k-key IN list at C speed
         return np.isin(vals, np.fromiter((float(v) for v in s), np.float64,
                                          len(s)))
-    import pandas as pd
-    return pd.Index(vals).isin(list(s)).astype(np.bool_) \
-        if isinstance(vals, np.ndarray) else \
-        np.fromiter((v in s for v in vals.tolist()), np.bool_, len(vals))
+    if isinstance(vals, np.ndarray) and vals.dtype.kind not in "OU" \
+            and fs is None:
+        import pandas as pd
+        return pd.Index(vals).isin(list(s)).astype(np.bool_)
+    arr = vals.tolist() if hasattr(vals, "tolist") else list(vals)
+    return np.fromiter((member(v) for v in arr), np.bool_, len(arr))
 
 
 @scalar_function("regexp", _str2_resolver("regexp"), aliases=["rlike"])

@@ -30,6 +30,18 @@ def _register_unary(name, fn, ret=Float64, aliases=()):
 
 _register_unary("sqrt", np.sqrt)
 _register_unary("cbrt", np.cbrt)
+
+
+@scalar_function("factorial", _num1("factorial", Int64))
+def _factorial(a, out_dtype=None, **kw):
+    n = np.asarray(a, np.int64)
+    if (n > 20).any():
+        from ...errors import BadArguments
+        raise BadArguments("factorial argument must be at most 20")
+    out = np.ones_like(n)
+    for k in range(2, int(n.max(initial=1)) + 1):
+        out = np.where(n >= k, out * k, out)
+    return out
 _register_unary("exp", np.exp)
 _register_unary("ln", np.log)
 _register_unary("log2", np.log2)

@@ -429,7 +429,7 @@ class AggTopNFragment:
                                  arg_cols_all, len(gids))
         it = self.sort_plan.items[0]
         nulls_first = it.nulls_first if it.nulls_first is not None \
-            else (not it.asc)
+            else False
         top_gids, rows = sharded_grouped_agg_topn(
             mesh, gids, vals, final_n, self.ops, self.key,
             int(self.sort_plan.limit), it.asc, nulls_first, self.hcode)
@@ -591,7 +591,7 @@ class AggTopNFragment:
         P = total_pairs
         it = self.sort_plan.items[0]
         nulls_first = it.nulls_first if it.nulls_first is not None \
-            else (not it.asc)
+            else False
         if P == 0:
             top_gids = np.zeros(0, np.int64)
             rows = np.zeros((0, m), np.float32)

@@ -193,7 +193,7 @@ def plan_fusion(plan, fusion: Fusion, group, decodes, main_irs,
                 if key_pos != kpos:
                     continue
                 size = sizes[e] - 1   # entry size (codes 0..size-1 + NULL)
-                nf = nulls_first if nulls_first is not None else (not asc)
+                nf = nulls_first if nulls_first is not None else False
                 if not isinstance(values, np.ndarray):
                     values = np.asarray(values)
                 if values.dtype.kind in "iufMm" and vmask is None \
@@ -236,7 +236,7 @@ def plan_fusion(plan, fusion: Fusion, group, decodes, main_irs,
             elif kind == "sum":
                 valid_row, limb_rows = _sum_limb_rows(amap[i],
                                                       rows_per_limb)
-                nf = nulls_first if nulls_first is not None else (not asc)
+                nf = nulls_first if nulls_first is not None else False
                 order_irs.append(("sum", valid_row, limb_rows, asc, nf))
             else:
                 raise _Bail(f"ORDER BY over {kind} aggregate")

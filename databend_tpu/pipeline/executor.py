@@ -397,8 +397,9 @@ def _exec_setop(plan):
 def _sort_key_arrays(block: DataBlock, items) -> List[np.ndarray]:
     """np.lexsort keys (minor first, LAST key is primary).
 
-    NULL ordering follows the reference default: NULL compares largest
-    (ASC -> last, DESC -> first) unless NULLS FIRST/LAST is explicit."""
+    NULL ordering follows the reference default: NULLS LAST in both
+    directions unless NULLS FIRST/LAST is explicit (reference
+    query/order.test)."""
     keys: List[np.ndarray] = []
     for it in reversed(items):  # minor sort keys first
         col = block.column(it.name)
@@ -406,7 +407,7 @@ def _sort_key_arrays(block: DataBlock, items) -> List[np.ndarray]:
         if not it.asc:
             arr = _invert_order(arr)
         if col.validity is not None:
-            nulls_first = it.nulls_first if it.nulls_first is not None else (not it.asc)
+            nulls_first = it.nulls_first if it.nulls_first is not None else False
             null_rank = np.where(col.validity, 0, -1 if nulls_first else 1)
             fill = 0 if arr.dtype.kind in "iufb" else ""
             keys.append(np.where(col.validity, arr, fill))  # minor: value
@@ -650,7 +651,7 @@ def _try_distributed_topn(plan: SortPlan, blocks):
         ranks[order] = np.arange(n, dtype=np.int64)
         if col.validity is not None:
             nulls_first = it.nulls_first if it.nulls_first is not None \
-                else (not it.asc)
+                else False
             # nulls_first = first in OUTPUT order: smallest rank under
             # ASC selection, largest under DESC
             first_rank = -1 if it.asc else n
@@ -759,12 +760,12 @@ def _spill_key_tuples(block: DataBlock, items):
         if not it.asc:
             arr = _invert_order(arr)
         if col.validity is not None:
-            nulls_first = it.nulls_first if it.nulls_first is not None else (not it.asc)
+            nulls_first = it.nulls_first if it.nulls_first is not None else False
             null_rank = np.where(col.validity, 0, -1 if nulls_first else 1)
             fill = 0 if arr.dtype.kind in "iufb" else ""
             arr = np.where(col.validity, arr, fill)
         else:
-            nulls_first = it.nulls_first if it.nulls_first is not None else (not it.asc)
+            nulls_first = it.nulls_first if it.nulls_first is not None else False
             null_rank = np.zeros(block.num_rows, np.int64)
         parts.append(null_rank.tolist())
         parts.append(arr.tolist())

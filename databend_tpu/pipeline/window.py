@@ -49,7 +49,7 @@ def _key_pair(col: Column, asc: bool, nulls_first: Optional[bool]):
         if col.validity is not None:
             arr = np.where(col.validity, arr, 0)
     if col.validity is not None:
-        nf = nulls_first if nulls_first is not None else (not asc)
+        nf = nulls_first if nulls_first is not None else False
         null_rank = np.where(col.validity, 0, -1 if nf else 1)
         return arr, null_rank
     return arr, None

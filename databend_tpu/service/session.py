@@ -622,6 +622,9 @@ class SessionContext:
                 plan = optimize(plan, self)
             with span("execute"):
                 block = execute_plan(plan)
+            if getattr(stmt.query, "ignore_result", False):
+                block = block.filter(
+                    __import__("numpy").zeros(block.num_rows, bool))
             result = QueryResult(block, plan.output_fields())
             key = self._result_cache_key(stmt)
             if key is not None:
@@ -2641,6 +2644,7 @@ _STATEMENTS = {
     A.MultiInsert: _stmt_multi_insert,
     A.SetVariable: _stmt_set_variable,
     A.UnsetVariable: _stmt_unset_variable,
+    A.UnsetSetting: lambda s, st: (s.settings.unset(st.name), _ok())[1],
     A.ReplaceInto: _stmt_replace_into,
     A.Delete: _stmt_delete,
     A.Update: _stmt_update,

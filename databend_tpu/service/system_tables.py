@@ -39,7 +39,7 @@ def _sys_tables(s):
     # tables_table.rs lists them alongside user tables)
     for name in sorted(SYSTEM_TABLES):
         rows.append(("system", name, "SystemTable", 0, 0, None, "", "",
-                     None))
+                     None, None))
     for d in s.catalog.list_databases():
         for info in s.catalog.list_tables(d.name):
             t = s.open_table(info)
@@ -53,12 +53,18 @@ def _sys_tables(s):
                          snap.snapshot_id if snap else None,
                          ",".join(info.cluster_by),
                          (info.options or {}).get("comment", ""),
-                         vsize))
-    cols = list(zip(*rows)) if rows else [[] for _ in range(9)]
+                         vsize,
+                         len(snap.segments) if snap else 0))
+    cols = list(zip(*rows)) if rows else [[] for _ in range(10)]
     return _block([
+        ("catalog", String, ["default"] * len(rows)),
         ("database", String, list(cols[0])), ("name", String, list(cols[1])),
         ("engine", String, list(cols[2])), ("num_rows", Int64, list(cols[3])),
         ("num_blocks", Int64, list(cols[4])),
+        ("number_of_rows", Int64, list(cols[3])),
+        ("number_of_blocks", Int64, list(cols[4])),
+        ("number_of_segments", Int64,
+         [x or 0 for x in cols[9]] if rows else []),
         ("snapshot_id", String, list(cols[5])),
         ("cluster_by", String, list(cols[6])),
         ("comment", String, list(cols[7])),

@@ -614,6 +614,13 @@ class Settings:
                     f"{name}={value} outside range {d.range}")
         (self._globals if is_global else self._values)[key] = value
 
+    def unset(self, name: str) -> None:
+        """UNSET <setting>: revert to the default (session scope)."""
+        key = name.lower()
+        if key not in DEFAULT_SETTINGS:
+            raise UnknownSetting(f"unknown setting {name!r}")
+        self._values.pop(key, None)
+
     def all(self):
         out = []
         for key in sorted(DEFAULT_SETTINGS):

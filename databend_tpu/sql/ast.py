@@ -923,6 +923,11 @@ class UnsetVariable(Statement):
 
 
 @dataclass
+class UnsetSetting(Statement):
+    name: str
+
+
+@dataclass
 class SetTableComment(Statement):
     """ALTER TABLE t COMMENT = '...'"""
     table: str

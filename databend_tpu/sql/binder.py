@@ -546,6 +546,14 @@ class Binder:
             if not (e.name.lower() == "count" and
                     (not e.args or isinstance(e.args[0], A.Star))):
                 arg_exprs = [base_binder.bind(a) for a in e.args]
+                # sum(NULL)/min(NULL)/... : the NULL literal aggregates
+                # as a nullable int column of NULLs (reference:
+                # 03_0001_select_aggregator NULL rows)
+                from ..types.datatype import NullType
+                arg_exprs = [Constant(None, Int64.wrap_nullable())
+                             if isinstance(a.dtype.remove_nullable(),
+                                           NullType) else a
+                             for a in arg_exprs]
             fn = create_aggregate(e.name, [a.dtype for a in arg_exprs], e.distinct)
             key = _ast_repr(e)
             for i, existing in enumerate(agg_asts):
@@ -657,7 +665,20 @@ class Binder:
         bound_items: List[Tuple[str, ScalarExpr]] = []
         for item in select_items:
             name = item.alias or _suggest_name(item.expr) or f"col_{len(bound_items)}"
-            e = self._bind_with_group_rewrite(item.expr, base_binder,
+            expr_ast = item.expr
+            if isinstance(expr_ast, A.ColumnRef) and expr_ast.table is None \
+                    and item.alias and item.alias.lower() \
+                    == expr_ast.name.lower():
+                pass  # `x AS x` never substitutes itself
+            else:
+                # sibling select aliases are visible in later items
+                # (reference: `sum(a) s, sum(b) t, s + t`,
+                # 03_0007_select_alias)
+                others = [it for it in select_items
+                          if it is not item and it.alias]
+                expr_ast = self._substitute_where_aliases(expr_ast, others,
+                                                          ctx)
+            e = self._bind_with_group_rewrite(expr_ast, base_binder,
                                               group_key_asts, group_keys)
             bound_items.append((name, e))
 
@@ -830,6 +851,24 @@ class Binder:
         if isinstance(ref, A.TableName) and ref.alias is None:
             db = (ref.database or self.session.current_database).lower()
             ctx.db_quals.add((db, ref.name.lower()))
+        cols = getattr(ref, "column_aliases", None)
+        if cols:
+            # t AS a(x, y): rename the leading output columns
+            fields = plan.output_fields()
+            if len(cols) > len(fields):
+                raise SemanticError(
+                    f"table alias has {len(fields)} columns available "
+                    f"but {len(cols)} columns specified")
+            items = [(cols[i] if i < len(cols) else f.name,
+                      BoundColumn(f.name, f.dtype))
+                     for i, f in enumerate(fields)]
+            plan = ProjectPlan(plan, items)
+            alias = getattr(ref, "alias", None)
+            ctx = BindContext()
+            for n, e in items:
+                ctx.add(n, e.dtype, alias)
+            state.scan = None
+            state.table_info = None
         return plan, ctx
 
     def _bind_table_ref_inner(self, ref: A.TableRef, ctes,
@@ -855,7 +894,11 @@ class Binder:
                 return scan, ctx
             key = ref.name.lower()
             if ref.database is None and key in ctes:
-                sub = ctes[key]
+                # each use gets its own plan-node copy: the optimizer
+                # mutates Scan pushdowns, and two branches filtering the
+                # same CTE must not push conflicting filters into one
+                # shared Scan (reference: CTEs re-bind per consumer)
+                sub = _clone_plan(ctes[key])
                 ctx = BindContext()
                 alias = ref.alias or ref.name
                 for f in sub.output_fields():
@@ -991,23 +1034,66 @@ class Binder:
             from ..expression import Column
             from ..expression.evaluator import infer_literal_type
             n_cols = len(ref.rows[0]) if ref.rows else 0
+            for row in ref.rows:
+                if len(row) != n_cols:
+                    raise SemanticError(
+                        f"VALUES lists must all be the same length: "
+                        f"expected {n_cols} columns, got {len(row)}")
             cols = []
             names = (ref.column_names
                      or [f"col{i}" for i in range(n_cols)])
+            if len(names) > n_cols:
+                raise SemanticError(
+                    f"table alias has {n_cols} columns available but "
+                    f"{len(names)} columns specified")
+            if len(names) < n_cols:
+                names = list(names) + [f"col{i}"
+                                       for i in range(len(names), n_cols)]
+
+            def cell(e):
+                if isinstance(e, A.UnaryOp) and e.op == "-" \
+                        and isinstance(e.operand, A.Literal):
+                    return -e.operand.value
+                if isinstance(e, A.Literal):
+                    return e.value
+                # constant expression: fold through the evaluator
+                try:
+                    be = ExprBinder(BindContext()).bind(e)
+                    from ..expression import Column as _C
+                    from ..expression.evaluator import Evaluator as _E
+                    import numpy as _np
+                    blk = DataBlock(["__one"],
+                                    [_C.from_numpy(_np.zeros(1, _np.int8))],
+                                    1)
+                    return _E(blk).run(be).to_pylist()[0]
+                except SemanticError:
+                    raise
+                except Exception:
+                    raise SemanticError(
+                        "VALUES rows must be constant expressions")
+
+            def family(v):
+                if isinstance(v, bool):
+                    return "bool"
+                if isinstance(v, (int, float)):
+                    return "num"
+                if isinstance(v, str):
+                    return "str"
+                if isinstance(v, (list, tuple)):
+                    return "array"
+                return type(v).__name__
+
             for ci in range(n_cols):
-                vals = []
-                for row in ref.rows:
-                    e = row[ci]
-                    if isinstance(e, A.UnaryOp) and e.op == "-" \
-                            and isinstance(e.operand, A.Literal):
-                        vals.append(-e.operand.value)
-                    elif isinstance(e, A.Literal):
-                        vals.append(e.value)
-                    else:
-                        raise SemanticError(
-                            "VALUES rows must be constant literals")
+                vals = [cell(row[ci]) for row in ref.rows]
+                fams = {family(v) for v in vals if v is not None}
+                if len(fams) > 1:
+                    raise SemanticError(
+                        f"VALUES column {ci} mixes incompatible types "
+                        f"{sorted(fams)}")
                 dtype = next((infer_literal_type(v) for v in vals
                               if v is not None), Int64)
+                if any(isinstance(v, float) for v in vals):
+                    dtype = Float64
                 if any(v is None for v in vals):
                     dtype = dtype.wrap_nullable()
                 cols.append(Column.from_pylist(vals, dtype))
@@ -1129,8 +1215,20 @@ class Binder:
         if val is None or fcol is None:
             raise SemanticError("PIVOT value/for column not found")
         agg_name = ref.agg.lower() + "_if"
+        in_values = ref.in_values
+        sub = getattr(ref, "in_subquery", None)
+        if sub is not None:
+            # dynamic pivot: run the IN subquery at bind time; sorted
+            # distinct values become the pivot columns
+            from ..pipeline.executor import execute_plan
+            block = execute_plan(self.bind_query(sub, ctes))
+            if block.num_columns() != 1:
+                raise SemanticError("PIVOT IN subquery must return one"
+                                    " column")
+            in_values = sorted({v for v in block.column_at(0).to_pylist()
+                                if v is not None})
         aggs = []
-        for v in ref.in_values:
+        for v in in_values:
             cond = Func("eq", [fcol, Constant(v, infer_literal_type(v))],
                         Boolean)
             fn = create_aggregate(agg_name, [val.dtype, Boolean], False)
@@ -1549,6 +1647,27 @@ class Binder:
     def _bind_subquery_expr(self, e, binder: SelectExprBinder, ctes):
         from .subquery import bind_subquery_expr
         return bind_subquery_expr(self.session, e, binder, ctes)
+
+
+def _clone_plan(plan):
+    """Per-consumer copy of a plan tree: plan nodes and pushdowns are
+    copied (the optimizer mutates them in place), data payloads
+    (blocks, table handles) are shared."""
+    import copy as _copy
+    import dataclasses as _dc
+    if not isinstance(plan, Plan):
+        return plan
+    node = _copy.copy(plan)
+    if isinstance(node, Scan):
+        node.pushdown = _copy.deepcopy(node.pushdown)
+        return node
+    for f in _dc.fields(node):
+        v = getattr(node, f.name)
+        if isinstance(v, Plan):
+            setattr(node, f.name, _clone_plan(v))
+        elif isinstance(v, list) and v and isinstance(v[0], Plan):
+            setattr(node, f.name, [_clone_plan(x) for x in v])
+    return node
 
 
 def _contains_window(e) -> bool:

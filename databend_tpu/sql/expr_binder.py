@@ -23,8 +23,9 @@ from . import ast as A
 
 _BINOP_FN = {
     "+": "plus", "-": "minus", "*": "multiply", "/": "divide", "%": "modulo",
-    "&": "bit_and", "|": "bit_or", "^": "bit_xor",
+    "&": "bit_and", "|": "bit_or", "^": "pow", "#": "bit_xor",
     "<<": "bit_shift_left", ">>": "bit_shift_right", "DIV": "div",
+    "//": "div",
     "=": "eq", "==": "eq", "!=": "noteq", "<>": "noteq", "<": "lt",
     "<=": "lte", ">": "gt", ">=": "gte", "<=>": "eq_null_safe",
     "AND": "and", "OR": "or", "XOR": "xor",
@@ -35,13 +36,41 @@ _BINOP_FN = {
 
 _CMP_FNS = {"eq", "noteq", "lt", "lte", "gt", "gte"}
 
+
+def _fold_negate(arg):
+    """-<numeric constant> folds to a literal with the minimal signed
+    type (reference: unary minus constant-folds before type inference,
+    so typeof(-to_uint32(1)) is TINYINT). Casts over constants unwrap."""
+    from ..types import Int8, Int16, Int32, Int64
+    from ..types.datatype import NumberType
+    e = arg
+    while isinstance(e, CastExpr) \
+            and isinstance(e.dtype.remove_nullable(), NumberType):
+        e = e.arg
+    if not isinstance(e, Constant) or isinstance(e.value, bool) \
+            or not isinstance(e.value, (int, float)):
+        return None
+    inner = arg.dtype.remove_nullable()
+    if not isinstance(inner, NumberType):
+        return None
+    v = -e.value
+    if isinstance(v, float) or inner.kind.startswith("f"):
+        return Constant(-float(e.value), inner if inner.kind.startswith("f")
+                        else Float64)
+    for kind, ty in (("i8", Int8), ("i16", Int16), ("i32", Int32)):
+        lo = -(1 << (int(kind[1:]) - 1))
+        if lo <= v < -lo:
+            return Constant(int(v), ty)
+    return Constant(int(v), Int64)
+
 # to_<type>(x) cast-sugar family (reference: to_* conversion functions);
 # resolved lazily to avoid import-order issues
 def _build_to_cast():
     from ..types import (Boolean, Date, Float32, Float64, Int8, Int16, Int32,
                          Int64, String, Timestamp, UInt8, UInt16, UInt32,
-                         UInt64)
+                         UInt64, Variant)
     return {
+        "to_variant": Variant,
         "to_int8": Int8, "to_int16": Int16, "to_int32": Int32,
         "to_int64": Int64, "to_uint8": UInt8, "to_uint16": UInt16,
         "to_uint32": UInt32, "to_uint64": UInt64, "to_float32": Float32,
@@ -89,6 +118,17 @@ class BindContext:
             return False
 
     def resolve(self, name: str, table: Optional[str] = None) -> BoundColumn:
+        if name.startswith("$") and name[1:].isdigit():
+            # positional column reference $k / t.$k (reference
+            # bind_context.rs:626 column-position resolution)
+            k = int(name[1:])
+            cols = [c for c in self.columns
+                    if (table is None or (c[2] or "").lower()
+                        == table.lower()) and c[3] not in self.star_hidden]
+            if not (1 <= k <= len(cols)):
+                raise SemanticError(f"column position {k} doesn't exist")
+            n, t, tb, on = cols[k - 1]
+            return BoundColumn(on, t, tb)
         matches = [
             (n, t, tb, on) for (n, t, tb, on) in self.columns
             if (n.lower() == name.lower() or on.lower() == name.lower())
@@ -138,7 +178,11 @@ class ExprBinder:
             if e.op == "NOT":
                 return self._func("not", [self.bind(e.operand)])
             if e.op == "-":
-                return self._func("negate", [self.bind(e.operand)])
+                arg = self.bind(e.operand)
+                folded = _fold_negate(arg)
+                if folded is not None:
+                    return folded
+                return self._func("negate", [arg])
             return self.bind(e.operand)  # unary +
         if isinstance(e, A.FunctionCall):
             return self._bind_function(e)
@@ -272,6 +316,13 @@ class ExprBinder:
                 return self._bind_interval_add(self.bind(e.right), n, unit)
         left = self.bind(e.left)
         right = self.bind(e.right)
+        if name not in ("and", "or", "xor", "eq_null_safe") \
+                and (isinstance(left.dtype.remove_nullable(), NullType)
+                     or isinstance(right.dtype.remove_nullable(),
+                                   NullType)):
+            # NULL literal operand: the operator is NULL-typed NULL
+            # (reference: NULL + 1 is NULL of type NULL)
+            return Constant(None, NullType())
         if name in ("plus", "minus"):
             # DATE ± <int> = date shifted by days (reference: date + 5 is
             # DATEADD(day, ...); TPC-DS q72 `d1.d_date + 5`)
@@ -289,6 +340,26 @@ class ExprBinder:
                                 if nullable else date_t, False)
             if name == "plus" and rt == date_t and lt.is_numeric():
                 return self._bind_binary(A.BinaryOp("+", e.right, e.left))
+        if name in ("plus", "minus", "multiply", "divide", "div", "modulo",
+                    "pow"):
+            # '333' + 4 coerces the string to the numeric side's family
+            # (reference: string literals coerce in arithmetic)
+            from ..types import Int64
+            from ..types.datatype import StringType as _ST
+            lt = left.dtype.remove_nullable()
+            rt = right.dtype.remove_nullable()
+            for a, b, bt in ((0, right, rt), (1, left, lt)):
+                s = left if a == 0 else right
+                st = lt if a == 0 else rt
+                if isinstance(st, _ST) and bt.is_numeric():
+                    target = Float64 if bt.kind.startswith("f") else Int64
+                    cast = CastExpr(s, target.wrap_nullable()
+                                    if s.dtype.is_nullable() else target,
+                                    False)
+                    if a == 0:
+                        left = cast
+                    else:
+                        right = cast
         if name in _CMP_FNS:
             left, right = self._coerce_comparison(left, right)
         if name == "concat":
@@ -529,16 +600,53 @@ class ExprBinder:
             rt = rt.wrap_nullable()
         return CaseExpr(conditions, results, else_result, rt)
 
+    def _fold_bool(self, op: str, clauses: list) -> ScalarExpr:
+        """Balanced OR/AND tree: keeps huge IN lists within evaluator
+        recursion depth (log2(n) instead of n)."""
+        while len(clauses) > 1:
+            nxt = []
+            for i in range(0, len(clauses), 2):
+                if i + 1 < len(clauses):
+                    nxt.append(self._func(op, [clauses[i], clauses[i + 1]]))
+                else:
+                    nxt.append(clauses[i])
+            clauses = nxt
+        return clauses[0]
+
     def _bind_in_list(self, e: A.InList) -> ScalarExpr:
+        if isinstance(e.expr, A.Tuple_):
+            # (a, b) IN ((x, y), ...) — row-tuple membership unrolls to
+            # OR of per-entry AND equalities (the reference lowers the
+            # tuple in-list to `contains`, PR #12647)
+            xs = [self.bind(x) for x in e.expr.items]
+            rows = []
+            for item in e.items:
+                if isinstance(item, A.Tuple_):
+                    vals = [self.bind(v) for v in item.items]
+                elif isinstance(item, A.Literal) \
+                        and isinstance(item.value, tuple):
+                    vals = [Constant(v, infer_literal_type(v))
+                            for v in item.value]
+                else:
+                    raise SemanticError(
+                        "tuple IN list expects tuple entries")
+                if len(vals) != len(xs):
+                    raise SemanticError(
+                        f"tuple IN entry arity {len(vals)} != {len(xs)}")
+                eqs = []
+                for xi, v in zip(xs, vals):
+                    a, b = self._coerce_comparison(xi, v)
+                    eqs.append(self._func("eq", [a, b]))
+                rows.append(self._fold_bool("and", eqs))
+            acc = self._fold_bool("or", rows)
+            return self._func("not", [acc]) if e.negated else acc
         x = self.bind(e.expr)
         clauses = []
         for item in e.items:
             rhs = self.bind(item)
             xi, rhs = self._coerce_comparison(x, rhs)
             clauses.append(self._func("eq", [xi, rhs]))
-        acc = clauses[0]
-        for c in clauses[1:]:
-            acc = self._func("or", [acc, c])
+        acc = self._fold_bool("or", clauses)
         return self._func("not", [acc]) if e.negated else acc
 
 

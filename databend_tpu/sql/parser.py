@@ -22,11 +22,11 @@ _BIN_POWER = {
     "OR": 10, "XOR": 15, "AND": 20,
     "=": 40, "==": 40, "!=": 40, "<>": 40, "<": 40, "<=": 40, ">": 40,
     ">=": 40, "<=>": 40, "LIKE": 40, "ILIKE": 40, "REGEXP": 40, "RLIKE": 40,
-    "||": 50, "|": 51, "&": 52,
+    "||": 50, "|": 51, "#": 51, "&": 52,
     "<<": 58, ">>": 58,
     "->": 55, "->>": 55,
     "+": 60, "-": 60,
-    "*": 70, "/": 70, "%": 70, "DIV": 70,
+    "*": 70, "/": 70, "//": 70, "%": 70, "DIV": 70,
     "^": 80,
 }
 
@@ -162,6 +162,12 @@ class Parser:
             self.next()
             self.next()
             return A.UnsetVariable(self.ident())
+        if self._at_word("UNSET") and self.peek(1).kind in ("IDENT",
+                                                            "KEYWORD"):
+            # UNSET <setting>: reset to the default (reference
+            # unset_settings interpreter)
+            self.next()
+            return A.UnsetSetting(self.ident())
         if self.at_keyword("CREATE"):
             return self.parse_create()
         if self.at_keyword("DROP"):
@@ -1153,7 +1159,7 @@ class Parser:
                         parts.append(")")
                         break
                 parts.append(t.text if t.kind != "OP" else t.text)
-        if self.at_keyword("UNSIGNED"):
+        if self._at_word("UNSIGNED", "SIGNED"):
             parts.append(self.next().text)
         import re as _re
         return _re.sub(r"\s*([(),])\s*", r"\1", " ".join(parts))
@@ -1809,12 +1815,20 @@ class Parser:
             if self.accept_op(","):  # LIMIT off, n (mysql style)
                 offset = first
                 limit = self.parse_expr()
+                if self.at_keyword("OFFSET"):
+                    self.error("LIMIT offset, n cannot combine with OFFSET")
             else:
                 limit = first
         if self.accept_keyword("OFFSET"):
             offset = self.parse_expr()
-        return A.Query(body, order_by, limit, offset, ctes,
-                       recursive)
+        q = A.Query(body, order_by, limit, offset, ctes,
+                    recursive)
+        if self._at_word("IGNORE_RESULT"):
+            # `... IGNORE_RESULT` executes the query and discards rows
+            # (reference ast/query.rs ignore_result)
+            self.next()
+            q.ignore_result = True
+        return q
 
     def parse_order_by_expr(self) -> A.OrderByExpr:
         e = self.parse_expr()
@@ -2054,6 +2068,16 @@ class Parser:
 
     def parse_table_factor(self) -> A.TableRef:
         ref = self._parse_table_factor_base()
+        if getattr(ref, "alias", None) and self.at_op("(") \
+                and self.peek(1).kind == "IDENT" \
+                and self.peek(2).text in (",", ")"):
+            # column aliases on the table factor: t AS a(x, y)
+            self.next()
+            cols = [self.ident()]
+            while self.accept_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+            ref.column_aliases = cols
         while self._at_word("PIVOT", "UNPIVOT") and self.peek(1).text == "(":
             kind = self.next().text.upper()
             self.expect_op("(")
@@ -2069,14 +2093,23 @@ class Parser:
                 self.expect_keyword("IN")
                 self.expect_op("(")
                 vals = []
-                while not self.at_op(")"):
-                    t = self.next()
-                    vals.append(int(t.text) if t.kind == "INT" else t.text)
-                    self.accept_op(",")
+                in_subquery = None
+                if self.at_keyword("SELECT", "WITH"):
+                    # PIVOT ... IN (SELECT DISTINCT ...): dynamic pivot
+                    # columns resolved at bind time
+                    in_subquery = self.parse_query()
+                else:
+                    while not self.at_op(")"):
+                        t = self.next()
+                        vals.append(int(t.text) if t.kind == "INT"
+                                    else t.text)
+                        self.accept_op(",")
                 self.expect_op(")")
                 self.expect_op(")")
                 ref = A.PivotRef(ref, agg, value_col, for_col, vals,
                                  self._table_alias())
+                if in_subquery is not None:
+                    ref.in_subquery = in_subquery
             else:
                 value_name = self.ident()
                 if not self._at_word("FOR"):
@@ -2163,6 +2196,10 @@ class Parser:
         if db is not None and self.accept_op("."):
             # catalog.db.table (reference multi-catalog name resolution)
             catalog, db, name = db, name, self.ident()
+            if db == "":
+                # `db`.``.`t`: an empty middle segment collapses to a
+                # two-part name (reference quoted-identifier corpus)
+                catalog, db = None, catalog
         at_snapshot = None
         if self.accept_keyword("AT"):
             at_snapshot = self.parse_travel_point()
@@ -2253,9 +2290,18 @@ class Parser:
 
     def parse_postfix(self, lhs: A.Expr, min_bp: int) -> Optional[A.Expr]:
         # IS [NOT] NULL | [NOT] IN | [NOT] BETWEEN | [NOT] LIKE | :: | [...]
+        if self.at_op("!") and self.peek(1).text != "=":
+            self.next()  # postfix factorial (postgres-style `5!`)
+            return A.FunctionCall("factorial", [lhs])
         if self.at_op("::"):
             self.next()
             return A.Cast(lhs, self.parse_type_name())
+        if self.at_op(":") and isinstance(lhs, (A.ColumnRef, A.MapAccess)) \
+                and self.peek(1).kind == "IDENT":
+            # variant path sugar: payload:test == payload['test']
+            # (reference semi-structured access)
+            self.next()
+            return A.MapAccess(lhs, A.Literal(self.ident()))
         if self.at_op("["):
             self.next()
             key = self.parse_expr()
@@ -2356,6 +2402,13 @@ class Parser:
                 if all(isinstance(i, A.Literal) for i in items):
                     return A.Literal([i.value for i in items])
                 return A.FunctionCall("array", items)
+            if t.text in ("|/", "||/", "@", "~"):
+                # postgres-style prefix math: |/ sqrt, ||/ cbrt, @ abs,
+                # ~ bitwise not
+                self.next()
+                fn = {"|/": "sqrt", "||/": "cbrt", "@": "abs",
+                      "~": "bit_not"}[t.text]
+                return A.FunctionCall(fn, [self.parse_expr(65)])
             if t.text in ("-", "+"):
                 self.next()
                 operand = self.parse_expr(65)
@@ -2549,6 +2602,10 @@ class Parser:
                     window = self.parse_window_spec()
             return A.FunctionCall(name.lower(), args, distinct, params,
                                   window)
+        if self.at_op(".") and self.peek(1).kind == "PARAM" \
+                and self.peek(1).text.startswith("$"):
+            self.next()  # t.$1 positional column
+            return A.ColumnRef(self.next().text, table=name)
         if self.at_op(".") and (self.peek(1).kind == "IDENT"
                                 or (self.peek(1).kind == "KEYWORD"
                                     and self.peek(1).text in NON_RESERVED)):

@@ -28,7 +28,7 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ATREF>@~(?:/[A-Za-z0-9_./*?-]*)?|@%?[A-Za-z_][A-Za-z0-9_]*(?:/[A-Za-z0-9_./*?-]*)?)
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_$]*)
-  | (?P<OP><=>|<>|!=|>=|<=|==|\|\||<<|>>|->>|->|=>|::|:=|[-+*/%(),.;=<>\[\]{}:@^~&|!])
+  | (?P<OP><=>|<>|!=|>=|<=|==|\|\|/|\|/|\|\||<<|>>|->>|->|=>|::|:=|//|[-+*/%(),.;=<>\[\]{}:@^~&|!#])
     """,
     re.X | re.S,
 )

@@ -349,7 +349,13 @@ def common_super_type(a: DataType, b: DataType) -> DataType:
     elif isinstance(ai, NumberType) and isinstance(bi, NumberType):
         out = _super_number(ai, bi)
     elif isinstance(ai, StringType) or isinstance(bi, StringType):
-        out = String
+        o = bi if isinstance(ai, StringType) else ai
+        if isinstance(o, NumberType):
+            # reference type_check.rs: String+float -> the float type,
+            # String+int -> DECIMAL(38, 5)
+            out = o if o.is_float() else DecimalType(38, 5)
+        else:
+            out = String
     else:
         raise TypeMismatch(f"no common super type for {ai} and {bi}")
     return out.wrap_nullable() if nullable else out
@@ -389,6 +395,8 @@ _TYPE_NAMES = {
     "TIMESTAMP": Timestamp, "DATETIME": Timestamp,
     "VARIANT": Variant, "JSON": Variant,
     "GEOMETRY": Geometry,
+    # `SELECT NULL` has type NULL; CTAS over it round-trips the name
+    "NULL": Null, "NOTHING": Null,
 }
 
 _VECTOR_RE = re.compile(r"^VECTOR\s*\(\s*(\d+)\s*(?:,\s*(INT8|FLOAT32)\s*)?\)$", re.I)
@@ -409,6 +417,9 @@ def parse_type_name(name: str) -> DataType:
     elif up.endswith("NOT NULL"):
         s = s[: -len("NOT NULL")].strip()
         up = s.upper()
+    if up.startswith("NULLABLE(") and up.endswith(")"):
+        # ClickHouse-compatible wrapper: Nullable(Int32)
+        return parse_type_name(s[len("NULLABLE("):-1]).wrap_nullable()
     ty: DataType
     if up in _TYPE_NAMES:
         ty = _TYPE_NAMES[up]

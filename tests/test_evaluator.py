@@ -133,8 +133,10 @@ def test_divide_by_zero_and_bit_ops():
         ctx.sql("SELECT 1/0")
     with pytest.raises(Exception, match="divided by zero"):
         ctx.sql("SELECT 1 % 0")
-    assert ctx.sql("SELECT 5 & 3, 5 | 3, 5 ^ 3, 1 << 4, 32 >> 2,"
+    # ^ is POWER in the reference dialect (xor is # / bit_xor())
+    assert ctx.sql("SELECT 5 & 3, 5 | 3, 5 # 3, 1 << 4, 32 >> 2,"
                    " 7 DIV 2").rows() == [(1, 7, 6, 16, 8, 3)]
+    assert ctx.sql("SELECT 2 ^ 3").rows() == [(8.0,)]
     assert ctx.sql("SELECT TRY_CAST('nope' AS DATE),"
                    " TRY_CAST('x' AS TIMESTAMP)").rows() == [(None, None)]
     with pytest.raises(Exception):

@@ -53,7 +53,11 @@ class TestBasics:
 
     def test_order_by_desc_nulls(self, ctx):
         setup_basic(ctx)
+        # reference default is NULLS LAST in both directions
+        # (reference query/order.test)
         r = ctx.sql("SELECT qty FROM t ORDER BY qty DESC")
+        assert [x[0] for x in r.rows()] == [20, 10, 7, 5, None]
+        r = ctx.sql("SELECT qty FROM t ORDER BY qty DESC NULLS FIRST")
         assert [x[0] for x in r.rows()] == [None, 20, 10, 7, 5]
         r = ctx.sql("SELECT qty FROM t ORDER BY qty ASC NULLS FIRST")
         assert [x[0] for x in r.rows()] == [None, 5, 7, 10, 20]
