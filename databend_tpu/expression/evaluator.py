@@ -60,6 +60,10 @@ class Evaluator:
         raise SemanticError(f"cannot evaluate {type(expr).__name__}")
 
     def _run_func(self, expr: Func) -> Column:
+        if expr.name in ("and", "or") and len(expr.args) == 2 \
+            and not (isinstance(expr.args[1], (Constant, BoundColumn))
+                     or _is_column_free(expr.args[1])):
+            return self._run_logical(expr)
         fn = registry.get(expr.name)
         if expr.name == "in_set" and len(expr.args) == 2 \
                 and isinstance(expr.args[1], Constant):
@@ -172,6 +176,43 @@ class Evaluator:
                    _json.dumps(x, separators=(",", ":"), default=str)
                    for x in out]
         return Column.from_pylist(out, expr.dtype)
+
+    def _run_logical(self, expr: Func) -> Column:
+        """Short-circuit AND/OR: the right side only ever sees the rows
+        the left side did not decide (reference filter selectivity —
+        `a = 1 AND cast(b AS int) > 2` must not raise on rows where
+        a != 1), with standard three-valued NULL semantics."""
+        n = self.block.num_rows
+        a = self.run(expr.args[0])
+        ad = np.asarray(a.data, np.bool_)
+        a_valid = a.validity if a.validity is not None \
+            else np.ones(n, np.bool_)
+        a_true = ad & a_valid
+        a_false = ~ad & a_valid
+        # rows the left side already decides
+        decided = a_false if expr.name == "and" else a_true
+        b_true = np.zeros(n, np.bool_)
+        b_false = np.zeros(n, np.bool_)
+        need = ~decided
+        if need.any():
+            if need.all():
+                b = self.run(expr.args[1])
+            else:
+                sub = Evaluator(self.block.filter(need)).run(expr.args[1])
+                pos = np.cumsum(need) - 1
+                b = sub.take(np.where(need, pos, 0))
+            bd = np.asarray(b.data, np.bool_)
+            b_valid = b.validity if b.validity is not None \
+                else np.ones(n, np.bool_)
+            b_true = bd & b_valid & need
+            b_false = ~bd & b_valid & need
+        if expr.name == "and":
+            data = a_true & b_true
+            valid = a_false | b_false | (a_true & b_true)
+        else:
+            data = a_true | b_true
+            valid = a_true | b_true | (a_false & b_false)
+        return Column(Boolean, data, None if valid.all() else valid)
 
     def _run_case(self, expr: CaseExpr) -> Column:
         """CASE with masked branch evaluation: each THEN/ELSE expression
@@ -381,6 +422,18 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
         return out(StringData.from_pylist(texts), ok if not ok.all() else None)
     # anything -> string
     if isinstance(dst, StringType):
+        if src in (Date, Timestamp):
+            import datetime as _dt
+            ep_d = _dt.date(1970, 1, 1)
+            ep_t = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            vals = np.asarray(col.data, np.int64)
+            if src == Date:
+                texts = [str(ep_d + _dt.timedelta(days=int(v)))
+                         for v in vals]
+            else:
+                texts = [(ep_t + _dt.timedelta(microseconds=int(v)))
+                         .strftime("%Y-%m-%d %H:%M:%S.%f") for v in vals]
+            return out(StringData.from_pylist(texts))
         return out(StringData.from_pylist([_to_str(v) for v in col.to_pylist()]))
     # string -> date/timestamp (TRY_CAST of malformed text -> NULL,
     # plain CAST raises a typed error — reference cast semantics)
@@ -392,7 +445,9 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
         ok = np.ones(n, np.bool_)
         for i, s in enumerate(vals):
             try:
-                if dst == Date:
+                if str(s).startswith("0000-00-00"):
+                    payload[i] = 0  # zero date maps to the epoch
+                elif dst == Date:
                     payload[i] = (_dt.date.fromisoformat(str(s)[:10])
                                   - epoch).days
                 else:
@@ -455,16 +510,49 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
         return constant_column(None, dst.wrap_nullable(), n)
     # number/boolean/string -> variant: JSON-encode each scalar
     # (reference: to_variant / implicit ::VARIANT casts)
+    from ..types import TupleType as _TT
+    if isinstance(dst, _VT) and isinstance(src, _TT):
+        # tuple -> variant: JSON object keyed by the tuple field names
+        import json as _json
+        names = src.names or tuple(str(i + 1)
+                                   for i in range(len(src.fields)))
+        texts = [None if v is None
+                 else _json.dumps(dict(zip(names, v)), default=str,
+                                  separators=(",", ":"),
+                                  ensure_ascii=False)
+                 for v in col.to_pylist()]
+        return Column.from_pylist(texts, target if target.is_nullable()
+                                   else dst)
     if isinstance(dst, _VT) and (isinstance(src, NumberType)
                                  or src == Boolean or src == String):
         import json as _json
         vals = col.to_pylist()
-        texts = [None if v is None
-                 else _json.dumps(v if not isinstance(v, (np.integer,
-                                                          np.floating,
-                                                          np.bool_))
-                                  else v.item(), separators=(",", ":"), ensure_ascii=False)
-                 for v in vals]
+        if src == String:
+            # string -> variant PARSES the text as (lenient) JSON
+            # ('"a"'::VARIANT is the string a, not a re-quoted literal)
+            from .functions.variant_fns import _lenient_json
+            texts = []
+            for v in vals:
+                if v is None:
+                    texts.append(None)
+                    continue
+                try:
+                    parsed = _json.loads(v)
+                except (ValueError, TypeError):
+                    try:
+                        parsed = _lenient_json(v)
+                    except (ValueError, TypeError):
+                        parsed = v  # not JSON: a JSON string value
+                texts.append(_json.dumps(parsed, separators=(",", ":"),
+                                         ensure_ascii=False))
+        else:
+            texts = [None if v is None
+                     else _json.dumps(v if not isinstance(v, (np.integer,
+                                                              np.floating,
+                                                              np.bool_))
+                                      else v.item(), separators=(",", ":"),
+                                      ensure_ascii=False)
+                     for v in vals]
         return Column.from_pylist(texts, target if target.is_nullable()
                                    else dst)
     # a statically impossible cast is a type error (reference raises

@@ -11,7 +11,8 @@ import time
 import numpy as np
 
 from ...errors import SemanticError
-from ...types import Date, Int64, String, Timestamp, UInt16, UInt8
+from ...types import (Date, Int64, String, Timestamp, UInt8, UInt16,
+                      UInt32, UInt64)
 from ..column import StringData
 from .registry import scalar_function
 
@@ -25,6 +26,36 @@ def _res(name, n, ret):
         return ret
     return resolve
 
+def _flex_date(s: str) -> _dt.date:
+    """fromisoformat + tolerant fallback: single-digit month/day and
+    slash separators ('2024-9-1', '2024/09/01') parse like the
+    reference's date parser."""
+    try:
+        return _dt.date.fromisoformat(s[:10].strip())
+    except ValueError:
+        import re as _re
+        m = _re.match(r"\s*(\d{1,4})[-/](\d{1,2})[-/](\d{1,2})", s)
+        if not m:
+            raise
+        return _dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+
+
+def _flex_datetime(s: str) -> _dt.datetime:
+    try:
+        return _dt.datetime.fromisoformat(s.strip())
+    except ValueError:
+        import re as _re
+        m = _re.match(r"\s*(\d{1,4})[-/](\d{1,2})[-/](\d{1,2})"
+                      r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})"
+                      r"(?:\.(\d+))?)?)?", s)
+        if not m:
+            raise
+        frac = (m.group(7) or "0").ljust(6, "0")[:6]
+        return _dt.datetime(int(m.group(1)), int(m.group(2)),
+                            int(m.group(3)), int(m.group(4) or 0),
+                            int(m.group(5) or 0), int(m.group(6) or 0),
+                            int(frac))
+
 
 @scalar_function("now", _res("now", 0, Timestamp), aliases=["current_timestamp"])
 def _now(n_rows=None, **kw):
@@ -36,13 +67,41 @@ def _today(n_rows=None, **kw):
     return np.full(n_rows, int(time.time() // 86400), np.int32)
 
 
-@scalar_function("to_date", _res("to_date", 1, Date))
-def _to_date(a, arg_types=None, **kw):
+def _res_1or2(name, ret):
+    def resolve(arg_types):
+        if len(arg_types) not in (1, 2):
+            raise SemanticError(f"{name} expects 1 or 2 args")
+        return ret
+    return resolve
+
+
+@scalar_function("to_date", _res_1or2("to_date", Date))
+def _to_date(a, fmt=None, arg_types=None, **kw):
+    if fmt is not None:
+        # to_date(s, '%Y%m%d'): strptime-style parse (reference
+        # to_date with format)
+        f = fmt.to_pylist()[0] if isinstance(fmt, StringData) \
+            else str(np.asarray(fmt).ravel()[0])
+        out = []
+        for s in (a.to_pylist() if isinstance(a, StringData)
+                  else [str(x) for x in np.asarray(a).tolist()]):
+            try:
+                d = _dt.datetime.strptime(s or "", f).date()
+            except ValueError:
+                from ...errors import BadDataValueType
+                raise BadDataValueType(
+                    f"cannot parse {s!r} with format {f!r}")
+            out.append((d - _dt.date(1970, 1, 1)).days)
+        return np.array(out, np.int32)
     t = arg_types[0].remove_nullable()
     if isinstance(a, StringData):
         out = []
         for s in a.to_pylist():
-            d = _dt.date.fromisoformat(s[:10]) if s else _dt.date(1970, 1, 1)
+            try:
+                d = _flex_date(s) if s else _dt.date(1970, 1, 1)
+            except ValueError as ex:
+                from ...errors import BadDataValueType
+                raise BadDataValueType(f"to_date: {ex}: {s!r}")
             out.append((d - _dt.date(1970, 1, 1)).days)
         return np.array(out, np.int32)
     if t == Timestamp:
@@ -50,7 +109,8 @@ def _to_date(a, arg_types=None, **kw):
     return np.asarray(a).astype(np.int32)
 
 
-@scalar_function("to_timestamp", _res("to_timestamp", 1, Timestamp), aliases=["to_datetime"])
+@scalar_function("to_timestamp", _res("to_timestamp", 1, Timestamp),
+                 aliases=["to_datetime", "to_timestamp_tz"])
 def _to_timestamp(a, arg_types=None, **kw):
     t = arg_types[0].remove_nullable()
     if isinstance(a, StringData):
@@ -59,7 +119,11 @@ def _to_timestamp(a, arg_types=None, **kw):
             if not s:
                 out.append(0)
                 continue
-            dt = _dt.datetime.fromisoformat(s)
+            try:
+                dt = _flex_datetime(s)
+            except ValueError as ex:
+                from ...errors import BadDataValueType
+                raise BadDataValueType(f"to_timestamp: {ex}: {s!r}")
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=_dt.timezone.utc)
             out.append(int(dt.timestamp() * _US))
@@ -114,6 +178,33 @@ def _to_day(a, arg_types=None, **kw):
 def _to_dow(a, arg_types=None, **kw):
     days = _days_array(a, arg_types)
     return (((days + 3) % 7) + 1).astype(np.uint8)  # 1=Monday..7=Sunday
+
+
+@scalar_function("to_yyyymm", _res("to_yyyymm", 1, UInt32))
+def _to_yyyymm(a, arg_types=None, **kw):
+    y, m, _ = _civil(a, arg_types)
+    return (y * 100 + m).astype(np.uint32)
+
+
+@scalar_function("to_yyyymmdd", _res("to_yyyymmdd", 1, UInt32))
+def _to_yyyymmdd(a, arg_types=None, **kw):
+    y, m, d = _civil(a, arg_types)
+    return (y * 10000 + m * 100 + d).astype(np.uint32)
+
+
+@scalar_function("to_yyyymmddhhmmss",
+                 _res("to_yyyymmddhhmmss", 1, UInt64))
+def _to_yyyymmddhhmmss(a, arg_types=None, **kw):
+    y, m, d = _civil(a, arg_types)
+    t = arg_types[0].remove_nullable()
+    if t == Date:
+        secs = np.zeros(len(y), np.int64)
+    else:
+        secs = np.asarray(a, np.int64) // _US % 86400
+    ymd = y * 10000 + m * 100 + d
+    return (ymd.astype(np.uint64) * 1000000
+            + (secs // 3600) * 10000 + (secs % 3600 // 60) * 100
+            + secs % 60)
 
 
 @scalar_function("to_unix_timestamp", _res("to_unix_timestamp", 1, Int64))

@@ -417,7 +417,64 @@ def _sort_key_arrays(block: DataBlock, items) -> List[np.ndarray]:
     return keys
 
 
+def _jsonb_rank(v):
+    """jsonb type order (reference jsonb compare, observed in
+    03_0004_select_order_by): bool < number < string < object < array
+    < json-null."""
+    if isinstance(v, bool):
+        return 0
+    if isinstance(v, (int, float)):
+        return 1
+    if isinstance(v, str):
+        return 2
+    if isinstance(v, dict):
+        return 3
+    if isinstance(v, list):
+        return 4
+    return 5  # json null
+
+
+def _jsonb_cmp(a, b):
+    ra, rb = _jsonb_rank(a), _jsonb_rank(b)
+    if ra != rb:
+        return -1 if ra < rb else 1
+    if ra in (0, 1):
+        return -1 if a < b else (1 if a > b else 0)
+    if ra == 2:
+        return -1 if a < b else (1 if a > b else 0)
+    if ra == 4:
+        for x, y in zip(a, b):
+            c = _jsonb_cmp(x, y)
+            if c:
+                return c
+        return (len(a) > len(b)) - (len(a) < len(b))
+    if ra == 3:
+        ka, kb = sorted(a), sorted(b)
+        if ka != kb:
+            return -1 if ka < kb else 1
+        for k in ka:
+            c = _jsonb_cmp(a[k], b[k])
+            if c:
+                return c
+        return 0
+    return 0
+
+
 def _comparable_array(col: Column) -> np.ndarray:
+    from ..types import VariantType as _VarT
+    if isinstance(col.dtype.remove_nullable(), _VarT) \
+            and isinstance(col.data, StringData):
+        # variant sort keys follow the jsonb type order, not text order
+        import functools as _ft
+        import json as _json
+        texts = col.data.to_pylist()
+        uniq = sorted(set(texts),
+                      key=_ft.cmp_to_key(
+                          lambda x, y: _jsonb_cmp(
+                              _json.loads(x) if x else None,
+                              _json.loads(y) if y else None)))
+        rmap = {t: i for i, t in enumerate(uniq)}
+        return np.fromiter((rmap[t] for t in texts), np.int64, len(texts))
     if isinstance(col.data, StringData):
         sd = col.data
         codes = sd.codes()

@@ -84,10 +84,24 @@ class SelectExprBinder(ExprBinder):
         self.state = state
         self.subquery_handler = subquery_handler
 
+    # change-tracking origin columns (reference stream.rs): NULL until a
+    # mutation stamps them; this engine tracks changes via streams, so
+    # they are always NULL on base-table reads
+    _ORIGIN_COLS = ("_origin_version", "_origin_block_id",
+                    "_origin_block_row_num")
+
     def bind(self, e: A.Expr) -> ScalarExpr:
         if isinstance(e, (A.ScalarSubquery, A.InSubquery, A.Exists)) \
                 and self.subquery_handler is not None:
             return self.subquery_handler(e, self)
+        if isinstance(e, A.ColumnRef) and e.table is None \
+                and e.name.lower() in self._ORIGIN_COLS \
+                and not self.ctx.has(e.name):
+            info = getattr(self.state, "table_info", None)
+            if info is not None and str((info.options or {}).get(
+                    "change_tracking", "")).lower() in ("true", "1", "on"):
+                from ..types.datatype import NullType as _NT
+                return Constant(None, _NT())
         return super().bind(e)
 
     def _bind_function(self, e: A.FunctionCall) -> ScalarExpr:
@@ -701,6 +715,10 @@ class Binder:
         for i, ob in enumerate(order_by or []):
             target = ob.expr
             if isinstance(target, A.Literal) and isinstance(target.value, int):
+                if not 1 <= target.value <= len(bound_items):
+                    raise SemanticError(
+                        f"ORDER BY position {target.value} is not in "
+                        f"select list")
                 name = bound_items[target.value - 1][0]
                 sort_items.append(SortItem(name, ob.asc, ob.nulls_first))
                 continue

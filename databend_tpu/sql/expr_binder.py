@@ -37,6 +37,24 @@ _BINOP_FN = {
 _CMP_FNS = {"eq", "noteq", "lt", "lte", "gt", "gte"}
 
 
+def _fold_const(expr):
+    """Evaluate a column-free expression to a Constant (map/tuple
+    literals with cast'd elements: {'k': 'v'::string})."""
+    if isinstance(expr, Constant):
+        return expr
+    try:
+        from ..expression.evaluator import Evaluator, _is_column_free
+        if not _is_column_free(expr):
+            return expr
+        from ..expression import Column as _C, DataBlock as _DB
+        import numpy as _np
+        blk = _DB(["__one"], [_C.from_numpy(_np.zeros(1, _np.int8))], 1)
+        col = Evaluator(blk).run(expr)
+        return Constant(col.get(0), col.dtype)
+    except Exception:
+        return expr
+
+
 def _fold_negate(arg):
     """-<numeric constant> folds to a literal with the minimal signed
     type (reference: unary minus constant-folds before type inference,
@@ -232,8 +250,8 @@ class ExprBinder:
             return self._func(fn, [base, key])
         if isinstance(e, A.MapExpr):
             from ..types import MapType
-            keys = [self.bind(k) for k in e.keys]
-            vals = [self.bind(v) for v in e.values]
+            keys = [_fold_const(self.bind(k)) for k in e.keys]
+            vals = [_fold_const(self.bind(v)) for v in e.values]
             if all(isinstance(x, Constant) for x in keys + vals):
                 d = {k.value: v.value for k, v in zip(keys, vals)}
                 kt = keys[0].dtype.remove_nullable() if keys else String
@@ -426,6 +444,42 @@ class ExprBinder:
             if self.aggregate_handler is None:
                 raise SemanticError(f"aggregate function {name}() not allowed here")
             return self.aggregate_handler(e)
+        if name in ("if", "iff") and len(e.args) >= 3 \
+                and len(e.args) % 2 == 1:
+            # lower if(c1,v1,...,else) to CASE so branches evaluate
+            # lazily per selected row (reference if_then_else selection
+            # vectors: `if(d=0, 0, x/d)` must not raise on d=0 rows)
+            conds = [self.bind(a) for a in e.args[0:-1:2]]
+            results = [self.bind(a) for a in e.args[1:-1:2]]
+            els = self.bind(e.args[-1])
+            rt = results[0].dtype
+            for r in results[1:]:
+                rt = common_super_type(rt, r.dtype)
+            rt = common_super_type(rt, els.dtype)
+            return CaseExpr(conds, results, els, rt)
+        if name == "decode" and len(e.args) >= 3:
+            # Oracle-style decode(x, v1, r1, ..., [default]) with
+            # NULL-safe match (NULL matches NULL) — reference
+            # conditional family
+            x = self.bind(e.args[0])
+            rest = e.args[1:]
+            has_default = len(rest) % 2 == 1
+            pairs = rest[:-1] if has_default else rest
+            conds, results = [], []
+            for i in range(0, len(pairs), 2):
+                v = self.bind(pairs[i])
+                a, b = self._coerce_comparison(x, v)
+                conds.append(self._func("eq_null_safe", [a, b]))
+                results.append(self.bind(pairs[i + 1]))
+            els = self.bind(rest[-1]) if has_default else None
+            rt = results[0].dtype
+            for r in results[1:]:
+                rt = common_super_type(rt, r.dtype)
+            if els is not None:
+                rt = common_super_type(rt, els.dtype)
+            else:
+                rt = rt.wrap_nullable()
+            return CaseExpr(conds, results, els, rt)
         if name == "nextval":
             return self._bind_nextval(e)
         if name == "dict_get":

@@ -2418,6 +2418,21 @@ class Parser:
             if t.text == "*":
                 self.next()
                 return A.Star()
+        if t.kind in ("KEYWORD", "IDENT") \
+                and t.text.upper() in ("DATE", "TIMESTAMP", "TIMESTAMP_TZ") \
+                and self.peek(1).kind == "STRING":
+            # typed literals: DATE '2001-02-03' / TIMESTAMP '...' /
+            # TIMESTAMP_TZ '...' (reference typed-literal syntax; tz
+            # literals normalize to UTC and render with ' +0000')
+            kind = self.next().text.upper()
+            s = self.next().text
+            if kind == "DATE":
+                return A.Cast(A.Literal(s), "DATE")
+            if kind == "TIMESTAMP":
+                return A.Cast(A.Literal(s), "TIMESTAMP")
+            return A.BinaryOp(
+                "||", A.Cast(A.Cast(A.Literal(s), "TIMESTAMP"), "VARCHAR"),
+                A.Literal(" +0000"))
         if t.kind == "KEYWORD":
             if t.text == "NOT":
                 self.next()
@@ -2606,6 +2621,13 @@ class Parser:
                 and self.peek(1).text.startswith("$"):
             self.next()  # t.$1 positional column
             return A.ColumnRef(self.next().text, table=name)
+        if self.peek().kind == "FLOAT" and self.peek().text.startswith("."):
+            # `t1.1` — numeric member access is not valid (reference
+            # raises a semantic error, not a parse error)
+            from ..errors import SemanticError
+            raise SemanticError(
+                f"cannot access column {self.peek().text[1:]!r} of "
+                f"{name!r} by number")
         if self.at_op(".") and (self.peek(1).kind == "IDENT"
                                 or (self.peek(1).kind == "KEYWORD"
                                     and self.peek(1).text in NON_RESERVED)):

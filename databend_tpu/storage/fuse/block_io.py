@@ -18,7 +18,7 @@ from ...expression import Column, DataBlock, StringData
 from ...expression.schema import TableSchema
 from ...types import (ArrayType, Boolean, DataType, Date, DecimalType,
                       GeometryType, NumberType, String, StringType, Timestamp,
-                      VariantType, VectorType)
+                      TupleType, VariantType, VectorType)
 
 
 def _to_arrow_array(col: Column) -> pa.Array:
@@ -39,6 +39,12 @@ def _to_arrow_array(col: Column) -> pa.Array:
     if isinstance(inner, (StringType, VariantType, GeometryType)):
         return pa.array(col.data.to_pylist(), type=pa.string(),
                         mask=mask if mask is not None else None)
+    if isinstance(inner, TupleType):
+        # tuples persist as JSON text (decoded back on read)
+        import json as _json
+        texts = [None if v is None else _json.dumps(list(v), default=str)
+                 for v in col.to_pylist()]
+        return pa.array(texts, type=pa.string())
     if isinstance(inner, DecimalType):
         return pa.array(col.data.tolist(),
                         type=pa.decimal128(min(inner.precision, 38), inner.scale),
@@ -71,6 +77,11 @@ def _from_arrow_array(arr: pa.ChunkedArray | pa.Array, dtype: DataType) -> Colum
         return Column(dtype, payload, validity)
     if isinstance(inner, ArrayType):
         return Column.from_pylist(arr.to_pylist(), dtype)
+    if isinstance(inner, TupleType):
+        import json as _json
+        vals = [None if v is None else tuple(_json.loads(v))
+                for v in arr.to_pylist()]
+        return Column.from_pylist(vals, dtype)
     data = arr.to_numpy(zero_copy_only=False)
     if validity is not None and data.dtype.kind == "f" and \
             inner.numpy_dtype().kind != "f":

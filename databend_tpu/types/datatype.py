@@ -256,8 +256,13 @@ class MapType(DataType):
 @dataclass(frozen=True, eq=False)
 class TupleType(DataType):
     fields: tuple
+    names: tuple = ()  # optional field names (TUPLE(id INT, name STRING))
 
     def sql_name(self) -> str:
+        if self.names and any(not n.isdigit() for n in self.names):
+            return "TUPLE(" + ", ".join(
+                f"{n} {f.sql_name()}"
+                for n, f in zip(self.names, self.fields)) + ")"
         return "TUPLE(" + ", ".join(f.sql_name() for f in self.fields) + ")"
 
     def numpy_dtype(self) -> np.dtype:
@@ -438,6 +443,34 @@ def parse_type_name(name: str) -> DataType:
             m = _ARRAY_RE.match(s)
             if m:
                 ty = ArrayType(parse_type_name(m.group(1)))
+            elif up.startswith("TUPLE(") and up.endswith(")"):
+                # TUPLE(a INT, b STRING) or TUPLE(INT, STRING): named
+                # fields keep only the types (reference tuple types)
+                inner = s[6:-1]
+                parts, depth, start = [], 0, 0
+                for i, ch in enumerate(inner):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        parts.append(inner[start:i])
+                        start = i + 1
+                parts.append(inner[start:])
+                fields, names = [], []
+                for k, p in enumerate(parts):
+                    p = p.strip()
+                    toks = p.split(None, 1)
+                    try:
+                        fields.append(parse_type_name(p))
+                        names.append(str(k + 1))
+                    except SyntaxException:
+                        if len(toks) == 2:
+                            fields.append(parse_type_name(toks[1]))
+                            names.append(toks[0])
+                        else:
+                            raise
+                ty = TupleType(tuple(fields), tuple(names))
             elif up.startswith("MAP(") and up.endswith(")"):
                 inner = s[4:-1]
                 depth = 0
