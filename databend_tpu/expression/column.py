@@ -322,9 +322,12 @@ class Column:
             import decimal
             q = inner.quantum()
             payload = np.empty(len(values), object)
-            for i, v in enumerate(values):
-                payload[i] = (decimal.Decimal(0) if v is None
-                              else decimal.Decimal(str(v)).quantize(q))
+            with decimal.localcontext() as dctx:
+                # default context precision (28) is below DECIMAL(76)
+                dctx.prec = max(inner.precision + inner.scale + 4, 80)
+                for i, v in enumerate(values):
+                    payload[i] = (decimal.Decimal(0) if v is None
+                                  else decimal.Decimal(str(v)).quantize(q))
             return Column(dtype, payload, validity)
         if isinstance(inner, (VariantType, GeometryType)) and isinstance(inner, GeometryType):
             texts = [None if v is None else str(v) for v in values]

@@ -357,15 +357,21 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
             raise BadDataValueType(f"cannot cast {src} to {dst}")
         payload = np.empty(n, object)
         ok = np.ones(n, np.bool_)
-        for i, v in enumerate(vals):
-            try:
-                payload[i] = decimal.Decimal(str(v)).quantize(
-                    quantum, rounding=decimal.ROUND_HALF_UP)
-            except (decimal.InvalidOperation, ValueError, TypeError):
-                if not is_try:
-                    raise BadDataValueType(f"cannot cast {v!r} to {dst}")
-                payload[i] = decimal.Decimal(0)
-                ok[i] = False
+        with decimal.localcontext() as dctx:
+            dctx.prec = max(dst.precision + dst.scale + 4, 80)
+            for i, v in enumerate(vals):
+                try:
+                    d = decimal.Decimal(str(v)).quantize(
+                        quantum, rounding=decimal.ROUND_HALF_UP)
+                    if len(d.as_tuple().digits) > dst.precision:
+                        raise decimal.InvalidOperation("Decimal overflow")
+                    payload[i] = d
+                except (decimal.InvalidOperation, ValueError, TypeError):
+                    if not is_try:
+                        raise BadDataValueType(
+                            f"cannot cast {v!r} to {dst}")
+                    payload[i] = decimal.Decimal(0)
+                    ok[i] = False
         return out(payload, ok if not ok.all() else None)
     if isinstance(src, DecimalType):
         if isinstance(dst, NumberType):

@@ -14,8 +14,8 @@ from typing import Dict, List, Optional, Type
 import numpy as np
 
 from ...errors import SemanticError, UnknownFunction
-from ...types import (Boolean, DataType, Float64, Int64, NumberType, String,
-                      UInt64)
+from ...types import (Boolean, DataType, DecimalType, Float64, Int64,
+                      NumberType, String, UInt64)
 from ..column import Column, StringData
 
 
@@ -85,7 +85,23 @@ class SumAgg(AggregateFunction):
             raise SemanticError(f"sum expects numeric, got {t}")
         dt = self._decimal_type()
         if dt is not None:
-            return dt
+            # sum keeps 64-bit decimals, widens 128-bit to DECIMAL(38,s)
+            # and 256-bit to DECIMAL(76,s); enable_decimal_sum_widening
+            # widens 128-bit straight to 76 (reference decimal sum types
+            # + settings_default.rs:1297)
+            if dt.precision <= 18:
+                return dt
+            if dt.precision <= 38:
+                widen = False
+                try:
+                    from ...utils.current import current_session
+                    s = current_session()
+                    widen = bool(s and s.settings.get(
+                        "enable_decimal_sum_widening"))
+                except Exception:
+                    pass
+                return DecimalType(76 if widen else 38, dt.scale)
+            return DecimalType(76, dt.scale)
         if isinstance(t, NumberType) and t.is_float():
             return Float64
         return Int64 if t != Boolean else UInt64
@@ -125,6 +141,14 @@ class SumAgg(AggregateFunction):
         if self._decimal_type() is not None:
             vals = [v if ok else None
                     for v, ok in zip(state[0], validity.tolist())]
+            import decimal as _dec
+            rti = rt.remove_nullable()
+            limit = _dec.Decimal(10) ** (rti.precision - rti.scale)
+            for v in vals:
+                if v is not None and abs(v) >= limit:
+                    from ...errors import BadArguments
+                    raise BadArguments(
+                        f"Decimal overflow: sum exceeds {rt.sql_name()}")
             return Column.from_pylist(vals, rt.wrap_nullable())
         payload = state[0].astype(rt.numpy_dtype())
         return Column(rt.wrap_nullable(), payload,
@@ -134,22 +158,57 @@ class SumAgg(AggregateFunction):
 class AvgAgg(AggregateFunction):
     name = "avg"
 
+    def _decimal_type(self):
+        t = self.arg_types[0].remove_nullable() if self.arg_types else None
+        return t if isinstance(t, DecimalType) else None
+
     def return_type(self):
+        dt = self._decimal_type()
+        if dt is not None:
+            # reference: avg(Decimal(p, s)) is DECIMAL(38|76, s+5)
+            return DecimalType(38 if dt.precision <= 38 else 76,
+                               min(dt.scale + 5, 36))
         return Float64
 
     def init_state(self, num_groups):
+        if self._decimal_type() is not None:
+            import decimal
+            return [[decimal.Decimal(0)] * num_groups,
+                    np.zeros(num_groups, np.int64)]
         return [np.zeros(num_groups, np.float64), np.zeros(num_groups, np.int64)]
 
     def update(self, state, group_ids, payload, validity):
+        if self._decimal_type() is not None:
+            acc = state[0]
+            vals = payload.tolist()
+            for i, g in enumerate(group_ids.tolist()):
+                if validity is not None and not validity[i]:
+                    continue
+                acc[g] += vals[i]
+                state[1][g] += 1
+            return
         gids, p = self._mask(group_ids, np.asarray(payload, np.float64), validity)
         state[0] += np.bincount(gids, weights=p, minlength=len(state[0]))
         np.add.at(state[1], gids, 1)
 
     def merge(self, s1, s2):
-        return [s1[0] + s2[0], s1[1] + s2[1]]
+        return [s1[0] + s2[0] if not isinstance(s1[0], list)
+                else [a + b for a, b in zip(s1[0], s2[0])],
+                s1[1] + s2[1]]
 
     def finalize(self, state, num_groups):
         sums, counts = state
+        if self._decimal_type() is not None:
+            import decimal
+            rt = self.return_type()
+            q = rt.quantum()
+            with decimal.localcontext() as dctx:
+                dctx.prec = max(rt.precision + rt.scale + 4, 80)
+                vals = [None if c == 0
+                        else (s / c).quantize(
+                            q, rounding=decimal.ROUND_HALF_UP)
+                        for s, c in zip(sums, counts.tolist())]
+            return Column.from_pylist(vals, rt.wrap_nullable())
         with np.errstate(invalid="ignore", divide="ignore"):
             out = sums / counts
         validity = counts > 0

@@ -147,6 +147,9 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    " server (0=unlimited; reference queue_mgr.rs)", (0, 1024)),
         SettingDef("enable_aggregating_index_scan", True,
                    "answer eligible aggregates from the aggregating index"),
+        SettingDef("enable_decimal_sum_widening", False,
+                   "widen SUM over Decimal(19..38, s) to Decimal(76, s)"
+                   " (reference settings_default.rs:1297)"),
         # ---- accepted for client compatibility (reference defaults;"
         # advisory until the matching subsystem consults them) --------------
         SettingDef("max_block_bytes", 50 * 1024 * 1024,
@@ -355,8 +358,6 @@ DEFAULT_SETTINGS: Dict[str, SettingDef] = {
                    "vacuum automatically after commits"),
         SettingDef("enable_compact_after_write", False,
                    "compact small blocks right after writes"),
-        SettingDef("enable_decimal_sum_widening", True,
-                   "widen DECIMAL sums to avoid overflow"),
         SettingDef("enable_distributed_replace_into", True,
                    "shard REPLACE INTO across the mesh"),
         SettingDef("enable_loser_tree_merge_sort", True,

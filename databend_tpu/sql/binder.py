@@ -733,9 +733,12 @@ class Binder:
                 continue
             e = self._bind_with_group_rewrite(target, base_binder,
                                               group_key_asts, group_keys)
-            # reuse an identical select item if present
+            # reuse an identical select item if present (only when its
+            # output name is unambiguous — duplicate select names would
+            # make the sort read the wrong column)
             same = next((n for n, be in bound_items if _expr_eq(be, e)), None)
-            if same is not None:
+            if same is not None and sum(1 for n, _ in bound_items
+                                        if n == same) == 1:
                 sort_items.append(SortItem(same, ob.asc, ob.nulls_first))
             else:
                 name = f"__sort_{i}"
@@ -795,6 +798,12 @@ class Binder:
             checked = bound_items + extra_items
             if having_expr is not None:
                 checked = checked + [("__having", having_expr)]
+            for w in windows:
+                # window partition/order keys run over the aggregate's
+                # output and must reduce to it as well
+                checked = checked + \
+                    [("__win_part", e) for e in w.partition_by] + \
+                    [("__win_ord", e) for e, _, _ in w.order_by]
             for iname, be in checked:
                 for node in be.walk():
                     if isinstance(node, _BC) \
@@ -833,8 +842,26 @@ class Binder:
                             None if blocks_limit else limit,
                             bound_items + extra_items)
 
-        # projection (+ hidden sort keys + hidden qualify columns)
-        plan = ProjectPlan(plan, bound_items + extra_items + qualify_hidden)
+        # projection (+ hidden sort keys + hidden qualify columns).
+        # Duplicate output names (SELECT t0.c, t1.c) get unique physical
+        # names so by-name lookups downstream (sort keys, the final
+        # unwrap projection) can't silently read the wrong column; the
+        # final projection restores the display names.
+        phys_items: List[Tuple[str, ScalarExpr]] = []
+        restore: List[Tuple[str, str]] = []  # (display, physical)
+        seen_names: Dict[str, int] = {}
+        for n, e in bound_items:
+            k = n.lower()
+            if k in seen_names:
+                pn = f"{n}__dup{seen_names[k]}"
+                seen_names[k] += 1
+            else:
+                pn = n
+                seen_names[k] = 1
+            phys_items.append((pn, e))
+            restore.append((n, pn))
+        renamed = any(n != pn for n, pn in restore)
+        plan = ProjectPlan(plan, phys_items + extra_items + qualify_hidden)
         if qualify_expr is not None:
             plan = FilterPlan(plan, qualify_expr)
         if sel.distinct:
@@ -850,9 +877,10 @@ class Binder:
             plan = SortPlan(plan, sort_items, _limit_sum(limit, offset),
                             spill_threshold_rows=spill_rows,
                             distributed=self._distributed_on())
-        if extra_items or qualify_hidden:
+        if extra_items or qualify_hidden or renamed:
             plan = ProjectPlan(plan, [
-                (n, BoundColumn(n, e.dtype)) for n, e in bound_items])
+                (n, BoundColumn(pn, e.dtype))
+                for (n, pn), (_, e) in zip(restore, bound_items)])
         if limit is not None or offset is not None:
             plan = LimitPlan(plan, _const_int(limit), _const_int(offset) or 0)
         return plan
@@ -1535,6 +1563,8 @@ class Binder:
             if it.alias:
                 aliases[it.alias.lower()] = it.expr
 
+        depth = [0]
+
         def subst(e):
             if isinstance(e, A.ColumnRef) and e.table is None \
                     and e.name.lower() in aliases:
@@ -1543,16 +1573,30 @@ class Binder:
                     return e  # a real column shadows the alias
                 except Exception:
                     import copy as _copy
-                    return _copy.deepcopy(aliases[e.name.lower()])
+                    if depth[0] > 8:  # mutual alias recursion guard
+                        return e
+                    depth[0] += 1
+                    try:
+                        # chained aliases: d = rank() OVER (ORDER BY s)
+                        # where s is itself an alias — substitute inside
+                        # the replacement too
+                        return subst(_copy.deepcopy(
+                            aliases[e.name.lower()]))
+                    finally:
+                        depth[0] -= 1
             if hasattr(e, "__dataclass_fields__"):
                 for fn in e.__dataclass_fields__:
                     v = getattr(e, fn)
                     if isinstance(v, A.Expr):
                         setattr(e, fn, subst(v))
+                    elif hasattr(v, "__dataclass_fields__"):
+                        subst(v)  # WindowSpec / OrderByExpr and the like
                     elif isinstance(v, list):
                         for i, x in enumerate(v):
                             if isinstance(x, A.Expr):
                                 v[i] = subst(x)
+                            elif hasattr(x, "__dataclass_fields__"):
+                                subst(x)
             return e
 
         if not aliases:

@@ -2002,6 +2002,15 @@ class Parser:
         return A.SelectItem(e, alias)
 
     def parse_table_ref(self) -> A.TableRef:
+        # explicit JOINs bind tighter than the comma cross-product:
+        # `t0, t1 RIGHT JOIN t2 ON ...` is `t0 CROSS (t1 RIGHT JOIN t2)`
+        left = self._parse_join_chain()
+        while self.accept_op(","):
+            right = self._parse_join_chain()
+            left = A.Join("CROSS", left, right)
+        return left
+
+    def _parse_join_chain(self) -> A.TableRef:
         left = self.parse_table_factor()
         while True:
             if self.accept_keyword("CROSS"):
@@ -2058,10 +2067,6 @@ class Parser:
                         self.expect_op(")")
                 left = A.Join(kind, left, right, cond, using,
                               natural=natural)
-                continue
-            if self.accept_op(","):
-                right = self.parse_table_factor()
-                left = A.Join("CROSS", left, right)
                 continue
             break
         return left
@@ -2601,6 +2606,11 @@ class Parser:
                 cond = self.parse_expr()
                 self.expect_op(")")
                 base = name.lower()
+                if base.endswith("_if") or base.endswith("_distinct"):
+                    from ..errors import SemanticError
+                    raise SemanticError(
+                        "FILTER clause is not supported for aggregate"
+                        " combinator")
                 if base == "count":
                     if args and isinstance(args[0], A.Star):
                         args = []
