@@ -360,6 +360,9 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
         with decimal.localcontext() as dctx:
             dctx.prec = max(dst.precision + dst.scale + 4, 80)
             for i, v in enumerate(vals):
+                if validity is not None and not validity[i]:
+                    payload[i] = decimal.Decimal(0)
+                    continue
                 try:
                     d = decimal.Decimal(str(v)).quantize(
                         quantum, rounding=decimal.ROUND_HALF_UP)
@@ -390,6 +393,8 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
         payload = np.zeros(n, dst.numpy_dtype())
         ok = np.ones(n, np.bool_)
         for i, s in enumerate(vals):
+            if validity is not None and not validity[i]:
+                continue
             try:
                 payload[i] = float(s) if dst.is_float() else int(float(s))
             except (ValueError, TypeError):
@@ -450,6 +455,8 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
         payload = np.zeros(n, dst.numpy_dtype())
         ok = np.ones(n, np.bool_)
         for i, s in enumerate(vals):
+            if validity is not None and not validity[i]:
+                continue
             try:
                 if str(s).startswith("0000-00-00"):
                     payload[i] = 0  # zero date maps to the epoch
@@ -497,6 +504,8 @@ def cast_column(col: Column, target: DataType, is_try: bool) -> Column:
         payload = np.zeros(n, dst.numpy_dtype())
         ok = np.ones(n, np.bool_)
         for i, s in enumerate(vals):
+            if validity is not None and not validity[i]:
+                continue
             try:
                 v = _json.loads(s) if isinstance(s, (str, bytes)) else s
                 if v is None or isinstance(v, (list, dict)):

@@ -2713,17 +2713,26 @@ class Parser:
 
 
 def parse_sql(sql: str) -> A.Statement:
-    return Parser(sql).parse()
+    try:
+        return Parser(sql).parse()
+    except RecursionError:
+        # pathological nesting below the explicit nest guard can still
+        # exhaust the Python stack (frames-per-level varies by clause);
+        # surface it as the same clean syntax error the guard raises
+        raise SyntaxException("query nesting too deep")
 
 
 def parse_statements(sql: str) -> List[A.Statement]:
     """Split on top-level ';' and parse each statement."""
     out = []
     p = Parser(sql)
-    while p.peek().kind != "EOF":
-        out.append(p.parse_statement())
-        while p.accept_op(";"):
-            pass
+    try:
+        while p.peek().kind != "EOF":
+            out.append(p.parse_statement())
+            while p.accept_op(";"):
+                pass
+    except RecursionError:
+        raise SyntaxException("query nesting too deep")
     return out
 
 

@@ -141,3 +141,33 @@ def test_divide_by_zero_and_bit_ops():
                    " TRY_CAST('x' AS TIMESTAMP)").rows() == [(None, None)]
     with pytest.raises(Exception):
         ctx.sql("SELECT CAST('nope' AS DATE)")
+
+
+def test_cast_skips_null_rows():
+    """CAST over a nullable column must not inspect the payload of NULL
+    rows (corpus finding: INSERT .. SELECT IF(cond, '2024-01-01', NULL)
+    raised 'cannot cast ""' on the NULL rows — reference casts only the
+    valid rows)."""
+    from databend_tpu import SessionContext
+    ctx = SessionContext()
+    ctx.sql("CREATE TABLE cast_null_t (d DATE NULL)")
+    ctx.sql("INSERT INTO cast_null_t SELECT IF(number % 3 = 0,"
+            " '2024-01-01', NULL) FROM numbers(9)")
+    assert ctx.sql("SELECT count(1), count(d) FROM cast_null_t"
+                   ).rows() == [(9, 3)]
+    # numeric + decimal arms too
+    assert ctx.sql("SELECT CAST(IF(false, '1', NULL) AS INT),"
+                   " CAST(IF(false, '1.5', NULL) AS DECIMAL(5,2))"
+                   ).rows() == [(None, None)]
+
+
+def test_deep_nesting_is_clean_syntax_error():
+    """Pathological nesting must fail as SyntaxException, never
+    RecursionError (fuzz finding)."""
+    import pytest
+
+    from databend_tpu.errors import DatabendError
+    from databend_tpu.sql.parser import parse_statements
+    with pytest.raises(DatabendError):
+        parse_statements("SELECT * FROM " + "(SELECT * FROM " * 400
+                         + "t" + ")" * 400)
