@@ -70,3 +70,21 @@ def test_vector_suite_expectations_match_numpy_oracle():
         assert [g[0] for g in got] == [w[0] for w in want], (metric, qtxt[:30])
         for (_, gv), (_, wv) in zip(got, want):
             assert abs(gv - wv) < 1e-3
+
+
+def test_ported_suites_distributed(tmp_path):
+    """Cluster-mode corpus rerun (analog of the reference CI's
+    ci-run-sqllogic-tests-cluster.sh, which replays the whole corpus
+    against a 3-node cluster): every ported file re-executed with
+    enable_distributed_execution=1 on the 8-device virtual mesh."""
+    i = [0]
+
+    def factory():
+        i[0] += 1
+        c = SessionContext(str(tmp_path / f"d{i[0]}"))
+        c.sql("SET enable_distributed_execution = 1")
+        return c
+
+    executed, failures = run_suite(factory, PORTED)
+    assert not failures, failures
+    assert executed >= 800
