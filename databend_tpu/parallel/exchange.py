@@ -274,12 +274,18 @@ def _shuffle_program(mesh, capacity: int, n_cols: int):
                                   concat_axis=0, tiled=True)
         recv_valid = jax.lax.all_to_all(valid, SHARD_AXIS, split_axis=0,
                                         concat_axis=0, tiled=True)
-        return recv.reshape(-1, n_cols), recv_valid.reshape(-1)
+        # replicate outputs (trailing all_gather): on a multi-process
+        # DCN mesh a sharded result is non-addressable from the host
+        out = jax.lax.all_gather(recv.reshape(-1, n_cols), SHARD_AXIS,
+                                 tiled=True)
+        out_valid = jax.lax.all_gather(recv_valid.reshape(-1), SHARD_AXIS,
+                                       tiled=True)
+        return out, out_valid
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS, None)),
-        out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS)), check_vma=False))
+        out_specs=(P(None, None), P(None)), check_vma=False))
 
 
 def _shuffle_capacity(dest_padded: np.ndarray, s: int) -> int:
@@ -316,7 +322,9 @@ def shuffle_by_key(mesh, key_codes: np.ndarray, values: np.ndarray
                             np.ascontiguousarray(values, np.float64)])
     dest_dev, n = shard_rows_padded(mesh, dest, fill=-1)
     vals_dev, _ = shard_rows_padded(mesh, cols)
-    capacity = _shuffle_capacity(np.asarray(dest_dev), s)
+    # capacity from the HOST padded copy: the device array spans
+    # non-addressable shards on a multi-process (DCN) mesh
+    capacity = _shuffle_capacity(pad_rows(dest, s, fill=-1)[0], s)
     recv, valid = _shuffle_program(mesh, capacity, cols.shape[1])(
         dest_dev, vals_dev)
     recv = np.asarray(recv)
@@ -454,12 +462,16 @@ def _shuffle_probe_program(mesh, capacity: int, build_cap: int):
         hi = jnp.searchsorted(build_sorted, rc, side="right")
         valid = ri >= 0
         cnt = jnp.where(valid, hi - lo, 0).astype(jnp.int32)
-        return ri, lo.astype(jnp.int32), cnt
+        # replicate (DCN meshes: sharded results are non-addressable)
+        return (jax.lax.all_gather(ri, SHARD_AXIS, tiled=True),
+                jax.lax.all_gather(lo.astype(jnp.int32), SHARD_AXIS,
+                                   tiled=True),
+                jax.lax.all_gather(cnt, SHARD_AXIS, tiled=True))
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(None), P(None), P(None)),
         check_vma=False))
 
 
@@ -511,7 +523,9 @@ class ShuffleJoin:
         ids = np.arange(len(codes), dtype=np.int32)
         codes_dev, _ = shard_rows_padded(self.mesh, codes, fill=-1)
         ids_dev, _ = shard_rows_padded(self.mesh, ids, fill=-1)
-        padded = np.asarray(codes_dev)
+        # capacity from the HOST padded copy (DCN: device array spans
+        # non-addressable shards)
+        padded = pad_rows(codes, s, fill=-1)[0]
         dest = np.where(padded >= 0, padded % s, -1).astype(np.int32)
         capacity = _next_pow2(_shuffle_capacity(dest, s))
         ri, lo, cnt = _shuffle_probe_program(
@@ -537,3 +551,73 @@ class ShuffleJoin:
         ridx = self.build_ids.reshape(-1)[base + offsets]
         order = np.lexsort((ridx, lidx))
         return lidx[order], ridx[order]
+
+
+# ------------------------------------------- range-partition (sample) sort
+
+@functools.lru_cache(maxsize=64)
+def _range_sort_program(mesh, capacity: int):
+    """Range-partition sort exchange (reference: distributed sort WITHOUT
+    a limit — fragmenter.rs exchange on sort keys + per-node merge sort).
+    Rows are routed to the shard owning their key range (all_to_all),
+    then each shard sorts its received rows on device; because shard i's
+    key range precedes shard i+1's, concatenating shard outputs in shard
+    order IS the total order."""
+    s = mesh.shape[SHARD_AXIS]
+
+    def local(dest, vals):  # vals [rows, 2] = (key, row_id)
+        order = jnp.argsort(dest, stable=True)
+        dest_s = dest[order]
+        vals_s = vals[order]
+        start = jnp.searchsorted(dest_s, jnp.arange(s))
+        within = jnp.arange(dest_s.shape[0]) - start[jnp.clip(dest_s, 0, s - 1)]
+        buf = jnp.zeros((s, capacity, 2), vals.dtype)
+        ok = (dest_s >= 0) & (within < capacity)
+        d_idx = jnp.where(ok, dest_s, s)
+        w_idx = jnp.where(ok, within, 0)
+        buf = buf.at[d_idx, w_idx].set(vals_s, mode="drop")
+        valid = jnp.zeros((s, capacity), jnp.bool_)
+        valid = valid.at[d_idx, w_idx].set(True, mode="drop")
+        recv = jax.lax.all_to_all(buf, SHARD_AXIS, split_axis=0,
+                                  concat_axis=0, tiled=True).reshape(-1, 2)
+        rvalid = jax.lax.all_to_all(valid, SHARD_AXIS, split_axis=0,
+                                    concat_axis=0, tiled=True).reshape(-1)
+        # local device sort; invalid (padding) rows sink to the tail
+        key = jnp.where(rvalid, recv[:, 0], jnp.inf)
+        o = jnp.argsort(key)
+        # ordered concat across shards = total order; replicate it (DCN
+        # meshes: sharded results are non-addressable from the host)
+        return (jax.lax.all_gather(recv[o], SHARD_AXIS, tiled=True),
+                jax.lax.all_gather(rvalid[o], SHARD_AXIS, tiled=True))
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS, None)),
+        out_specs=(P(None, None), P(None)), check_vma=False))
+
+
+def range_partition_sort(mesh, keys: np.ndarray) -> np.ndarray:
+    """Distributed full sort (no limit): sample ~4k keys for splitters,
+    route every row to its key-range shard, per-shard device sort,
+    ordered concat across shards. ``keys`` must be exact in f32 — callers
+    rank-compress arbitrary sort keys first (same contract as
+    sharded_topn). Returns row ids in global ascending-key order."""
+    s = mesh.shape[SHARD_AXIS]
+    n = keys.shape[0]
+    k = np.ascontiguousarray(keys, np.float32)
+    if n > 4096:
+        rng = np.random.default_rng(0)
+        sample = k[rng.integers(0, n, 4096)]
+    else:
+        sample = k
+    splitters = np.quantile(sample, np.arange(1, s) / s).astype(np.float32)
+    dest = np.searchsorted(splitters, k, side="right").astype(np.int32)
+    cols = np.column_stack([k, np.arange(n, dtype=np.float32)])
+    dest_dev, _ = shard_rows_padded(mesh, dest, fill=-1)
+    vals_dev, _ = shard_rows_padded(mesh, cols.astype(np.float32))
+    # host-side capacity (device array is non-addressable on DCN meshes)
+    capacity = _next_pow2(_shuffle_capacity(pad_rows(dest, s, fill=-1)[0], s))
+    recv, valid = _range_sort_program(mesh, capacity)(dest_dev, vals_dev)
+    recv = np.asarray(recv)
+    valid = np.asarray(valid)
+    return recv[valid, 1].astype(np.int64)

@@ -484,7 +484,11 @@ def _comparable_array(col: Column) -> np.ndarray:
             # of Python strings becomes an int64 lexsort (the reference's
             # string sort runs on binary columns for the same reason)
             n_u = int(codes.max()) + 1
-            rep = np.empty(n_u, np.int64)
+            # zeros, not empty: dictionary-coded columns can carry UNUSED
+            # code slots after take/filter; garbage rep rows for those
+            # slots would index out of bounds (their rank is never
+            # selected, so row 0 as a stand-in is harmless)
+            rep = np.zeros(n_u, np.int64)
             rep[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
             uniq = np.array([sd.get(int(i)) for i in rep], dtype=object)
             order = np.argsort(uniq)
@@ -625,6 +629,11 @@ def _exec_sort(plan: SortPlan):
         if out is not None:
             yield out
             return
+    if plan.distributed and plan.limit is None and plan.items:
+        out = _try_distributed_fullsort(plan, blocks)
+        if out is not None:
+            yield out
+            return
     def _spillable():
         # DESC over strings inverts via per-block rank codes, which are not
         # comparable across runs — keep those sorts in memory
@@ -657,6 +666,38 @@ def _exec_sort(plan: SortPlan):
     if plan.limit is not None:
         order = order[: plan.limit]
     yield merged.take(order)
+
+
+def _try_distributed_fullsort(plan: SortPlan, blocks):
+    """Range-partition (sample-sort) exchange for ORDER BY without LIMIT
+    (reference: distributed sort fragments at the exchange boundary —
+    fragmenter.rs:59,209; per-node sort + ordered merge). Sort keys are
+    rank-compressed to unique f32-exact ints (the same contract as the
+    top-n merge exchange), rows are all_to_all-routed to their key-range
+    shard, each shard sorts on device, and shard-order concatenation is
+    the total order."""
+    from ..parallel.exchange import range_partition_sort
+    from ..parallel.mesh import get_default_mesh
+    mesh = get_default_mesh()
+    if mesh is None:
+        return None
+    merged = DataBlock.concat(blocks)
+    n = merged.num_rows
+    if n == 0 or n > (1 << 24):
+        return None  # rank exceeds exact f32 range (guarded, Weak r4 #5)
+    try:
+        keys = _sort_key_arrays(merged, plan.items)
+    except Exception:
+        return None
+    order = np.lexsort(keys)
+    ranks = np.empty(n, np.int64)
+    ranks[order] = np.arange(n, dtype=np.int64)
+    ids = range_partition_sort(mesh, ranks.astype(np.float32))
+    if ids.shape[0] != n:
+        return None
+    from ..utils.metrics import METRICS
+    METRICS.inc("distributed_fullsort_queries")
+    return merged.take(ids)
 
 
 def _try_distributed_topn(plan: SortPlan, blocks):
@@ -1975,6 +2016,8 @@ class _ShuffleJoinContext:
         dense_index = pd.Index(pd.unique(comp[comp >= 0]))
         dense = dense_index.get_indexer(comp)
         dense = np.where(comp >= 0, dense, -1).astype(np.int32)
+        from ..utils.metrics import METRICS
+        METRICS.inc("shuffle_join_queries")
         return _ShuffleJoinContext(mesh, indexes, sizes, dense_index,
                                    ShuffleJoin(mesh, dense))
 

@@ -113,7 +113,60 @@ def execute_window(plan: WindowPlan, child_blocks):
         yield DataBlock(names, [constant_column(None, f.dtype.wrap_nullable(), 0)
                                 for f in fields], 0)
         return
+    if getattr(plan, "distributed", False) and part_keys:
+        out = _try_distributed_window(plan, buffered, part_keys, names)
+        if out is not None:
+            yield out
+            return
     yield _window_block(plan, DataBlock.concat(buffered), names)
+
+
+def _try_distributed_window(plan: WindowPlan, blocks, part_keys, names):
+    """Partition-hash exchange for window functions (reference: the
+    window_partition shuffle — every plan with a window fragments at a
+    hash exchange on PARTITION BY, then each node windows its partitions
+    locally). Partition keys factorize to dense codes, the shuffle
+    exchange routes equal codes to one shard (all_to_all device program),
+    and each shard runs the vectorized window pass over exactly the rows
+    it owns; outputs inverse-permute back to input order. Exact because
+    a window partition is wholly contained in one hash bucket."""
+    from ..parallel.exchange import shuffle_by_key
+    from ..parallel.mesh import get_default_mesh
+    from .keys import composite_group, factorize_column
+    mesh = get_default_mesh()
+    if mesh is None:
+        return None
+    merged = DataBlock.concat(blocks)
+    n = merged.num_rows
+    if n == 0 or n > (1 << 24):
+        return None  # row ids must stay f32-exact through the exchange
+    ev = Evaluator(merged)
+    try:
+        key_cols = [ev.run(e) for e in part_keys]
+    except Exception:
+        return None
+    gids, _ = composite_group([factorize_column(c) for c in key_cols])
+    try:
+        _, vals, shard_of = shuffle_by_key(
+            mesh, gids, np.arange(n, dtype=np.float64)[:, None])
+    except Exception:
+        return None
+    if vals.shape[0] != n:
+        return None
+    row_ids = vals[:, 0].astype(np.int64)
+    parts = []
+    perm = []
+    for s in np.unique(shard_of):
+        idx = row_ids[shard_of == s]
+        parts.append(_window_block(plan, merged.take(idx), names))
+        perm.append(idx)
+    out = DataBlock.concat(parts)
+    perm = np.concatenate(perm)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n, dtype=np.int64)
+    from ..utils.metrics import METRICS
+    METRICS.inc("distributed_window_queries")
+    return out.take(inv)
 
 
 def _window_block(plan: WindowPlan, block: DataBlock, names) -> DataBlock:

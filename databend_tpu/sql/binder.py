@@ -827,7 +827,8 @@ class Binder:
             plan = FilterPlan(plan, having_expr)
 
         if windows:
-            plan = WindowPlan(plan, windows)
+            plan = WindowPlan(plan, windows,
+                              distributed=self._distributed_on())
 
         # finalize scan pushdowns (vector/search rewrites recorded during
         # binds). LIMIT/TopN pushdown is only sound when no row-collapsing

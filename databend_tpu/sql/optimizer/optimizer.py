@@ -801,6 +801,7 @@ class _Optimizer:
         fields = left.output_fields() + right.output_fields()
         j = JoinPlan("INNER" if keys else "CROSS", left, right, lk, rk,
                      resid, fields,
+                     distributed=self._distributed_on(),
                      spill_threshold_rows=self._join_spill_rows())
         return (cost, j)
 
@@ -810,6 +811,15 @@ class _Optimizer:
                 "join_spill_row_threshold")) or None
         except Exception:
             return None
+
+    def _distributed_on(self) -> bool:
+        # reordered JoinPlans must keep the bind-time exchange
+        # eligibility (the reorder rebuilds the plan nodes from scratch)
+        try:
+            return bool(self.session.settings.get(
+                "enable_distributed_execution"))
+        except Exception:
+            return False
 
     def _written_order(self, region: Region, subset_rows) -> Plan:
         """disable_join_reorder: left-deep chain in the written FROM order,
@@ -826,6 +836,7 @@ class _Optimizer:
             fields = plan.output_fields() + region.rels[i].output_fields()
             plan = JoinPlan("INNER" if keys else "CROSS", plan,
                             region.rels[i], lk, rk, resid, fields,
+                            distributed=self._distributed_on(),
                             spill_threshold_rows=self._join_spill_rows())
             mask |= s2
         return self._attach_filters(region, plan, mask)

@@ -266,6 +266,8 @@ class WindowPlan(Plan):
     scans on the sorted arrays, inverse-permute back."""
     child: Plan
     items: List[WindowItem]
+    # partition-hash exchange across the mesh when eligible
+    distributed: bool = False
 
     def children(self):
         return [self.child]

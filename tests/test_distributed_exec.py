@@ -290,3 +290,70 @@ def test_join_fused_minmax_and_filter(jctx, monkeypatch):
               " JOIN dimw ON m.grp = dimw.grp WHERE m.grp < 10"
               " GROUP BY tag ORDER BY mn LIMIT 3", monkeypatch)
     _rows_close(host, dist)
+
+
+def test_distributed_fullsort_range_partition(dctx):
+    """ORDER BY without LIMIT rides the range-partition (sample-sort)
+    exchange: splitter-routed all_to_all + per-shard device sort +
+    ordered concat (reference: distributed sort fragments,
+    fragmenter.rs:59,209). Results must be identical to the host sort
+    and the exchange must actually fire."""
+    from databend_tpu.utils.metrics import METRICS
+    c = dctx
+    for q in ("SELECT k, v FROM m ORDER BY v",
+              "SELECT grp, v FROM m ORDER BY grp DESC, v",
+              "SELECT v FROM m ORDER BY v DESC"):
+        c.sql("SET enable_distributed_execution = 0")
+        host = c.sql(q).rows()
+        before = METRICS.snapshot().get("distributed_fullsort_queries", 0)
+        c.sql("SET enable_distributed_execution = 1")
+        dist = c.sql(q).rows()
+        after = METRICS.snapshot().get("distributed_fullsort_queries", 0)
+        assert after == before + 1, f"fullsort exchange did not fire: {q}"
+        assert host == dist, q
+
+
+def test_distributed_window_partition_hash(dctx):
+    """Window functions ride the partition-hash exchange: PARTITION BY
+    codes all_to_all-routed so each partition lands wholly on one shard,
+    per-shard vectorized window, inverse-permute (reference:
+    window_partition shuffle)."""
+    from databend_tpu.utils.metrics import METRICS
+    c = dctx
+    for q in (
+        "SELECT k, sum(v) OVER (PARTITION BY grp) AS sv FROM m"
+        " ORDER BY k LIMIT 50",
+        "SELECT k, row_number() OVER (PARTITION BY grp ORDER BY v)"
+        " AS rn, avg(v) OVER (PARTITION BY grp) AS av FROM m"
+        " ORDER BY k LIMIT 50",
+    ):
+        c.sql("SET enable_distributed_execution = 0")
+        host = c.sql(q).rows()
+        before = METRICS.snapshot().get("distributed_window_queries", 0)
+        c.sql("SET enable_distributed_execution = 1")
+        dist = c.sql(q).rows()
+        after = METRICS.snapshot().get("distributed_window_queries", 0)
+        assert after == before + 1, f"window exchange did not fire: {q}"
+        assert host == dist, q
+
+
+def test_distributed_multi_exchange_plan(dctx):
+    """One query crossing MULTIPLE exchange kinds: window
+    (partition-hash) feeding a final distributed sort — the multi-
+    exchange plan shape the reference fragments into several fragments
+    (fragmenter.rs:59)."""
+    from databend_tpu.utils.metrics import METRICS
+    c = dctx
+    q = ("SELECT grp, v, sum(v) OVER (PARTITION BY grp) AS sv FROM m"
+         " WHERE k < 20000 ORDER BY sv, v")
+    c.sql("SET enable_distributed_execution = 0")
+    host = c.sql(q).rows()
+    snap0 = METRICS.snapshot()
+    c.sql("SET enable_distributed_execution = 1")
+    dist = c.sql(q).rows()
+    snap1 = METRICS.snapshot()
+    assert snap1.get("distributed_window_queries", 0) \
+        == snap0.get("distributed_window_queries", 0) + 1
+    assert snap1.get("distributed_fullsort_queries", 0) \
+        == snap0.get("distributed_fullsort_queries", 0) + 1
+    assert host == dist

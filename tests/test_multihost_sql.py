@@ -56,6 +56,9 @@ k_col = rng.integers(0, 50, n)
 v_col = rng.integers(0, 1000, n)
 emb = rng.standard_normal((500, 8)).astype(np.float32)
 
+dup_k = rng.integers(0, 50, 120)          # NON-unique join keys
+dup_w = rng.integers(1, 10, 120)
+
 flag = os.path.join(root, "ddl_done")
 if proc_id == 0:
     ctx.sql("CREATE TABLE t (k INT, v BIGINT)")
@@ -67,6 +70,10 @@ if proc_id == 0:
     ctx.insert_block("vt", DataBlock(
         ["id", "emb"], [Column.from_numpy(np.arange(500, dtype=np.int64)),
                         Column.from_numpy(emb, VectorType(8))]))
+    ctx.sql("CREATE TABLE dup (k INT, w BIGINT)")
+    ctx.insert_block("dup", DataBlock(
+        ["k", "w"], [Column.from_numpy(dup_k.astype(np.int32)),
+                     Column.from_numpy(dup_w.astype(np.int64))]))
     with open(flag, "w") as f:
         f.write("1")
 else:
@@ -98,6 +105,42 @@ r2 = [r[0] for r in ctx.sql(
 d = np.linalg.norm(emb - q, axis=1)
 exp2 = np.argsort(d)[:5].tolist()
 assert r2 == exp2, (proc_id, r2, exp2)
+
+# --- shuffle (Normal) exchange join: NON-unique build keys force the
+#     all_to_all hash-partitioned ShuffleJoin over the DCN mesh
+from databend_tpu.utils.metrics import METRICS
+snap0 = METRICS.snapshot()
+r3 = ctx.sql("SELECT t.v, dup.w FROM t JOIN dup ON t.k = dup.k"
+             " WHERE t.v >= 990 ORDER BY t.v, dup.w").rows()
+snap1 = METRICS.snapshot()
+assert snap1.get("shuffle_join_queries", 0) > snap0.get(
+    "shuffle_join_queries", 0), "shuffle-exchange join did not fire"
+jd = pd.DataFrame({"k": k_col, "v": v_col}).merge(
+    pd.DataFrame({"k": dup_k, "w": dup_w}), on="k")
+jd = jd[jd.v >= 990].sort_values(["v", "w"])
+exp3 = [(int(r.v), int(r.w)) for r in jd.itertuples()]
+assert [(int(a), int(b)) for a, b in r3] == exp3, (proc_id, len(r3))
+
+# --- range-partition (sample-sort) exchange: ORDER BY without LIMIT
+snap0 = snap1
+r4 = ctx.sql("SELECT v FROM t ORDER BY v").rows()
+snap1 = METRICS.snapshot()
+assert snap1.get("distributed_fullsort_queries", 0) > snap0.get(
+    "distributed_fullsort_queries", 0), "fullsort exchange did not fire"
+assert [x[0] for x in r4] == sorted(v_col.tolist()), proc_id
+
+# --- partition-hash window exchange
+snap0 = snap1
+r5 = ctx.sql("SELECT k, v, sum(v) OVER (PARTITION BY k) AS sv FROM t"
+             " ORDER BY k, v LIMIT 10").rows()
+snap1 = METRICS.snapshot()
+assert snap1.get("distributed_window_queries", 0) > snap0.get(
+    "distributed_window_queries", 0), "window exchange did not fire"
+wd = pd.DataFrame({"k": k_col, "v": v_col})
+wd["sv"] = wd.groupby("k").v.transform("sum")
+wd = wd.sort_values(["k", "v"]).head(10)
+exp5 = [(int(r.k), int(r.v), int(r.sv)) for r in wd.itertuples()]
+assert [(int(a), int(b), int(c)) for a, b, c in r5] == exp5, proc_id
 
 print(f"proc{proc_id} OK", flush=True)
 """
