@@ -329,7 +329,9 @@ class Column:
                     payload[i] = (decimal.Decimal(0) if v is None
                                   else decimal.Decimal(str(v)).quantize(q))
             return Column(dtype, payload, validity)
-        if isinstance(inner, (VariantType, GeometryType)) and isinstance(inner, GeometryType):
+        from ..types import BinaryType, BitmapType
+        if isinstance(inner, (GeometryType, BinaryType, BitmapType)):
+            # text-payload host types: WKT / hex / canonical int-set text
             texts = [None if v is None else str(v) for v in values]
             return Column(dtype, StringData.from_pylist(texts), validity)
         if isinstance(inner, VariantType):

@@ -194,6 +194,32 @@ class VariantType(DataType):
         return np.dtype(object)
 
 
+class BinaryType(DataType):
+    """Byte strings stored as lowercase hex text payloads (reference:
+    src/query/expression/src/types/binary.rs; sqllogictest renders BINARY
+    as hex, which makes hex the natural canonical encoding here).
+    Host-side type — never enters device kernels."""
+
+    def sql_name(self) -> str:
+        return "BINARY"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(object)
+
+
+class BitmapType(DataType):
+    """Integer sets stored as canonical sorted ``"1,2,3"`` text payloads
+    (reference: roaring-bitmap-backed Bitmap,
+    src/query/expression/src/types/bitmap.rs; the text form is exactly
+    the reference's to_string rendering). Host-side type."""
+
+    def sql_name(self) -> str:
+        return "BITMAP"
+
+    def numpy_dtype(self) -> np.dtype:
+        return np.dtype(object)
+
+
 class GeometryType(DataType):
     """Planar geometries as WKT text (reference: geozero-backed Geometry,
     src/query/expression/src/types/geometry.rs). Subset: POINT fully
@@ -319,6 +345,8 @@ Date = DateType()
 Timestamp = TimestampType()
 Variant = VariantType()
 Geometry = GeometryType()
+Binary = BinaryType()
+Bitmap = BitmapType()
 
 ALL_NUMBER_TYPES = [Int8, Int16, Int32, Int64, UInt8, UInt16, UInt32, UInt64, Float32, Float64]
 
@@ -400,9 +428,17 @@ _TYPE_NAMES = {
     "TIMESTAMP": Timestamp, "DATETIME": Timestamp,
     "VARIANT": Variant, "JSON": Variant,
     "GEOMETRY": Geometry,
+    "BINARY": Binary, "VARBINARY": Binary,
+    "BITMAP": Bitmap,
     # `SELECT NULL` has type NULL; CTAS over it round-trips the name
     "NULL": Null, "NOTHING": Null,
 }
+
+# length/precision arguments on scalar names are accepted and ignored
+# (reference dialect: VARCHAR(50), CHAR(8), DATETIME(0), TIMESTAMP(6))
+_PARAM_SCALAR_RE = re.compile(
+    r"^(VARCHAR|CHAR|CHARACTER|STRING|TEXT|BINARY|VARBINARY|DATETIME"
+    r"|TIMESTAMP)\s*\(\s*\d+\s*\)$", re.I)
 
 _VECTOR_RE = re.compile(r"^VECTOR\s*\(\s*(\d+)\s*(?:,\s*(INT8|FLOAT32)\s*)?\)$", re.I)
 _ARRAY_RE = re.compile(r"^ARRAY\s*\((.*)\)$", re.I | re.S)
@@ -425,6 +461,12 @@ def parse_type_name(name: str) -> DataType:
     if up.startswith("NULLABLE(") and up.endswith(")"):
         # ClickHouse-compatible wrapper: Nullable(Int32)
         return parse_type_name(s[len("NULLABLE("):-1]).wrap_nullable()
+    m = _PARAM_SCALAR_RE.match(up)
+    if m:
+        base = {"CHAR": "VARCHAR", "CHARACTER": "VARCHAR"}.get(
+            m.group(1).upper(), m.group(1).upper())
+        ty0 = _TYPE_NAMES[base]
+        return ty0.wrap_nullable() if nullable else ty0
     ty: DataType
     if up in _TYPE_NAMES:
         ty = _TYPE_NAMES[up]
